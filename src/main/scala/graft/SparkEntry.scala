@@ -89,7 +89,12 @@ object SparkEntry {
   // Queries (SURVEY.md §2 inventory; citations on each implementation)
   // ---------------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extensionQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ extensionOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M1 — dimension load (S2, P2-P4, P16, F3, F4)
     "q_dim_load" -> ((s, dir) => dim(s, dir).orderBy("row_key")),
 
@@ -230,7 +235,7 @@ object SparkEntry {
   )
 
   /** DuckDB oracles, one per SQL-expressible query above. */
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "q_dim_load" ->
       s"""SELECT * FROM ($DimSql) ORDER BY row_key""",
     "q_fact_load" ->
@@ -315,5 +320,236 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------------
+  // M5 extensions — training-data-pipeline operators over documents/embeddings
+  // ---------------------------------------------------------------------------
+
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.functions.{TextFunctions => T}
+    import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+    Map(
+      // Token counting (whitespace tokenizer; codegen'd, no UDF)
+      "q_token_count" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            T.tokenCount(col("text")).cast("long").as("n_tokens"),
+            size(array_distinct(T.tokens(col("text")))).cast("long").as("n_distinct"))
+          .orderBy("doc_id")),
+
+      // Quality scoring: length/punctuation/stopword features + verdict
+      "q_text_stats" -> ((s, dir) => {
+        val toks = T.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            T.tokenCount(col("text")).cast("long").as("n_tokens"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+              .cast("long")
+              .as("n_punct"),
+            T.stopwordHits(toks).cast("long").as("n_stop"))
+          .withColumn(
+            "punct_ratio",
+            when(col("n_chars_m") > 0, col("n_punct").cast("double") / col("n_chars_m")))
+          .withColumn(
+            "stop_ratio",
+            when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")))
+          .withColumn(
+            "is_quality",
+            col("n_tokens") >= 5 && col("n_tokens") <= 2000 &&
+              coalesce(col("stop_ratio") >= 0.02, lit(false)))
+          .orderBy("doc_id")
+      }),
+
+      // Language-ID heuristic (stopword-hit ratio; deterministic)
+      "q_lang_id" -> ((s, dir) => {
+        val toks = T.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            T.stopwordHits(toks).cast("double").as("hits"),
+            T.tokenCount(col("text")).as("nt"))
+          .withColumn(
+            "predicted",
+            when(col("nt") > 0 && col("hits") / col("nt") >= 0.03, "en").otherwise("unk"))
+          .withColumn("correct", col("predicted") === col("lang"))
+          .select("doc_id", "lang", "predicted", "correct")
+          .orderBy("doc_id")
+      }),
+
+      // Document fingerprinting (normalized md5)
+      "q_fingerprint" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            T.fingerprint(col("text")).as("fp"),
+            length(col("text")).cast("long").as("n_chars_m"))
+          .orderBy("doc_id")),
+
+      // Exact dedup: hash-groupBy on fingerprint
+      "q_dedup_exact" -> ((s, dir) =>
+        Dedup.exact(Tables.documents(s, dir)).orderBy("fp")),
+
+      // Near-dup: blocked word-3-gram Jaccard pairs
+      "q_dedup_ngram" -> ((s, dir) =>
+        Dedup
+          .ngramJaccardPairs(Tables.documents(s, dir), 0.3)
+          .withColumn("n_inter", col("n_inter").cast("long"))
+          .withColumn("n_union", col("n_union").cast("long"))
+          .orderBy("a_id", "b_id")),
+
+      // Near-dup: MinHash + LSH banding (rows-only check; ScalaTest-verified)
+      "q_dedup_minhash" -> ((s, dir) =>
+        Dedup.minhashLshPairs(Tables.documents(s, dir), 0.5).orderBy("a_id", "b_id")),
+
+      // Near-dup: SimHash 64-bit + chunk-match candidates (rows-only check)
+      "q_dedup_simhash" -> ((s, dir) =>
+        Dedup.simhashPairs(Tables.documents(s, dir), 3).orderBy("a_id", "b_id")),
+
+      // Near-dup: embedding cosine, exact all-pairs baseline
+      "q_dedup_embedding" -> ((s, dir) =>
+        Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.4).orderBy("a_id", "b_id")),
+
+      // ANN: exact brute-force cosine top-10 (correctness baseline)
+      "q_ann_bruteforce" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch
+          .bruteForceTopK(e.filter(col("vec_id") < 8), e, 10)
+          .orderBy("q_id", "rank")
+      }),
+
+      // ANN: SRP-LSH bucketed + multiprobe (scale path; rows-only check)
+      "q_ann_lsh" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.lshTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
+      }),
+
+      // Embedding stats: dimensionality + L2 norm
+      "q_embed_stats" -> ((s, dir) => {
+        import graft.functions.VectorFunctions
+        Tables.embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            col("label"),
+            size(col("embedding")).cast("long").as("dim"),
+            VectorFunctions.norm(col("embedding")).as("l2"))
+          .orderBy("vec_id")
+      }),
+
+      // Multimodal: binary payload + typed metadata (oracle-checkable part)
+      "q_multimodal_meta" -> ((s, dir) =>
+        Multimodal
+          .ingest(Tables.documents(s, dir))
+          .select("doc_id", "mime", "n_bytes")
+          .orderBy("doc_id")),
+
+      // Multimodal: batched stub-decode feature extraction (rows-only check)
+      "q_multimodal_features" -> ((s, dir) =>
+        Multimodal
+          .extractFeatures(s, Multimodal.ingest(Tables.documents(s, dir)))
+          .toDF()
+          .orderBy("doc_id"))
+    )
+  }
+
+  private val ToksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |     ELSE regexp_split_to_array(trim(text), '\s+') END""".stripMargin
+
+  private val StopListSql = "('the','a','of','and','to','in','is','on','for','it')"
+
+  private def extensionOracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct($ToksSql)) AS BIGINT) AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS n_chars_m,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |         CAST(len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,
+         |       CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m END AS punct_ratio,
+         |       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+         |       (n_tokens >= 5 AND n_tokens <= 2000 AND
+         |        coalesce(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END >= 0.02, false))
+         |         AS is_quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS DOUBLE) AS hits,
+         |         len($ToksSql) AS nt
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CASE WHEN nt > 0 AND hits / nt >= 0.03 THEN 'en' ELSE 'unk' END AS predicted,
+         |       (CASE WHEN nt > 0 AND hits / nt >= 0.03 THEN 'en' ELSE 'unk' END) = lang AS correct
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH t AS (SELECT doc_id,
+         |                  md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk,
+         |                  $ToksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, bk,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |       FROM t),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+         |      FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id,
+         |             CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_inter,
+         |             CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS n_union
+         |      FROM p)
+         |SELECT a_id, b_id, n_inter, n_union, CAST(n_inter AS DOUBLE) / n_union AS jac
+         |FROM j WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_stats" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+        |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale document pipelines
+  * (SURVEY.md §7.2 M5). All pure Catalyst expressions — codegen'd, no UDFs —
+  * so they stay inside whole-stage codegen over 100 TB document scans.
+  */
+object TextFunctions {
+
+  /** Tiny English stopword list for quality / language heuristics. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+  /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens found in [[Stopwords]] — codegen'd higher-order filter. */
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords)))
+
+  /** Whitespace-collapsed, lowercased, trimmed canonical form. */
+  def normalize(text: Column): Column =
+    trim(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Deterministic document fingerprint = md5 of the normalized text
+    * (the rolling-hash fingerprint of the survey, done with a hash both
+    * engines implement identically). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Distinct word n-gram shingles from a token array; fewer than `n`
+    * tokens → empty array. (Guarded because `sequence(1, size-n+1)` would
+    * generate a *descending* range when size < n.) */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: for each of `numPerm` seeded murmur3 permutations,
+    * the minimum hash over the shingle set. Empty shingles → nulls, which
+    * downstream candidate generation drops. */
+  def minhashSignature(sh: Column, numPerm: Int = 16): Column =
+    array((0 until numPerm).map { p =>
+      array_min(transform(sh, s => hash(s, lit(p))))
+    }: _*)
+
+  /** LSH band key for a MinHash signature: murmur3 over the band's rows plus
+    * the band index (so equal row-slices in different bands never collide). */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column = {
+    val rows = (0 until rowsPerBand).map(r => element_at(sig, band * rowsPerBand + r + 1))
+    hash((lit(band) +: rows): _*)
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays, as a double;
+    * empty union → NULL. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val un = size(array_union(a, b))
+    when(un > 0, inter / un)
+  }
+
+  /** SimHash over a token array: 64-bit signature where bit i is set iff the
+    * sum over tokens of ±1 (sign of bit i of the token's xxhash64) is
+    * positive. Pure fold over codegen'd array expressions — per-token 64-bit
+    * hashes are xxhash64(token), bit votes accumulated into a 64-slot vector,
+    * then collapsed to one long.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)),
+          (a, v) => a + v)
+      })
+    aggregate(
+      zip_with(
+        votes,
+        transform(sequence(lit(0), lit(63)), i => call_function("shiftleft", lit(1L), i)),
+        (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

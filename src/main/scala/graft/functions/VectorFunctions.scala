@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns, as pure Catalyst
+  * higher-order functions (codegen'd; no UDF serialization on the 100 TB
+  * path).
+  *
+  * Numeric contract: elements are cast to double *before* any arithmetic and
+  * folded strictly left-to-right, which makes results bit-identical to any
+  * engine that does sequential double accumulation (the DuckDB oracle's
+  * `list_inner_product(CAST(v AS DOUBLE[]), …)` included).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Left-to-right double dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity from a precomputed-norm-free pair of vectors. Prefer
+    * precomputing norms per side before a pairwise join (see
+    * SimilaritySearch) so each norm is computed once per vector, not per
+    * pair. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed-random-projection LSH bucket key: bit b = sign of dot(v, plane_b).
+    * Planes are deterministic pseudo-random literals (seeded), broadcast as
+    * part of the plan — no data pass needed to build them. */
+  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        val d = aggregate(
+          zip_with(asDouble(v), lit(p.toArray), (x, y) => x * y),
+          lit(0.0),
+          (acc, x) => acc + x)
+        when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce((x, y) => x.bitwiseOR(y))
+
+  /** Deterministic hyperplanes for [[srpBucket]] (seeded; no wall-clock or
+    * unseeded randomness anywhere in the plan). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming extension (SURVEY.md §2.11): the reference has no
+  * streaming — its "incremental" mode is a daily batch loop
+  * (RdlETL.java:45-47) made idempotent by keyed upsert + first-wins dedup.
+  * The Spark-native analog exposes the same ingest as an incremental
+  * pipeline:
+  *
+  *  - `readStream` over the events directory (file source discovers new
+  *    files per micro-batch; `Trigger.AvailableNow` = "process the backlog,
+  *    then stop", the streaming version of the reference's daily rerun);
+  *  - watermark + `dropDuplicates` = the reference's per-day dedup set (A1)
+  *    with bounded state instead of an unbounded driver HashMap;
+  *  - tumbling event-time window aggregation = the daily rollup (W2).
+  *
+  * State scales with (meters × watermark horizon), not with history — the
+  * 100 TB-safe shape for continuous ingest.
+  */
+object DailyIngest {
+
+  /** Streaming source over an events parquet directory, same nanos handling
+    * as the batch path (Tables.events). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Deduplicated per-meter-per-day readings as an incremental stream:
+    * watermarked event-time dedup on (user_id, day) — the reference's A1
+    * dedup with bounded state. */
+  def dedupedReadings(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .withColumn("rd_date", to_date(col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "rd_date")
+      .select(col("user_id"), col("rd_date"), col("value").as("bmz"))
+
+  /** Tumbling 1-day event-time aggregation (W2 streaming analog): per-type
+    * daily counts/sums with late data handled by the watermark. */
+  def dailyAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(
+        col("window.start").cast("date").as("d"),
+        col("event_type"),
+        col("n"),
+        col("total"))
+
+  /** Drain-the-backlog runner: process everything currently in the source,
+    * then stop — the streaming equivalent of the reference's daily batch
+    * rerun. Returns the collected sink rows (memory sink, test/demo use). */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: String = "append"): Seq[Row] = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName).collect().toSeq
+  }
+}

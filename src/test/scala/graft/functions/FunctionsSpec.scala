@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: blank and empty text produce empty arrays, not ['']") {
+    val df = Seq("", "   ", "a b  c", " x\t y ").toDF("text")
+    val out = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(out === Seq(0, 0, 3, 2))
+  }
+
+  test("shingles: guarded below n, distinct, ordered windows") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+      .as[Seq[String]]
+      .collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("fingerprint: whitespace/case variants collapse, content differences do not") {
+    val df = Seq(
+      ("A  B\tC", "a b c"),
+      ("a b c", "a b d")
+    ).toDF("l", "r")
+    val eq = df
+      .select((TextFunctions.fingerprint(col("l")) === TextFunctions.fingerprint(col("r"))).as("e"))
+      .as[Boolean]
+      .collect()
+    assert(eq === Seq(true, false))
+  }
+
+  test("simhash: equal tokens -> equal sig; hamming is symmetric and bounded") {
+    val df = Seq(
+      ("spark is a fast engine", "spark is a fast engine"),
+      ("spark is a fast engine", "spark is a slow engine"),
+      ("totally unrelated words here", "spark is a fast engine")
+    ).toDF("l", "r")
+    val dists = df
+      .select(
+        TextFunctions
+          .hamming(
+            TextFunctions.simhash(TextFunctions.tokens(col("l"))),
+            TextFunctions.simhash(TextFunctions.tokens(col("r"))))
+          .as("d"))
+      .as[Int]
+      .collect()
+    assert(dists(0) === 0)
+    assert(dists(1) > 0 && dists(1) < dists(2)) // near-dup closer than unrelated
+    assert(dists.forall(d => d >= 0 && d <= 64))
+  }
+
+  test("vector dot/norm/cosine: known values, double-exact") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val row = df
+      .select(
+        VectorFunctions.dot(col("a"), col("b")).as("d"),
+        VectorFunctions.norm(col("a")).as("na"),
+        VectorFunctions.cosine(col("a"), col("a")).as("self"))
+      .collect()
+      .head
+    assert(row.getAs[Double]("d") === 24.0)
+    assert(row.getAs[Double]("na") === 5.0)
+    assert(math.abs(row.getAs[Double]("self") - 1.0) < 1e-12)
+  }
+
+  test("srp buckets: identical vectors always share a bucket") {
+    val planes = VectorFunctions.randomPlanes(8, 4)
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets =
+      df.select(VectorFunctions.srpBucket(col("embedding"), planes)).as[Long].collect()
+    assert(buckets(0) === buckets(1))
+    assert(buckets(0) !== buckets(2)) // antipodal vector flips every sign bit
+  }
+}

@@ -1,0 +1,69 @@
+package graft.kv
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The reference's own de facto test, at pipeline scope: create table, put
+  * cells, read one back (HBaseClient.java:28-39 round-trip), plus upsert
+  * last-write-wins, range scan bounds, and filterIfMissing scan semantics. */
+class WideColumnTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): WideColumnTable = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kv").toString
+    new WideColumnTable(spark, wh, name)
+  }
+
+  test("create/exists/put/get round-trip (HBaseClient demo parity)") {
+    val t = freshTable("student")
+    assert(!t.exists)
+    t.create(Seq("score"))
+    assert(t.exists)
+    t.put("zhangsan", "score", Seq("math" -> "90", "english" -> "85", "physics" -> "77"))
+    assert(t.get("zhangsan", "score", "english") === Some("85"))
+    assert(t.get("zhangsan", "score", "missing") === None)
+    assert(t.get("nobody", "score", "math") === None)
+  }
+
+  test("upsert is cell-level last-write-wins") {
+    val t = freshTable("fact")
+    t.create(Seq("bmz"))
+    t.put("0401_7", "bmz", Seq("20240101" -> "100", "20240102" -> "110"))
+    t.put("0401_7", "bmz", Seq("20240102" -> "115", "20240103" -> "120"))
+    assert(t.get("0401_7", "bmz", "20240101") === Some("100")) // untouched survives
+    assert(t.get("0401_7", "bmz", "20240102") === Some("115")) // overwritten
+    assert(t.get("0401_7", "bmz", "20240103") === Some("120")) // inserted
+  }
+
+  test("range scan: [start, stop) prefix bounds + projections") {
+    val t = freshTable("scan")
+    t.create(Seq("info"))
+    t.put(Seq(
+      ("0401_1", "info", "cldbs", "1"),
+      ("0402_2", "info", "cldbs", "2"),
+      ("0402_3", "info", "cldbs", "3"),
+      ("0403_4", "info", "cldbs", "4")
+    ).toDF("row_key", "family", "qualifier", "value"))
+    val hit = t.scan("0402", "0403").select("row_key").as[String].collect().sorted
+    assert(hit.toSeq === Seq("0402_2", "0402_3"))
+    assert(t.scan("0402", "0403", family = Some("nope")).count() === 0)
+  }
+
+  test("filtered scan drops rows missing the filter cell (filterIfMissing)") {
+    val t = freshTable("flagged")
+    t.create(Seq("bmz"))
+    t.put(Seq(
+      ("0401_1", "bmz", "DATA", "1"),
+      ("0401_1", "bmz", "20240101", "100"),
+      ("0401_2", "bmz", "20240101", "50") // no DATA cell -> whole row excluded
+    ).toDF("row_key", "family", "qualifier", "value"))
+    val rows = t
+      .scanWithValueFilter("0401", "0402", "bmz", "DATA", "1")
+      .select("row_key")
+      .distinct()
+      .as[String]
+      .collect()
+    assert(rows.toSeq === Seq("0401_1"))
+  }
+}

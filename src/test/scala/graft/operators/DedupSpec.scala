@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base + " extra"), // near-dup of 0 (shares prefix + most shingles)
+    (2L, "completely different content about spark query engines and columnar execution plans"),
+    (3L, "  " + base.toUpperCase.toLowerCase + "  "), // exact dup of 0 after normalization
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized duplicates collapse, keeper = min id") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // doc 3 normalizes to doc 0's text -> one group of 2 kept by id 0
+    assert(out.contains((0L, 2L)))
+    assert(Dedup.exact(docs).count() === 4) // 5 docs, one merged pair
+  }
+
+  test("ngram jaccard pairs: finds the prefix-blocked near-dup with high jac") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.3).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L)))
+    assert(ids.contains((0L, 3L)))
+    val jac01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get.getAs[Double]("jac")
+    assert(jac01 > 0.8 && jac01 < 1.0)
+  }
+
+  test("minhash LSH pairs: near-dups surface, distinct docs do not") {
+    val pairs = Dedup.minhashLshPairs(docs, 0.5)
+    val ids = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L)))
+    assert(ids.contains((0L, 3L)))
+    assert(!ids.exists { case (a, b) => a == 2L || b == 2L }) // unrelated doc never paired
+  }
+
+  test("simhash: identical token streams get distance 0, near-dups small distance") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    val d03 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(d03.isDefined && d03.get.getAs[Long]("dist") === 0L)
+  }
+
+  test("embedding cosine pairs: exact variant finds planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // near-identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosinePairs(vecs, 0.99).collect()
+    assert(exact.length === 1)
+    assert((exact.head.getLong(0), exact.head.getLong(1)) === (0L, 1L))
+
+    val lsh = Dedup.embeddingCosinePairsLsh(vecs, 0.99, numPlanes = 6, dim = 4).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("shingles/jaccard edges: docs shorter than n produce no pairs and no errors") {
+    val tiny = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(tiny, 0.1).count() === 0) // empty shingle sets -> null jac
+    assert(Dedup.minhashLshPairs(tiny, 0.1).count() === 0)
+  }
+}

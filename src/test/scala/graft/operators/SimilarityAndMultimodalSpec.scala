@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilarityAndMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(1.0f, 0.05f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: correct neighbor order, self excluded, k respected") {
+    val out = SimilaritySearch
+      .bruteForceTopK(vecs.filter(col("vec_id") === 0L), vecs, 2)
+      .collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("n_id")).toSeq === Seq(4L, 1L)) // 4 closer than 1
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.getAs[Long]("n_id") != 0L))
+  }
+
+  test("LSH top-k: identical-direction vector is always found at rank 1") {
+    val out = SimilaritySearch
+      .lshTopK(vecs.filter(col("vec_id") === 0L), vecs, 3, numPlanes = 6, dim = 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("n_id") === 4L) // same bucket guaranteed for near-identical
+  }
+
+  test("multimodal: ingest schema + batched stub decode is deterministic and complete") {
+    val docs = Seq((1L, "hello world"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
+    val media = Multimodal.ingest(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats1 = Multimodal.extractFeatures(spark, media, batchSize = 2).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.extractFeatures(spark, media, batchSize = 1).collect().sortBy(_.doc_id)
+    assert(feats1.length === 3) // every record survives batching
+    assert(feats1.map(_.doc_id).toSeq === feats2.map(_.doc_id).toSeq)
+    assert(feats1.zip(feats2).forall { case (a, b) => // batch size never changes results
+      a.width == b.width && a.height == b.height && a.features.sameElements(b.features)
+    })
+    val h = feats1.find(_.doc_id == 1L).get
+    assert(h.n_bytes === 11L)
+    assert(h.features.length === 8)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DailyIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(dir: String): Unit =
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 05:00:00"), 7L, "m", 100.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 7L, "m", 999.0, "{}"), // same (user, day)
+      (3L, Timestamp.valueOf("2024-01-02 01:00:00"), 7L, "m", 120.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-02 02:00:00"), 8L, "k", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // same nanos-long layout as testdata
+      .write
+      .mode("overwrite")
+      .parquet(dir)
+
+  test("AvailableNow backlog drain: watermarked dedup keeps one reading per (user, day)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
+    writeEvents(dir)
+    val out = DailyIngest
+      .runAvailableNow(
+        DailyIngest.dedupedReadings(DailyIngest.readEvents(spark, dir)),
+        "readings_test")
+      .map(r => (r.getLong(0), r.getDate(1).toString))
+    assert(out.toSet === Set((7L, "2024-01-01"), (7L, "2024-01-02"), (8L, "2024-01-02")))
+  }
+
+  test("tumbling daily aggregation over the stream (complete mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
+    writeEvents(dir)
+    val out = DailyIngest
+      .runAvailableNow(
+        DailyIngest.dailyAggregates(DailyIngest.readEvents(spark, dir)),
+        "agg_test",
+        outputMode = "complete")
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet === Set(
+      ("2024-01-01", "m", 2L, 1099.0),
+      ("2024-01-02", "m", 1L, 120.0),
+      ("2024-01-02", "k", 1L, 50.0)))
+  }
+}
