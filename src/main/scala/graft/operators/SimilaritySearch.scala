@@ -22,11 +22,11 @@ import graft.functions.VectorFunctions._
   */
 object SimilaritySearch {
 
+  // array<double> materialized per vector BEFORE any pairwise join — keeps
+  // DotProduct's implicit float→double cast out of the quadratic stage.
   private def withNorm(df: DataFrame, idAs: String, vecAs: String, nrmAs: String): DataFrame =
-    df.select(
-      col("vec_id").as(idAs),
-      col("embedding").as(vecAs),
-      norm(col("embedding")).as(nrmAs))
+    df.select(col("vec_id").as(idAs), col("embedding").cast("array<double>").as(vecAs))
+      .withColumn(nrmAs, norm(col(vecAs)))
 
   /** Exact cosine top-k neighbors for each query vector (self excluded). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {

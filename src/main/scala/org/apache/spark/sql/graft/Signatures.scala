@@ -1,0 +1,190 @@
+// Lives under org.apache.spark.sql for the same reason as DotProduct: the
+// expression-typing internals are private[sql] in Spark 4.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row signature kernels for the dedup operators.
+  *
+  * Why custom Expressions (SURVEY.md §7.3): composing these from Spark's
+  * higher-order functions (`transform`/`aggregate` lambdas) evaluates
+  * interpreted with per-element boxing — profiling at sf0.1 showed the
+  * signature stage dominating MinHash/SimHash dedup by >20×. These kernels
+  * hash each element once in a tight compiled loop. They are CodegenFallback
+  * (the eval itself is plain JVM code; codegen would only shave the per-row
+  * dispatch), deterministic, and depend only on murmur3 — no wall-clock, no
+  * RNG.
+  */
+private[graft] object HashKernels {
+  @inline def murmur(s: UTF8String, seed: Int): Int =
+    Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** splitmix64 finalizer — cheap, high-quality 64-bit mixing. */
+  @inline def mix64(v0: Long): Long = {
+    var v = v0 + 0x9e3779b97f4a7c15L
+    v = (v ^ (v >>> 30)) * 0xbf58476d1ce4e5b9L
+    v = (v ^ (v >>> 27)) * 0x94d049bb133111ebL
+    v ^ (v >>> 31)
+  }
+}
+
+/** Distinct, sorted 64-bit hashes of the word n-grams of an `array<string>`
+  * token column. Replaces materializing n-gram *strings*
+  * (`transform` + `concat_ws` + `array_distinct` — interpreted per element,
+  * the profiled bottleneck of the dedup family): one murmur3 per token, a
+  * polynomial combine per window, sort + in-place dedup. Sorted output makes
+  * downstream set intersection a linear merge ([[SortedIntersectCount]]).
+  * Fewer than `n` tokens → empty array. */
+case class NGramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) = HashKernels.murmur(arr.getUTF8String(i), 7).toLong
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i < out.length) {
+      var x = 1125899906842597L
+      var j = 0
+      while (j < n) {
+        x = 31L * x + th(i + j)
+        j += 1
+      }
+      out(i) = HashKernels.mix64(x)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of common elements between two *sorted distinct* `array<bigint>`
+  * columns (the [[NGramHashes]] output contract) — a linear merge scan,
+  * replacing interpreted `size(array_intersect(...))`. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over an `array<bigint>` hashed-shingle set (the
+  * [[NGramHashes]] output): `numPerm` virtual permutations derived from two
+  * mixes per element (`h_p = h1 + p*h2`, h2 forced odd — the standard
+  * double-hash scheme), so the cost is O(1) per shingle regardless of
+  * `numPerm`. Returns `array<bigint>`; empty input yields a signature of
+  * Long.MaxValue (callers filter empty shingle sets). */
+case class MinHashSignature(child: Expression, numPerm: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      val h1 = HashKernels.mix64(v)
+      val h2 = HashKernels.mix64(v ^ 0x5851f42d4c957f2dL) | 1L
+      var p = 0
+      while (p < numPerm) {
+        val h = h1 + p * h2
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an `array<string>` token stream: each token votes ±1
+  * on every bit of its 64-bit hash (two murmur3 halves); bit i of the result
+  * is set iff the summed vote is positive. Single pass, one int[64] of local
+  * state per row. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = (HashKernels.murmur(s, 2).toLong << 32) | (HashKernels.murmur(s, 3).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
