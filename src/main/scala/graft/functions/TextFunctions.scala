@@ -13,16 +13,24 @@ object TextFunctions {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 
-  /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Whitespace tokenization; empty/blank text → empty array (not [""]).
+    * Native single-pass kernel ([[org.apache.spark.sql.graft.WhitespaceTokens]],
+    * byte-identical to `split(trim(text), "\\s+")` for Java's `\s` class)
+    * — the regex engine dominated every text-path profile. */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, WhitespaceTokens}
+    Bridge.column(WhitespaceTokens(Bridge.expression(text)))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Count of tokens found in [[Stopwords]] — codegen'd higher-order filter. */
-  def stopwordHits(toks: Column): Column =
-    size(filter(toks, t => t.isInCollection(Stopwords)))
+  /** Count of tokens found in [[Stopwords]] (total occurrences) — native
+    * kernel ([[org.apache.spark.sql.graft.CountInSet]]); the
+    * `size(filter(...))` lambda form evaluates interpreted per element. */
+  def stopwordHits(toks: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, CountInSet}
+    Bridge.column(CountInSet(Bridge.expression(toks), Stopwords))
+  }
 
   /** Whitespace-collapsed, lowercased, trimmed canonical form. */
   def normalize(text: Column): Column =

@@ -152,6 +152,70 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Whitespace tokenizer: equivalent to `split(trim(text), "\\s+")` with the
+  * Java `\s` class ([ \t\n\x0B\f\r]) but a single byte-level pass — all
+  * delimiters are single-byte ASCII, so UTF-8 multibyte sequences can never
+  * be split. Blank/empty input → empty array (not [""]). Replaces the regex
+  * engine on every text path (tokens feed shingles, stats, lang-ID). */
+case class WhitespaceTokens(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of elements of an `array<string>` column that appear in a fixed
+  * string set (total occurrences, not distinct). Replaces the interpreted
+  * `size(filter(arr, t -> t IN (...)))` lambda on the text-quality path. */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    var c = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an `array<string>` token stream: each token votes ±1
   * on every bit of its 64-bit hash (two murmur3 halves); bit i of the result
   * is set iff the summed vote is positive. Single pass, one int[64] of local

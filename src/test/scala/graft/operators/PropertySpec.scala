@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests from SURVEY §5.3: engine invariants over randomized inputs.
+  * Uses ScalaCheck generators with fixed seeds (deterministic runs; no
+  * scalatestplus bridge needed). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllSamples[A](g: Gen[A], n: Int = 15)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val meterGen = Gen.oneOf("0401_1", "0402_2", "0403_3")
+  private val dayGen = Gen.choose(1, 28)
+  private val readingGen = Gen.choose(0, 1000).map(_.toDouble)
+
+  private val factsGen: Gen[List[(String, Int, Double)]] =
+    Gen.listOfN(40, Gen.zip(meterGen, dayGen, readingGen)).map(_.distinctBy(t => (t._1, t._2)))
+
+  private val dim = Seq(("0401_1", 2.0, "A"), ("0402_2", 1.0, "B"), ("0403_3", 3.0, "C"))
+
+  private def factsDf(rows: List[(String, Int, Double)]) =
+    rows
+      .map { case (k, d, v) => (k, Date.valueOf(f"2024-01-$d%02d"), v) }
+      .toDF("row_key", "rd_date", "bmz")
+
+  private def dimDf = dim.toDF("row_key", "zhbl", "yhbh")
+
+  test("W1: non-null rdl is always >= 0 and only where both adjacent readings exist") {
+    forAllSamples(factsGen) { rows =>
+      val out = MeterPipeline
+        .dailyEnergy(factsDf(rows), dimDf)
+        .filter(col("rdl").isNotNull)
+        .collect()
+      assert(out.forall(_.getAs[Double]("rdl") >= 0.0))
+      val factDays = rows.map { case (k, d, _) => (k, f"2024-01-$d%02d") }.toSet
+      assert(out.forall { r =>
+        val k = r.getString(0)
+        val d = r.getDate(1).toLocalDate
+        factDays.contains((k, d.toString)) && factDays.contains((k, d.plusDays(1).toString))
+      })
+    }
+  }
+
+  test("W1: dense and sparse variants agree on non-null rows for random inputs") {
+    forAllSamples(factsGen) { rows =>
+      val dense = MeterPipeline
+        .dailyEnergy(factsDf(rows), dimDf)
+        .filter(col("rdl").isNotNull)
+        .orderBy("row_key", "rd_date")
+        .collect()
+        .toSeq
+      val sparse = MeterPipeline
+        .dailyEnergySparse(factsDf(rows), dimDf)
+        .orderBy("row_key", "rd_date")
+        .collect()
+        .toSeq
+      assert(dense === sparse)
+    }
+  }
+
+  test("A1/A2: fact-load keys unique; J1: output cldbs is a subset of the dimension") {
+    val eventsGen = Gen.listOfN(
+      30,
+      Gen.zip(Gen.choose(1, 5), Gen.choose(5L, 12L), readingGen))
+    forAllSamples(eventsGen) { rows =>
+      val events = rows.zipWithIndex.map { case ((d, u, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0$d%d 08:00:00"), u, "m", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dimKv = Seq(("5", "0401_5"), ("6", "0401_6"), ("7", "0402_7")).toDF("cldbs", "row_key")
+      val out = MeterPipeline.factLoad(events, dimKv).collect()
+      val keys = out.map(r => (r.getAs[String]("row_key"), r.getAs[Date]("rd_date").toString))
+      assert(keys.length === keys.distinct.length) // A1: one row per (meter, day)
+      assert(out.forall(r => Set("5", "6", "7").contains(r.getAs[String]("cldbs")))) // J1 inner
+    }
+  }
+
+  test("R1: pivot row count equals distinct meters of its input") {
+    forAllSamples(factsGen, n = 8) { rows =>
+      val wide = MeterPipeline.pivotExport(
+        MeterPipeline.dailyEnergy(factsDf(rows), dimDf),
+        dimDf)
+      assert(wide.count() === rows.map(_._1).distinct.size)
+    }
+  }
+}
