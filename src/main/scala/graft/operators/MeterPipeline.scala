@@ -172,16 +172,21 @@ object MeterPipeline {
   }
 
   /** CSV sink parity (K3/K4, reference RdlETL3.java:83-164): header row,
-    * size-capped file splits (500k in the reference), one directory per org
-    * prefix, overwrite of prior output, NULL → "" at the file edge only
-    * (internal representation stays typed/NULL per SURVEY §7.4).
+    * size-capped file splits (500k rows in the reference), one directory per
+    * org prefix (`partitionBy`, replacing the reference's per-gdj output
+    * dirs), overwrite of prior output, NULL → empty field at the file edge
+    * only (Spark's CSV writer default; internal representation stays
+    * typed/NULL per SURVEY §7.4).
     */
-  def exportCsv(wide: DataFrame, path: String, maxRecordsPerFile: Long = 500000L): Unit =
-    wide.na
-      .fill("")
-      .write
+  def exportCsv(
+      wide: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 500000L): Unit = {
+    val w = wide.write
       .mode("overwrite")
       .option("header", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .csv(path)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).csv(path)
+  }
 }

@@ -24,7 +24,10 @@ import org.apache.spark.sql.streaming.Trigger
 object DailyIngest {
 
   /** Streaming source over an events parquet directory, same nanos handling
-    * as the batch path (Tables.events). */
+    * as the batch path (Tables.events). `dir` must contain ONLY events
+    * files: the file source globs every parquet in the directory under the
+    * events schema (other tables' files surface as nulls that violate the
+    * downstream non-null encoders). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
@@ -56,6 +59,56 @@ object DailyIngest {
         col("event_type"),
         col("n"),
         col("total"))
+
+  /** Per-meter running state for [[incrementalDailyEnergy]]: last seen
+    * reading and its day. */
+  case class MeterState(lastDate: java.sql.Date, lastBmz: Double)
+
+  /** One derived daily-energy record emitted by the stateful stream. */
+  case class RdlRecord(user_id: Long, rd_date: java.sql.Date, rdl: Double)
+
+  /** Stateful streaming W1 (custom state via `mapGroupsWithState`,
+    * SURVEY §2.7 / §2.11 extension): per meter, as deduplicated readings
+    * arrive in event-time order within a batch, emit
+    * `(bmz(d+1) − bmz(d)) × 1` for adjacent days passing the reference's
+    * guards (RdlETL2.java:96-98), carrying the last reading across
+    * micro-batches as keyed state. State is O(meters) — bounded, no history
+    * replay — which is the 100 TB-continuous shape of the batch operator
+    * (multiplier join omitted: enrichment composes downstream exactly as in
+    * the batch plan).
+    */
+  def incrementalDailyEnergy(readings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = readings.sparkSession
+    import spark.implicits._
+    val grouped = readings
+      .selectExpr("user_id", "rd_date", "bmz")
+      .as[(Long, java.sql.Date, Double)]
+      .groupByKey(_._1)
+    grouped
+      .flatMapGroupsWithState[MeterState, RdlRecord](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())( (key, rows, state) => {
+        val sorted = rows.toSeq.sortBy(_._2.toLocalDate.toEpochDay)
+        val start = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[RdlRecord]
+        var last = start
+        for ((_, d, v) <- sorted) {
+          last match {
+            case Some(MeterState(ld, lv))
+                if d.toLocalDate.toEpochDay == ld.toLocalDate.toEpochDay + 1 &&
+                  lv > 0 && v > 0 && v >= lv =>
+              out += RdlRecord(key, ld, v - lv)
+            case _ => ()
+          }
+          last = Some(MeterState(d, v))
+        }
+        last.foreach(state.update)
+        out.iterator
+      })
+      .toDF()
+  }
 
   /** Drain-the-backlog runner: process everything currently in the source,
     * then stop — the streaming equivalent of the reference's daily batch

@@ -100,6 +100,38 @@ class MeterPipelineSpec extends SparkSpec {
     assert(row.isNullAt(wide.columns.indexOf("d20240102"))) // next day missing
   }
 
+  test("end-to-end pipeline replay: ingest -> derive -> pivot -> partitioned CSV golden") {
+    import java.sql.Timestamp
+    // Two meters in different org prefixes; meter 7 has two adjacent days.
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 05:00:00"), 7L, "m", 100.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 05:00:00"), 7L, "m", 120.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 06:00:00"), 8L, "m", 50.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Seq(
+      ("7", "0401_7", "0401", 2.0, "CUST-7"),
+      ("8", "0402_8", "0402", 1.0, "CUST-8")
+    ).toDF("cldbs", "row_key", "gdj", "zhbl", "yhbh")
+    val facts = MeterPipeline.factLoad(events, dim)
+    val rdl = MeterPipeline.dailyEnergy(facts, dim)
+    val wide = MeterPipeline
+      .pivotExport(rdl, dim)
+      .join(dim.select("yhbh", "gdj").distinct(), Seq("yhbh"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString + "/out"
+    MeterPipeline.exportCsv(wide, dir, partitionCols = Seq("gdj"))
+    // One directory per org prefix (RdlETL3.java:37), header + golden values.
+    val d1 = new java.io.File(s"$dir/gdj=0401")
+    val d2 = new java.io.File(s"$dir/gdj=0402")
+    assert(d1.isDirectory && d2.isDirectory)
+    val csv = d1.listFiles().filter(_.getName.endsWith(".csv")).head
+    val lines = scala.io.Source.fromFile(csv).getLines().toSeq
+    assert(lines.head === ("yhbh" +: MeterPipeline.DayStrings.map("d" + _)).mkString(","))
+    val row7 = lines(1).split(",", -1)
+    assert(row7(0) === "CUST-7")
+    assert(row7(1) === "40.0") // (120-100)*2 on 2024-01-01
+    assert(row7.drop(2).forall(_ == "")) // all other days empty
+  }
+
   test("K3/K4 CSV export: header, overwrite, size-capped files, null as empty") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/out"
     val facts = factsDf(Seq(("A_1", "2024-01-01", 100.0), ("A_1", "2024-01-02", 110.0)))

@@ -32,6 +32,28 @@ class DailyIngestSpec extends SparkSpec {
     assert(out.toSet === Set((7L, "2024-01-01"), (7L, "2024-01-02"), (8L, "2024-01-02")))
   }
 
+  test("stateful incremental W1: adjacent-day deltas with guards, state across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 7L, "m", 100.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 05:00:00"), 7L, "m", 120.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 05:00:00"), 7L, "m", 110.0, "{}"), // rollback
+      (4L, java.sql.Timestamp.valueOf("2024-01-04 05:00:00"), 7L, "m", 115.0, "{}"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-06 05:00:00"), 7L, "m", 200.0, "{}")) // gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(dir)
+    val out = DailyIngest
+      .runAvailableNow(
+        DailyIngest.incrementalDailyEnergy(
+          DailyIngest.dedupedReadings(DailyIngest.readEvents(spark, dir))),
+        "rdl_test")
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+      .toSet
+    // 01→02: +20; 02→03 rollback -> dropped; 03→04: +5; 04→06 gap -> dropped
+    assert(out === Set((7L, "2024-01-01", 20.0), (7L, "2024-01-03", 5.0)))
+  }
+
   test("tumbling daily aggregation over the stream (complete mode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
     writeEvents(dir)
