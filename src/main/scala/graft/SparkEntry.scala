@@ -330,13 +330,14 @@ object SparkEntry {
     import graft.functions.{TextFunctions => T}
     import graft.operators.{Dedup, Multimodal, SimilaritySearch}
     Map(
-      // Token counting (whitespace tokenizer; codegen'd, no UDF)
+      // Token counting: whitespace tokens + BPE-ish subword estimate
       "q_token_count" -> ((s, dir) =>
         Tables.documents(s, dir)
           .select(
             col("doc_id"),
             T.tokenCount(col("text")).cast("long").as("n_tokens"),
-            size(array_distinct(T.tokens(col("text")))).cast("long").as("n_distinct"))
+            size(array_distinct(T.tokens(col("text")))).cast("long").as("n_distinct"),
+            T.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
           .orderBy("doc_id")),
 
       // Quality scoring: length/punctuation/stopword features + verdict
@@ -428,6 +429,12 @@ object SparkEntry {
         SimilaritySearch.lshTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
       }),
 
+      // ANN: IVF coarse-quantizer cells + nprobe re-rank (rows-only check)
+      "q_ann_ivf" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
+      }),
+
       // Embedding stats: dimensionality + L2 norm
       "q_embed_stats" -> ((s, dir) => {
         import graft.functions.VectorFunctions
@@ -466,7 +473,8 @@ object SparkEntry {
     "q_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($ToksSql) AS BIGINT) AS n_tokens,
-         |       CAST(len(list_distinct($ToksSql)) AS BIGINT) AS n_distinct
+         |       CAST(len(list_distinct($ToksSql)) AS BIGINT) AS n_distinct,
+         |       CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (

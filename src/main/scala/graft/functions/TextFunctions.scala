@@ -24,6 +24,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-style pre-tokenizer pattern (ASCII subset): contractions, space-
+    * prefixed letter runs, digit runs, punctuation runs. Same semantics in
+    * Java regex and RE2 (no engine-specific constructs), so it is DuckDB-
+    * oracle-safe. */
+  val BpePattern: String = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish subword token count: number of pre-tokenizer matches — the
+    * standard cheap LLM-token estimate over a 100 TB corpus. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Count of tokens found in [[Stopwords]] (total occurrences) — native
     * kernel ([[org.apache.spark.sql.graft.CountInSet]]); the
     * `size(filter(...))` lambda form evaluates interpreted per element. */

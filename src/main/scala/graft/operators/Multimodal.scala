@@ -66,4 +66,52 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
   }
+
+  /** One resized thumbnail record (payload stub-derived, dims real plumbing). */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, thumbnail: Array[Byte])
+
+  /** STUB resize — a real codec would decode + rescale; the stub keeps the
+    * contract (deterministic output bytes, target box honored with aspect
+    * preserved) so the Spark-side plumbing is testable. */
+  def resize(
+      spark: SparkSession,
+      media: DataFrame,
+      maxW: Int,
+      maxH: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media
+      .select("doc_id", "payload", "mime", "n_bytes")
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val srcW = (64 + r.n_bytes % 512).toInt
+        val srcH = (64 + (r.n_bytes / 7) % 512).toInt
+        val scale = math.min(1.0, math.min(maxW.toDouble / srcW, maxH.toDouble / srcH))
+        val (w, h) = (math.max(1, (srcW * scale).toInt), math.max(1, (srcH * scale).toInt))
+        ResizedMedia(r.doc_id, w, h, r.payload.take(math.min(r.payload.length, w)))
+      }))
+  }
+
+  /** One sampled frame of a (stub) video payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset_bytes: Long, frame: Array[Byte])
+
+  /** STUB frame sampling: treats the payload as `frameSize`-byte frames and
+    * emits every `stride`-th one — the iterator/explode shape (one input row
+    * → N frame rows, partition-local) of real video sampling. */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      frameSize: Int = 16,
+      stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media
+      .select("doc_id", "payload", "mime", "n_bytes")
+      .as[MediaRecord]
+      .flatMap { r =>
+        val nFrames = r.payload.length / frameSize
+        (0 until nFrames by stride).map { i =>
+          Frame(r.doc_id, i, i.toLong * frameSize, r.payload.slice(i * frameSize, (i + 1) * frameSize))
+        }
+      }
+  }
 }

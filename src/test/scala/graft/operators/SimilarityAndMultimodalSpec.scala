@@ -33,6 +33,43 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_id") === 4L) // same bucket guaranteed for near-identical
   }
 
+  test("IVF top-k: near-identical vector recalled at rank 1; ranks contiguous") {
+    val corpus = vecs.union(Seq(
+      (5L, Array(0.5f, 0.5f, 0.0f)),
+      (6L, Array(0.0f, 0.5f, 0.5f)),
+      (7L, Array(-1.0f, 0.0f, 0.0f)),
+      (8L, Array(0.0f, -1.0f, 0.0f))
+    ).toDF("vec_id", "embedding"))
+    val out = SimilaritySearch
+      .ivfTopK(corpus.filter(col("vec_id") === 0L), corpus, 3, nlist = 3, nprobe = 2)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("n_id") === 4L) // closest direction wins
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length.toLong))
+  }
+
+  test("multimodal resize: aspect preserved, box honored, deterministic") {
+    val docs = Seq((1L, "x" * 5000), (2L, "y" * 10)).toDF("doc_id", "text")
+    val out = Multimodal
+      .resize(spark, Multimodal.ingest(docs), maxW = 128, maxH = 128)
+      .collect()
+      .sortBy(_.doc_id)
+    assert(out.forall(r => r.width <= 128 && r.height <= 128 && r.width >= 1 && r.height >= 1))
+    val big = out.head // 5000 bytes -> srcW=64+5000%512=396, srcH=64+(5000/7)%512
+    assert(big.width === 128 || big.height === 128) // scaled to the box edge
+  }
+
+  test("multimodal frame sampling: every stride-th frame with correct offsets") {
+    val docs = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+    val frames = Multimodal
+      .sampleFrames(spark, Multimodal.ingest(docs), frameSize = 16, stride = 2)
+      .collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4)) // 6 frames of 16B in 100B
+    assert(frames.forall(f => f.offset_bytes === f.frame_idx.toLong * 16))
+    assert(frames.forall(_.frame.length === 16))
+  }
+
   test("multimodal: ingest schema + batched stub decode is deterministic and complete") {
     val docs = Seq((1L, "hello world"), (2L, "xyz"), (3L, "")).toDF("doc_id", "text")
     val media = Multimodal.ingest(docs)
