@@ -65,14 +65,35 @@ object Dedup {
   private def shingleTable(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), shingleHashes(tokens(col("text")), 3).as("sh"))
 
+  /** Skew guard for candidate self-joins: drops buckets with more than
+    * `maxBucket` members before the pairwise join. A hot bucket (template/
+    * boilerplate text hashing to one band value) makes the self-join
+    * quadratic in that bucket — n=10^6 members is 5·10^11 pairs, a dead
+    * executor at 100 TB. Members of oversized buckets are near-certain
+    * duplicates of each other at far lower similarity resolution than LSH
+    * needs; production pipelines route them to exact dedup ([[exact]])
+    * instead. The cap is a semantic no-op when no bucket exceeds it. */
+  private def capBuckets(keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val keep = keyed
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucket)
+      .select(keyCols.map(col): _*)
+    keyed.join(keep, keyCols, "left_semi")
+  }
+
   /** Candidate pairs by 40-char-normalized-prefix blocking + word-3-gram
     * Jaccard verification. Returns (a_id, b_id, n_inter, n_union, jac) for
     * pairs with jac ≥ threshold. Blocking bounds the self-join; the Jaccard
     * check is exact set arithmetic on distinct shingles. */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val keyed = documents.select(
-      col("doc_id"),
-      md5(substring(normalize(col("text")), 1, 40)).as("bk"))
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      threshold: Double = 0.3,
+      maxBucket: Int = 2000): DataFrame = {
+    val keyed = capBuckets(
+      documents.select(col("doc_id"), md5(substring(normalize(col("text")), 1, 40)).as("bk")),
+      Seq("bk"),
+      maxBucket)
     val candidates = keyed
       .select(col("doc_id").as("a_id"), col("bk"))
       .join(keyed.select(col("doc_id").as("b_id"), col("bk")), Seq("bk"))
@@ -90,7 +111,8 @@ object Dedup {
       documents: DataFrame,
       threshold: Double = 0.5,
       numPerm: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
     val rowsPerBand = numPerm / bands
     // Signature first (native single-pass kernel), then explode *literal*
     // band indices and slice the materialized signature attribute. Exploding
@@ -105,9 +127,10 @@ object Dedup {
         hash((col("band") +: (0 until rowsPerBand).map { r =>
           element_at(col("sig"), col("band") * rowsPerBand + r + 1)
         }): _*).as("bucket"))
-    val cand = banded
+    val capped = capBuckets(banded, Seq("bucket"), maxBucket)
+    val cand = capped
       .select(col("bucket"), col("doc_id").as("a_id"))
-      .join(banded.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
+      .join(capped.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair can collide in >1 band
@@ -119,21 +142,24 @@ object Dedup {
     * by matching any of four 16-bit signature chunks (docs within Hamming
     * distance ≤ maxHamming of each other must share at least one chunk when
     * maxHamming < 4), then exact Hamming verification. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     // Literal chunk indices exploded *after* the signature is materialized —
     // exploding an array of per-chunk structs would inline (and interpret)
     // the whole simhash fold once per chunk (see minhashLshPairs note).
-    val chunked = documents
-      .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
-      .withColumn("chunk", explode(sequence(lit(0), lit(3))))
-      .select(
-        col("doc_id"),
-        col("sig"),
-        struct(
-          col("chunk"),
-          call_function("shiftright", col("sig"), col("chunk") * 16)
-            .bitwiseAND(lit(0xffffL))
-            .as("bits")).as("ck"))
+    val chunked = capBuckets(
+      documents
+        .select(col("doc_id"), simhash(tokens(col("text"))).as("sig"))
+        .withColumn("chunk", explode(sequence(lit(0), lit(3))))
+        .select(
+          col("doc_id"),
+          col("sig"),
+          struct(
+            col("chunk"),
+            call_function("shiftright", col("sig"), col("chunk") * 16)
+              .bitwiseAND(lit(0xffffL))
+              .as("bits")).as("ck")),
+      Seq("ck"),
+      maxBucket)
     val a = chunked.select(col("ck"), col("doc_id").as("a_id"), col("sig").as("siga"))
     val b = chunked.select(col("ck"), col("doc_id").as("b_id"), col("sig").as("sigb"))
     a.join(b, Seq("ck"))
@@ -173,13 +199,17 @@ object Dedup {
       embeddings: DataFrame,
       threshold: Double = 0.95,
       numPlanes: Int = 12,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxBucket: Int = 5000): DataFrame = {
     import graft.functions.VectorFunctions._
     val planes = randomPlanes(numPlanes, dim)
-    val keyed = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), srpBucket(col("v"), planes).as("bucket"))
-      .withColumn("nrm", norm(col("v")))
+    val keyed = capBuckets(
+      embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("v"), srpBucket(col("v"), planes).as("bucket"))
+        .withColumn("nrm", norm(col("v"))),
+      Seq("bucket"),
+      maxBucket)
     val a = keyed.select(
       col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = keyed.select(

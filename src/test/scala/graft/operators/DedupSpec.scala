@@ -62,6 +62,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
   }
 
+  test("skew guard: buckets above maxBucket are dropped from candidate generation") {
+    // docs 0 and 3 are identical post-normalization -> every shared bucket
+    // has >= 2 members, so maxBucket = 1 suppresses all their candidates.
+    val capped = Dedup.minhashLshPairs(docs, 0.5, maxBucket = 1)
+    assert(capped.count() === 0)
+    // default cap is a no-op on small buckets
+    assert(Dedup.minhashLshPairs(docs, 0.5).count() > 0)
+  }
+
   test("shingles/jaccard edges: docs shorter than n produce no pairs and no errors") {
     val tiny = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(tiny, 0.1).count() === 0) // empty shingle sets -> null jac
