@@ -447,6 +447,31 @@ object SparkEntry {
           .orderBy("vec_id")
       }),
 
+      // Composed curation flow: dedup -> quality gate -> language gate
+      "q_curation" -> ((s, dir) =>
+        graft.operators.Curation.curate(Tables.documents(s, dir)).orderBy("doc_id")),
+
+      // Gap-based sessionization over the event stream (30-min inactivity)
+      "q_sessionize" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(byUser))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_us").isNull ||
+                expr("unix_micros(ts)") - col("prev_us") > 30L * 60 * 1000000,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(expr("unix_micros(ts)")).as("start_us"),
+            max(expr("unix_micros(ts)")).as("end_us"))
+          .orderBy("user_id", "session_id")
+      }),
+
       // Multimodal: binary payload + typed metadata (oracle-checkable part)
       "q_multimodal_meta" -> ((s, dir) =>
         Multimodal
@@ -555,6 +580,33 @@ object SparkEntry {
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
         |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |         CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t)
+         |SELECT doc_id, fp, n_tokens,
+         |       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio
+         |FROM k
+         |WHERE rn = 1 AND n_tokens >= 5 AND n_tokens <= 2000
+         |  AND coalesce(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END >= 0.02, false)
+         |ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |      FROM e),
+        |s AS (SELECT user_id, us, event_id,
+        |             sum(CASE WHEN prev_us IS NULL OR us - prev_us > CAST(1800000000 AS BIGINT)
+        |                      THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+        |      FROM l)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -15,9 +15,17 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed fact-dim join plans without a shuffle exchange") {
     // warehouse dir is a static conf; tables land in the default
-    // spark-warehouse/ (gitignored) and are dropped per run
+    // spark-warehouse/ (gitignored). The metastore is in-memory per JVM, so
+    // also remove leftover physical dirs from prior runs.
     spark.sql("DROP TABLE IF EXISTS b_facts")
     spark.sql("DROP TABLE IF EXISTS b_dim")
+    for (t <- Seq("b_facts", "b_dim")) {
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(d).deleteRecursively()
+      }
+    }
 
     (1 to 1000)
       .map(i => (s"0401_$i", i.toDouble))
