@@ -231,7 +231,43 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
-        .orderBy("d", "event_type"))
+        .orderBy("d", "event_type")),
+
+    // A4 — wide-row assembly (group-to-map, RdlETL.java:120-126): one row per
+    // meter; the day set is surfaced as a sorted string so the map content is
+    // oracle-hashable (map columns don't hash portably across engines).
+    "q_wide_row" -> ((s, dir) =>
+      facts(s, dir)
+        .groupBy("row_key")
+        .agg(
+          count(lit(1)).as("n_days"),
+          concat_ws(
+            ",",
+            sort_array(collect_list(date_format(col("rd_date"), "yyyyMMdd")))).as("days"),
+          max(col("bmz")).as("max_bmz"))
+        .orderBy("row_key")),
+
+    // F7 audit — the rows the broadcast join *drops* (RdlETL.java:110-114
+    // logs-and-skips misses): left-anti join of deduped readings vs the
+    // dimension. Broadcast anti join — same single-exchange shape as J1.
+    "q_join_miss" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byKeyDay =
+        Window.partitionBy(col("user_id"), col("rd_date")).orderBy(col("event_id"))
+      val firstWins = Tables.events(s, dir)
+        .withColumn("rd_date", to_date(col("ts")))
+        .withColumn("rn", row_number().over(byKeyDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id").cast("string").as("cldbs"), col("rd_date"), col("value"))
+      firstWins
+        .join(
+          broadcast(dim(s, dir).select("cldbs").dropDuplicates("cldbs")),
+          Seq("cldbs"),
+          "left_anti")
+        .groupBy("cldbs")
+        .agg(count(lit(1)).as("n_dropped"))
+        .orderBy("cldbs")
+    })
   )
 
   /** DuckDB oracles, one per SQL-expressible query above. */
@@ -319,7 +355,23 @@ object SparkEntry {
     "q_events_daily" ->
       """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+    "q_wide_row" ->
+      s"""SELECT row_key, count(*) AS n_days,
+         |       string_agg(strftime(rd_date, '%Y%m%d'), ',' ORDER BY rd_date) AS days,
+         |       max(bmz) AS max_bmz
+         |FROM ($FactsSql) GROUP BY row_key ORDER BY row_key""".stripMargin,
+    "q_join_miss" ->
+      s"""WITH firstwins AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS cldbs, rd_date, value
+         |  FROM (SELECT user_id, event_id, value, CAST(ts AS DATE) AS rd_date,
+         |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY event_id) AS rn
+         |        FROM events)
+         |  WHERE rn = 1)
+         |SELECT cldbs, count(*) AS n_dropped
+         |FROM firstwins f
+         |WHERE NOT EXISTS (SELECT 1 FROM ($DimSql) d WHERE d.cldbs = f.cldbs)
+         |GROUP BY cldbs ORDER BY cldbs""".stripMargin
   )
 
   // ---------------------------------------------------------------------------
@@ -330,28 +382,32 @@ object SparkEntry {
     import graft.functions.{TextFunctions => T}
     import graft.operators.{Dedup, Multimodal, SimilaritySearch}
     Map(
-      // Token counting: whitespace tokens + BPE-ish subword estimate
+      // Token counting: whitespace tokens + BPE-ish subword estimate.
+      // `toks` is materialized in its own projection and referenced twice;
+      // CollapseProject keeps non-cheap multi-referenced producers separate,
+      // so the tokenizer kernel runs once per row (not once per derived col).
       "q_token_count" -> ((s, dir) =>
         Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
           .select(
             col("doc_id"),
-            T.tokenCount(col("text")).cast("long").as("n_tokens"),
-            size(array_distinct(T.tokens(col("text")))).cast("long").as("n_distinct"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
             T.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
           .orderBy("doc_id")),
 
       // Quality scoring: length/punctuation/stopword features + verdict
       "q_text_stats" -> ((s, dir) => {
-        val toks = T.tokens(col("text"))
         Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), T.tokens(col("text")).as("toks"))
           .select(
             col("doc_id"),
             length(col("text")).cast("long").as("n_chars_m"),
-            T.tokenCount(col("text")).cast("long").as("n_tokens"),
+            size(col("toks")).cast("long").as("n_tokens"),
             (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
               .cast("long")
               .as("n_punct"),
-            T.stopwordHits(toks).cast("long").as("n_stop"))
+            T.stopwordHits(col("toks")).cast("long").as("n_stop"))
           .withColumn(
             "punct_ratio",
             when(col("n_chars_m") > 0, col("n_punct").cast("double") / col("n_chars_m")))
@@ -367,13 +423,13 @@ object SparkEntry {
 
       // Language-ID heuristic (stopword-hit ratio; deterministic)
       "q_lang_id" -> ((s, dir) => {
-        val toks = T.tokens(col("text"))
         Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), T.tokens(col("text")).as("toks"))
           .select(
             col("doc_id"),
             col("lang"),
-            T.stopwordHits(toks).cast("double").as("hits"),
-            T.tokenCount(col("text")).as("nt"))
+            T.stopwordHits(col("toks")).cast("double").as("hits"),
+            size(col("toks")).as("nt"))
           .withColumn(
             "predicted",
             when(col("nt") > 0 && col("hits") / col("nt") >= 0.03, "en").otherwise("unk"))
@@ -536,9 +592,11 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_ngram" ->
-      s"""WITH t AS (SELECT doc_id,
-         |                  md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk,
-         |                  $ToksSql AS toks FROM documents),
+      s"""WITH t0 AS (SELECT doc_id,
+         |                   md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk,
+         |                   $ToksSql AS toks FROM documents),
+         |ok AS (SELECT bk FROM t0 GROUP BY bk HAVING count(*) <= 2000),
+         |t AS (SELECT t0.* FROM t0 JOIN ok USING (bk)),
          |sh AS (SELECT doc_id, bk,
          |         CASE WHEN len(toks) >= 3
          |              THEN list_distinct(list_transform(range(1, len(toks) - 1),

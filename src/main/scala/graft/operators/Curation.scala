@@ -24,12 +24,16 @@ object Curation {
       maxTokens: Int = 2000,
       minStopRatio: Double = 0.02): DataFrame = {
     val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    // `toks` in its own projection, referenced twice below: CollapseProject
+    // keeps non-cheap multi-referenced producers separate, so the tokenizer
+    // kernel runs once per row.
     documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        stopwordHits(tokens(col("text"))).cast("long").as("n_stop"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        stopwordHits(col("toks")).cast("long").as("n_stop"))
       .withColumn("rn", row_number().over(byFp))
       .filter(col("rn") === 1) // exact-dedup keeper (first-wins by id)
       .withColumn(

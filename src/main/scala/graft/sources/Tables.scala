@@ -25,11 +25,18 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as raw nanos (legacy conf) and truncate to microseconds
     * with integer arithmetic (`div`, not `/` — a double round-trip would lose
-    * precision at 2^63-scale nano values). */
+    * precision at 2^63-scale nano values).
+    *
+    * The nanosAsLong conf is session-global: any *other* table with a nanos
+    * column would silently read as BIGINT after this call. The explicit
+    * column list below pins this reader to the documented events schema
+    * (TESTDATA.md), so schema drift fails analysis loudly instead of leaking
+    * a surprise type downstream. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
