@@ -38,10 +38,20 @@ object Dedup {
     */
   private def verifyJaccard(
       candidates: DataFrame, // (a_id, b_id)
-      shingleTable: DataFrame, // (doc_id, sh: sorted distinct array<bigint>)
+      documents: DataFrame, // raw (doc_id, text, …)
       threshold: Double): DataFrame = {
-    val sa = shingleTable.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-    val sb = shingleTable.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    // Shingles are computed ONLY for documents that appear in a candidate
+    // pair: semi-join prune first, then shingle the survivors. At 100 TB the
+    // candidate set is a sliver of the corpus, so this replaces two
+    // full-corpus tokenize+shingle passes (one per join side) with two
+    // passes over the survivor set; the candidate subtree is evaluated once
+    // more to produce the id list, which is cheap post-cap (id pairs only).
+    val ids = candidates
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sh = shingleTable(documents.join(ids, Seq("doc_id"), "left_semi"))
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("sb"))
     candidates
       .join(sa, Seq("a_id"))
       .join(sb, Seq("b_id"))
@@ -72,14 +82,21 @@ object Dedup {
     * executor at 100 TB. Members of oversized buckets are near-certain
     * duplicates of each other at far lower similarity resolution than LSH
     * needs; production pipelines route them to exact dedup ([[exact]])
-    * instead. The cap is a semantic no-op when no bucket exceeds it. */
+    * instead. The cap is a semantic no-op when no bucket exceeds it.
+    *
+    * Implemented as a count window over the bucket key, not an
+    * aggregate + semi-join: the window evaluates `keyed` (whose subtree
+    * carries the signature computation) ONCE and shuffles it once, where the
+    * join form evaluated it twice and added a second shuffle + join. The
+    * window's per-bucket state is a single running count — no buffering —
+    * and its shuffle-by-bucket output is exactly the partitioning the
+    * candidate self-join consumes next. */
   private def capBuckets(keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
-    val keep = keyed
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_bn"))
+    import org.apache.spark.sql.expressions.Window
+    keyed
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("_bn") <= maxBucket)
-      .select(keyCols.map(col): _*)
-    keyed.join(keep, keyCols, "left_semi")
+      .drop("_bn")
   }
 
   /** Candidate pairs by 40-char-normalized-prefix blocking + word-3-gram
@@ -99,7 +116,7 @@ object Dedup {
       .join(keyed.select(col("doc_id").as("b_id"), col("bk")), Seq("bk"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    verifyJaccard(candidates, shingleTable(documents), threshold)
+    verifyJaccard(candidates, documents, threshold)
       .select("a_id", "b_id", "n_inter", "n_union", "jac")
   }
 
@@ -134,7 +151,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id") // same pair can collide in >1 band
-    verifyJaccard(cand, shingleTable(documents), threshold)
+    verifyJaccard(cand, documents, threshold)
       .select("a_id", "b_id", "jac")
   }
 
