@@ -28,6 +28,12 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // Collect warmup garbage now, not mid-measurement: the warm pass leaves
+    // a full heap, and the resulting major GC otherwise lands on an
+    // arbitrary timed query (observed as 4-5x run-to-run swings on
+    // individual queries with unchanged plans).
+    System.gc()
+    Thread.sleep(1000)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

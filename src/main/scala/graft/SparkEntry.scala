@@ -540,7 +540,25 @@ object SparkEntry {
         Multimodal
           .extractFeatures(s, Multimodal.ingest(Tables.documents(s, dir)))
           .toDF()
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+      // Multimodal: stub resize — dims are pure arithmetic on n_bytes, so the
+      // typed-Dataset mapPartitions path is value-checkable end to end.
+      "q_multimodal_resize" -> ((s, dir) =>
+        Multimodal
+          .resize(s, Multimodal.ingest(Tables.documents(s, dir)), 128, 128)
+          .toDF()
+          .select("doc_id", "width", "height")
+          .orderBy("doc_id")),
+
+      // Multimodal: stub frame sampling — 1 input row → N frame rows
+      // (flatMap/explode shape), frame grid oracle-expressible.
+      "q_multimodal_frames" -> ((s, dir) =>
+        Multimodal
+          .sampleFrames(s, Multimodal.ingest(Tables.documents(s, dir)))
+          .toDF()
+          .select("doc_id", "frame_idx", "offset_bytes")
+          .orderBy("doc_id", "frame_idx"))
     )
   }
 
@@ -668,6 +686,27 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.resize's stub dims: src = (64 + n%512, 64 + (n/7)%512),
+    // scale = min(1, 128/srcW, 128/srcH), out = max(1, trunc(src*scale)).
+    // floor == Scala's .toInt here (operands positive); IEEE double division
+    // and multiplication are bit-identical across engines.
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+        |d AS (SELECT doc_id,
+        |             CAST(64 + nb % 512 AS INT) AS src_w,
+        |             CAST(64 + (nb // 7) % 512 AS INT) AS src_h
+        |      FROM m)
+        |SELECT doc_id,
+        |       GREATEST(1, CAST(floor(src_w * LEAST(1.0, 128.0/src_w, 128.0/src_h)) AS INT)) AS width,
+        |       GREATEST(1, CAST(floor(src_h * LEAST(1.0, 128.0/src_w, 128.0/src_h)) AS INT)) AS height
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.sampleFrames(frameSize=16, stride=4): frames
+    // 0, 4, 8, … strictly below len(payload)/16.
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, CAST(unnest(range(0, nb // 16, 4)) AS INT) AS frame_idx FROM m)
+        |SELECT doc_id, frame_idx, CAST(frame_idx AS BIGINT) * 16 AS offset_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
