@@ -507,6 +507,21 @@ object SparkEntry {
       "q_curation" -> ((s, dir) =>
         graft.operators.Curation.curate(Tables.documents(s, dir)).orderBy("doc_id")),
 
+      // JSON metadata extraction (training-pipeline extension): typed
+      // from_json with an explicit schema — no schema-inference pass, stays
+      // a narrow codegen'd projection ahead of the aggregate at any scale.
+      "q_json_props" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_type"),
+            from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k").cast("long")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")),
+
       // Gap-based sessionization over the event stream (30-min inactivity)
       "q_sessionize" -> ((s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -670,6 +685,11 @@ object SparkEntry {
          |WHERE rn = 1 AND n_tokens >= 5 AND n_tokens <= 2000
          |  AND coalesce(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END >= 0.02, false)
          |ORDER BY doc_id""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, event_id, us,
