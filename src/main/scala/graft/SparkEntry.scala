@@ -459,6 +459,16 @@ object SparkEntry {
           .withColumn("n_union", col("n_union").cast("long"))
           .orderBy("a_id", "b_id")),
 
+      // Near-dup removal: survivor corpus = drop the higher id of each
+      // verified pair (greedy one-pass; broadcast anti join)
+      "q_dedup_survivors" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup
+          .dropNearDuplicates(docs, Dedup.ngramJaccardPairs(docs, 0.3))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
       // Near-dup: MinHash + LSH banding (rows-only check; ScalaTest-verified)
       "q_dedup_minhash" -> ((s, dir) =>
         Dedup.minhashLshPairs(Tables.documents(s, dir), 0.5).orderBy("a_id", "b_id")),
@@ -583,7 +593,35 @@ object SparkEntry {
 
   private val StopListSql = "('the','a','of','and','to','in','is','on','for','it')"
 
+  /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
+    * incl. the bucket cap) — shared by the pair query and the survivor
+    * query's oracles. */
+  private lazy val NgramPairsSql: String =
+    s"""WITH t0 AS (SELECT doc_id,
+       |                   md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk,
+       |                   $ToksSql AS toks FROM documents),
+       |ok AS (SELECT bk FROM t0 GROUP BY bk HAVING count(*) <= 2000),
+       |t AS (SELECT t0.* FROM t0 JOIN ok USING (bk)),
+       |sh AS (SELECT doc_id, bk,
+       |         CASE WHEN len(toks) >= 3
+       |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |              ELSE CAST([] AS VARCHAR[]) END AS sh
+       |       FROM t),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+       |      FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |j AS (SELECT a_id, b_id,
+       |             CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_inter,
+       |             CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS n_union
+       |      FROM p)
+       |SELECT a_id, b_id, n_inter, n_union, CAST(n_inter AS DOUBLE) / n_union AS jac
+       |FROM j WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3""".stripMargin
+
   private def extensionOracles: Map[String, String] = Map(
+    "q_dedup_survivors" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT b_id FROM ($NgramPairsSql))
+         |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($ToksSql) AS BIGINT) AS n_tokens,
@@ -625,26 +663,7 @@ object SparkEntry {
         |       min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_ngram" ->
-      s"""WITH t0 AS (SELECT doc_id,
-         |                   md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk,
-         |                   $ToksSql AS toks FROM documents),
-         |ok AS (SELECT bk FROM t0 GROUP BY bk HAVING count(*) <= 2000),
-         |t AS (SELECT t0.* FROM t0 JOIN ok USING (bk)),
-         |sh AS (SELECT doc_id, bk,
-         |         CASE WHEN len(toks) >= 3
-         |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
-         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-         |              ELSE CAST([] AS VARCHAR[]) END AS sh
-         |       FROM t),
-         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
-         |      FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |j AS (SELECT a_id, b_id,
-         |             CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_inter,
-         |             CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS n_union
-         |      FROM p)
-         |SELECT a_id, b_id, n_inter, n_union, CAST(n_inter AS DOUBLE) / n_union AS jac
-         |FROM j WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3
-         |ORDER BY a_id, b_id""".stripMargin,
+      s"""SELECT * FROM ($NgramPairsSql) ORDER BY a_id, b_id""",
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

@@ -186,6 +186,19 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** Survivor corpus after near-dup removal: drops the higher `doc_id` of
+    * every verified pair (greedy one-pass policy — the standard corpus-
+    * curation choice: chains collapse toward the lowest id without an
+    * iterative transitive-closure job, at the cost of occasionally dropping
+    * a doc whose only similar partner was itself dropped). Broadcast
+    * left-anti join: the drop list is pair ids only, tiny next to the
+    * corpus at any scale. */
+  def dropNearDuplicates(documents: DataFrame, pairs: DataFrame): DataFrame =
+    documents.join(
+      pairs.select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"),
+      "left_anti")
+
   /** Embedding-cosine near-dup pairs, exact all-pairs variant: every (a, b)
     * with cosine ≥ threshold. Quadratic — the correctness baseline and fine
     * when the corpus (or a blocking partition of it) fits a cartesian
