@@ -71,6 +71,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(docs, 0.5).count() > 0)
   }
 
+  test("dropNearDuplicates: greedy drop of each pair's higher id, keepers survive") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 4L)) // 1 and 3 dropped; 0 (keeper) and unpaired docs stay
+    // empty pair set is the identity
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dropNearDuplicates(docs, none).count() === docs.count())
+  }
+
   test("shingles/jaccard edges: docs shorter than n produce no pairs and no errors") {
     val tiny = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(tiny, 0.1).count() === 0) // empty shingle sets -> null jac
