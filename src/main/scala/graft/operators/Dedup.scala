@@ -65,6 +65,14 @@ object Dedup {
       .withColumn(
         "jac",
         when(col("n_union") > 0, col("n_inter").cast("double") / col("n_union")))
+      // Known plan shape (PlanAudit --run): Catalyst pushes this filter into
+      // the pair join as an extra condition, inlining the intersect kernel
+      // ~3x per pair (join conditions get no subexpression elimination).
+      // Accepted: the candidate stage is cap-bounded and the kernel is a
+      // linear merge; the alternatives are worse — the algebraic rewrite
+      // (inter*(1+t) >= t*(na+nb)) flips borderline IEEE comparisons vs the
+      // division-form oracle, and a nondeterministic barrier column would
+      // also block the useful a_id < b_id pushdown.
       .filter(col("jac") >= threshold)
   }
 

@@ -8,7 +8,12 @@ import graft.SparkEntry
   * when none given) so shuffle counts, pushdown (`PushedFilters`), pruning
   * (`ReadSchema`) and join strategies can be reviewed per query.
   *
-  * Usage: `sbt "runMain graft.tools.PlanAudit q_daily_energy q3_join"`.
+  * With `--run` as the first arg, each query is also executed and the FINAL
+  * adaptive plan printed — this is where AQE's runtime decisions appear
+  * (ReusedExchange/ReusedSubquery stage dedup, sort-merge→broadcast
+  * demotions, partition coalescing), none of which the static explain shows.
+  *
+  * Usage: `sbt "runMain graft.tools.PlanAudit [--run] q_daily_energy ..."`.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -21,10 +26,17 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val (run, rest) = (args.contains("--run"), args.filterNot(_ == "--run").toSeq)
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
       println(s"===== $q =====")
-      SparkEntry.queries(q)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.explain("formatted")
+      if (run) {
+        df.count()
+        println(s"----- $q final adaptive plan -----")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }
