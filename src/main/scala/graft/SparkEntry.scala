@@ -233,6 +233,19 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("d", "event_type")),
 
+    // Multi-level aggregation (extension): ROLLUP over (day, event_type) —
+    // Spark's Expand operator emits all grouping sets in one pass, so the
+    // subtotal/grand-total levels cost one shuffle total, not one job per
+    // level (how the reference would have had to loop it).
+    "q_rollup" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("d", to_date(col("ts")))
+        .rollup("d", "event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+        .orderBy("d", "event_type")),
+
     // A4 — wide-row assembly (group-to-map, RdlETL.java:120-126): one row per
     // meter; the day set is surfaced as a sorted string so the map content is
     // oracle-hashable (map columns don't hash portably across engines).
@@ -356,6 +369,12 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        |ORDER BY d, event_type""".stripMargin,
     "q_wide_row" ->
       s"""SELECT row_key, count(*) AS n_days,
          |       string_agg(strftime(rd_date, '%Y%m%d'), ',' ORDER BY rd_date) AS days,
