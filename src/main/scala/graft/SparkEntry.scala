@@ -233,6 +233,35 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("d", "event_type")),
 
+    // Window frame (extension — §2.7 notes the reference has no frames):
+    // 7-day RANGE moving average of per-type daily totals. Frame sums stay
+    // DECIMAL (exact, order-insensitive); the single division to DOUBLE is
+    // IEEE-deterministic in both engines. One shuffle: the groupBy and the
+    // window share the event_type-compatible partitioning only at the
+    // window's (event_type) key, so agg shuffles by (d, type), window by
+    // type — both tiny post-aggregation.
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("total_dec"))
+      val w = Window
+        .partitionBy("event_type")
+        .orderBy(col("dnum"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("dnum", datediff(col("d"), lit("1970-01-01")))
+        .withColumn(
+          "ma7",
+          sum(col("total_dec")).over(w).cast("double") / count(lit(1)).over(w))
+        .select(
+          col("d"),
+          col("event_type"),
+          col("total_dec").cast("double").as("total"),
+          col("ma7"))
+        .orderBy("d", "event_type")
+    }),
+
     // Multi-level aggregation (extension): ROLLUP over (day, event_type) —
     // Spark's Expand operator emits all grouping sets in one pass, so the
     // subtotal/grand-total levels cost one shuffle total, not one job per
@@ -369,6 +398,17 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS total_dec
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d, event_type, CAST(total_dec AS DOUBLE) AS total,
+        |       CAST(sum(total_dec) OVER w AS DOUBLE) / (count(*) OVER w) AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY d, event_type""".stripMargin,
     "q_rollup" ->
       """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
