@@ -612,6 +612,21 @@ object SparkEntry {
           .orderBy("user_id", "session_id")
       }),
 
+      // Native session windows: Spark's dedicated session_window operator
+      // (merges events within the gap; works identically over readStream —
+      // the scale path for sessionization, no full-partition sort window).
+      // Session end = last event + gap, per the operator's definition.
+      "q_session_window" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            expr("unix_micros(sw.start)").as("start_us"),
+            expr("unix_micros(sw.end)").as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")),
+
       // Multimodal: binary payload + typed metadata (oracle-checkable part)
       "q_multimodal_meta" -> ((s, dir) =>
         Multimodal
@@ -781,6 +796,22 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |       min(us) AS start_us, max(us) AS end_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |      FROM e),
+        |s AS (SELECT user_id, us, event_id,
+        |             sum(CASE WHEN prev_us IS NULL OR us - prev_us > CAST(1800000000 AS BIGINT)
+        |                      THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+        |      FROM l),
+        |g AS (SELECT user_id, min(us) AS start_us,
+        |             max(us) + CAST(1800000000 AS BIGINT) AS end_us,
+        |             count(*) AS n_events
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM g ORDER BY user_id, start_us""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
