@@ -115,6 +115,12 @@ object SparkEntry {
         .pivotExport(MeterPipeline.dailyEnergy(facts(s, dir), dim(s, dir)), dim(s, dir))
         .orderBy("yhbh")),
 
+    // M3 — R1 scale path: pivot fused onto the wide-row map (no dense-grid
+    // explode, no second re-aggregation shuffle); value-identical to
+    // q_pivot_export and checked against the same oracle.
+    "q_pivot_fused" -> ((s, dir) =>
+      MeterPipeline.pivotExportFused(facts(s, dir), dim(s, dir)).orderBy("yhbh")),
+
     // S6 — point get (single key lookup, reference HBaseClient.java:149-158)
     "q_point_get" -> ((s, dir) =>
       dim(s, dir).filter(col("cldbs") === "42").select("row_key", "yhbh", "zhbl")),
@@ -323,6 +329,13 @@ object SparkEntry {
     "q_daily_energy_sparse" ->
       s"""SELECT * FROM ($RdlSql) WHERE rdl IS NOT NULL ORDER BY row_key, rd_date""",
     "q_pivot_export" ->
+      s"""WITH r AS ($RdlSql),
+         |dimk AS (SELECT DISTINCT row_key, yhbh FROM ($DimSql))
+         |SELECT d.yhbh,
+         |       $PivotCols
+         |FROM r JOIN dimk d USING (row_key)
+         |GROUP BY d.yhbh ORDER BY d.yhbh""".stripMargin,
+    "q_pivot_fused" ->
       s"""WITH r AS ($RdlSql),
          |dimk AS (SELECT DISTINCT row_key, yhbh FROM ($DimSql))
          |SELECT d.yhbh,

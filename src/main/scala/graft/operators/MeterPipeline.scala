@@ -171,6 +171,36 @@ object MeterPipeline {
       .agg(max(col("rdl")))
   }
 
+  /** Scale-path variant of [[pivotExport]]: computes the per-day guarded
+    * delta as 30 projected columns straight off the wide-row map — the
+    * dense-grid explode (meters × |range| rows) and the pivot's second
+    * re-aggregation collapse into one projection + one groupBy. Shuffles
+    * O(meters) wide rows once instead of O(meters × days) skinny rows
+    * twice; per-day map probes are O(1) lookups on the bounded day map.
+    * Value-identical to pivotExport (same oracle).
+    */
+  def pivotExportFused(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val wide = facts
+      .groupBy("row_key")
+      .agg(map_from_entries(collect_list(struct(col("rd_date"), col("bmz")))).as("m"))
+    val joined = wide.join(
+      broadcast(dim.select("row_key", "zhbl", "yhbh").dropDuplicates("row_key")),
+      Seq("row_key"))
+    val dayCols = DayStrings.map { ds =>
+      val iso = s"${ds.substring(0, 4)}-${ds.substring(4, 6)}-${ds.substring(6, 8)}"
+      val day = to_date(lit(iso))
+      val cur = coalesce(element_at(col("m"), day), lit(0.0))
+      val tom = coalesce(element_at(col("m"), date_add(day, 1)), lit(0.0))
+      when(cur > 0 && tom > 0 && tom >= cur, (tom - cur) * coalesce(col("zhbl"), lit(1.0)))
+        .as(s"d$ds")
+    }
+    joined
+      .select((col("yhbh") +: dayCols): _*)
+      .groupBy("yhbh")
+      .agg(max(col(s"d${DayStrings.head}")), DayStrings.tail.map(ds => max(col(s"d$ds"))): _*)
+      .toDF(("yhbh" +: DayStrings.map("d" + _)): _*)
+  }
+
   /** CSV sink parity (K3/K4, reference RdlETL3.java:83-164): header row,
     * size-capped file splits (500k rows in the reference), one directory per
     * org prefix (`partitionBy`, replacing the reference's per-gdj output
