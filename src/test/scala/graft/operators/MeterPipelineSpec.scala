@@ -74,6 +74,27 @@ class MeterPipelineSpec extends SparkSpec {
     assert(dense === sparse)
   }
 
+  test("R1 fused pivot equals dense pivot on the guard-matrix fixture") {
+    val facts = factsDf(Seq(
+      ("A_1", "2024-01-01", 100.0), ("A_1", "2024-01-02", 110.0), ("A_1", "2024-01-03", 110.0),
+      ("B_2", "2024-01-01", 100.0), ("B_2", "2024-01-02", 90.0),
+      ("E_5", "2024-01-01", 100.0), ("E_5", "2024-01-02", 120.0)))
+    val dim = Seq(
+      ("A_1", java.lang.Double.valueOf(2.0), "custA"),
+      ("B_2", java.lang.Double.valueOf(1.0), "custB"),
+      ("E_5", null.asInstanceOf[java.lang.Double], "custE"))
+      .toDF("row_key", "zhbl", "yhbh")
+    val dense = MeterPipeline
+      .pivotExport(MeterPipeline.dailyEnergy(facts, dim), dim)
+      .orderBy("yhbh")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val fused =
+      MeterPipeline.pivotExportFused(facts, dim).orderBy("yhbh").collect().map(_.toSeq).toSeq
+    assert(dense === fused)
+  }
+
   test("A1 first-wins dedup and J1 join-miss drop in factLoad") {
     val events = Seq(
       (1L, Timestamp.valueOf("2024-01-01 05:00:00"), 7L, "m", 100.0, "{}"),
