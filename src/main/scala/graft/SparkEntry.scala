@@ -156,6 +156,24 @@ object SparkEntry {
         .orderBy("row_key")
     }),
 
+    // §2.9 extension — INTERSECT (distinct semantics): BUILDING customers
+    // that actually placed orders. Plans as a left-semi aggregate join.
+    "q_intersect" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    // §2.9 extension — EXCEPT (distinct semantics): BUILDING customers with
+    // no orders at all. Plans as a left-anti aggregate join.
+    "q_except" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
     // Volume aggregation (TPC-H Q1 shape) — exercises hash agg + exact sums
     "q1_agg" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -359,6 +377,16 @@ object SparkEntry {
          |SELECT row_key, cldbs, gdj FROM
          |  (SELECT * FROM d WHERE gdj = '0401' UNION ALL SELECT * FROM d WHERE gdj = '0402')
          |ORDER BY row_key""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
