@@ -632,6 +632,25 @@ object SparkEntry {
             max(col("k")).as("max_k"))
           .orderBy("event_type")),
 
+      // Approximate aggregates (extension; rows-only check — sketch values
+      // are engine-specific): HLL++ distinct counts and GK quantile sketches
+      // are the constant-memory profiling pass a 100 TB corpus gets instead
+      // of exact distinct/percentile (which shuffle the full key space).
+      // Both sketches merge order-insensitively, so results are stable
+      // across partitionings.
+      "q_approx_stats" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("lang"),
+            col("source"),
+            T.tokenCount(col("text")).cast("double").as("nt"))
+          .groupBy("lang")
+          .agg(
+            approx_count_distinct(col("source")).as("n_sources_approx"),
+            expr("approx_percentile(nt, array(0.5, 0.9, 0.99))").as("nt_quantiles"),
+            count(lit(1)).as("n"))
+          .orderBy("lang")),
+
       // Gap-based sessionization over the event stream (30-min inactivity)
       "q_sessionize" -> ((s, dir) => {
         import org.apache.spark.sql.expressions.Window
