@@ -34,18 +34,22 @@ object Bench {
     // individual queries with unchanged plans).
     System.gc()
     Thread.sleep(1000)
-    // min of two timed runs per query: a stray major GC or compaction pause
-    // otherwise lands on one arbitrary query and dominates its number
-    // (observed 10x spikes on unchanged sub-second plans even after the
-    // post-warmup GC above). The min measures the operator.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // min of two timed runs per query, as two INTERLEAVED full passes (run
+    // every query once, then every query again) rather than back-to-back
+    // runs: a stray major GC or a sustained machine-contention window
+    // otherwise lands on one query's both samples and dominates its number
+    // (r1 bench recorded 13-15 s on four alphabetically-adjacent queries
+    // that measure 0.2-0.7 s in isolation — a ~45 s contention window
+    // covered both consecutive runs). Interleaving puts the two samples of
+    // each query minutes apart, so the min measures the operator.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.zip(p2).map { case ((name, t1), (_, t2)) => name -> math.min(t1, t2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

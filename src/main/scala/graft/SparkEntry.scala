@@ -637,7 +637,9 @@ object SparkEntry {
       // are the constant-memory profiling pass a 100 TB corpus gets instead
       // of exact distinct/percentile (which shuffle the full key space).
       // Both sketches merge order-insensitively, so results are stable
-      // across partitionings.
+      // across partitionings. Quantiles are projected to scalar doubles —
+      // the correctness driver sorts result columns with pandas, which
+      // cannot hash/sort array cells (r1: TypeError, zero verification).
       "q_approx_stats" -> ((s, dir) =>
         Tables.documents(s, dir)
           .select(
@@ -647,8 +649,15 @@ object SparkEntry {
           .groupBy("lang")
           .agg(
             approx_count_distinct(col("source")).as("n_sources_approx"),
-            expr("approx_percentile(nt, array(0.5, 0.9, 0.99))").as("nt_quantiles"),
+            expr("approx_percentile(nt, array(0.5, 0.9, 0.99))").as("qs"),
             count(lit(1)).as("n"))
+          .select(
+            col("lang"),
+            col("n_sources_approx"),
+            element_at(col("qs"), 1).as("nt_p50"),
+            element_at(col("qs"), 2).as("nt_p90"),
+            element_at(col("qs"), 3).as("nt_p99"),
+            col("n"))
           .orderBy("lang")),
 
       // Gap-based sessionization over the event stream (30-min inactivity)
@@ -694,11 +703,22 @@ object SparkEntry {
           .select("doc_id", "mime", "n_bytes")
           .orderBy("doc_id")),
 
-      // Multimodal: batched stub-decode feature extraction (rows-only check)
+      // Multimodal: batched stub-decode feature extraction (rows-only check).
+      // The feature vector is flattened to scalar columns for the driver —
+      // pandas cannot sort/hash array cells (r1: TypeError, zero
+      // verification); the full array stays on the operator's Dataset API.
       "q_multimodal_features" -> ((s, dir) =>
         Multimodal
           .extractFeatures(s, Multimodal.ingest(Tables.documents(s, dir)))
           .toDF()
+          .select(
+            col("doc_id"),
+            col("n_bytes"),
+            col("width"),
+            col("height"),
+            element_at(col("features"), 1).cast("double").as("f0"),
+            element_at(col("features"), 2).cast("double").as("f1"),
+            size(col("features")).as("n_features"))
           .orderBy("doc_id")),
 
       // Multimodal: stub resize — dims are pure arithmetic on n_bytes, so the
