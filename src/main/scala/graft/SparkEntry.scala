@@ -299,6 +299,90 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("d", "event_type")),
 
+    // J2 extension — backward as-of join (SURVEY §2.5: the reference's
+    // adjacent-day self-alignment generalized): each click event gets the
+    // latest same-user purchase value at-or-before its timestamp. Union +
+    // ordered forward-fill — one shuffle, no range-join pairwise blowup.
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"), col("value"))
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("rus"), col("value").as("v"))
+        .groupBy("user_id", "rus")
+        .agg(max(col("v")).as("rate"))
+      graft.operators.AsOfJoin
+        .asOfBackward(clicks, purchases, Seq("user_id"), "us", "rus")
+        .orderBy("user_id", "us", "event_id")
+    }),
+
+    // Multi-level aggregation (extension): CUBE over (day, event_type) with
+    // grouping flags — all four grouping sets in one Expand pass / one
+    // shuffle, flags distinguish subtotal rows from genuine NULL data.
+    "q_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("d", to_date(col("ts")))
+        .cube("d", "event_type")
+        .agg(
+          grouping(col("d")).cast("int").as("g_d"),
+          grouping(col("event_type")).cast("int").as("g_t"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+        .orderBy("g_d", "g_t", "d", "event_type")),
+
+    // Exact percentiles (extension): sort-based exact quantiles per group.
+    // Quarter-point fractions over integral doubles make the linear
+    // interpolation ((1-g)*lo + g*hi here, lo + (hi-lo)*g in DuckDB)
+    // bit-exact in both engines; arbitrary fractions/values would not be.
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"),
+          col("n"))
+        .orderBy("l_returnflag")),
+
+    // Cumulative running total per group (extension): frame sums stay
+    // DECIMAL (exact), cast to DOUBLE only on output.
+    "q_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("total_dec"))
+      val w = Window
+        .partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(
+          col("d"),
+          col("event_type"),
+          col("total_dec").cast("double").as("total"),
+          sum(col("total_dec")).over(w).cast("double").as("running_total"))
+        .orderBy("d", "event_type")
+    }),
+
+    // Exact distinct count, two-phase shape (extension): dedup on
+    // (group, key) first — map-side partial agg collapses hot keys before
+    // either shuffle — then count per group. The skew-safe spelling of
+    // COUNT(DISTINCT) for 100 TB keyspaces; value-identical to the direct
+    // form, which is the oracle.
+    "q_distinct_twophase" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("_c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")),
+
     // A4 — wide-row assembly (group-to-map, RdlETL.java:120-126): one row per
     // meter; the day set is surfaced as a sorted string so the map content is
     // oracle-hashable (map columns don't hash portably across engines).
@@ -456,6 +540,42 @@ object SparkEntry {
         |FROM events
         |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         |ORDER BY d, event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS rus, max(value) AS rate
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.user_id AS user_id, l.us, l.event_id, l.value, r.rate, r.rus AS asof_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.rus
+        |ORDER BY l.user_id, l.us, l.event_id""".stripMargin,
+    "q_cube" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+        |       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_d,
+        |       CAST(GROUPING(event_type) AS INT) AS g_t,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY CUBE(CAST(ts AS DATE), event_type)
+        |ORDER BY g_d, g_t, d, event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_running_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |         sum(CAST(value AS DECIMAL(12,2))) AS total_dec
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d, event_type, CAST(total_dec AS DOUBLE) AS total,
+        |       CAST(sum(total_dec) OVER (PARTITION BY event_type ORDER BY d
+        |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM daily ORDER BY d, event_type""".stripMargin,
+    "q_distinct_twophase" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_wide_row" ->
       s"""SELECT row_key, count(*) AS n_days,
          |       string_agg(strftime(rd_date, '%Y%m%d'), ',' ORDER BY rd_date) AS days,
@@ -660,6 +780,18 @@ object SparkEntry {
             col("n"))
           .orderBy("lang")),
 
+      // Corpus term frequency, top-20 (training-pipeline extension):
+      // explode + count + top-k. Map-side partial aggregation collapses the
+      // token stream before the one shuffle; TakeOrderedAndProject keeps
+      // the top-k off the driver until the final 20 rows.
+      "q_term_freq" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(T.tokens(col("text"))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20)),
+
       // Gap-based sessionization over the event stream (30-min inactivity)
       "q_sessionize" -> ((s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -863,6 +995,10 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_term_freq" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest($ToksSql) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, event_id, us,
