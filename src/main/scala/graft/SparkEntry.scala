@@ -792,6 +792,53 @@ object SparkEntry {
           .orderBy(col("n").desc, col("tok"))
           .limit(20)),
 
+      // Deterministic train/val/test split (training-pipeline extension):
+      // multiplicative Fibonacci hash of doc_id into 2^32 buckets, 80/10/10
+      // by fixed integer thresholds. Pure integer arithmetic — stable across
+      // engines, partitionings, and reruns (the properties a split must
+      // have; sample()/rand() have none of them). Narrow codegen'd
+      // projection, no shuffle but the output sort.
+      "q_train_split" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("bucket"))
+          .withColumn(
+            "split",
+            when(col("bucket") < 3435973836L, "train") // floor(0.8 * 2^32)
+              .when(col("bucket") < 3865470566L, "val") // floor(0.9 * 2^32)
+              .otherwise("test"))
+          .select("doc_id", "split")
+          .orderBy("doc_id")),
+
+      // Greedy sequence packing (training-pipeline extension): documents are
+      // packed into ~4096-token training bins by running token count, WITHIN
+      // deterministic shards (doc_id mod 8) — packing is embarrassingly
+      // parallel per shard (each shard = one training file), so the window
+      // sorts 1/8th of the corpus per task instead of a global single-
+      // partition sort. Bin boundary rule: a doc starts a new bin when the
+      // tokens before it fill the current one (docs can straddle, standard
+      // contiguous-fill packing).
+      "q_pack_sequences" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy("shard")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("nt"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+          .withColumn("cum", sum("nt").over(w))
+          .withColumn("bin", floor((col("cum") - col("nt")) / lit(4096L)))
+          .groupBy("shard", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("nt").as("tok_total"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("shard", "bin")
+      }),
+
       // Gap-based sessionization over the event stream (30-min inactivity)
       "q_sessionize" -> ((s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -999,6 +1046,25 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_train_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |                  CAST(len($ToksSql) AS BIGINT) AS nt,
+         |                  CAST(doc_id % 8 AS INT) AS shard
+         |           FROM documents),
+         |c AS (SELECT doc_id, nt, shard,
+         |             sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT shard, CAST(floor((cum - nt) / 4096) AS BIGINT) AS bin,
+         |       count(*) AS n_docs, sum(nt) AS tok_total,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id, event_id, us,
