@@ -383,6 +383,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")),
 
+    // Ranking/analytic window-function breadth (extension — §2.7 notes the
+    // reference has only lead): rank, dense_rank, ntile, percent_rank,
+    // cume_dist, lag, lead over one total-ordered window. The rank filter
+    // keeps output small; WindowGroupLimit cannot prune here because
+    // ntile/percent_rank/cume_dist read the whole partition.
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("prev_val", lag(col("value"), 1).over(w))
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .filter(col("rnk") <= 50)
+        .orderBy("event_type", "rnk", "event_id")
+    }),
+
     // A4 — wide-row assembly (group-to-map, RdlETL.java:120-126): one row per
     // meter; the day set is surfaced as a sorted string so the map content is
     // oracle-hashable (map columns don't hash portably across engines).
@@ -540,6 +561,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         |ORDER BY d, event_type""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT * FROM (
+        |  SELECT event_type, event_id, value,
+        |         rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk,
+        |         ntile(4) OVER w AS quartile,
+        |         percent_rank() OVER w AS pct_rank,
+        |         cume_dist() OVER w AS cdist,
+        |         lag(value, 1) OVER w AS prev_val,
+        |         lead(event_id, 1) OVER w AS next_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+        |WHERE rnk <= 50 ORDER BY event_type, rnk, event_id""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
         |           FROM events WHERE event_type = 'click'),

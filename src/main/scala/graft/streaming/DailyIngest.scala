@@ -60,6 +60,22 @@ object DailyIngest {
         col("n"),
         col("total"))
 
+  /** Native session windows over the stream (same `session_window` merging
+    * aggregation as the batch `q_session_window` query): state is O(open
+    * sessions) and expires with the watermark — the streaming scale path
+    * for sessionization, vs. the lag-window variant's full-partition sort.
+    * Session end = last event + gap, per the operator's definition. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"),
+        col("n_events"))
+
   /** Per-meter running state for [[incrementalDailyEnergy]]: last seen
     * reading and its day. */
   case class MeterState(lastDate: java.sql.Date, lastBmz: Double)

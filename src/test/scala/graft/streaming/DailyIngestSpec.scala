@@ -54,6 +54,44 @@ class DailyIngestSpec extends SparkSpec {
     assert(out === Set((7L, "2024-01-01", 20.0), (7L, "2024-01-03", 5.0)))
   }
 
+  test("streaming session_window matches the batch operator on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 05:00:00"), 7L, "m", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 05:10:00"), 7L, "m", 1.0, "{}"), // same session
+      (3L, Timestamp.valueOf("2024-01-01 06:30:00"), 7L, "m", 1.0, "{}"), // gap > 30m: new session
+      (4L, Timestamp.valueOf("2024-01-01 05:05:00"), 8L, "k", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(dir)
+    val streamed = DailyIngest
+      .runAvailableNow(
+        DailyIngest.sessionize(DailyIngest.readEvents(spark, dir)),
+        "sessions_test",
+        outputMode = "complete")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch: identical aggregation over the same files through the batch reader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3) // (7: two sessions), (8: one)
+    assert(streamed.map(_._1) === Set(7L, 8L))
+  }
+
   test("tumbling daily aggregation over the stream (complete mode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
     writeEvents(dir)
