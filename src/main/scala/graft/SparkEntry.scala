@@ -219,6 +219,47 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
+    // customers counted with zero orders preserved, then a histogram of
+    // order counts. Exercises outer-join null semantics + double grouping.
+    "q13_custdist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(!col("o_orderpriority").like("%URGENT%"))
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, dir)
+        .select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Full-outer snapshot diff (extension): two keyed snapshots compared in
+    // one shuffle — each row classified added/removed/changed/same. The
+    // standard incremental-corpus reconciliation op; the reference's
+    // cell-level upsert (K1) answers "what changed" only implicitly.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val v1 = orders
+        .filter(to_date(col("o_orderdate")) < lit("1997-01-01"))
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v1"))
+      val v2 = orders
+        .filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v2"))
+      v1.join(v2, Seq("k"), "full_outer")
+        .withColumn(
+          "status",
+          when(col("v1").isNull, "added")
+            .when(col("v2").isNull, "removed")
+            .when(col("v1") =!= col("v2"), "changed")
+            .otherwise("same"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // Window ranking — top-5 events per type (sort/limit per group)
     "q_topk_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -523,6 +564,25 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 20
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS s1 FROM orders
+        |            WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+        |v2 AS (SELECT o_orderkey AS k, o_orderstatus AS s2 FROM orders
+        |       WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT CASE WHEN s1 IS NULL THEN 'added'
+        |            WHEN s2 IS NULL THEN 'removed'
+        |            WHEN s1 <> s2 THEN 'changed'
+        |            ELSE 'same' END AS status,
+        |       count(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (k)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "q_topk_window" ->
       """SELECT event_type, rank, event_id, value FROM
         |  (SELECT event_type, event_id, value,
