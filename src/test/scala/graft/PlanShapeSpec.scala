@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Regression guard for the scale-critical plan shapes the Scaladocs claim.
+  * These assert against the physical plan text on sf0.001 — if an optimizer
+  * change, a lost broadcast hint, or a careless refactor re-introduces a
+  * shuffle (or a single-partition window), the claim breaks here and not at
+  * 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "(?<!Reused)Exchange".r.findAllIn(p).size
+
+  test("q_asof_join: one pre-agg, one window shuffle, one output sort — no range join") {
+    val p = plan("q_asof_join")
+    assert(exchanges(p) === 3, s"expected 3 exchanges, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("dropNearDuplicates: drop list broadcasts; anti join never shuffles the corpus") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, dir)
+    val out = Dedup.dropNearDuplicates(docs, Dedup.ngramJaccardPairs(docs, 0.3))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), s"plan:\n$p")
+  }
+
+  test("q_pack_sequences: packing window is per-shard, not a global sort") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("hashpartitioning(shard"), s"plan:\n$p")
+  }
+
+  test("q_term_freq: top-k stays distributed (TakeOrderedAndProject, partial agg)") {
+    val p = plan("q_term_freq")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(exchanges(p) === 1, s"expected exactly the one count shuffle, plan:\n$p")
+  }
+
+  test("fused pivot shuffles strictly less than the dense-grid pivot") {
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
+    val fused = exchanges(planOf(SparkEntry.queries("q_pivot_fused")(spark, dir)))
+    val dense = exchanges(planOf(SparkEntry.queries("q_pivot_export")(spark, dir)))
+    assert(fused < dense, s"fused=$fused dense=$dense")
+  }
+
+  test("q_broadcast_join: dimension stays broadcast under the hint") {
+    val p = plan("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+}
