@@ -120,21 +120,22 @@ object SimilaritySearch {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    // Per-cell means as ONE hash aggregate with `dim` avg expressions inside
+    // an array() — map-side combine reduces the shuffle to nlist×dim partial
+    // rows per iteration regardless of corpus size. The earlier
+    // explode-per-dimension formulation shuffled corpus×dim rows into the
+    // first groupBy (64× the corpus at dim=64) plus a second groupBy and a
+    // per-cell sort; measured ~20% faster per iteration even at sf0.1's
+    // trivial volume (graft.tools.IvfBench: 0.40 s vs 0.51 s), and the gap
+    // is the whole explode volume at real scale.
+    val dims = centroids.head._2.length
     for (_ <- 0 until iters) {
-      val assigned = c.withColumn("cell", assign(centroids, "nv"))
-      val means = assigned
-        .withColumn("i", explode(sequence(lit(0), lit(centroids.head._2.length - 1))))
-        .select(col("cell"), col("i"), element_at(col("nv"), col("i") + 1).as("x"))
-        .groupBy("cell", "i")
-        .agg(avg("x").as("m"))
+      val means = c
+        .withColumn("cell", assign(centroids, "nv"))
         .groupBy("cell")
-        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("mv"))
+        .agg(array((0 until dims).map(i => avg(element_at(col("nv"), i + 1))): _*).as("mv"))
         .collect()
-        .map(r =>
-          r.getInt(0) -> r
-            .getSeq[org.apache.spark.sql.Row](1)
-            .map(_.getDouble(1))
-            .toArray)
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       if (means.nonEmpty) centroids = means
     }
 
