@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   * (ts, side)-ordered rows — O((|L|+|R|) log(|L|+|R|)) per key, exactly one
   * shuffle (the window's hash partitioning by key), no pairwise blowup.
   * This is the standard union-fill as-of plan pandas/kdb users expect,
-  * expressed as Catalyst window aggregation.
+  * expressed as Catalyst window aggregation. Measured
+  * (graft.tools.AsOfScaleBench, 1500 keys × 700-deep history per side,
+  * 1.05M rows each side, local[32]): union-fill 0.58 s vs the range-join
+  * formulation 522 s (~370M intermediate pairs, executor heartbeat
+  * timeouts on the way) — and the range join's gap grows linearly with
+  * history depth while union-fill's cost stays per-row logarithmic.
   *
   * Semantics and preconditions:
   *   - match is inclusive (`rightTs == leftTs` matches), like DuckDB
