@@ -174,6 +174,20 @@ object SparkEntry {
         .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")),
 
+    // SQL-text entry point: the same engine surface through spark.sql —
+    // parser/analyzer path, identical Catalyst plan downstream. Everything
+    // else here uses the DataFrame DSL; a reference user migrating raw SQL
+    // gets this path.
+    "q_sql_surface" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+          |FROM events_v
+          |WHERE event_type IN ('click', 'view')
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // Volume aggregation (TPC-H Q1 shape) — exercises hash agg + exact sums
     "q1_agg" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -533,6 +547,12 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -751,6 +771,18 @@ object SparkEntry {
           .select("doc_id", "lang", "predicted", "correct")
           .orderBy("doc_id")
       }),
+
+      // Language-ID, character-n-gram variant: English-trigram density in a
+      // single codegen'd projection — no tokenization, works on unsegmented
+      // scripts where the whitespace heuristic can't.
+      "q_lang_id_ngram" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), T.enTrigramScore(col("text")).as("score"))
+          .withColumn(
+            "predicted",
+            when(coalesce(col("score"), lit(0.0)) >= 0.02, "en").otherwise("unk"))
+          .withColumn("correct", col("predicted") === col("lang"))
+          .orderBy("doc_id")),
 
       // Document fingerprinting (normalized md5)
       "q_fingerprint" -> ((s, dir) =>
@@ -1044,7 +1076,22 @@ object SparkEntry {
        |SELECT a_id, b_id, n_inter, n_union, CAST(n_inter AS DOUBLE) / n_union AS jac
        |FROM j WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3""".stripMargin
 
+  /** Mirrors TextFunctions.enTrigramScore's hit sum, generated from the same
+    * trigram list so the two can't drift. */
+  private val TrigramSumSql: String = graft.functions.TextFunctions.EnTrigrams
+    .map(t => s"(length(lt) - length(replace(lt, '$t', ''))) / 3")
+    .mkString(" + ")
+
   private def extensionOracles: Map[String, String] = Map(
+    "q_lang_id_ngram" ->
+      s"""WITH t AS (SELECT doc_id, lang, lower(text) AS lt, length(text) AS n FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |             CASE WHEN n >= 3 THEN ($TrigramSumSql) / (n - 2) END AS score
+         |      FROM t)
+         |SELECT doc_id, lang, score,
+         |       CASE WHEN coalesce(score, 0) >= 0.02 THEN 'en' ELSE 'unk' END AS predicted,
+         |       (CASE WHEN coalesce(score, 0) >= 0.02 THEN 'en' ELSE 'unk' END) = lang AS correct
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_survivors" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT b_id FROM ($NgramPairsSql))

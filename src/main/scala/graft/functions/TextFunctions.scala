@@ -43,6 +43,26 @@ object TextFunctions {
     Bridge.column(CountInSet(Bridge.expression(toks), Stopwords))
   }
 
+  /** English character-trigram profile for the n-gram language-ID
+    * heuristic — the highest-frequency English trigrams. */
+  val EnTrigrams: Seq[String] =
+    Seq("the", "and", "ing", "ion", "ent", "her", "for", "tha")
+
+  /** Non-overlapping occurrence count of a literal substring — the
+    * replace-and-measure identity, identical left-to-right semantics in
+    * Spark and DuckDB (literal `replace`, codegen'd — not a regex count). */
+  def substringCount(text: Column, literal: String): Column =
+    (length(text) - length(replace(text, lit(literal), lit("")))) / literal.length
+
+  /** Character-n-gram language-ID score: English-trigram hits per trigram
+    * position in the lowercased text; NULL when the text is shorter than a
+    * trigram. A single codegen'd projection — no tokenization, no shuffle. */
+  def enTrigramScore(text: Column): Column = {
+    val lowered = lower(text)
+    val hits = EnTrigrams.map(substringCount(lowered, _)).reduce(_ + _)
+    when(length(text) >= 3, hits.cast("double") / (length(text) - 2))
+  }
+
   /** Whitespace-collapsed, lowercased, trimmed canonical form. */
   def normalize(text: Column): Column =
     trim(lower(regexp_replace(text, "\\s+", " ")))
