@@ -49,7 +49,10 @@ object SimilaritySearch {
     * embeddings at sf0.01: planes=3 → recall@10 0.68, 4 → 0.40, 6 → 0.16.
     * Clustered real-world embeddings sit far above this floor; when recall
     * must be tunable independently of bucket width, prefer [[ivfTopK]]
-    * (measured recall@10 0.89 at nlist=8, nprobe=2 on the same data). */
+    * (measured recall@10 0.89 at nlist=8, nprobe=2 on the sf0.01 8-query
+    * set; 0.69 on the sf0.001 20-query set — recall on unclustered random
+    * vectors is query-set-sensitive, and both floors are regression-pinned
+    * in SimilarityAndMultimodalSpec). */
   def lshTopK(
       queries: DataFrame,
       candidates: DataFrame,
