@@ -793,6 +793,35 @@ object SparkEntry {
             length(col("text")).cast("long").as("n_chars_m"))
           .orderBy("doc_id")),
 
+      // PII scan + redaction (training-pipeline extension): per-doc email/
+      // URL hit counts and the redacted length — one codegen'd regexp
+      // projection, no shuffle beyond the output sort.
+      "q_pii_scan" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(T.EmailPattern), lit(0)))
+              .cast("long")
+              .as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(T.UrlPattern), lit(0)))
+              .cast("long")
+              .as("n_urls"),
+            length(T.redactPii(col("text"))).cast("long").as("redacted_len"))
+          .orderBy("doc_id")),
+
+      // Benchmark decontamination (training-pipeline extension): corpus docs
+      // sharing >= 0.3 trigram Jaccard with a benchmark set (here: every
+      // 97th doc, re-keyed, so each benchmark doc must rediscover its source
+      // at jac 1.0 — the query validates itself). Benchmark side broadcasts;
+      // the corpus never shuffles for candidate generation.
+      "q_contamination" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val bench = docs
+          .filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.contaminationPairs(docs, bench, 0.3).orderBy("a_id", "b_id")
+      }),
+
       // Exact dedup: hash-groupBy on fingerprint
       "q_dedup_exact" -> ((s, dir) =>
         Dedup.exact(Tables.documents(s, dir)).orderBy("fp")),
@@ -1092,6 +1121,39 @@ object SparkEntry {
          |       CASE WHEN coalesce(score, 0) >= 0.02 THEN 'en' ELSE 'unk' END AS predicted,
          |       (CASE WHEN coalesce(score, 0) >= 0.02 THEN 'en' ELSE 'unk' END) = lang AS correct
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_pii_scan" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.UrlPattern.replace("\\", "\\\\")}')) AS BIGINT) AS n_urls,
+         |       CAST(length(regexp_replace(regexp_replace(text, '${graft.functions.TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |                                  '${graft.functions.TextFunctions.UrlPattern.replace("\\", "\\\\")}', '<URL>', 'g')) AS BIGINT) AS redacted_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |bench AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |ck0 AS (SELECT doc_id,
+         |               md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk
+         |        FROM corpus),
+         |ok AS (SELECT bk FROM ck0 GROUP BY bk HAVING count(*) <= 2000),
+         |ck AS (SELECT ck0.* FROM ck0 JOIN ok USING (bk)),
+         |bk2 AS (SELECT doc_id,
+         |               md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk
+         |        FROM bench),
+         |cand AS (SELECT c.doc_id AS a_id, b.doc_id AS b_id FROM ck c JOIN bk2 b USING (bk)),
+         |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM bench),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |       FROM (SELECT doc_id, $ToksSql AS toks FROM alld)),
+         |j AS (SELECT a_id, b_id,
+         |             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+         |      FROM cand JOIN sh a ON a.doc_id = cand.a_id JOIN sh b ON b.doc_id = cand.b_id)
+         |SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / n_union AS jac
+         |FROM j WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_survivors" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT b_id FROM ($NgramPairsSql))

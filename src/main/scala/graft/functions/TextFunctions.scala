@@ -63,6 +63,17 @@ object TextFunctions {
     when(length(text) >= 3, hits.cast("double") / (length(text) - 2))
   }
 
+  /** PII patterns for corpus scrubbing — kept to constructs with identical
+    * semantics in Java regex and RE2 (no lookaround, no backrefs) so the
+    * DuckDB oracle matches byte-for-byte. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern: String = "https?://[^\\s]+"
+
+  /** Text with emails/URLs replaced by placeholder tags — the redaction pass
+    * a training corpus gets before packing. Codegen'd regexp chain. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), UrlPattern, "<URL>")
+
   /** Whitespace-collapsed, lowercased, trimmed canonical form. */
   def normalize(text: Column): Column =
     trim(lower(regexp_replace(text, "\\s+", " ")))

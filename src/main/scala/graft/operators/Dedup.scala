@@ -212,6 +212,35 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** Benchmark decontamination: corpus documents sharing ≥ `threshold`
+    * word-3-gram Jaccard with ANY document of an evaluation/benchmark set —
+    * the cross-corpus variant of [[ngramJaccardPairs]] (a_id = corpus doc,
+    * b_id = benchmark doc). Candidates come from equality on the same
+    * 40-char-normalized-prefix blocking key, evaluated once per side; the
+    * benchmark side is typically tiny and broadcasts, so the corpus is never
+    * shuffled for candidate generation. Verification reuses the id-only
+    * semi-join-pruned shingle pass, so shingles are computed only for
+    * documents that block-collide. Returns one row per contaminated
+    * (corpus, benchmark) pair; drop contaminated docs with
+    * `corpus.join(broadcast(pairs.select("a_id").distinct()), "left_anti")`. */
+  def contaminationPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.3,
+      maxBucket: Int = 2000): DataFrame = {
+    def keyed(d: DataFrame) =
+      d.select(col("doc_id"), md5(substring(normalize(col("text")), 1, 40)).as("bk"))
+    val candidates = capBuckets(keyed(corpus), Seq("bk"), maxBucket)
+      .select(col("doc_id").as("a_id"), col("bk"))
+      .join(broadcast(keyed(benchmark).select(col("doc_id").as("b_id"), col("bk"))), Seq("bk"))
+      .select("a_id", "b_id")
+    // Shingle source spans both sides: a_id resolves in corpus, b_id in
+    // benchmark. Union is safe — verifyJaccard semi-join-prunes to candidate
+    // ids, and an id appearing in both sides has identical text by contract.
+    verifyJaccard(candidates, corpus.unionByName(benchmark).dropDuplicates("doc_id"), threshold)
+      .select("a_id", "b_id", "jac")
+  }
+
   /** Survivor corpus after near-dup removal: drops the higher `doc_id` of
     * every verified pair (greedy one-pass policy — the standard corpus-
     * curation choice: chains collapse toward the lowest id without an

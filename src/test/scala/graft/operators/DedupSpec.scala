@@ -71,6 +71,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(docs, 0.5).count() > 0)
   }
 
+  test("contamination pairs: benchmark doc rediscovers its corpus source, clean docs don't") {
+    val bench = docs
+      .filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val pairs = Dedup.contaminationPairs(docs, bench, 0.3).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 100L))) // exact source at jac 1.0
+    assert(ids.contains((3L, 100L))) // normalized dup of the source
+    assert(!ids.exists(_._1 == 2L)) // unrelated content never pairs
+    val jac0 = pairs.find(r => r.getLong(0) == 0L).get.getAs[Double]("jac")
+    assert(jac0 === 1.0)
+  }
+
   test("dropNearDuplicates: greedy drop of each pair's higher id, keepers survive") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a_id", "b_id")
     val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
