@@ -52,6 +52,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(fused < dense, s"fused=$fused dense=$dense")
   }
 
+  test("contaminationPairs: benchmark side broadcasts; no cartesian stage") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val bench = docs
+      .filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val p = Dedup.contaminationPairs(docs, bench, 0.3).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_broadcast_join: dimension stays broadcast under the hint") {
     val p = plan("q_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
