@@ -892,6 +892,32 @@ object SparkEntry {
       "q_curation" -> ((s, dir) =>
         graft.operators.Curation.curate(Tables.documents(s, dir)).orderBy("doc_id")),
 
+      // Full training-data pipeline, end to end in ONE Catalyst plan:
+      // near-dup removal -> exact-dedup + quality curation -> PII redaction
+      // -> deterministic split -> per-split corpus stats. Every stage is an
+      // already-verified operator; the value here is that the composition
+      // itself is oracle-checked, and that it stays a single declarative
+      // plan Catalyst can globally optimize (gate filters fuse into scans,
+      // the drop list broadcasts, one dedup window shuffle).
+      "q_pipeline_e2e" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val survivors = Dedup.dropNearDuplicates(docs, Dedup.ngramJaccardPairs(docs, 0.3))
+        graft.operators.Curation
+          .curate(survivors)
+          .join(docs.select(col("doc_id"), T.redactPii(col("text")).as("red")), Seq("doc_id"))
+          .withColumn(
+            "split",
+            when((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < 3435973836L, "train")
+              .when((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < 3865470566L, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("tok_total"),
+            sum(length(col("red"))).cast("long").as("red_chars"))
+          .orderBy("split")
+      }),
+
       // JSON metadata extraction (training-pipeline extension): typed
       // from_json with an explicit schema — no schema-inference pass, stays
       // a narrow codegen'd projection ahead of the aggregate at any scale.
@@ -1240,6 +1266,30 @@ object SparkEntry {
          |WHERE rn = 1 AND n_tokens >= 5 AND n_tokens <= 2000
          |  AND coalesce(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END >= 0.02, false)
          |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH surv AS (SELECT * FROM documents
+         |              WHERE doc_id NOT IN (SELECT b_id FROM ($NgramPairsSql))),
+         |t AS (SELECT doc_id, text,
+         |             md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |             CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS BIGINT) AS n_stop
+         |      FROM surv),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t),
+         |c AS (SELECT doc_id, n_tokens, text FROM k
+         |      WHERE rn = 1 AND n_tokens >= 5 AND n_tokens <= 2000
+         |        AND coalesce(CASE WHEN n_tokens > 0
+         |                          THEN CAST(n_stop AS DOUBLE) / n_tokens END >= 0.02, false)),
+         |r AS (SELECT doc_id, n_tokens,
+         |             length(regexp_replace(regexp_replace(text, '${graft.functions.TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |                                   '${graft.functions.TextFunctions.UrlPattern.replace("\\", "\\\\")}', '<URL>', 'g')) AS redlen,
+         |             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+         |                  WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+         |                  ELSE 'test' END AS split
+         |      FROM c)
+         |SELECT split, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+         |       CAST(sum(redlen) AS BIGINT) AS red_chars
+         |FROM r GROUP BY split ORDER BY split""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
