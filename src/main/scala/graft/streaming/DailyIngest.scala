@@ -126,6 +126,24 @@ object DailyIngest {
       .toDF()
   }
 
+  /** Durable incremental ingest: drain the source backlog into a parquet
+    * sink with a checkpoint, then stop. Re-invoking with the same checkpoint
+    * processes ONLY files that arrived since the last run — the file-source
+    * offset log + sink commit log give exactly-once file-batch semantics,
+    * which is the durable version of the reference's "re-run the daily job"
+    * idempotency (RdlETL.java:45-47: rerun re-reads everything and relies on
+    * keyed upsert; here the checkpoint skips already-committed input). */
+  def runIncremental(df: DataFrame, outPath: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain-the-backlog runner: process everything currently in the source,
     * then stop — the streaming equivalent of the reference's daily batch
     * rerun. Returns the collected sink rows (memory sink, test/demo use). */

@@ -54,6 +54,37 @@ class DailyIngestSpec extends SparkSpec {
     assert(out === Set((7L, "2024-01-01", 20.0), (7L, "2024-01-03", 5.0)))
   }
 
+  test("incremental parquet sink: checkpoint resume processes each file batch exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val (src, out, ckpt) = (s"$base/events", s"$base/out", s"$base/ckpt")
+    def writeBatch(file: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows
+        .map { case (id, ts, uid) => (id, Timestamp.valueOf(ts), uid, "m", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+
+    def ingest(): Unit = DailyIngest.runIncremental(
+      DailyIngest
+        .readEvents(spark, src)
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("rd_date"), col("value")),
+      out,
+      ckpt)
+
+    writeBatch("b1", Seq((1L, "2024-01-01 05:00:00", 7L), (2L, "2024-01-01 06:00:00", 8L)))
+    ingest()
+    assert(spark.read.parquet(out).count() === 2)
+
+    writeBatch("b2", Seq((3L, "2024-01-02 05:00:00", 7L)))
+    ingest() // same checkpoint: only the new file is read
+    val ids = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // batch 1 NOT duplicated, batch 2 present
+
+    ingest() // nothing new: a no-op, still exactly once
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("streaming session_window matches the batch operator on the same data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
     Seq(
