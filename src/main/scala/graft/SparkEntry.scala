@@ -844,6 +844,23 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Near-dup transitive closure: connected components over verified
+      // pairs (min-label propagation; oracle = recursive-CTE closure)
+      "q_dedup_clusters" -> ((s, dir) =>
+        Dedup
+          .duplicateClusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.3))
+          .orderBy("doc_id")),
+
+      // Cluster-based survivor corpus: exactly one kept doc per duplicate
+      // component (fixes the greedy policy's dropped-partner artifact)
+      "q_dedup_cluster_survivors" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup
+          .dropDuplicateClusters(docs, Dedup.ngramJaccardPairs(docs, 0.3))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
       // Near-dup: MinHash + LSH banding (rows-only check; ScalaTest-verified)
       "q_dedup_minhash" -> ((s, dir) =>
         Dedup.minhashLshPairs(Tables.documents(s, dir), 0.5).orderBy("a_id", "b_id")),
@@ -1131,6 +1148,22 @@ object SparkEntry {
        |SELECT a_id, b_id, n_inter, n_union, CAST(n_inter AS DOUBLE) / n_union AS jac
        |FROM j WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3""".stripMargin
 
+  /** Connected-component closure over the ngram pair set: `cl(doc_id,
+    * cluster_id)` with cluster_id = min doc_id reachable through verified
+    * pairs. The recursive CTE enumerates reachability (symmetric edges make
+    * every vertex reachable from itself via any incident edge, so min(dst)
+    * covers the whole component; `least` guards the no-edge degenerate).
+    * Shared by the cluster query and the cluster-survivor query's oracles. */
+  private lazy val ClusterClosureSql: String =
+    s"""p AS (SELECT a_id, b_id FROM ($NgramPairsSql)),
+       |e AS (SELECT a_id AS src, b_id AS dst FROM p
+       |      UNION SELECT b_id, a_id FROM p),
+       |walk AS (SELECT src, dst FROM e
+       |         UNION
+       |         SELECT w.src, e2.dst FROM walk w JOIN e e2 ON w.dst = e2.src),
+       |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |       FROM walk GROUP BY src)""".stripMargin
+
   /** Mirrors TextFunctions.enTrigramScore's hit sum, generated from the same
     * trigram list so the two can't drift. */
   private val TrigramSumSql: String = graft.functions.TextFunctions.EnTrigrams
@@ -1226,6 +1259,16 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_ngram" ->
       s"""SELECT * FROM ($NgramPairsSql) ORDER BY a_id, b_id""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureSql
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_survivors" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureSql
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

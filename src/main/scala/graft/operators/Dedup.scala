@@ -256,6 +256,79 @@ object Dedup {
       Seq("doc_id"),
       "left_anti")
 
+  /** Duplicate clusters: connected components over a verified near-dup pair
+    * set, `(doc_id, cluster_id)` with `cluster_id` = min doc_id of the
+    * component. This is the transitive-closure step [[dropNearDuplicates]]
+    * deliberately skips: A~B and B~C put A,B,C in one cluster even when A~C
+    * was never emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation (BFS over the similarity
+    * graph). Each round is one shuffle join (labels onto edge sources) plus
+    * one map-side-combined min aggregate; rounds = graph diameter. Near-dup
+    * components are dense by construction (every member passed a pairwise
+    * similarity check against some other member, and candidate blocks emit
+    * most intra-block pairs), so diameters stay in single digits; `maxIter`
+    * is the backstop, and the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) is the published O(log n)-round upgrade if adversarial chain
+    * graphs ever matter.
+    *
+    * Scale mechanics: the edge list is materialized once up front
+    * (`localCheckpoint`, eager) — it would otherwise re-run the whole pair
+    * generation subtree (shingling + candidate join, the dominant cost)
+    * every round — and each round's label frame is checkpointed to truncate
+    * lineage, or the plan tree doubles per iteration. On a real cluster use
+    * reliable `checkpoint` instead; same call shape. Convergence is detected
+    * with a single-scalar certificate, no row collect: labels only ever
+    * decrease, so the label sum is strictly monotone and a stable sum means
+    * a fixed point. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    def certificate(l: DataFrame): Long =
+      l.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
+    var prev = certificate(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels
+        .union(msgs)
+        .groupBy("id")
+        .agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val cur = certificate(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Survivor corpus via [[duplicateClusters]]: keep exactly one document
+    * (the min doc_id) per duplicate component, plus every unpaired document.
+    * Unlike the greedy [[dropNearDuplicates]], a doc can never be dropped
+    * because of a partner that was itself dropped — the cluster
+    * representative always survives. Drop list = non-representative cluster
+    * members, id-only and tiny next to the corpus, hence the explicit
+    * broadcast. */
+  def dropDuplicateClusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    documents.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs variant: every (a, b)
     * with cosine ≥ threshold. Quadratic — the correctness baseline and fine
     * when the corpus (or a blocking partition of it) fits a cartesian

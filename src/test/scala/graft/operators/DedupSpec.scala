@@ -94,6 +94,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropNearDuplicates(docs, none).count() === docs.count())
   }
 
+  test("duplicateClusters: chains close transitively to the min id, components stay separate") {
+    // 0-1, 1-2, 2-3 is a diameter-3 chain (multiple propagation rounds);
+    // 7-8 is a separate component; 9 appears in no pair.
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 8L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (7L, 7L), (8L, 7L)))
+    // empty pair set yields an empty (not failing) cluster map
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.duplicateClusters(none).count() === 0)
+  }
+
+  test("duplicateClusters: pair order and direction don't matter") {
+    val fwd = Seq((1L, 5L), (5L, 9L)).toDF("a_id", "b_id")
+    val rev = Seq((9L, 5L), (5L, 1L)).toDF("a_id", "b_id")
+    val a = Dedup.duplicateClusters(fwd).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.duplicateClusters(rev).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a === Set((1L, 1L), (5L, 1L), (9L, 1L)))
+  }
+
+  test("dropDuplicateClusters: one survivor per component, unpaired docs untouched") {
+    // Greedy dropNearDuplicates on pairs (0,1),(1,3) drops BOTH 1 and 3 even
+    // though 3's only partner (1) is itself dropped; the cluster policy keeps
+    // exactly one representative (0) and drops the rest of the component.
+    val pairs = Seq((0L, 1L), (1L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.dropDuplicateClusters(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 4L))
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dropDuplicateClusters(docs, none).count() === docs.count())
+  }
+
   test("shingles/jaccard edges: docs shorter than n produce no pairs and no errors") {
     val tiny = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(tiny, 0.1).count() === 0) // empty shingle sets -> null jac
