@@ -990,6 +990,20 @@ object SparkEntry {
           .orderBy(col("n").desc, col("tok"))
           .limit(20)),
 
+      // Deterministic stratified downsample (training-pipeline extension):
+      // cap each event_type stratum at an expected 500 rows by integer hash
+      // threshold; verified per stratum by kept-count and id checksum.
+      "q_sample_stratified" -> ((s, dir) =>
+        graft.operators.Curation
+          .stratifiedSample(
+            Tables.events(s, dir).select(col("event_id"), col("event_type")),
+            "event_type",
+            "event_id",
+            500L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"), sum("event_id").as("id_sum"))
+          .orderBy("event_type")),
+
       // Deterministic train/val/test split (training-pipeline extension):
       // multiplicative Fibonacci hash of doc_id into 2^32 buckets, 80/10/10
       // by fixed integer thresholds. Pure integer arithmetic — stable across
@@ -1342,6 +1356,15 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH c AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type),
+        |t AS (SELECT event_type,
+        |             least(4294967296, 2147483648000 // n_total) AS thr FROM c)
+        |SELECT e.event_type, count(*) AS n_kept,
+        |       CAST(sum(e.event_id) AS BIGINT) AS id_sum
+        |FROM events e JOIN t USING (event_type)
+        |WHERE (e.event_id * 2654435761) % 4294967296 < t.thr
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id,
         |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'

@@ -43,4 +43,38 @@ object Curation {
       .filter(col("stop_ratio") >= minStopRatio) // null ratio fails the gate
       .select("doc_id", "fp", "n_tokens", "stop_ratio")
   }
+
+  /** Deterministic stratified downsample: keep each stratum at an expected
+    * `target` rows by hash-thresholding row ids — the balanced-mixture step
+    * of a training-data pipeline (cap the dominant web crawl, keep the rare
+    * strata whole) done without `sample()`'s seed/partitioning
+    * nondeterminism.
+    *
+    * A row is kept iff `fibhash(id) < floor(target·2^32 / n_stratum)`
+    * (capped at 2^32 — small strata pass through untouched). Pure integer
+    * arithmetic end to end, so membership is a function of the row alone:
+    * stable across engines, partitionings, retries, and reruns, and the kept
+    * set only shrinks pointwise as `target` decreases (nested samples for
+    * ablations). Counts are binomial around `target`, not an exact cap —
+    * the price of per-row independence, which is what lets this scale.
+    *
+    * Scale shape: one map-side-combined count over stratum (bytes per
+    * stratum), broadcast of the tiny threshold table back, then a narrow
+    * codegen'd filter — the corpus itself is never shuffled, so this runs at
+    * scan speed on 100 TB. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      target: Long): DataFrame = {
+    val thresholds = df
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_total"))
+      .select(
+        col(stratumCol),
+        least(lit(4294967296L), expr(s"(${target * 4294967296L}L div n_total)")).as("thr"))
+    df.join(broadcast(thresholds), Seq(stratumCol))
+      .filter((col(idCol) * lit(2654435761L)) % lit(4294967296L) < col("thr"))
+      .drop("thr")
+  }
 }
