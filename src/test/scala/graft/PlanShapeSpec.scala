@@ -69,4 +69,19 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
   }
+
+  test("stratifiedSample: threshold table broadcasts; the sampled corpus is never shuffled") {
+    import graft.operators.Curation
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    val p = Curation.stratifiedSample(ev, "event_type", "event_id", 500L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    // exactly one SHUFFLE exchange — the tiny per-stratum count agg (the
+    // threshold table's BroadcastExchange is expected); a second shuffle
+    // would mean the corpus side started moving
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected only the count shuffle, plan:\n$p")
+  }
 }
