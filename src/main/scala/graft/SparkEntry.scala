@@ -188,6 +188,22 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // SQL-text surface over the NATIVE kernels: graft_* functions registered
+    // in the session's function registry (GraftFunctions.register; cluster
+    // path = spark.sql.extensions=graft.GraftExtensions), so raw-SQL users
+    // get the same codegen'd expressions as the DSL. Oracle-checked via the
+    // string-shingle equivalent (hash-distinct == string-distinct up to
+    // 64-bit collisions, ~1e-14 at these set sizes).
+    "q_sql_native_funcs" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(size(graft_tokens(text)) AS BIGINT) AS n_tokens,
+          |       CAST(size(graft_ngram_hashes(graft_tokens(text), 3)) AS BIGINT) AS n_shingles
+          |FROM documents_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // Volume aggregation (TPC-H Q1 shape) — exercises hash agg + exact sums
     "q1_agg" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -553,6 +569,14 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('click', 'view')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_native_funcs" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(CASE WHEN len(toks) >= 3
+         |                 THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |                 ELSE 0 END AS BIGINT) AS n_shingles
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
