@@ -77,9 +77,12 @@ object MeterPipeline {
     * (RdlETL.java:122), left NULL when the reading is non-positive so the
     * filterIfMissing scan semantics (F2, RdlETL2.java:45-51) are observable.
     */
-  def factLoad(events: DataFrame, dim: DataFrame): DataFrame = {
+  def factLoad(events: DataFrame, dim: DataFrame): DataFrame =
+    enrich(firstWinsReadings(events), dim)
+
+  private def firstWinsReadings(events: DataFrame): DataFrame = {
     val byKeyDay = Window.partitionBy(col("user_id"), col("rd_date")).orderBy(col("event_id"))
-    val firstWins = events
+    events
       .withColumn("rd_date", to_date(col("ts")))
       .withColumn("rn", row_number().over(byKeyDay))
       .filter(col("rn") === 1)
@@ -87,6 +90,9 @@ object MeterPipeline {
         col("user_id").cast("string").as("cldbs"),
         col("rd_date"),
         col("value").as("bmz"))
+  }
+
+  private def enrich(firstWins: DataFrame, dim: DataFrame): DataFrame = {
     // Build-side dedup by join key = the reference's map-collapse semantics
     // (A2, RdlETL.java:67-71); broadcast = the driver-side "cache".
     val dimSide = dim.select("cldbs", "row_key").dropDuplicates("cldbs")
@@ -98,6 +104,31 @@ object MeterPipeline {
         col("rd_date"),
         col("bmz"),
         when(col("bmz") > 0, lit("1")).as("has_data"))
+  }
+
+  /** [[factLoad]] instrumented with observable metrics — the Spark shape of
+    * the reference's per-batch progress counters and bad-row logging
+    * (A3/2.13: running rowCount log RdlETL.java:133-135, per-row try/catch
+    * RdlETL.java:109-143). `observe` accumulates the counters inside the
+    * one ingest pass (no second job, no driver collect; at 100 TB a
+    * recount would be a full extra scan) and the handles resolve after any
+    * action on the returned plan:
+    *  - `fact_input`: `n` deduped readings, `n_nonpositive` readings a
+    *    downstream guard will null out (the reference's logged bad rows);
+    *  - `fact_loaded`: `n` rows surviving enrichment — input minus loaded =
+    *    join misses (F7's dropped rows, RdlETL.java:112-114).
+    */
+  def factLoadObserved(
+      events: DataFrame,
+      dim: DataFrame): (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inputObs = new org.apache.spark.sql.Observation("fact_input")
+    val loadedObs = new org.apache.spark.sql.Observation("fact_loaded")
+    val fw = firstWinsReadings(events).observe(
+      inputObs,
+      count(lit(1)).as("n"),
+      count(when(col("bmz").isNull || col("bmz") <= 0, 1)).as("n_nonpositive"))
+    val out = enrich(fw, dim).observe(loadedObs, count(lit(1)).as("n"))
+    (out, inputObs, loadedObs)
   }
 
   private def dailyEnergyGrid(facts: DataFrame, dim: DataFrame): DataFrame = {

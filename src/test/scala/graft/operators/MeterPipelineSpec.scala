@@ -109,6 +109,27 @@ class MeterPipelineSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("row_key") == "0401_7"))
   }
 
+  test("2.13 observability: ingest metrics accumulate in the one pass, misses = input - loaded") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 05:00:00"), 7L, "m", 100.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 7L, "m", 999.0, "{}"), // same-day dup
+      (3L, Timestamp.valueOf("2024-01-02 01:00:00"), 7L, "m", 0.0, "{}"), // non-positive reading
+      (4L, Timestamp.valueOf("2024-01-01 01:00:00"), 8L, "m", 50.0, "{}"), // join miss
+      (5L, Timestamp.valueOf("2024-01-02 01:00:00"), 8L, "m", 60.0, "{}") // join miss
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Seq(("7", "0401_7")).toDF("cldbs", "row_key")
+    val (out, inputObs, loadedObs) = MeterPipeline.factLoadObserved(events, dim)
+    assert(out.count() === 2) // user 7's two days
+    assert(inputObs.get("n") === 4L) // post-dedup readings
+    assert(inputObs.get("n_nonpositive") === 1L) // the 0.0 reading
+    assert(loadedObs.get("n") === 2L)
+    assert(inputObs.get("n").asInstanceOf[Long] - loadedObs.get("n").asInstanceOf[Long] === 2L) // join misses
+    // observed plan returns the same rows as the plain factLoad
+    assert(
+      out.collect().map(_.toSeq).toSet ===
+        MeterPipeline.factLoad(events, dim).collect().map(_.toSeq).toSet)
+  }
+
   test("R1 pivot: one row per yhbh, one column per day, values = rdl") {
     val facts = factsDf(Seq(("A_1", "2024-01-01", 100.0), ("A_1", "2024-01-02", 110.0)))
     val dim = Seq(("A_1", 1.0, "CUST-A")).toDF("row_key", "zhbl", "yhbh")
