@@ -262,16 +262,20 @@ object Dedup {
     * deliberately skips: A~B and B~C put A,B,C in one cluster even when A~C
     * was never emitted as a pair.
     *
-    * Algorithm: iterative min-label propagation (BFS over the similarity
-    * graph). Each round is one shuffle join (labels onto edge sources) plus
-    * one map-side-combined min aggregate; rounds = graph diameter. Near-dup
-    * components are dense by construction (every member passed a pairwise
-    * similarity check against some other member, and candidate blocks emit
-    * most intra-block pairs), so diameters stay in single digits; `maxIter`
-    * is the backstop, and the alternating large-star/small-star algorithm
+    * Algorithm: iterative min-label propagation with pointer halving. Each
+    * round is (1) a shuffle join pushing labels across edges + a map-side-
+    * combined min aggregate (BFS step), then (2) a self-join shortcut
+    * `label(v) := label(label(v))` (path halving — every cluster label is
+    * itself a vertex, so the hop is well-defined). BFS alone needs
+    * O(diameter) rounds, which an adversarial chain-shaped component (each
+    * doc similar only to its neighbors) would push past any fixed cap;
+    * halving compresses label chains geometrically for O(log n) rounds —
+    * the same guarantee class as alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) is the published O(log n)-round upgrade if adversarial chain
-    * graphs ever matter.
+    * SoCC'14), with two hash joins per round. Near-dup components are dense
+    * in practice (candidate blocks emit most intra-block pairs), where
+    * rounds stay in low single digits; `maxIter` is a backstop, measured
+    * ample for a 10k-deep chain (graft.tools.ClusterBench).
     *
     * Scale mechanics: the edge list is materialized once up front
     * (`localCheckpoint`, eager) — it would otherwise re-run the whole pair
@@ -282,7 +286,14 @@ object Dedup {
     * with a single-scalar certificate, no row collect: labels only ever
     * decrease, so the label sum is strictly monotone and a stable sum means
     * a fixed point. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateClusters]] plus the number of rounds it took to converge
+    * (bench/diagnostic surface). */
+  private[graft] def duplicateClustersWithRounds(
+      pairs: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -298,21 +309,35 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val msgs = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels
-        .union(msgs)
+      // Checkpointed before the shortcut self-join, or the BFS subtree (the
+      // expensive half) would evaluate once per join side.
+      val propagated = labels
+        .union(
+          edges
+            .join(labels, edges("src") === labels("id"))
+            .select(col("dst").as("id"), col("cluster_id")))
         .groupBy("id")
         .agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val mapping = propagated.select(col("id").as("cid"), col("cluster_id").as("cc"))
+      val next = propagated
+        .join(mapping, col("cluster_id") === col("cid"), "left")
+        .select(col("id"), coalesce(col("cc"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
       val cur = certificate(next)
       converged = cur == prev
       prev = cur
+      // `next` is materialized — the previous round's blocks (and this
+      // round's intermediate) are dead; free them or every round's
+      // checkpoint accumulates in the block manager for the life of the
+      // session (measured 4-6× round slowdown at 1M vertices, ClusterBench).
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(propagated)
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(labels)
       labels = next
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(edges)
+    (labels.select(col("id").as("doc_id"), col("cluster_id")), i)
   }
 
   /** Survivor corpus via [[duplicateClusters]]: keep exactly one document

@@ -115,6 +115,17 @@ class DedupSpec extends SparkSpec {
     assert(a === Set((1L, 1L), (5L, 1L), (9L, 1L)))
   }
 
+  test("duplicateClusters: a 64-deep chain converges well inside the default round cap") {
+    // BFS alone would need 63 rounds; pointer halving must close the chain
+    // within the default maxIter = 25.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (out, rounds) = Dedup.duplicateClustersWithRounds(chain)
+    assert(rounds < 25, s"took $rounds rounds — halving not engaging")
+    val labels = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 64)
+    assert(labels.forall(_._2 === 0L))
+  }
+
   test("dropDuplicateClusters: one survivor per component, unpaired docs untouched") {
     // Greedy dropNearDuplicates on pairs (0,1),(1,3) drops BOTH 1 and 3 even
     // though 3's only partner (1) is itself dropped; the cluster policy keeps
