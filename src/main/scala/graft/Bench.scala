@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * which otherwise lands on whatever query the Map iterates first
   * (profiled at 2–3 s of pure first-query noise). */
 object Bench {
+  /** Fully evaluates every output column via the noop sink. A bare
+    * `count()` lets Catalyst prune computed projections under the count
+    * aggregate, so projection-only queries (tokenizer, regex-scan, text
+    * stats) would time the parquet scan with the operator optimized away
+    * — the same pitfall tools/Profile.scala guards against. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +34,7 @@ object Bench {
     // query alphabetically first exercises each path (profiled at 2–10 s of
     // pure warmup skew on the first text-kernel and window queries).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     // Collect warmup garbage now, not mid-measurement: the warm pass leaves
     // a full heap, and the resulting major GC otherwise lands on an
@@ -45,7 +53,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())

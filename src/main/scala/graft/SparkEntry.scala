@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.MeterPipeline
+import graft.operators.{Curation, MeterPipeline}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -448,6 +448,9 @@ object SparkEntry {
     // form, which is the oracle.
     "q_distinct_twophase" -> ((s, dir) =>
       Tables.events(s, dir)
+        // COUNT(DISTINCT x) ignores NULLs; without this filter the two-phase
+        // form would count a NULL user_id as its own group.
+        .filter(col("user_id").isNotNull)
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("_c"))
         .groupBy("event_type")
@@ -897,6 +900,12 @@ object SparkEntry {
       "q_dedup_embedding" -> ((s, dir) =>
         Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.4).orderBy("a_id", "b_id")),
 
+      // Near-dup: embedding cosine via banded SRP-LSH — the 100 TB scale
+      // path (rows-only check; recall-vs-exact floor pinned in DedupSpec,
+      // no-cartesian shape pinned in PlanShapeSpec)
+      "q_dedup_embedding_lsh" -> ((s, dir) =>
+        Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), 0.4).orderBy("a_id", "b_id")),
+
       // ANN: exact brute-force cosine top-10 (correctness baseline)
       "q_ann_bruteforce" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -948,8 +957,8 @@ object SparkEntry {
           .join(docs.select(col("doc_id"), T.redactPii(col("text")).as("red")), Seq("doc_id"))
           .withColumn(
             "split",
-            when((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < 3435973836L, "train")
-              .when((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < 3865470566L, "val")
+            when(Curation.hashBucket(col("doc_id")) < 3435973836L, "train")
+              .when(Curation.hashBucket(col("doc_id")) < 3865470566L, "val")
               .otherwise("test"))
           .groupBy("split")
           .agg(
@@ -1038,7 +1047,7 @@ object SparkEntry {
         Tables.documents(s, dir)
           .select(
             col("doc_id"),
-            ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("bucket"))
+            Curation.hashBucket(col("doc_id")).as("bucket"))
           .withColumn(
             "split",
             when(col("bucket") < 3435973836L, "train") // floor(0.8 * 2^32)
@@ -1405,7 +1414,7 @@ object SparkEntry {
          |                           ROWS UNBOUNDED PRECEDING) AS cum
          |      FROM t)
          |SELECT shard, CAST(floor((cum - nt) / 4096) AS BIGINT) AS bin,
-         |       count(*) AS n_docs, sum(nt) AS tok_total,
+         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok_total,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     "q_sessionize" ->

@@ -27,6 +27,9 @@ class WideColumnTable(spark: SparkSession, warehouse: String, name: String) {
   private val path = s"$warehouse/$name"
   private val schemaCols = Seq("row_key", "family", "qualifier", "value")
 
+  /** On-disk location (tests assert partition-level file stability). */
+  def dataPath: String = path
+
   /** DDL: families recorded as partition values (HBaseClient.java:75-93). */
   def create(families: Seq[String]): Unit = {
     import spark.implicits._
@@ -51,27 +54,52 @@ class WideColumnTable(spark: SparkSession, warehouse: String, name: String) {
 
   /** Batched upsert (K1, HBaseClient.java:95-111): cell-level last-write-wins
     * against existing data. `cells` must have columns
-    * (row_key, family, qualifier, value). */
+    * (row_key, family, qualifier, value).
+    *
+    * Incremental: only the `family` partitions present in the batch are
+    * read, merged, and rewritten — untouched families' files are left
+    * byte-identical on disk (asserted in WideColumnTableSpec). This mirrors
+    * HBase's cost profile, where a put is O(batch) against one column
+    * family's store, not O(table): partition pruning bounds the read side
+    * to the touched directories and the swap replaces only those
+    * directories. The touched-family list reaches the driver, which is safe
+    * by design — column families are a bounded schema-level set (HBase
+    * tables have a handful), never data-scale. */
   def put(cells: DataFrame): Unit = {
     val incoming = cells.select(schemaCols.map(col): _*)
-    val merged =
-      if (!exists) incoming
-      else {
-        val existing = readAll().select(schemaCols.map(col): _*)
-        // last-write-wins: keep existing cells only where not overwritten
-        existing
-          .join(incoming.select("row_key", "family", "qualifier"), Seq("row_key", "family", "qualifier"), "left_anti")
-          .unionByName(incoming)
-      }
-    // Stage to a temp dir then swap — parquet can't overwrite its own input.
+    if (!exists) {
+      incoming.write.partitionBy("family").mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val families =
+      incoming.select("family").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (families.isEmpty) return
+    // Partition pruning: only the touched family=… directories are scanned.
+    val existing = readAll()
+      .filter(col("family").isin(families: _*))
+      .select(schemaCols.map(col): _*)
+    // last-write-wins: keep existing cells only where not overwritten
+    val merged = existing
+      .join(
+        incoming.select("row_key", "family", "qualifier"),
+        Seq("row_key", "family", "qualifier"),
+        "left_anti")
+      .unionByName(incoming)
+    // Stage to a temp dir then swap the touched family dirs — parquet can't
+    // overwrite its own input.
     val tmp = s"$path.tmp"
     merged.write.partitionBy("family").mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(path)
-    if (Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    import scala.jdk.CollectionConverters._
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    families.foreach { f =>
+      val src = Paths.get(tmp, s"family=$f")
+      val dst = Paths.get(path, s"family=$f")
+      deleteTree(dst)
+      if (Files.exists(src)) Files.move(src, dst)
     }
-    Files.move(Paths.get(tmp), target)
+    deleteTree(Paths.get(tmp))
   }
 
   /** Single-row multi-column put (K2, HBaseClient.java:113-147). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,16 @@ import graft.functions.TextFunctions._
   * the gates into the scan.
   */
 object Curation {
+
+  /** Fibonacci hash of a non-negative integer id into [0, 2^32) buckets.
+    * `pmod`, not `%`: the Long product wraps negative for ids ≥ ~3.49e9, and
+    * Spark's `%` is sign-preserving, so the remainder would go negative and
+    * pass any `< threshold` test unconditionally. 2^64 wraparound is
+    * congruent mod 2^32, so `pmod` alone restores the intended unsigned
+    * hash; for negative ids the hash is still well-defined (non-negative)
+    * but callers should treat ids as unsigned row numbers. */
+  def hashBucket(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
 
   /** Keep the lowest-doc_id representative of each normalized fingerprint,
     * then require token-count and stopword-ratio quality and a (heuristic)
@@ -67,14 +77,19 @@ object Curation {
       stratumCol: String,
       idCol: String,
       target: Long): DataFrame = {
+    // target·2^32 in DECIMAL(38,0): the Scala-Long product would silently
+    // wrap for target ≥ 2^31 and corrupt every threshold.
+    val scaled = s"CAST($target AS DECIMAL(38,0)) * 4294967296"
     val thresholds = df
       .groupBy(stratumCol)
       .agg(count(lit(1)).as("n_total"))
       .select(
         col(stratumCol),
-        least(lit(4294967296L), expr(s"(${target * 4294967296L}L div n_total)")).as("thr"))
+        least(
+          lit(4294967296L),
+          expr(s"CAST(floor(($scaled) / n_total) AS BIGINT)")).as("thr"))
     df.join(broadcast(thresholds), Seq(stratumCol))
-      .filter((col(idCol) * lit(2654435761L)) % lit(4294967296L) < col("thr"))
+      .filter(hashBucket(col(idCol)) < col("thr"))
       .drop("thr")
   }
 }

@@ -228,17 +228,27 @@ object Dedup {
       benchmark: DataFrame,
       threshold: Double = 0.3,
       maxBucket: Int = 2000): DataFrame = {
+    // Ids are namespaced internally as (side, id) structs: benchmark sets
+    // commonly number their own ids from 0, so a corpus/benchmark doc_id
+    // collision is realistic — and without the tag, the shingle-source union
+    // would nondeterministically pick one side's text for the colliding id
+    // and verify candidates against the wrong document. Struct join keys
+    // cost nothing extra (fixed-width, codegen'd equality), and the tag is
+    // unwrapped before returning.
+    def tag(d: DataFrame, side: Int) =
+      d.select(struct(lit(side).as("side"), col("doc_id").as("id")).as("doc_id"), col("text"))
+    val c = tag(corpus, 0)
+    val b = tag(benchmark, 1)
     def keyed(d: DataFrame) =
       d.select(col("doc_id"), md5(substring(normalize(col("text")), 1, 40)).as("bk"))
-    val candidates = capBuckets(keyed(corpus), Seq("bk"), maxBucket)
+    val candidates = capBuckets(keyed(c), Seq("bk"), maxBucket)
       .select(col("doc_id").as("a_id"), col("bk"))
-      .join(broadcast(keyed(benchmark).select(col("doc_id").as("b_id"), col("bk"))), Seq("bk"))
+      .join(broadcast(keyed(b).select(col("doc_id").as("b_id"), col("bk"))), Seq("bk"))
       .select("a_id", "b_id")
-    // Shingle source spans both sides: a_id resolves in corpus, b_id in
-    // benchmark. Union is safe — verifyJaccard semi-join-prunes to candidate
-    // ids, and an id appearing in both sides has identical text by contract.
-    verifyJaccard(candidates, corpus.unionByName(benchmark).dropDuplicates("doc_id"), threshold)
-      .select("a_id", "b_id", "jac")
+    // Shingle source spans both sides; the side tag keeps colliding raw ids
+    // distinct, so each candidate resolves to exactly its own document.
+    verifyJaccard(candidates, c.unionByName(b), threshold)
+      .select(col("a_id.id").as("a_id"), col("b_id.id").as("b_id"), col("jac"))
   }
 
   /** Survivor corpus after near-dup removal: drops the higher `doc_id` of
@@ -294,10 +304,16 @@ object Dedup {
   private[graft] def duplicateClustersWithRounds(
       pairs: DataFrame,
       maxIter: Int = 25): (DataFrame, Int) = {
-    val edges = pairs
+    // Materialize the verified-pair subtree ONCE before symmetrizing: the
+    // union's two branches would otherwise each evaluate the full candidate
+    // + shingle-verification pipeline (the dominant cost) when the edges
+    // checkpoint materializes — measured ~2× on q_dedup_cluster_survivors.
+    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = p0
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .union(p0.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(p0)
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
@@ -376,31 +392,56 @@ object Dedup {
       .select("a_id", "b_id", "sim")
   }
 
-  /** Embedding-cosine near-dup pairs over `(vec_id, embedding)`: SRP-LSH
-    * bucketing for candidates, exact cosine verification ≥ threshold — the
-    * linear-ish scale path (recall < 1 by construction; widen with fewer
-    * planes or multiprobe). */
+  /** Embedding-cosine near-dup pairs over `(vec_id, embedding)`: banded
+    * SRP-LSH candidates + exact cosine verification ≥ threshold — the
+    * linear-ish scale path for [[embeddingCosinePairs]].
+    *
+    * `bands` independent sign-random-projection signatures of
+    * `planesPerBand` bits each; a pair is a candidate iff ALL bits of ANY
+    * band agree (the classic OR-of-ANDs construction, same shape as
+    * [[minhashLshPairs]]). Recall at cosine s is
+    * 1 − (1 − p^r)^B with p = 1 − acos(s)/π — tune up by adding bands,
+    * down by adding planes per band. Precision is exact: every candidate is
+    * re-verified with the true cosine, so the output is always a subset of
+    * the exact variant's pairs.
+    *
+    * Scale shape: one narrow pass computes all band signatures (B·r native
+    * dot products per vector), explode to (vec_id, band, bucket) — B rows
+    * per vector, id+key only, NOT the vector — then per-(band,bucket)
+    * self-join under [[capBuckets]], pair-dedup across bands, and one
+    * verification join back to the vectors. Nothing pairwise ever sees the
+    * raw vectors except verified candidates. */
   def embeddingCosinePairsLsh(
       embeddings: DataFrame,
-      threshold: Double = 0.95,
-      numPlanes: Int = 12,
+      threshold: Double = 0.4,
+      bands: Int = 8,
+      planesPerBand: Int = 4,
       dim: Int = 64,
       maxBucket: Int = 5000): DataFrame = {
     import graft.functions.VectorFunctions._
-    val planes = randomPlanes(numPlanes, dim)
-    val keyed = capBuckets(
-      embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .select(col("vec_id"), col("v"), srpBucket(col("v"), planes).as("bucket"))
-        .withColumn("nrm", norm(col("v"))),
-      Seq("bucket"),
-      maxBucket)
-    val a = keyed.select(
-      col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = keyed.select(
-      col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bandCols = (0 until bands).map { bIdx =>
+      val planes = randomPlanes(planesPerBand, dim, seed = 42L + bIdx)
+      struct(lit(bIdx).as("band"), srpBucket(col("v"), planes).as("bucket"))
+    }
+    val tagged = vecs
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val capped = capBuckets(tagged, Seq("band", "bucket"), maxBucket)
+    val candidates = capped
+      .select(col("vec_id").as("a_id"), col("band"), col("bucket"))
+      .join(capped.select(col("vec_id").as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct() // a pair colliding in several bands verifies once
+    val withNorm = vecs.withColumn("nrm", norm(col("v")))
+    candidates
+      .join(withNorm.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na")),
+        Seq("a_id"))
+      .join(withNorm.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("b_id"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Training-data export sinks (SURVEY.md §7.2 M5 companion to the K3 CSV
   * export): JSONL is the interchange format LLM data pipelines consume —
@@ -12,13 +12,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** @param mode defaults to ErrorIfExists: a corpus export pointed at an
+    *   existing directory should fail loudly, not silently delete it. Pass
+    *   `SaveMode.Overwrite` to opt into clobbering. */
   def exportJsonl(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 500000L): Unit = {
+      maxRecordsPerFile: Long = 500000L,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
     val w = df.write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "none")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)

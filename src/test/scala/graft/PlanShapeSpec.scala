@@ -65,6 +65,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_dedup_embedding_lsh: bucketed candidates only — no cartesian stage") {
+    val p = plan("q_dedup_embedding_lsh")
+    assert(
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$p")
+  }
+
   test("q_broadcast_join: dimension stays broadcast under the hint") {
     val p = plan("q_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")

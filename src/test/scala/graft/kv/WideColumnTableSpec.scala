@@ -36,6 +36,30 @@ class WideColumnTableSpec extends SparkSpec {
     assert(t.get("0401_7", "bmz", "20240103") === Some("120")) // inserted
   }
 
+  test("put is incremental: untouched family partitions stay byte-identical") {
+    val t = freshTable("families")
+    t.create(Seq("cf1", "cf2"))
+    t.put(Seq(
+      ("r1", "cf1", "a", "1"),
+      ("r1", "cf2", "b", "2")
+    ).toDF("row_key", "family", "qualifier", "value"))
+
+    def familyFiles(fam: String): Map[String, Seq[Byte]] = {
+      val dir = new java.io.File(t.dataPath, s"family=$fam")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+      }.toMap
+    }
+    val cf2Before = familyFiles("cf2")
+    assert(cf2Before.nonEmpty)
+
+    // touches only cf1 → cf2's files must not be rewritten
+    t.put(Seq(("r1", "cf1", "a", "9")).toDF("row_key", "family", "qualifier", "value"))
+    assert(familyFiles("cf2") === cf2Before, "cf2 partition was rewritten")
+    assert(t.get("r1", "cf1", "a") === Some("9"))
+    assert(t.get("r1", "cf2", "b") === Some("2"))
+  }
+
   test("range scan: [start, stop) prefix bounds + projections") {
     val t = freshTable("scan")
     t.create(Seq("info"))

@@ -58,8 +58,31 @@ class DedupSpec extends SparkSpec {
     assert(exact.length === 1)
     assert((exact.head.getLong(0), exact.head.getLong(1)) === (0L, 1L))
 
-    val lsh = Dedup.embeddingCosinePairsLsh(vecs, 0.99, numPlanes = 6, dim = 4).collect()
+    val lsh = Dedup.embeddingCosinePairsLsh(vecs, 0.99, bands = 4, planesPerBand = 3, dim = 4)
+      .collect()
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("embedding LSH: recall vs exact >= 0.8 on clustered vectors, precision exact") {
+    // 20 cluster centers in dim 16, three small-noise copies each: every
+    // within-cluster pair has cosine near 1, cross-cluster pairs are far.
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 20).flatMap { c =>
+      val center = Array.fill(16)(rng.nextGaussian())
+      (0 until 3).map { j =>
+        val v = center.map(x => (x + 0.02 * rng.nextGaussian()).toFloat)
+        ((c * 3 + j).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingCosinePairs(vecs, 0.9))
+    val lsh = pairSet(Dedup.embeddingCosinePairsLsh(vecs, 0.9, dim = 16))
+    assert(exact.nonEmpty)
+    // precision is exact by construction: candidates are re-verified
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
   test("skew guard: buckets above maxBucket are dropped from candidate generation") {

@@ -36,5 +36,15 @@ class SinksSpec extends SparkSpec {
       back.as[(Long, String, String)].collect().toSet ===
         docs.as[(Long, String, String)].collect().toSet)
     assert(back.filter(col("lang") === "en").count() === 25)
+
+    // destructive-overwrite is opt-in: re-export to the same dir fails by
+    // default instead of silently clobbering, succeeds with Overwrite
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sinks.exportJsonl(docs, dir, partitionCols = Seq("lang"))
+    }
+    Sinks.exportJsonl(
+      docs, dir, partitionCols = Seq("lang"),
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(spark.read.schema("doc_id BIGINT, text STRING, lang STRING").json(dir).count() === 50)
   }
 }
