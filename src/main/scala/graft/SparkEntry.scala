@@ -33,9 +33,48 @@ object SparkEntry {
   private def facts(s: SparkSession, dir: String): DataFrame =
     MeterPipeline.factLoad(Tables.events(s, dir), dim(s, dir))
 
+  /** One-row ANN recall gate: `(n_exact, recall_ok)` where n_exact is the
+    * exact top-10 row count (oracle-recomputable in DuckDB) and recall_ok
+    * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
+    * approximate paths into driver-checkable rows without the oracle having
+    * to reproduce plane/centroid internals. */
+  private def annRecallGate(
+      s: SparkSession,
+      dir: String,
+      approx: (DataFrame, DataFrame) => DataFrame,
+      floor: Double): DataFrame = {
+    import graft.operators.SimilaritySearch
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val exact = SimilaritySearch.bruteForceTopK(q, e, 10).select("q_id", "n_id")
+    val hits = approx(q, e)
+      .select("q_id", "n_id")
+      .join(exact, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    exact
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .crossJoin(hits)
+      .select(
+        col("n_exact"),
+        (col("hits").cast("double") / col("n_exact") >= floor).as("recall_ok"))
+  }
+
   // ---------------------------------------------------------------------------
   // Shared building blocks (oracle side) — must mirror the Spark lambdas above.
   // ---------------------------------------------------------------------------
+
+  private val AnnRecallOracleSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+      |s AS (SELECT q_id, n_id,
+      |             list_inner_product(qv, nv) /
+      |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+      |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+      |r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |      FROM s)
+      |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+      |FROM r WHERE rank <= 10""".stripMargin
 
   private val DimSql =
     """SELECT printf('04%02d', (c_nationkey % 15) + 1) AS gdj,
@@ -926,6 +965,18 @@ object SparkEntry {
         SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
       }),
 
+      // ANN scale-path recall gates: one row (n_exact, recall_ok). n_exact
+      // is genuinely cross-checked — DuckDB recomputes the exact top-k count
+      // from the same brute-force SQL the oracled q_ann_bruteforce uses —
+      // and recall_ok asserts the approximate path's recall@10 against the
+      // floor regression-pinned in SimilarityAndMultimodalSpec (floors hold
+      // on the worst-case random test embeddings at both verify SFs;
+      // clustered real-world embeddings sit far above them).
+      "q_ann_lsh_recall" -> ((s, dir) =>
+        annRecallGate(s, dir, SimilaritySearch.lshTopK(_, _, 10), 0.25)),
+      "q_ann_ivf_recall" -> ((s, dir) =>
+        annRecallGate(s, dir, SimilaritySearch.ivfTopK(_, _, 10), 0.6)),
+
       // Embedding stats: dimensionality + L2 norm
       "q_embed_stats" -> ((s, dir) => {
         import graft.functions.VectorFunctions
@@ -1338,6 +1389,11 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
         |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Recall gates: n_exact recomputed from the same brute-force top-k the
+    // oracled q_ann_bruteforce uses; recall_ok is the Spark-side floor
+    // assertion (TRUE expected — a recall regression hash-mismatches here).
+    "q_ann_lsh_recall" -> AnnRecallOracleSql,
+    "q_ann_ivf_recall" -> AnnRecallOracleSql,
     "q_embed_stats" ->
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
         |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2
