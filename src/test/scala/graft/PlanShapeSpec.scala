@@ -65,6 +65,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_daily_energy: dense-grid shape — 5 bounded shuffles, explode for the day delta") {
+    // Audited after the r2 bench flagged a 2.5× driver-box number: the plan
+    // had not changed (contention, not a regression). Pin it so a real
+    // change breaks here: first-wins dedup shuffles only WindowGroupLimit-
+    // pruned rows; dim row_key + multiplier aggs each shuffle once and then
+    // broadcast; wide-row assembly shuffles once; output sort ranges once.
+    val p = plan("q_daily_energy")
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(p).size
+    assert(shuffles === 5, s"expected 5 shuffles, plan:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"first-wins lost its partial top-1 prune, plan:\n$p")
+    assert(p.contains("Generate"), s"date spine should be an explode, plan:\n$p")
+    assert(
+      "BroadcastHashJoin".r.findAllIn(p).size === 2,
+      s"dim + multiplier joins must broadcast, plan:\n$p")
+  }
+
   test("q_dedup_embedding_lsh: bucketed candidates only — no cartesian stage") {
     val p = plan("q_dedup_embedding_lsh")
     assert(
