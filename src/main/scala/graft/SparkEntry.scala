@@ -288,6 +288,19 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Skew-safe salted join (scale extension): the hot-key-resilient
+    // spelling of the same inner equi-join — value-identical to the plain
+    // join, which is the oracle. See Joins.saltedJoin for the cost model.
+    "q_salted_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Joins
+        .saltedJoin(Tables.events(s, dir).select("event_id", "user_id"), dim, "user_id", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
     // customers counted with zero orders preserved, then a histogram of
     // order counts. Exercises outer-join null semantics + double grouping.
@@ -650,6 +663,11 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 20
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // plain-join spelling: salting must be invisible in the result
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -944,6 +962,24 @@ object SparkEntry {
       // no-cartesian shape pinned in PlanShapeSpec)
       "q_dedup_embedding_lsh" -> ((s, dir) =>
         Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), 0.4).orderBy("a_id", "b_id")),
+
+      // LSH-dedup gate, same pattern as the ANN recall gates: LSH pairs are
+      // a verified subset of the exact pairs, so count ratio IS recall.
+      // n_exact is recomputed by the DuckDB oracle from the exact pairwise
+      // SQL; recall_ok pins the floor (measured 0.71 sf0.01 / 0.80 sf0.001
+      // on worst-case random embeddings; theory ~0.75 at cos 0.4 with 8×4
+      // banding).
+      "q_dedup_embedding_lsh_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val lsh = Dedup.embeddingCosinePairsLsh(e, 0.4).agg(count(lit(1)).as("n_lsh"))
+        Dedup
+          .embeddingCosinePairs(e, 0.4)
+          .agg(count(lit(1)).cast("long").as("n_exact"))
+          .crossJoin(lsh)
+          .select(
+            col("n_exact"),
+            (col("n_lsh").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
+      }),
 
       // ANN: exact brute-force cosine top-10 (correctness baseline)
       "q_ann_bruteforce" -> ((s, dir) => {
@@ -1377,6 +1413,16 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // n_exact cross-checked against the exact pairwise count; recall_ok is
+    // the Spark-side floor assertion over the banded-LSH subset.
+    "q_dedup_embedding_lsh_gate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

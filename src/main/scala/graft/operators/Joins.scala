@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join shapes for the two failure modes a 100 TB shuffle join hits:
+  * key skew (one hot key lands an executor-killing partition) and
+  * repeated co-partitioned joins (paying the same shuffle every query).
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) is the first line of defense and needs no code — but it only
+  * splits a skewed partition AFTER the shuffle has materialized it, and only
+  * for sort-merge joins. [[saltedJoin]] is the explicit alternative when the
+  * hot key is known or AQE can't apply (e.g. the join must stay shuffle-hash,
+  * or a single key exceeds what one split can hold).
+  */
+object Joins {
+
+  /** Skew-safe inner equi-join on `key`: the big side is salted into
+    * `saltBuckets` sub-keys by a deterministic hash of the whole row, the
+    * small side is replicated once per salt value, and the join runs on
+    * `(key, salt)` — a hot key's rows now spread over `saltBuckets`
+    * partitions instead of one. Value-identical to `big.join(small,
+    * Seq(key))` (oracle-checked as `q_salted_join`).
+    *
+    * Cost model: the small side shuffles `saltBuckets`× its size — correct
+    * only when `small` is dimension-sized. The salt is a hash of the big
+    * row's full column set, not of `key` (same-key rows MUST spread) and not
+    * `rand()` (retried tasks must re-derive the same salt or shuffle-retry
+    * duplicates/drops rows). */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val bigS = big.withColumn(
+      "_salt",
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)))
+    val smallS = small.withColumn(
+      "_salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+  }
+}
