@@ -405,6 +405,29 @@ object Dedup {
     * re-verified with the true cosine, so the output is always a subset of
     * the exact variant's pairs.
     *
+    * SIZING `planesPerBand` IS THE SCALE KNOB: each band has only 2^r
+    * buckets, so expected bucket size is N/2^r and the per-band join does
+    * ~N²/2^r·B pair probes — r must grow with log₂(N) (aim r ≈
+    * log₂(N/targetBucketSize), then pick B from the recall formula; at
+    * near-dup thresholds p is high, so p^r decays slowly). Measured
+    * (graft.tools.EmbLshBench, clustered vectors, cos ≥ 0.9, local[32]):
+    * under-sized r=4 at 8k vectors leaves 16 buckets/band of ~500 vectors
+    * and runs 10× slower than the exact cartesian; properly-sized r it's
+    * 24.8 s at 32k (r=11) and 74.5 s at 100k (r=13), recall 1.0. Under-
+    * sized r also trips the bucket cap on EVERY bucket at large N, silently
+    * dropping all candidates: if the operator returns suspiciously few
+    * pairs at scale, check r before blaming the data. The r=4 default fits
+    * the sf0.01/sf0.001 verify corpora (500/66 vectors).
+    *
+    * Honest crossover vs [[embeddingCosinePairs]]: the exact cartesian is a
+    * zero-shuffle stream of native dots and wins up to surprisingly large N
+    * on one box (4.3 s at 32k, 34.5 s at 100k) — the LSH path pays ~6
+    * shuffles plus candidate-pair vector traffic. Exact grows ∝N² while
+    * LSH grows ~linearly, so they cross near N ≈ 2–3·10⁵ locally
+    * (extrapolated at 1M: ~1 h exact vs ~12 min LSH), and at corpus scale
+    * the cartesian is simply impossible — use exact below ~10⁵ vectors (or
+    * per blocking partition), LSH above.
+    *
     * Scale shape: one narrow pass computes all band signatures (B·r native
     * dot products per vector), explode to (vec_id, band, bucket) — B rows
     * per vector, id+key only, NOT the vector — then per-(band,bucket)
@@ -428,7 +451,28 @@ object Dedup {
     val tagged = vecs
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val capped = capBuckets(tagged, Seq("band", "bucket"), maxBucket)
+    // Cap via agg + broadcast anti join, NOT the capBuckets window: the
+    // window form wins only when the keyed subtree is expensive to evaluate
+    // twice (text signatures); here the signature pass is trivial (B·r
+    // native dots) while WindowExec's per-group buffering over B·2^r tiny
+    // groups dominates — profiled 10-14 s per evaluation at 32k vectors
+    // (EmbLshBench stage timings) vs ~0.3 s for the agg+anti form. The
+    // oversized list is empty when r is sized right, so the broadcast is
+    // bytes.
+    val oversized = tagged
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+      .select("band", "bucket")
+    // Materialize the capped (vec_id, band, bucket) table ONCE before the
+    // self-join: both join sides otherwise re-evaluate the whole candidate
+    // -generation subtree (signatures + cap) — measured as the difference
+    // between a 30.8 s and a ~8 s run at 32k vectors. The table is id+key
+    // only (B rows per vector, ~20 bytes each), so the checkpoint is tiny
+    // relative to the corpus at any scale.
+    val capped = tagged
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      .localCheckpoint()
     val candidates = capped
       .select(col("vec_id").as("a_id"), col("band"), col("bucket"))
       .join(capped.select(col("vec_id").as("b_id"), col("band"), col("bucket")),
