@@ -38,6 +38,34 @@ object SparkEntry {
     * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
     * approximate paths into driver-checkable rows without the oracle having
     * to reproduce plane/centroid internals. */
+  /** One-row text near-dup recall gate, same pattern as [[annRecallGate]]:
+    * `(n_ngram, recall_ok)` where n_ngram is the oracled blocked-Jaccard
+    * pair count (DuckDB recomputes it) and recall_ok asserts how much of
+    * that verified pair set the signature-based approximate variant
+    * rediscovers. Floors from measured sf0.01/sf0.001 values with margin:
+    * minhash 1.0/1.0 → 0.7; simhash 0.72/0.79 → 0.5. */
+  private def dedupRecallGate(
+      s: SparkSession,
+      dir: String,
+      approx: DataFrame => DataFrame,
+      floor: Double): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(s, dir)
+    // id-only pair list, materialized once: it feeds both the count and the
+    // semi join, and the verified-pair subtree is the expensive part.
+    val ngram = Dedup.ngramJaccardPairs(docs, 0.3).select("a_id", "b_id").localCheckpoint()
+    val hits = approx(docs)
+      .select("a_id", "b_id")
+      .join(ngram, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    ngram
+      .agg(count(lit(1)).cast("long").as("n_ngram"))
+      .crossJoin(hits)
+      .select(
+        col("n_ngram"),
+        (col("hits").cast("double") / col("n_ngram") >= floor).as("recall_ok"))
+  }
+
   private def annRecallGate(
       s: SparkSession,
       dir: String,
@@ -953,6 +981,14 @@ object SparkEntry {
       "q_dedup_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(Tables.documents(s, dir), 3).orderBy("a_id", "b_id")),
 
+      // Signature-dedup gates: how much of the ORACLED blocked-Jaccard pair
+      // set each signature variant rediscovers (n_ngram cross-checked by
+      // DuckDB; recall floor pinned from measured values with margin)
+      "q_dedup_minhash_gate" -> ((s, dir) =>
+        dedupRecallGate(s, dir, d => Dedup.minhashLshPairs(d, 0.5), 0.7)),
+      "q_dedup_simhash_gate" -> ((s, dir) =>
+        dedupRecallGate(s, dir, d => Dedup.simhashPairs(d, 3), 0.5)),
+
       // Near-dup: embedding cosine, exact all-pairs baseline
       "q_dedup_embedding" -> ((s, dir) =>
         Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.4).orderBy("a_id", "b_id")),
@@ -1393,6 +1429,14 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_ngram" ->
       s"""SELECT * FROM ($NgramPairsSql) ORDER BY a_id, b_id""",
+    // n_ngram recomputed from the same blocked-Jaccard SQL; recall_ok is
+    // the Spark-side floor assertion over the signature variant's pairs.
+    "q_dedup_minhash_gate" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_ngram, TRUE AS recall_ok
+         |FROM ($NgramPairsSql)""".stripMargin,
+    "q_dedup_simhash_gate" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_ngram, TRUE AS recall_ok
+         |FROM ($NgramPairsSql)""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
          |$ClusterClosureSql
