@@ -33,39 +33,51 @@ object SparkEntry {
   private def facts(s: SparkSession, dir: String): DataFrame =
     MeterPipeline.factLoad(Tables.events(s, dir), dim(s, dir))
 
-  /** One-row ANN recall gate: `(n_exact, recall_ok)` where n_exact is the
-    * exact top-10 row count (oracle-recomputable in DuckDB) and recall_ok
-    * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
-    * approximate paths into driver-checkable rows without the oracle having
-    * to reproduce plane/centroid internals. */
   /** One-row text near-dup recall gate, same pattern as [[annRecallGate]]:
     * `(n_ngram, recall_ok)` where n_ngram is the oracled blocked-Jaccard
     * pair count (DuckDB recomputes it) and recall_ok asserts how much of
     * that verified pair set the signature-based approximate variant
     * rediscovers. Floors from measured sf0.01/sf0.001 values with margin:
-    * minhash 1.0/1.0 → 0.7; simhash 0.72/0.79 → 0.5. */
+    * minhash 1.0/1.0 → 0.7; simhash 0.72/0.79 → 0.5.
+    *
+    * Plan shape: the expensive verified-pair subtree appears exactly ONCE —
+    * a left outer join against the (distinct, id-only) approximate pair set,
+    * then a single aggregate computes both the baseline count and the hit
+    * count. No `localCheckpoint`: construction stays lazy and repeated
+    * constructions (Bench warmup + both timed passes, Verify) leave nothing
+    * behind in executor storage. */
   private def dedupRecallGate(
       s: SparkSession,
       dir: String,
       approx: DataFrame => DataFrame,
       floor: Double): DataFrame = {
     import graft.operators.Dedup
-    val docs = Tables.documents(s, dir)
-    // id-only pair list, materialized once: it feeds both the count and the
-    // semi join, and the verified-pair subtree is the expensive part.
-    val ngram = Dedup.ngramJaccardPairs(docs, 0.3).select("a_id", "b_id").localCheckpoint()
-    val hits = approx(docs)
+    val ngram =
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.3).select("a_id", "b_id")
+    val ap = approx(Tables.documents(s, dir))
       .select("a_id", "b_id")
-      .join(ngram, Seq("a_id", "b_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
+      .distinct() // id-only and tiny; guards the outer-join multiplicity
+      .withColumn("hit", lit(1))
     ngram
-      .agg(count(lit(1)).cast("long").as("n_ngram"))
-      .crossJoin(hits)
+      .join(ap, Seq("a_id", "b_id"), "left_outer")
+      .agg(
+        count(lit(1)).cast("long").as("n_ngram"),
+        count(col("hit")).cast("double").as("hits"))
       .select(
         col("n_ngram"),
-        (col("hits").cast("double") / col("n_ngram") >= floor).as("recall_ok"))
+        // Empty baseline → vacuous truth, matching the oracle's constant
+        // TRUE (the bare ratio would be NULL-on-zero under non-ANSI Spark).
+        when(col("n_ngram") > 0, col("hits") / col("n_ngram") >= floor)
+          .otherwise(lit(true))
+          .as("recall_ok"))
   }
 
+  /** One-row ANN recall gate: `(n_exact, recall_ok)` where n_exact is the
+    * exact top-10 row count (oracle-recomputable in DuckDB) and recall_ok
+    * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
+    * approximate paths into driver-checkable rows without the oracle having
+    * to reproduce plane/centroid internals. Same single-pass join+aggregate
+    * shape as [[dedupRecallGate]] — the brute-force subtree runs once. */
   private def annRecallGate(
       s: SparkSession,
       dir: String,
@@ -75,16 +87,20 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") < 8)
     val exact = SimilaritySearch.bruteForceTopK(q, e, 10).select("q_id", "n_id")
-    val hits = approx(q, e)
+    val ap = approx(q, e)
       .select("q_id", "n_id")
-      .join(exact, Seq("q_id", "n_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
+      .distinct()
+      .withColumn("hit", lit(1))
     exact
-      .agg(count(lit(1)).cast("long").as("n_exact"))
-      .crossJoin(hits)
+      .join(ap, Seq("q_id", "n_id"), "left_outer")
+      .agg(
+        count(lit(1)).cast("long").as("n_exact"),
+        count(col("hit")).cast("double").as("hits"))
       .select(
         col("n_exact"),
-        (col("hits").cast("double") / col("n_exact") >= floor).as("recall_ok"))
+        when(col("n_exact") > 0, col("hits") / col("n_exact") >= floor)
+          .otherwise(lit(true))
+          .as("recall_ok"))
   }
 
   // ---------------------------------------------------------------------------
@@ -1014,7 +1030,9 @@ object SparkEntry {
           .crossJoin(lsh)
           .select(
             col("n_exact"),
-            (col("n_lsh").cast("double") / col("n_exact") >= 0.6).as("recall_ok"))
+            when(col("n_exact") > 0, col("n_lsh").cast("double") / col("n_exact") >= 0.6)
+              .otherwise(lit(true)) // empty baseline → vacuous truth, as the oracle
+              .as("recall_ok"))
       }),
 
       // ANN: exact brute-force cosine top-10 (correctness baseline)

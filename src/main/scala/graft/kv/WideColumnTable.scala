@@ -93,12 +93,21 @@ class WideColumnTable(spark: SparkSession, warehouse: String, name: String) {
     def deleteTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p))
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    families.foreach { f =>
-      val src = Paths.get(tmp, s"family=$f")
-      val dst = Paths.get(path, s"family=$f")
-      deleteTree(dst)
-      if (Files.exists(src)) Files.move(src, dst)
-    }
+    // Enumerate the partition dirs Spark actually wrote rather than
+    // reconstructing `family=$f` names: Spark percent-escapes special
+    // characters in partition paths (`=`, `:`, `%`, …; null →
+    // __HIVE_DEFAULT_PARTITION__), so a literal-name lookup silently skips
+    // the swap for such families and drops the batch's cells. The on-disk
+    // names under tmp are exactly the touched set, already escaped the same
+    // way they appear under `path`.
+    new java.io.File(tmp)
+      .listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("family="))
+      .foreach { src =>
+        val dst = Paths.get(path, src.getName)
+        deleteTree(dst)
+        Files.move(src.toPath, dst)
+      }
     deleteTree(Paths.get(tmp))
   }
 

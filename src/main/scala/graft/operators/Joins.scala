@@ -27,7 +27,16 @@ object Joins {
     * only when `small` is dimension-sized. The salt is a hash of the big
     * row's full column set, not of `key` (same-key rows MUST spread) and not
     * `rand()` (retried tasks must re-derive the same salt or shuffle-retry
-    * duplicates/drops rows). */
+    * duplicates/drops rows).
+    *
+    * Known limitation: EXACT duplicate rows (common for hot keys under
+    * at-least-once ingestion/retries) hash to the same salt and land in one
+    * bucket, so for a hot key made of clones the mitigation degrades to the
+    * unsalted layout (correctness unaffected). If the big side may contain
+    * duplicate rows, pass a disambiguating column (ingest offset, batch id,
+    * `input_file_name()` + row position) through `big` so the hash input is
+    * unique — deterministic entropy is the caller's to provide, because only
+    * the source knows a replay-stable discriminator. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,

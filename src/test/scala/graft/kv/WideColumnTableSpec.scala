@@ -60,6 +60,20 @@ class WideColumnTableSpec extends SparkSpec {
     assert(t.get("r1", "cf2", "b") === Some("2"))
   }
 
+  test("put survives family names Spark escapes in partition paths") {
+    // `=` and `:` are percent-escaped on disk (family=a%3Db%3Ac); the swap
+    // must track the escaped dir names or the batch is silently dropped.
+    val t = freshTable("escaped")
+    val fam = "a=b:c"
+    t.put(Seq(("r1", fam, "q1", "v1")).toDF("row_key", "family", "qualifier", "value"))
+    assert(t.get("r1", fam, "q1") === Some("v1"))
+    // incremental path (table already exists) is where the bug lived
+    t.put(Seq(("r1", fam, "q1", "v2"), ("r2", fam, "q2", "w")).toDF(
+      "row_key", "family", "qualifier", "value"))
+    assert(t.get("r1", fam, "q1") === Some("v2"))
+    assert(t.get("r2", fam, "q2") === Some("w"))
+  }
+
   test("range scan: [start, stop) prefix bounds + projections") {
     val t = freshTable("scan")
     t.create(Seq("info"))
