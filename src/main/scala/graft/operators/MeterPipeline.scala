@@ -80,17 +80,23 @@ object MeterPipeline {
   def factLoad(events: DataFrame, dim: DataFrame): DataFrame =
     enrich(firstWinsReadings(events), dim)
 
-  private def firstWinsReadings(events: DataFrame): DataFrame = {
-    val byKeyDay = Window.partitionBy(col("user_id"), col("rd_date")).orderBy(col("event_id"))
+  private def firstWinsReadings(events: DataFrame): DataFrame =
+    // First-wins = argmin by event_id (the deterministic form of the
+    // reference's arrival-order Set-skip, RdlETL.java:106-126), expressed as
+    // `min_by` so it plans as a hash aggregate with map-side partial
+    // combine: duplicate readings collapse BEFORE the shuffle and nothing
+    // sorts. The previous row_number-window form shuffled the same rows but
+    // paid a per-partition sort on both sides of the exchange
+    // (WindowGroupLimit still sorts to prune) — pure overhead at 100 TB
+    // where (meter, day) groups are tiny and numerous.
     events
       .withColumn("rd_date", to_date(col("ts")))
-      .withColumn("rn", row_number().over(byKeyDay))
-      .filter(col("rn") === 1)
+      .groupBy(col("user_id"), col("rd_date"))
+      .agg(min_by(col("value"), col("event_id")).as("bmz"))
       .select(
         col("user_id").cast("string").as("cldbs"),
         col("rd_date"),
-        col("value").as("bmz"))
-  }
+        col("bmz"))
 
   private def enrich(firstWins: DataFrame, dim: DataFrame): DataFrame = {
     // Build-side dedup by join key = the reference's map-collapse semantics

@@ -74,7 +74,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_daily_energy")
     val shuffles = "Exchange (hash|range|Single)".r.findAllIn(p).size
     assert(shuffles === 5, s"expected 5 shuffles, plan:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"first-wins lost its partial top-1 prune, plan:\n$p")
+    // first-wins dedup is an argmin aggregate (map-side combine, no sort) —
+    // a Window/WindowGroupLimit here means the sort-based form crept back
+    assert(p.contains("min_by"), s"first-wins lost its partial argmin agg, plan:\n$p")
+    assert(!p.contains("WindowGroupLimit"), s"first-wins regressed to a sorted window, plan:\n$p")
     assert(p.contains("Generate"), s"date spine should be an explode, plan:\n$p")
     assert(
       "BroadcastHashJoin".r.findAllIn(p).size === 2,
