@@ -883,6 +883,75 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Repetition-based quality signals (the Gopher-paper heuristics,
+      // public: most-common-word fraction, duplicate n-gram fractions).
+      // Everything is a row-local projection: the mode count is a native
+      // kernel (one hash-map pass per row) because the SQL-composable
+      // explode+groupBy shape would shuffle the whole exploded corpus for
+      // a per-document statistic; n-gram distinctness rides the hashed
+      // shingle kernel, so no n-gram strings materialize.
+      "q_quality_repetition" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            T.maxTokenMultiplicity(col("toks")).cast("long").as("top_count"),
+            T.duplicateNgramFraction(col("toks"), 2).as("dup_bigram_frac"),
+            T.duplicateNgramFraction(col("toks"), 3).as("dup_trigram_frac"))
+          .withColumn(
+            "top_token_frac",
+            when(col("n_tokens") > 0, col("top_count").cast("double") / col("n_tokens")))
+          .withColumn(
+            "rep_ok",
+            coalesce(col("top_token_frac") <= 0.2, lit(false)) &&
+              coalesce(col("dup_trigram_frac") <= 0.9, lit(false)))
+          .orderBy("doc_id")),
+
+      // Context-window chunking for training: overlapping 64-token windows,
+      // stride 48, each chunk fingerprinted. Pure projection + explode —
+      // map-only, so at 100 TB chunking never moves data; the only shuffle
+      // below is the verify-output sort.
+      "q_chunk_windows" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(48))))
+          .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(64)))
+          .select(
+            col("doc_id"),
+            (col("start") / 48).cast("long").as("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_chunk"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")),
+
+      // Curation roll-up: per-source keep rate under the composite quality
+      // gate (token bounds + stopword floor + repetition ceilings — the
+      // C4/Gopher-style filter stack). Row-local features, then ONE
+      // partial-aggregated shuffle of O(sources) rows.
+      "q_source_quality" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"), T.tokens(col("text")).as("toks"))
+          .select(
+            col("source"),
+            size(col("toks")).as("nt"),
+            T.stopwordHits(col("toks")).as("nstop"),
+            T.maxTokenMultiplicity(col("toks")).as("topc"),
+            T.duplicateNgramFraction(col("toks"), 3).as("dup3"))
+          .withColumn(
+            "kept",
+            col("nt") >= 5 && col("nt") <= 2000 &&
+              col("nstop").cast("double") / col("nt") >= 0.02 &&
+              col("topc").cast("double") / col("nt") <= 0.2 &&
+              coalesce(col("dup3") <= 0.9, lit(false)))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            count(when(col("kept"), 1)).cast("long").as("n_kept"),
+            (count(when(col("kept"), 1)).cast("double") / count(lit(1)).cast("double"))
+              .as("keep_rate"))
+          .orderBy("source")),
+
       // Language-ID heuristic (stopword-hit ratio; deterministic)
       "q_lang_id" -> ((s, dir) => {
         Tables.documents(s, dir)
@@ -1426,6 +1495,76 @@ object SparkEntry {
          |        coalesce(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END >= 0.02, false))
          |         AS is_quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    // Mode count via explode+group (fine at oracle scale; the engine uses a
+    // per-row kernel); n-gram distinctness via string lists — equal to the
+    // hashed-shingle distinct modulo 64-bit collisions within one document.
+    "q_quality_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, max(c) AS topc
+         |      FROM (SELECT doc_id, tok, count(*) AS c
+         |            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |            GROUP BY doc_id, tok)
+         |      GROUP BY doc_id),
+         |f AS (SELECT t.doc_id, len(toks) AS nt, coalesce(m.topc, 0) AS topc,
+         |             CASE WHEN len(toks) >= 2 THEN
+         |               CAST(1 AS DOUBLE) -
+         |               CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |                      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+         |                 / CAST(len(toks) - 1 AS DOUBLE) END AS dup2,
+         |             CASE WHEN len(toks) >= 3 THEN
+         |               CAST(1 AS DOUBLE) -
+         |               CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+         |                 / CAST(len(toks) - 2 AS DOUBLE) END AS dup3
+         |      FROM t LEFT JOIN m USING (doc_id))
+         |SELECT doc_id,
+         |       CAST(nt AS BIGINT) AS n_tokens,
+         |       CAST(topc AS BIGINT) AS top_count,
+         |       dup2 AS dup_bigram_frac,
+         |       dup3 AS dup_trigram_frac,
+         |       CASE WHEN nt > 0 THEN CAST(topc AS DOUBLE) / nt END AS top_token_frac,
+         |       (coalesce(CASE WHEN nt > 0 THEN CAST(topc AS DOUBLE) / nt END <= 0.2, FALSE)
+         |        AND coalesce(dup3 <= 0.9, FALSE)) AS rep_ok
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id,
+         |       CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |       CAST(len(list_slice(toks, start + 1, least(start + 64, len(toks)))) AS BIGINT)
+         |         AS n_chunk,
+         |       md5(array_to_string(list_slice(toks, start + 1, least(start + 64, len(toks))), ' '))
+         |         AS chunk_hash
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_source_quality" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, max(c) AS topc
+         |      FROM (SELECT doc_id, tok, count(*) AS c
+         |            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |            GROUP BY doc_id, tok)
+         |      GROUP BY doc_id),
+         |f AS (SELECT t.source, len(toks) AS nt,
+         |             len(list_filter(toks, tk -> tk IN $StopListSql)) AS nstop,
+         |             coalesce(m.topc, 0) AS topc,
+         |             CASE WHEN len(toks) >= 3 THEN
+         |               CAST(1 AS DOUBLE) -
+         |               CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+         |                 / CAST(len(toks) - 2 AS DOUBLE) END AS dup3
+         |      FROM t LEFT JOIN m USING (doc_id)),
+         |k AS (SELECT source,
+         |             (nt >= 5 AND nt <= 2000 AND
+         |              CAST(nstop AS DOUBLE) / nt >= 0.02 AND
+         |              CAST(topc AS DOUBLE) / nt <= 0.2 AND
+         |              coalesce(dup3 <= 0.9, FALSE)) AS kept
+         |      FROM f)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+         |       CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |         AS keep_rate
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

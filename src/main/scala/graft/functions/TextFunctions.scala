@@ -150,4 +150,25 @@ object TextFunctions {
 
   /** Hamming distance between two 64-bit SimHash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Largest multiplicity of any token (the mode's count; 0 on empty) —
+    * native kernel ([[org.apache.spark.sql.graft.MaxMultiplicity]]): a
+    * row-local statistic that must NOT be computed by explode+groupBy
+    * (that shape shuffles the whole exploded corpus at 100 TB). */
+  def maxTokenMultiplicity(toks: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, MaxMultiplicity}
+    Bridge.column(MaxMultiplicity(Bridge.expression(toks)))
+  }
+
+  /** Gopher-style repetition signal: fraction of word n-gram occurrences
+    * that are repeats of an earlier n-gram in the same document
+    * (`1 - distinct/total`); NULL when the doc has fewer than `n` tokens.
+    * Distinctness via the hashed-shingle kernel — no n-gram strings are
+    * materialized. */
+  def duplicateNgramFraction(toks: Column, n: Int): Column = {
+    val total = size(toks) - (n - 1)
+    when(
+      total > 0,
+      lit(1.0) - size(shingleHashes(toks, n)).cast("double") / total.cast("double"))
+  }
 }

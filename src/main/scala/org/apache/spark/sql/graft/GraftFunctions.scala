@@ -53,6 +53,9 @@ object GraftFunctions {
     ("graft_minhash", classOf[MinHashSignature].getName, { args =>
       arity("graft_minhash", 2, args)
       MinHashSignature(args(0), intLit(args(1), "graft_minhash"))
+    }),
+    ("graft_max_multiplicity", classOf[MaxMultiplicity].getName, { args =>
+      arity("graft_max_multiplicity", 1, args); MaxMultiplicity(args.head)
     }))
 
   /** Extension-injection path (analysis-time, all sessions). */

@@ -216,6 +216,40 @@ case class CountInSet(child: Expression, set: Seq[String])
     copy(child = newChild)
 }
 
+/** Largest multiplicity of any element in an `array<string>` column (the
+  * mode's count; 0 for an empty array) — the Gopher-style "most common word
+  * fraction" numerator. One hash-map pass per row; the SQL-composable
+  * equivalent (explode → groupBy(doc, token) → max(count)) would shuffle
+  * the whole exploded corpus for a row-local statistic. */
+case class MaxMultiplicity(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_max_multiplicity"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an `array<string>` token stream: each token votes ±1
   * on every bit of its 64-bit hash (two murmur3 halves); bit i of the result
   * is set iff the summed vote is positive. Single pass, one int[64] of local

@@ -55,6 +55,52 @@ class FunctionsSpec extends SparkSpec {
     assert(dists.forall(d => d >= 0 && d <= 64))
   }
 
+  test("maxTokenMultiplicity: mode count; empty -> 0; unique -> 1") {
+    val df = Seq("a b a c a b", "x y z", "", "only").toDF("text")
+    val out = df
+      .select(TextFunctions.maxTokenMultiplicity(TextFunctions.tokens(col("text"))))
+      .as[Int]
+      .collect()
+      .toSeq
+    assert(out === Seq(3, 1, 0, 1))
+  }
+
+  test("duplicateNgramFraction: all-unique -> 0, full repeat -> high, short -> NULL") {
+    val df = Seq(
+      "a b c d e",     // 4 bigrams, all distinct -> 0.0
+      "a b a b a b",   // bigrams: ab ba ab ba ab -> 2 distinct of 5 -> 0.6
+      "a"              // below n -> NULL
+    ).toDF("text")
+    val out = df
+      .select(TextFunctions.duplicateNgramFraction(TextFunctions.tokens(col("text")), 2))
+      .as[Option[Double]]
+      .collect()
+      .toSeq
+    assert(out(0) === Some(0.0))
+    assert(out(1) === Some(0.6))
+    assert(out(2) === None)
+  }
+
+  test("chunk windows: stride-48/size-64 slices cover every token in order") {
+    // 100 tokens -> starts 0,48,96; chunks of 64,52,4 tokens; overlapping
+    // regions agree with the source array.
+    val toks = (0 until 100).map(i => s"t$i")
+    val df = Seq(toks.mkString(" ")).toDF("text")
+    val chunks = df
+      .select(TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(48))))
+      .select(col("start"), slice(col("toks"), col("start") + 1, lit(64)).as("chunk"))
+      .as[(Int, Seq[String])]
+      .collect()
+      .sortBy(_._1)
+    assert(chunks.map(_._1).toSeq === Seq(0, 48, 96))
+    assert(chunks.map(_._2.size).toSeq === Seq(64, 52, 4))
+    chunks.foreach { case (s, c) => assert(c === toks.slice(s, s + 64)) }
+    // every token index is covered by at least one chunk
+    val covered = chunks.flatMap { case (s, c) => s until (s + c.size) }.toSet
+    assert(covered === (0 until 100).toSet)
+  }
+
   test("vector dot/norm/cosine: known values, double-exact") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val row = df
