@@ -952,6 +952,64 @@ object SparkEntry {
               .as("keep_rate"))
           .orderBy("source")),
 
+      // Per-document salient terms: top-3 TF-IDF (linear idf — one exact
+      // integer product + ONE IEEE division, so scores hash-match across
+      // engines where ln()'s last-ulp drift could flip near-tie ranks).
+      "q_tfidf_topk" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .tfIdfTopK(Tables.documents(s, dir), 3)
+          .orderBy("doc_id", "rk")),
+
+      // Frequency-ranked vocabulary build: top-100 tokens, contiguous ids.
+      // Corpus-wide count + TakeOrderedAndProject cut; the id-assignment
+      // window sees exactly k rows, never the corpus.
+      "q_vocab" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .vocabulary(Tables.documents(s, dir), 100)
+          .orderBy("vid")),
+
+      // Distribution-aware quality gate: keep each doc at/above the median
+      // stopword-ratio percentile WITHIN its source (a fixed threshold
+      // tuned on a clean corpus would keep all of a junk crawl).
+      "q_quality_percentile" -> ((s, dir) =>
+        Curation
+          .qualityPercentile(Tables.documents(s, dir), 0.5)
+          .orderBy("source", "doc_id")),
+
+      // Semantic benchmark decontamination: label-0 vectors as the eval
+      // set, cosine ≥ 0.4 against the rest of the corpus; benchmark side
+      // broadcast, corpus never shuffled (embedding analog of
+      // q_contamination's trigram overlap).
+      "q_embed_contamination" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Dedup
+          .embeddingContaminationPairs(
+            e.filter(col("label") =!= 0),
+            e.filter(col("label") === 0),
+            0.4)
+          .orderBy("b_id", "c_id")
+      }),
+
+      // Int8 embedding quantization: per-vector integer checksums of the
+      // quantized array (sum / |sum| / saturation count) — integer outputs
+      // so the check is exact; floor(x+0.5) rounding because engines
+      // disagree on round-half for doubles. `q` sits in its own projection,
+      // referenced four times: CollapseProject keeps non-cheap
+      // multi-referenced producers separate, so quantization runs once per
+      // row.
+      "q_embed_quantize" -> ((s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+          .select(
+            col("vec_id"),
+            size(col("q")).cast("long").as("n_dim"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_abs_sum"),
+            size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+          .orderBy("vec_id")),
+
       // Language-ID heuristic (stopword-hit ratio; deterministic)
       "q_lang_id" -> ((s, dir) => {
         Tables.documents(s, dir)
@@ -1565,6 +1623,63 @@ object SparkEntry {
          |       CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |         AS keep_rate
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "q_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, tok, tf, df,
+         |              CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+         |       FROM tf JOIN df USING (tok) CROSS JOIN n),
+         |r AS (SELECT sc.*, row_number()
+         |        OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+         |      FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, tfidf
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_vocab" ->
+      s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |           FROM (SELECT unnest($ToksSql) AS tok FROM documents)
+         |           GROUP BY tok ORDER BY n DESC, tok LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS vid, tok, n
+         |FROM c ORDER BY vid""".stripMargin,
+    "q_quality_percentile" ->
+      s"""WITH f AS (SELECT doc_id, source, len($ToksSql) AS nt,
+         |                  len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS n_stop
+         |           FROM documents),
+         |s AS (SELECT doc_id, source,
+         |             CASE WHEN nt > 0 THEN CAST(n_stop AS DOUBLE) / nt
+         |                  ELSE 0.0 END AS score
+         |      FROM f),
+         |p AS (SELECT doc_id, source, score,
+         |             percent_rank() OVER (PARTITION BY source
+         |                                  ORDER BY score, doc_id) AS pr
+         |      FROM s)
+         |SELECT doc_id, source, score, pr FROM p
+         |WHERE pr >= 0.5 ORDER BY source, doc_id""".stripMargin,
+    "q_embed_contamination" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT b.vec_id AS b_id, c.vec_id AS c_id,
+        |       list_inner_product(b.v, c.v) / (b.nrm * c.nrm) AS sim
+        |FROM e b JOIN e c ON b.label = 0 AND c.label <> 0
+        |WHERE list_inner_product(b.v, c.v) / (b.nrm * c.nrm) >= 0.4
+        |ORDER BY b_id, c_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
+        |q AS (SELECT vec_id,
+        |             CASE WHEN mx > 0
+        |                  THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))
+        |                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+        |      FROM m)
+        |SELECT vec_id,
+        |       CAST(len(q) AS BIGINT) AS n_dim,
+        |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+        |       CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,

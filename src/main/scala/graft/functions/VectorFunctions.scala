@@ -49,4 +49,24 @@ object VectorFunctions {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** Symmetric int8 quantization of an embedding: `q_i = ⌊v_i·127/max|v| +
+    * 0.5⌋` as `array<bigint>` (range [-127, 127]; an all-zero vector
+    * quantizes to zeros). The storage/bandwidth scale lever — 4× smaller
+    * vectors for ANN candidate stages that re-rank survivors at full
+    * precision.
+    *
+    * Determinism: `floor(x + 0.5)` instead of `round()` — engines disagree
+    * on round-half-to-even vs half-away-from-zero for doubles, while floor
+    * is exact; the mul/div chain is left-associated IEEE arithmetic,
+    * bit-identical anywhere. HOF-composed (interpreted, not codegen'd):
+    * quantization is a one-time write-path transform, not a per-query hot
+    * path — lift to a native kernel like DotProduct if it ever sits under a
+    * join. */
+  def quantizeInt8(v: Column): Column = {
+    val d = asDouble(v)
+    val mx = array_max(transform(d, x => abs(x)))
+    when(mx > 0, transform(d, x => floor(x * lit(127.0) / mx + lit(0.5)).cast("long")))
+      .otherwise(transform(d, x => lit(0L)))
+  }
 }

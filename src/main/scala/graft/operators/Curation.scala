@@ -92,4 +92,38 @@ object Curation {
       .filter(hashBucket(col(idCol)) < col("thr"))
       .drop("thr")
   }
+
+  /** Relative quality gate: keep each document whose quality score sits at or
+    * above the `floor` percentile *within its own source* — the
+    * distribution-aware alternative to a fixed threshold (a cutoff tuned for
+    * a clean corpus would keep all of a junk crawl, and vice versa). Returns
+    * (doc_id, source, score, pr) for kept documents.
+    *
+    * Score = stopword-hit ratio (row-local; a single IEEE division, so
+    * cross-engine deterministic), tokenless documents scoring 0 rather than
+    * NULL — engines disagree on NULL placement in window ORDER BY, and a
+    * junk document should rank at the bottom, not fall out of the
+    * percentile frame. `percent_rank` is (rank−1)/(n−1) in every engine;
+    * doc_id tie-breaks make the ordering total, so ranks are reproducible.
+    *
+    * Scale shape: one window shuffle partitioned by source — bounded
+    * per-partition state, no global sort. A pathologically dominant source
+    * is the same skew class as any hot key; pre-split it with a salt column
+    * and re-merge percentiles if one source exceeds a partition. */
+  def qualityPercentile(documents: DataFrame, floor: Double = 0.5): DataFrame = {
+    val bySource = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("toks")).as("nt"),
+        stopwordHits(col("toks")).as("n_stop"))
+      .withColumn(
+        "score",
+        when(col("nt") > 0, col("n_stop").cast("double") / col("nt")).otherwise(lit(0.0)))
+      .withColumn("pr", percent_rank().over(bySource))
+      .filter(col("pr") >= floor)
+      .select("doc_id", "source", "score", "pr")
+  }
 }

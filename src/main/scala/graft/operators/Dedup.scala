@@ -392,6 +392,37 @@ object Dedup {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Semantic benchmark decontamination: every (benchmark, corpus) vector
+    * pair with cosine ≥ threshold — the embedding-space analog of the
+    * trigram [[contaminationPairs]], catching paraphrased eval leakage that
+    * lexical overlap misses. Returns (b_id, c_id, sim); drop contaminated
+    * docs with `corpus.join(broadcast(pairs.select("c_id").distinct()),
+    * "left_anti")`.
+    *
+    * Scale shape: benchmark sets are small by nature (10³–10⁵ rows), so the
+    * benchmark side — with norms precomputed per vector — broadcasts, and
+    * the corpus streams through a BroadcastNestedLoopJoin: zero corpus
+    * shuffle at any corpus size, cost N_corpus · N_bench native dots. For a
+    * benchmark too big to broadcast, bucket both sides with the same SRP
+    * bands as [[embeddingCosinePairsLsh]] instead. */
+  def embeddingContaminationPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // array<double> + norm per vector BEFORE the pairwise stage (same
+    // rationale as embeddingCosinePairs: per-pair casts are quadratic).
+    def keyed(d: DataFrame, id: String, v: String, n: String) =
+      d.select(col("vec_id").as(id), col("embedding").cast("array<double>").as(v))
+        .withColumn(n, norm(col(v)))
+    val b = keyed(benchmark, "b_id", "vb", "nb")
+    val c = keyed(corpus, "c_id", "vc", "nc")
+    c.join(broadcast(b))
+      .withColumn("sim", dot(col("vb"), col("vc")) / (col("nb") * col("nc")))
+      .filter(col("sim") >= threshold)
+      .select("b_id", "c_id", "sim")
+  }
+
   /** Embedding-cosine near-dup pairs over `(vec_id, embedding)`: banded
     * SRP-LSH candidates + exact cosine verification ≥ threshold — the
     * linear-ish scale path for [[embeddingCosinePairs]].

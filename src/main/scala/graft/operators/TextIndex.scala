@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus indexing statistics for a training-data pipeline: per-document
+  * salient terms (TF-IDF) and a frequency-ranked vocabulary. Both are
+  * corpus-wide token statistics, so one shuffle of the exploded token stream
+  * is inherent; everything after that shuffle is bounded by vocabulary size
+  * or per-document top-k, never by corpus size.
+  *
+  * Numeric contract (cross-engine determinism): the classic `ln(N/df)` idf
+  * is replaced by linear idf `N/df`, so the score is one exact integer
+  * product (`tf·N`) followed by ONE IEEE double division — bit-identical in
+  * any IEEE-754 engine, where `ln` is only correctly-rounded-ish and may
+  * differ in the last ulp between libm implementations, flipping near-tie
+  * rankings. Linear idf is order-equivalent to log idf for a fixed tf, and
+  * the per-document ranking it induces is the same family of "rare term
+  * wins" orderings; swap in `log` for presentation if exact classic scores
+  * are wanted and cross-engine hashing is not.
+  */
+object TextIndex {
+
+  /** Per-(doc, token) term frequency over the whitespace tokenizer — the
+    * shared first stage. One map-side-combined shuffle of hashed-key rows;
+    * duplicate tokens within a document collapse before the exchange. */
+  private def termFrequency(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` TF-IDF terms per document:
+    * `tfidf = (tf · n_docs) / df`, rank by (tfidf desc, tok) within each
+    * document. Returns (doc_id, rk, tok, tf, df, tfidf).
+    *
+    * Plan shape at scale: tf agg (one exploded-token shuffle) → df agg
+    * (O(vocab) rows) → hash join tf⋈df on token → broadcast 1-row corpus
+    * count → per-doc window. The window partitions by doc_id, so no global
+    * sort; the df side is vocabulary-sized and joins on the token key the tf
+    * table is already hashed by. */
+  def tfIdfTopK(documents: DataFrame, k: Int): DataFrame = {
+    val tf = termFrequency(documents)
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df, "tok")
+      .join(broadcast(n)) // 1 row; BroadcastNestedLoopJoin, no shuffle
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "tok", "tf", "df", "tfidf")
+  }
+
+  /** Frequency-ranked vocabulary: the `k` most frequent tokens with
+    * contiguous ids assigned by (count desc, token). Returns
+    * (vid, tok, n).
+    *
+    * The corpus-wide count is the one real shuffle; the top-k cut compiles
+    * to TakeOrderedAndProject (partial top-k per partition, k rows to one
+    * reducer), so the final id-assignment window sees exactly `k` rows —
+    * the single-partition window is bounded by the requested vocabulary
+    * size, never by the corpus. */
+  def vocabulary(documents: DataFrame, k: Int): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+    counts
+      .withColumn(
+        "vid",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+      .select("vid", "tok", "n")
+  }
+}

@@ -110,4 +110,30 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = "Exchange (hash|range|Single)".r.findAllIn(p).size
     assert(shuffles === 1, s"expected only the count shuffle, plan:\n$p")
   }
+
+  test("q_embed_contamination: benchmark broadcasts; the corpus side never shuffles") {
+    val p = plan("q_embed_contamination")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), s"plan:\n$p")
+    // only the verify-output sort moves rows; a hash shuffle would mean the
+    // corpus stopped streaming through the broadcast join
+    val shuffles = "Exchange (hash|Single)".r.findAllIn(p).size
+    assert(shuffles === 0, s"expected no hash shuffle, plan:\n$p")
+  }
+
+  test("q_vocab: corpus-wide count is cut by TakeOrderedAndProject before the id window") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    // the id-assignment window must sit above the top-k cut (k rows), not
+    // above the full vocabulary
+    assert(
+      p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"window should consume the top-k cut, plan:\n$p")
+  }
+
+  test("q_tfidf_topk: per-doc window; corpus count broadcasts as a single row") {
+    val p = plan("q_tfidf_topk")
+    assert(p.contains("hashpartitioning(doc_id"), s"plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "apple banana apple cherry", "src0"),
+    (1L, "banana banana date", "src0"),
+    (2L, "apple elderberry", "src1"),
+    (3L, "", "src1")
+  ).toDF("doc_id", "text", "source")
+
+  test("tfIdfTopK: rare terms outrank common ones, k respected, empty doc absent") {
+    val out = TextIndex.tfIdfTopK(docs, 2).collect()
+    // doc 3 has no tokens -> contributes no rows
+    assert(!out.exists(_.getLong(0) == 3L))
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+    val d0 = out.filter(_.getLong(0) == 0L).sortBy(_.getAs[Long]("rk"))
+    // apple: tf=2, df=2 -> 2*4/2 = 4.0; cherry: tf=1, df=1 -> 4.0; banana: tf=1, df=2 -> 2.0
+    // tie at 4.0 broken by token: apple before cherry
+    assert(d0.map(_.getAs[String]("tok")).toSeq === Seq("apple", "cherry"))
+    assert(d0.head.getAs[Double]("tfidf") === 4.0)
+  }
+
+  test("vocabulary: ids contiguous from 1 in (count desc, token) order") {
+    val v = TextIndex.vocabulary(docs, 3).collect()
+    assert(v.map(_.getAs[Long]("vid")).toSeq === Seq(1L, 2L, 3L))
+    // apple x3, banana x3 (tie -> alphabetical), cherry/date/elderberry x1
+    assert(v.map(_.getAs[String]("tok")).toSeq === Seq("apple", "banana", "cherry"))
+    assert(v.map(_.getAs[Long]("n")).toSeq === Seq(3L, 3L, 1L))
+  }
+
+  test("qualityPercentile: per-source median gate, tokenless doc scores 0") {
+    val scored = Seq(
+      (0L, "the of and to in", "s0"), // all stopwords -> score 1.0
+      (1L, "alpha beta gamma delta", "s0"), // no stopwords -> score 0
+      (2L, "the alpha", "s0"), // score 0.5
+      (3L, "", "s1") // tokenless -> score 0, sole row -> pr 0, kept at floor 0
+    ).toDF("doc_id", "text", "source")
+    val kept = Curation.qualityPercentile(scored, 0.5).collect()
+    val ids = kept.map(_.getLong(0)).toSet
+    // s0 ordering by score: 1 (0.0), 2 (0.5), 0 (1.0) -> pr 0, 0.5, 1.0
+    assert(ids === Set(0L, 2L))
+    val all = Curation.qualityPercentile(scored, 0.0).collect()
+    assert(all.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+    assert(all.find(_.getLong(0) == 3L).get.getAs[Double]("score") === 0.0)
+  }
+
+  test("quantizeInt8: max saturates to 127, zero vector to zeros, rounding is floor(x+0.5)") {
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df
+      .select(col("vec_id"), VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    // scale = 127/1.0: 0.5 -> floor(63.5+0.5)=64; -1.0 -> floor(-127+0.5)=-127; 0.25 -> 32
+    assert(q(0L) === Seq(64L, -127L, 32L))
+    assert(q(1L) === Seq(0L, 0L, 0L))
+  }
+
+  test("embeddingContaminationPairs: broadcast side drives pairs, threshold respected") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((0L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .embeddingContaminationPairs(corpus, bench, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // bench vector is nearly parallel to corpus 10, orthogonal-ish to 11
+    assert(pairs.toSeq === Seq((0L, 10L)))
+  }
+}
