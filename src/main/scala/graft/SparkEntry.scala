@@ -1081,6 +1081,11 @@ object SparkEntry {
       "q_dedup_exact" -> ((s, dir) =>
         Dedup.exact(Tables.documents(s, dir)).orderBy("fp")),
 
+      // Exact dedup, keep-longest policy (argmax as a one-pass min_by over
+      // a struct ordering key — no window, duplicates collapse map-side)
+      "q_dedup_keep_longest" -> ((s, dir) =>
+        Dedup.exactKeepLongest(Tables.documents(s, dir)).orderBy("keep_id")),
+
       // Near-dup: blocked word-3-gram Jaccard pairs
       "q_dedup_ngram" -> ((s, dir) =>
         Dedup
@@ -1699,6 +1704,19 @@ object SparkEntry {
       """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_keep_longest" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |                  md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |           FROM documents),
+        |r AS (SELECT fp, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY fp
+        |                                ORDER BY n_chars DESC, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY fp) AS n_members,
+        |             max(n_chars) OVER (PARTITION BY fp) AS max_chars
+        |      FROM f)
+        |SELECT fp, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+        |       CAST(max_chars AS BIGINT) AS max_chars
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""SELECT * FROM ($NgramPairsSql) ORDER BY a_id, b_id""",
     // n_ngram recomputed from the same blocked-Jaccard SQL; recall_ok is

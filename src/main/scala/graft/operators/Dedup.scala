@@ -27,6 +27,23 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
 
+  /** Exact dedup keeping the LONGEST member of each duplicate group (ties →
+    * lowest doc_id) — the curation-standard alternative to first-wins when
+    * near-identical pages differ by truncation and the fullest copy should
+    * survive. Same one-pass hash-aggregate shape as [[exact]]: the argmax is
+    * `min_by` over a struct ordering key (lexicographic: -chars, then id),
+    * so duplicates collapse map-side and nothing sorts — no window, no
+    * second pass. Returns (fp, keep_id, n_members, max_chars). */
+  def exactKeepLongest(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("n_chars"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(
+        min_by(col("doc_id"), struct((-col("n_chars")).as("neg"), col("doc_id")))
+          .as("keep_id"),
+        count(lit(1)).cast("long").as("n_members"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+
   /** Shingle verification applied to an id-only candidate pair set.
     *
     * Structure matters for performance: candidates are generated as bare

@@ -25,6 +25,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(docs).count() === 4) // 5 docs, one merged pair
   }
 
+  test("exactKeepLongest: fullest copy survives, ties break to lowest id") {
+    val d = Seq(
+      (0L, base, 10L),
+      (3L, base, 25L), // same fingerprint, longest -> keeper
+      (5L, base, 25L), // ties doc 3 on length -> lower id wins
+      (2L, "unique text", 6L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup
+      .exactKeepLongest(d)
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") -> ((r.getAs[Long]("n_members"), r.getAs[Long]("max_chars"))))
+      .toMap
+    assert(out === Map(3L -> ((3L, 25L)), 2L -> ((1L, 6L))))
+  }
+
   test("ngram jaccard pairs: finds the prefix-blocked near-dup with high jac") {
     val pairs = Dedup.ngramJaccardPairs(docs, 0.3).collect()
     val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
