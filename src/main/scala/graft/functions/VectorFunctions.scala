@@ -59,14 +59,13 @@ object VectorFunctions {
     * Determinism: `floor(x + 0.5)` instead of `round()` — engines disagree
     * on round-half-to-even vs half-away-from-zero for doubles, while floor
     * is exact; the mul/div chain is left-associated IEEE arithmetic,
-    * bit-identical anywhere. HOF-composed (interpreted, not codegen'd):
-    * quantization is a one-time write-path transform, not a per-query hot
-    * path — lift to a native kernel like DotProduct if it ever sits under a
-    * join. */
+    * bit-identical anywhere. Native kernel
+    * ([[org.apache.spark.sql.graft.QuantizeInt8]]): the HOF composition
+    * (`array_max(transform(abs))` + two `transform` lambdas) evaluates
+    * interpreted and measured ~3× slower end-to-end on the quantization
+    * query at sf0.1 (0.94 s → 0.29 s). */
   def quantizeInt8(v: Column): Column = {
-    val d = asDouble(v)
-    val mx = array_max(transform(d, x => abs(x)))
-    when(mx > 0, transform(d, x => floor(x * lit(127.0) / mx + lit(0.5)).cast("long")))
-      .otherwise(transform(d, x => lit(0L)))
+    import org.apache.spark.sql.graft.{Bridge, QuantizeInt8}
+    Bridge.column(QuantizeInt8(Bridge.expression(asDouble(v))))
   }
 }

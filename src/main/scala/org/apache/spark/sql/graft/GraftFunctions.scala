@@ -56,6 +56,9 @@ object GraftFunctions {
     }),
     ("graft_max_multiplicity", classOf[MaxMultiplicity].getName, { args =>
       arity("graft_max_multiplicity", 1, args); MaxMultiplicity(args.head)
+    }),
+    ("graft_quantize_int8", classOf[QuantizeInt8].getName, { args =>
+      arity("graft_quantize_int8", 1, args); QuantizeInt8(args.head)
     }))
 
   /** Extension-injection path (analysis-time, all sessions). */
