@@ -38,10 +38,24 @@ object TextIndex {
     * document. Returns (doc_id, rk, tok, tf, df, tfidf).
     *
     * Plan shape at scale: tf agg (one exploded-token shuffle) → df agg
-    * (O(vocab) rows) → hash join tf⋈df on token → broadcast 1-row corpus
-    * count → per-doc window. The window partitions by doc_id, so no global
-    * sort; the df side is vocabulary-sized and joins on the token key the tf
-    * table is already hashed by. */
+    * (O(vocab) rows, broadcast back under the default threshold; AQE
+    * demotes to a token-keyed hash join for corpus-scale vocabularies) →
+    * broadcast 1-row corpus count → per-doc window. The window partitions
+    * by doc_id, so no global sort.
+    *
+    * Known 2× on the tokenize stage: df's subtree is tf's with the count
+    * pruned away (keys-only distinct), so the two exchanges canonicalize
+    * differently and neither exchange reuse nor AQE stage reuse applies —
+    * the scan+tokenize+explode pass runs twice (verified in the final
+    * adaptive plan). Deliberate trade: a window-by-token df
+    * (`count().over(partitionBy(tok))`) would run one pass but buffers each
+    * token's group in WindowExec — the hot-token group is O(corpus) rows on
+    * one partition, a guaranteed spill at scale, strictly worse than 2× of
+    * a linear map-side-combined stage. Production callers doing repeated
+    * TF-IDF over one corpus should `persist()` the tf frame and pass it
+    * through both aggregates; a query registry that reconstructs plans per
+    * run (Verify/Bench here) cannot, or every construction leaks a cached
+    * copy into the block manager. */
   def tfIdfTopK(documents: DataFrame, k: Int): DataFrame = {
     val tf = termFrequency(documents)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
