@@ -1434,7 +1434,68 @@ object SparkEntry {
           .sampleFrames(s, Multimodal.ingest(Tables.documents(s, dir)))
           .toDF()
           .select("doc_id", "frame_idx", "offset_bytes")
-          .orderBy("doc_id", "frame_idx"))
+          .orderBy("doc_id", "frame_idx")),
+
+      // Cross-doc duplicated spans (exact-substring dedup at token-window
+      // granularity): per doc, distinct 8-token windows shared verbatim with
+      // another doc. Windows shuffle as 64-bit hashes, never strings.
+      "q_dedup_spans" -> ((s, dir) =>
+        Dedup.duplicatedSpanStats(Tables.documents(s, dir), 8).orderBy("doc_id")),
+
+      // Deterministic corpus shuffle + shard manifest: rerun-stable hash
+      // shards for training dataloaders, one partial-agg shuffle of 32 rows.
+      "q_shard_manifest" -> ((s, dir) =>
+        graft.operators.Curation
+          .shardManifest(Tables.documents(s, dir), 32)
+          .orderBy("shard")),
+
+      // Token-budget source mixing: deterministic per-source cap at 1k
+      // tokens — the mix-weighting pass of a training-corpus recipe.
+      "q_source_mix" -> ((s, dir) =>
+        graft.operators.Curation
+          .sourceMix(Tables.documents(s, dir), 1000L)
+          .orderBy("source")),
+
+      // SCD2 dimension history: trailing-year active-customer snapshots at
+      // two dates merged into validity intervals — all four key fates
+      // (unchanged / changed / added / removed) in one full-outer shuffle.
+      "q_scd2" -> ((s, dir) => {
+        def active(lo: String, hi: String) = Tables.orders(s, dir)
+          .filter(
+            col("o_custkey") < 500 &&
+              to_date(col("o_orderdate")) >= lit(lo) &&
+              to_date(col("o_orderdate")) < lit(hi))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("v"))
+          .select(col("o_custkey").as("k"), col("v"))
+        graft.operators.History
+          .scd2(
+            active("1996-01-01", "1997-01-01"),
+            active("1997-01-01", "1998-01-01"),
+            "1997-01-01",
+            "1998-01-01")
+          .orderBy("k", "valid_from")
+      }),
+
+      // Oracled gate for the approximate-aggregate pass (upgrades
+      // q_approx_stats from rows-only, same pattern as the ANN/dedup recall
+      // gates): HLL++ distinct estimate within 5% of the exact count, GK
+      // median inside the exact p40–p60 band. The oracle recomputes the
+      // exact count (cross-checking the data) and asserts both flags TRUE.
+      "q_approx_stats_gate" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .agg(
+            countDistinct(col("user_id")).as("n_exact_users"),
+            approx_count_distinct(col("user_id")).as("est"),
+            expr("percentile(value, 0.4)").as("p40"),
+            expr("percentile(value, 0.6)").as("p60"),
+            expr("approx_percentile(value, 0.5, 10000)").as("med_est"))
+          .select(
+            col("n_exact_users").cast("long").as("n_exact_users"),
+            (abs(col("est") - col("n_exact_users")) <=
+              col("n_exact_users").cast("double") * 0.05).as("hll_ok"),
+            (col("med_est") >= col("p40") && col("med_est") <= col("p60"))
+              .as("pctl_ok")))
     )
   }
 
@@ -1906,6 +1967,79 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT doc_id, CAST(unnest(range(0, nb // 16, 4)) AS INT) AS frame_idx FROM m)
         |SELECT doc_id, frame_idx, CAST(frame_idx AS BIGINT) * 16 AS offset_bytes
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Mirrors Dedup.duplicatedSpanStats(n=8): distinct 8-token windows per
+    // doc (the oracle groups window STRINGS where Spark groups their 64-bit
+    // hashes — identical counts absent a hash collision, which at test scale
+    // is absent and at 10^9 windows is ~0.03 expected).
+    "q_dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |w AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+         |            FROM t WHERE len(toks) >= 8)),
+         |d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |      FROM w JOIN d USING (win) GROUP BY doc_id),
+         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win FROM w GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(coalesce(nw.n_win, 0) AS BIGINT) AS n_win,
+         |       CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup,
+         |       CASE WHEN coalesce(nw.n_win, 0) > 0
+         |            THEN CAST(coalesce(c.n_dup, 0) AS DOUBLE) / nw.n_win
+         |            ELSE 0.0 END AS dup_frac
+         |FROM t LEFT JOIN nw USING (doc_id) LEFT JOIN c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_shard_manifest" ->
+      s"""SELECT CAST((doc_id * 2654435761) % 4294967296 % 32 AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len($ToksSql)) AS BIGINT) AS tok_total,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_source_mix" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($ToksSql) AS BIGINT) AS nt,
+         |                  (doc_id * 2654435761) % 4294967296 AS hb FROM documents),
+         |c AS (SELECT source, doc_id, nt,
+         |             sum(nt) OVER (PARTITION BY source ORDER BY hb, doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(CASE WHEN cum - nt < 1000 THEN 1 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN cum - nt < 1000 THEN nt ELSE 0 END) AS BIGINT) AS tok_kept
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q_scd2" ->
+      """WITH v1 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS a FROM orders
+        |            WHERE o_custkey < 500
+        |              AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |            GROUP BY 1),
+        |v2 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS b FROM orders
+        |       WHERE o_custkey < 500
+        |         AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |         AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |       GROUP BY 1),
+        |j AS (SELECT coalesce(v1.k, v2.k) AS k, a, b
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT k, v, valid_from, valid_to, is_current FROM (
+        |  SELECT k, a AS v, DATE '1997-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM j WHERE a IS NOT NULL AND b IS NOT NULL AND a = b
+        |  UNION ALL
+        |  SELECT k, a, DATE '1997-01-01', DATE '1998-01-01', FALSE
+        |  FROM j WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+        |  UNION ALL
+        |  SELECT k, b, DATE '1998-01-01', CAST(NULL AS DATE), TRUE
+        |  FROM j WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+        |  UNION ALL
+        |  SELECT k, b, DATE '1998-01-01', CAST(NULL AS DATE), TRUE FROM j WHERE a IS NULL
+        |  UNION ALL
+        |  SELECT k, a, DATE '1997-01-01', DATE '1998-01-01', FALSE FROM j WHERE b IS NULL
+        |) ORDER BY k, valid_from""".stripMargin,
+    // Gate query: the oracle recomputes the exact distinct-user count
+    // (cross-checking the scan) and asserts the sketch-accuracy flags —
+    // a FALSE on the Spark side hash-mismatches against the constant TRUE.
+    "q_approx_stats_gate" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+        |       TRUE AS hll_ok, TRUE AS pctl_ok
+        |FROM events""".stripMargin
   )
 }

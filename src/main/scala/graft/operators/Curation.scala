@@ -126,4 +126,63 @@ object Curation {
       .filter(col("pr") >= floor)
       .select("doc_id", "source", "score", "pr")
   }
+
+  /** Deterministic corpus shuffle + shard manifest: every document gets a
+    * pseudo-random but rerun-stable shard via [[hashBucket]] (the training-
+    * order shuffle a dataloader needs — adjacent source documents land in
+    * different shards, and re-running the pipeline reproduces the exact
+    * layout, which `repartition`-by-`rand()` cannot promise under task
+    * retries). Returns one manifest row per shard: `(shard, n_docs,
+    * tok_total, id_sum)` — the counts a loader checks before training.
+    *
+    * Scale shape: shard assignment and token count are row-local projections;
+    * the manifest is ONE map-side-combined shuffle of `nShards` rows. The
+    * actual shard write is `df.write.partitionBy("shard")` on the same
+    * column — no extra shuffle beyond the write's own file split. */
+  def shardManifest(documents: DataFrame, nShards: Int = 32): DataFrame =
+    documents
+      .select(
+        pmod(hashBucket(col("doc_id")), lit(nShards.toLong)).as("shard"),
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("tok_total"),
+        sum(col("doc_id")).as("id_sum"))
+
+  /** Token-budget source mixing: cap each source's contribution to the
+    * training mix at `budgetTokens`, keeping a deterministic pseudo-random
+    * subset (ordered by [[hashBucket]], so the kept set is unbiased w.r.t.
+    * document order and stable across reruns). A document is kept while the
+    * tokens accumulated BEFORE it are inside the budget — the first document
+    * of a source is always kept, and the last kept document may straddle the
+    * boundary (standard greedy fill, same rule as sequence packing).
+    *
+    * Returns `(source, n_docs, n_kept, tok_kept)` per source.
+    *
+    * Scale shape: one window shuffle partitioned by source (running token
+    * sum), then a partial-aggregated roll-up of O(sources) rows. Per-source
+    * state in the window is a single running long. A source so large its
+    * partition cannot hold even the (doc_id, nt) pairs is pre-split by a
+    * salt column, budgets divided per split, and re-merged — the documented
+    * hot-key escape hatch. */
+  def sourceMix(documents: DataFrame, budgetTokens: Long = 20000L): DataFrame = {
+    val bySource = Window
+      .partitionBy(col("source"))
+      .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(
+        col("source"),
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(bySource))
+      .withColumn("kept", col("cum") - col("nt") < budgetTokens)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum(when(col("kept"), col("nt")).otherwise(lit(0L))).as("tok_kept"))
+  }
 }

@@ -538,4 +538,59 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
   }
+
+  /** Cross-document duplicated-span detection — the Spark shape of exact
+    * substring dedup (the suffix-array pass of "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022, approximated at the
+    * token-window granularity a distributed engine can shuffle): for each
+    * document, how many of its distinct `n`-token windows also appear
+    * verbatim in at least one OTHER document.
+    *
+    * Returns `(doc_id, n_win, n_dup, dup_frac)` for every document —
+    * `n_win` = distinct windows, `n_dup` = windows shared cross-doc,
+    * `dup_frac` = n_dup / n_win (0.0 for short docs with no windows, so the
+    * column is total and engines cannot disagree on NULL ordering).
+    *
+    * Scale shape: windows travel as 64-bit [[graft.functions.TextFunctions
+    * .shingleHashes]] hashes, never strings — (doc_id, h) rows are 16 bytes.
+    * One map-side-combined shuffle counts documents per window hash (the
+    * kernel's per-doc distinctness means `count(*)` IS the doc count); the
+    * cross-doc set joins back against the exploded windows (AQE picks
+    * broadcast when the duplicated set is small, shuffle join otherwise);
+    * per-doc totals are a row-local `size()` — no second aggregate over the
+    * corpus. The window kernel is evaluated in two plan branches (count
+    * projection + explode); at 100 TB that is the right trade — re-running a
+    * per-row kernel is cheaper than materializing or shuffling the exploded
+    * window table twice.
+    *
+    * Collision caveat: grouping is by 64-bit hash, so two distinct spans
+    * colliding would count as duplicates — at 10^9 distinct windows the
+    * expected collision count is ~0.03 (birthday bound), which is noise at
+    * corpus scale and absent at test scale. */
+  def duplicatedSpanStats(documents: DataFrame, n: Int = 8): DataFrame = {
+    val base = documents.select(
+      col("doc_id"),
+      shingleHashes(tokens(col("text")), n).as("hs"))
+    val wins = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val crossDoc = wins
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("h")
+    val dupPerDoc = wins
+      .join(crossDoc, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    base
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_win"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_win") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_win"))
+          .otherwise(lit(0.0))
+          .as("dup_frac"))
+  }
 }

@@ -35,4 +35,34 @@ class CurationSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(smaller.subsetOf(a))
   }
+
+  test("shardManifest: covers every doc, shards in range, rerun-identical") {
+    val docs = (0L until 100L).map(i => (i, s"word$i more text here")).toDF("doc_id", "text")
+    val m = Curation.shardManifest(docs, 8).collect()
+    assert(m.map(_.getLong(1)).sum === 100L) // every doc lands in exactly one shard
+    assert(m.map(_.getLong(3)).sum === (0L until 100L).sum) // id checksum conserved
+    assert(m.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 8L))
+    val again = Curation.shardManifest(docs, 8).collect()
+    assert(
+      m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+        again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("sourceMix: budget caps each source, first doc always kept") {
+    val docs = Seq(
+      (1L, "five tokens in this doc", "s1"),
+      (2L, "five tokens in this doc", "s1"),
+      (3L, "five tokens in this doc", "s1"),
+      (10L, "a very long single document that blows straight through the budget on its own easily", "solo")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation
+      .sourceMix(docs, 8L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // 3 docs x 5 tokens, budget 8: kept while tokens-before < 8 -> exactly 2 kept
+    assert(out("s1") === ((3L, 2L, 10L)))
+    // a single over-budget doc is still kept (greedy fill keeps the first doc)
+    assert(out("solo")._2 === 1L)
+  }
 }

@@ -181,4 +181,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(tiny, 0.1).count() === 0) // empty shingle sets -> null jac
     assert(Dedup.minhashLshPairs(tiny, 0.1).count() === 0)
   }
+
+  test("duplicatedSpanStats: cross-doc windows flagged, unique and short docs are not") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-token window
+    val d = Seq(
+      (0L, span + " iota"), // 9 tokens -> 2 windows, the first shared with doc 1
+      (1L, span),
+      (2L, "one two three four five six seven eight nine ten"), // 3 unique windows
+      (3L, "short text") // below window size -> n_win = 0, frac = 0.0 (not NULL)
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .duplicatedSpanStats(d, 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) === ((2L, 1L, 0.5)))
+    assert(out(1L) === ((1L, 1L, 1.0)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
 }
