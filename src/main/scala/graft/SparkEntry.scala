@@ -345,6 +345,25 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Bloom-pruned join (manual runtime filter): a selective dim predicate's
+    // key set blooms the fact side before its shuffle; the exact join after
+    // the prune makes the composition value-identical to the plain join
+    // (the oracle IS the plain join).
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
+      graft.operators.Joins
+        .bloomPrunedJoin(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          dim,
+          "o_custkey",
+          expectedItems = 10000L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
     // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
     // customers counted with zero orders preserved, then a histogram of
     // order counts. Exercises outer-join null semantics + double grouping.
@@ -712,6 +731,12 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // The bloom prune is transparent: the oracle is the PLAIN join.
+    "q_bloom_join" ->
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 1
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

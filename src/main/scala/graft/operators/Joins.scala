@@ -50,4 +50,38 @@ object Joins {
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Bloom-pruned inner equi-join on a LONG `key`: a Bloom filter over the
+    * small side's keys is built distributed (`df.stat.bloomFilter` — one
+    * tree-aggregated pass; only the O(bits) sketch reaches the driver, the
+    * same driver-traffic class as the IVF centroid model), then the big side
+    * is filtered BEFORE it shuffles — rows whose key cannot be in `small`
+    * never enter the exchange. False positives just ride through to the
+    * exact join that follows, so the result is value-identical to
+    * `big.join(small, Seq(key))` (oracle-checked as `q_bloom_join`).
+    *
+    * This is the manual spelling of Spark's AQE runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for when the
+    * reduction must be guaranteed rather than left to the optimizer's
+    * heuristics — e.g. a selective dimension predicate in a recurring
+    * pipeline where the fact-side scan dominates. Sizing: `expectedItems`
+    * at the small side's distinct-key estimate; 1M keys at fpp 0.03 is a
+    * ~0.9 MB sketch in the plan. A small side too big to bloom cheaply is
+    * past the point where pruning pays — shuffle both sides instead. */
+  def bloomPrunedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, BloomMightContain}
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val pruned = big.filter(
+      Bridge.column(
+        BloomMightContain(Bridge.expression(col(key)), Literal(bos.toByteArray))))
+    pruned.join(small, Seq(key))
+  }
 }

@@ -36,4 +36,33 @@ class JoinsSpec extends SparkSpec {
     val out = Joins.saltedJoin(big, small, "k", saltBuckets = 4).collect()
     assert(out.length === 1 && out.head.getString(1) === "a")
   }
+
+  test("bloom-pruned join: value-identical to plain join, prune sits before the join") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate a
+    // filter over a LocalRelation at optimize time and the prune would
+    // (correctly but unhelpfully for this assertion) vanish from the plan.
+    val big = spark
+      .range(5000L)
+      .select(col("id").as("k"), concat(lit("fact-"), col("id")).as("payload"))
+    val small = (0L until 5000L by 100L).map(k => (k, s"dim-$k")).toDF("k", "attr")
+    val out = Joins.bloomPrunedJoin(big, small, "k", expectedItems = 100L)
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet === plain)
+    // The might-contain filter must apply to the big side BEFORE the join —
+    // that's the whole point (rows prune before they shuffle).
+    val plan = out.queryExecution.executedPlan.toString
+    val filterAt = plan.indexOf("graft_bloom_might_contain")
+    val joinAt = plan.indexOf("Join")
+    assert(filterAt >= 0, "bloom filter expression missing from the plan")
+    assert(joinAt >= 0 && filterAt > joinAt, "prune should be below (after, in plan text) the join")
+  }
+
+  test("bloom-pruned join: definite non-members are dropped by the filter alone") {
+    val small = (0L until 10L).map(k => (k, "d")).toDF("k", "attr")
+    val bf = small.stat.bloomFilter("k", 10L, 0.01)
+    // With fpp 1% on 10 items, keys far outside the set are (deterministically,
+    // for this fixed fixture) rejected — the prune does real work.
+    val misses = (1000000L until 1000100L).count(bf.mightContainLong)
+    assert(misses < 10)
+  }
 }
