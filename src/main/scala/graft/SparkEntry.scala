@@ -1425,10 +1425,13 @@ object SparkEntry {
           .select("doc_id", "mime", "n_bytes")
           .orderBy("doc_id")),
 
-      // Multimodal: batched stub-decode feature extraction (rows-only check).
-      // The feature vector is flattened to scalar columns for the driver —
-      // pandas cannot sort/hash array cells (r1: TypeError, zero
-      // verification); the full array stays on the operator's Dataset API.
+      // Multimodal: batched stub-decode feature extraction. The feature
+      // vector is flattened to scalar columns for the driver — pandas cannot
+      // sort/hash array cells (r1: TypeError, zero verification); the full
+      // array stays on the operator's Dataset API. Oracled: the stub's
+      // features are byte arithmetic on the payload head, which DuckDB can
+      // recompute (corpus is ASCII, so ord(char) == byte — a non-ASCII
+      // corpus would flag the mismatch, which is the oracle doing its job).
       "q_multimodal_features" -> ((s, dir) =>
         Multimodal
           .extractFeatures(s, Multimodal.ingest(Tables.documents(s, dir)))
@@ -1986,6 +1989,24 @@ object SparkEntry {
         |       GREATEST(1, CAST(floor(src_w * LEAST(1.0, 128.0/src_w, 128.0/src_h)) AS INT)) AS width,
         |       GREATEST(1, CAST(floor(src_h * LEAST(1.0, 128.0/src_w, 128.0/src_h)) AS INT)) AS height
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.decodeStub: f_i = payload byte i / 255 in FLOAT
+    // (single float32 division, then widened — bit-identical cross-engine);
+    // ord(substr) == byte because the corpus is ASCII (checked; a non-ASCII
+    // doc would hash-mismatch, correctly flagging the oracle's assumption).
+    "q_multimodal_features" ->
+      """WITH m AS (SELECT doc_id, text,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
+        |SELECT doc_id, nb AS n_bytes,
+        |       CAST(64 + nb % 512 AS INT) AS width,
+        |       CAST(64 + (nb // 7) % 512 AS INT) AS height,
+        |       CASE WHEN nb > 0
+        |            THEN CAST(CAST(ord(substr(text, 1, 1)) AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS f0,
+        |       CASE WHEN nb > 1
+        |            THEN CAST(CAST(ord(substr(text, 2, 1)) AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS f1,
+        |       CAST(8 AS INT) AS n_features
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Mirrors Multimodal.sampleFrames(frameSize=16, stride=4): frames
     // 0, 4, 8, … strictly below len(payload)/16.
     "q_multimodal_frames" ->

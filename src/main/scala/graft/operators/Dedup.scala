@@ -517,10 +517,13 @@ object Dedup {
     // -generation subtree (signatures + cap) — measured as the difference
     // between a 30.8 s and a ~8 s run at 32k vectors. The table is id+key
     // only (B rows per vector, ~20 bytes each), so the checkpoint is tiny
-    // relative to the corpus at any scale.
+    // relative to the corpus at any scale. `eager = false`: construction
+    // must stay lazy — an eager checkpoint would run the whole signature
+    // pipeline every time the QUERY OBJECT is built (plan inspection, bench
+    // warmup, verify registration), the exact leak the recall gates fixed.
     val capped = tagged
       .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candidates = capped
       .select(col("vec_id").as("a_id"), col("band"), col("bucket"))
       .join(capped.select(col("vec_id").as("b_id"), col("band"), col("bucket")),
