@@ -136,4 +136,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(doc_id"), s"plan:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("q_dedup_spans: windows shuffle as long hashes via the native kernel, no cartesian") {
+    val p = plan("q_dedup_spans")
+    // candidate generation must come from the hashed-window kernel, not a
+    // string-materializing transform+concat_ws composition
+    assert(p.contains("graft_ngram_hashes"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("q_shard_manifest: one partial-aggregated shuffle, nothing else moves") {
+    val p = plan("q_shard_manifest")
+    // partial_count/partial_sum on the map side, then exactly the manifest
+    // agg exchange + the verify-output sort
+    assert(p.contains("partial_"), s"plan:\n$p")
+    val shuffles = "Exchange (hash|Single)".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected only the manifest agg shuffle, plan:\n$p")
+  }
+
+  test("q_scd2: one full-outer shuffle join, explode stays row-local above it") {
+    val p = plan("q_scd2")
+    assert(p.contains("FullOuter"), s"plan:\n$p")
+    assert(p.contains("Generate explode"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }
