@@ -1523,7 +1523,23 @@ object SparkEntry {
             (abs(col("est") - col("n_exact_users")) <=
               col("n_exact_users").cast("double") * 0.05).as("hll_ok"),
             (col("med_est") >= col("p40") && col("med_est") <= col("p60"))
-              .as("pctl_ok")))
+              .as("pctl_ok"))),
+
+      // OOV rate vs the built top-100 vocabulary: the coverage check before
+      // committing to a tokenizer vocab size. Vocabulary broadcasts (top-k
+      // bounded); the only corpus-keyed shuffle is the per-doc roll-up.
+      "q_oov_rate" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .oovRate(Tables.documents(s, dir), 100)
+          .orderBy("doc_id")),
+
+      // Temperature-2 source sampling weights (sqrt-token scaling),
+      // normalized to the largest source — max is exact where a double
+      // SUM's accumulation order is not.
+      "q_source_weights" -> ((s, dir) =>
+        graft.operators.Curation
+          .sourceWeights(Tables.documents(s, dir))
+          .orderBy("source"))
     )
   }
 
@@ -2086,6 +2102,28 @@ object SparkEntry {
     "q_approx_stats_gate" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
         |       TRUE AS hll_ok, TRUE AS pctl_ok
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |v AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM t)
+         |      GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 100),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |h AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |             CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov
+         |      FROM e LEFT JOIN v ON e.tok = v.tok GROUP BY e.doc_id)
+         |SELECT t.doc_id,
+         |       CAST(coalesce(h.n_toks, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(h.n_oov, 0) AS BIGINT) AS n_oov,
+         |       CASE WHEN coalesce(h.n_toks, 0) > 0
+         |            THEN CAST(coalesce(h.n_oov, 0) AS DOUBLE) / h.n_toks
+         |            ELSE 0.0 END AS oov_rate
+         |FROM t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_source_weights" ->
+      s"""WITH t AS (SELECT source, CAST(sum(len($ToksSql)) AS BIGINT) AS tok_total
+         |           FROM documents GROUP BY source),
+         |m AS (SELECT max(tok_total) AS mx FROM t)
+         |SELECT source, tok_total,
+         |       sqrt(CAST(tok_total AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)) AS weight
+         |FROM t CROSS JOIN m ORDER BY source""".stripMargin
   )
 }

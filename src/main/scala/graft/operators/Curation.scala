@@ -185,4 +185,30 @@ object Curation {
         count(when(col("kept"), 1)).as("n_kept"),
         sum(when(col("kept"), col("nt")).otherwise(lit(0L))).as("tok_kept"))
   }
+
+  /** Temperature-scaled source sampling weights — the mix-rebalancing pass
+    * that upsamples small sources relative to their raw share (√tokens =
+    * temperature-2 scaling, the standard multilingual/source-mix family).
+    * Returns `(source, tok_total, weight)` with weights normalized to the
+    * LARGEST source (= weight 1.0), not to the sum: a double sum's value
+    * depends on accumulation order (last-ulp nondeterminism across
+    * partitionings and engines), while max is exact and one IEEE
+    * sqrt + division is bit-identical everywhere. Downstream samplers only
+    * need relative rates, so the normalization choice is free.
+    *
+    * Scale shape: one partial-agg shuffle of O(sources) rows, then a 1-row
+    * max broadcast — the corpus itself never reshuffles. */
+  def sourceWeights(documents: DataFrame): DataFrame = {
+    val tot = documents
+      .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nt")).as("tok_total"))
+    val mx = tot.agg(max(col("tok_total")).as("max_tok"))
+    tot
+      .join(broadcast(mx))
+      .withColumn(
+        "weight",
+        sqrt(col("tok_total").cast("double")) / sqrt(col("max_tok").cast("double")))
+      .select("source", "tok_total", "weight")
+  }
 }

@@ -91,4 +91,37 @@ object TextIndex {
         row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
       .select("vid", "tok", "n")
   }
+
+  /** Per-document out-of-vocabulary rate against the size-`k`
+    * [[vocabulary]]: `(doc_id, n_tokens, n_oov, oov_rate)` counting token
+    * OCCURRENCES (multiplicity matters — a doc spamming one OOV token is
+    * mostly OOV). The standard coverage check before committing to a
+    * tokenizer vocabulary size.
+    *
+    * Plan shape: the vocabulary is top-k (bounded, broadcast — the same
+    * O(model) broadcast class as the IVF centroids), so the exploded token
+    * stream never shuffles for membership; the only corpus-keyed exchange
+    * is the per-doc roll-up. Tokenless docs rate 0.0, not NULL (total
+    * column — engines would disagree on NULL ordering downstream). */
+  def oovRate(documents: DataFrame, k: Int): DataFrame = {
+    val vocab = vocabulary(documents, k).select(col("tok"), lit(1).as("in_vocab"))
+    val hits = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+    documents
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_toks"), lit(0L)) > 0,
+          coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_toks"))
+          .otherwise(lit(0.0))
+          .as("oov_rate"))
+  }
 }

@@ -65,4 +65,20 @@ class CurationSpec extends SparkSpec {
     // a single over-budget doc is still kept (greedy fill keeps the first doc)
     assert(out("solo")._2 === 1L)
   }
+
+  test("sourceWeights: largest source gets 1.0, smaller sources get sqrt-scaled weights") {
+    val docs = Seq(
+      (1L, "a b c d", "big"), // 4 tokens
+      (2L, "a b c d", "big"), // big: 8 total
+      (3L, "a b", "small") // small: 2 total
+    ).toDF("doc_id", "text", "source")
+    val out = Curation
+      .sourceWeights(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("big") === ((8L, 1.0)))
+    assert(out("small")._1 === 2L)
+    assert(math.abs(out("small")._2 - 0.5) < 1e-15) // sqrt(2)/sqrt(8) = 1/2
+  }
 }

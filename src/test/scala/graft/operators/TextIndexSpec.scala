@@ -79,4 +79,24 @@ class TextIndexSpec extends SparkSpec {
     // bench vector is nearly parallel to corpus 10, orthogonal-ish to 11
     assert(pairs.toSeq === Seq((0L, 10L)))
   }
+
+  test("oovRate: occurrences counted with multiplicity, tokenless docs rate 0.0") {
+    // corpus counts: bb=5, aa=4, zz=4 -> top-2 vocab {bb, aa}
+    // (aa beats the zz tie on the token tie-break); "zz" is OOV
+    val docs = Seq(
+      (0L, "aa aa bb zz"), // 4 tokens, 1 oov
+      (1L, "zz zz zz aa"), // 4 tokens, 3 oov (multiplicity)
+      (2L, "aa bb bb bb bb"), // fully covered
+      (3L, " ") // tokenless
+    ).toDF("doc_id", "text")
+    val out = TextIndex
+      .oovRate(docs, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) === ((4L, 1L, 0.25)))
+    assert(out(1L) === ((4L, 3L, 0.75)))
+    assert(out(2L) === ((5L, 0L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
 }
