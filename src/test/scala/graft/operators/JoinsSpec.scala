@@ -57,6 +57,44 @@ class JoinsSpec extends SparkSpec {
     assert(joinAt >= 0 && filterAt > joinAt, "prune should be below (after, in plan text) the join")
   }
 
+  test("AQE skew-join splits the hot partition at runtime (the documented first defense)") {
+    // Joins.scala's scaladoc leans on AQE's skew-join split before reaching
+    // for saltedJoin — prove the claim fires on a hot key, with thresholds
+    // scaled down to test-fixture sizes.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      // ~30k rows pile onto key 1; the rest are singletons
+      val big = spark
+        .range(60000L)
+        .select(
+          when(col("id") % 2 === 0, 1L).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("payload"))
+      val small = spark.range(60000L).select(col("id").as("k"), lit("dim").as("attr"))
+      val joined = big.join(small, Seq("k"))
+      // collect() (not count()) so THIS Dataset's queryExecution is the one
+      // that runs — count() builds its own aggregate query and the join's
+      // adaptive plan would stay isFinalPlan=false
+      assert(joined.collect().length === 60000) // hot key matches exactly one dim row
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"no skew split in final adaptive plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bloom-pruned join: definite non-members are dropped by the filter alone") {
     val small = (0L until 10L).map(k => (k, "d")).toDF("k", "attr")
     val bf = small.stat.bloomFilter("k", 10L, 0.01)
