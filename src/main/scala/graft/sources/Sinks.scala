@@ -27,4 +27,27 @@ object Sinks {
       .option("compression", "none")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)
   }
+
+  /** Write the corpus as deterministic training shards: assigns each doc
+    * the same rerun-stable shard as [[graft.operators.Curation
+    * .shardManifest]] (so the manifest query IS the written layout's
+    * manifest) and lands one `shard=K/` directory per shard via
+    * `partitionBy` — no shuffle beyond the write's own file split; a
+    * dataloader reads shard directories independently. Returns the shard
+    * column name for callers composing further. */
+  def writeShards(
+      documents: DataFrame,
+      path: String,
+      nShards: Int = 32,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    documents
+      .withColumn(
+        "shard",
+        pmod(graft.operators.Curation.hashBucket(col("doc_id")), lit(nShards.toLong)))
+      .write
+      .mode(mode)
+      .partitionBy("shard")
+      .parquet(path)
+  }
 }

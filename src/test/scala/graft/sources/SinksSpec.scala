@@ -47,4 +47,36 @@ class SinksSpec extends SparkSpec {
       mode = org.apache.spark.sql.SaveMode.Overwrite)
     assert(spark.read.schema("doc_id BIGINT, text STRING, lang STRING").json(dir).count() === 50)
   }
+
+  test("shard write: layout matches shardManifest, shards read back independently") {
+    import graft.operators.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/shards"
+    val docs = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    Sinks.writeShards(docs, dir, nShards = 8)
+
+    // one shard=K directory per non-empty shard, exactly the manifest's set
+    val manifest = Curation
+      .shardManifest(docs, 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val base = new java.io.File(dir)
+    val shardDirs = base.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(shardDirs === manifest.keySet.map(k => s"shard=$k"))
+
+    // each shard directory holds exactly the manifest's count, and one
+    // shard can be read alone (the dataloader access pattern)
+    val back = spark.read.parquet(dir)
+    val counts = back.groupBy("shard").count().collect()
+      .map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
+    assert(counts === manifest)
+    val some = manifest.keySet.head
+    assert(spark.read.parquet(s"$dir/shard=$some").count() === manifest(some))
+    // rerun-stable: writing again lands every doc in the same shard
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString + "/shards"
+    Sinks.writeShards(docs, dir2, nShards = 8)
+    val counts2 = spark.read.parquet(dir2).groupBy("shard").count().collect()
+      .map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
+    assert(counts2 === counts)
+  }
 }
