@@ -1382,6 +1382,40 @@ object SparkEntry {
           .orderBy("shard", "bin")
       }),
 
+      // Packed-bin PAYLOAD assembly: the companion to q_pack_sequences that
+      // emits the training bins themselves, not just their stats. Per
+      // (shard, bin), documents are concatenated in doc_id order with a
+      // record separator () — the deterministic file a packed-pretrain
+      // writer would ship. The result column is the payload's md5 (checked
+      // against DuckDB's string_agg ORDER BY), so the oracle verifies the
+      // exact byte order of the assembly while the comparison stays small.
+      // Scale shape: same per-shard window as q_pack_sequences; each
+      // collect_list is one bin (~4096 tokens), bounded regardless of
+      // corpus size.
+      "q_pack_payload" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy("shard")
+          .orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), T.tokenCount(col("text")).cast("long").as("nt"))
+          .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+          .withColumn("cum", sum("nt").over(w))
+          .withColumn("bin", floor((col("cum") - col("nt")) / lit(4096L)))
+          .groupBy("shard", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            md5(
+              array_join(
+                transform(
+                  array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                  x => x.getField("text")),
+                "")).as("payload_md5"),
+            sum(length(col("text"))).as("char_total"))
+          .orderBy("shard", "bin")
+      }),
+
       // Gap-based sessionization over the event stream (30-min inactivity)
       "q_sessionize" -> ((s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1957,6 +1991,20 @@ object SparkEntry {
          |SELECT shard, CAST(floor((cum - nt) / 4096) AS BIGINT) AS bin,
          |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok_total,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+    "q_pack_payload" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |                  CAST(len($ToksSql) AS BIGINT) AS nt,
+         |                  CAST(doc_id % 8 AS INT) AS shard
+         |           FROM documents),
+         |c AS (SELECT doc_id, text, nt, shard,
+         |             sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT shard, CAST(floor((cum - nt) / 4096) AS BIGINT) AS bin,
+         |       count(*) AS n_docs,
+         |       md5(string_agg(text, chr(30) ORDER BY doc_id)) AS payload_md5,
+         |       CAST(sum(length(text)) AS BIGINT) AS char_total
          |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
