@@ -364,6 +364,35 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // UNKEYED range join (scale extension): orders placed during each
+    // lineitem's in-transit window [shipdate, shipdate + quantity days] —
+    // a pure point-in-interval predicate with no equi-key. The naive
+    // spelling is BroadcastNestedLoopJoin (O(|P|·|I|)); Joins.binnedRangeJoin
+    // buckets both sides onto 7-day bins and hash-joins (plan-guarded: no
+    // BNLJ/cartesian). The oracle is DuckDB's native IEJoin over the same
+    // predicate — value-identical by construction.
+    "q_range_join" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val itv = Tables.lineitem(s, dir)
+        .where(pmod(col("l_orderkey"), lit(97)) === 0)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long").as("lo_day"),
+          (datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+            + col("l_quantity").cast("long")).as("hi_day"))
+      val pts = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("p_day"))
+      graft.operators.Joins
+        .binnedRangeJoin(pts, "p_day", itv, "lo_day", "hi_day", binWidth = 7L)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min("p_day").as("first_day"),
+          max("p_day").as("last_day"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
     // customers counted with zero orders preserved, then a histogram of
     // order counts. Exercises outer-join null semantics + double grouping.
@@ -737,6 +766,21 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey = 1
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Binning must be invisible: the oracle is the PLAIN range predicate
+    // (DuckDB plans it as its native IEJoin).
+    "q_range_join" ->
+      """WITH itv AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS lo_day,
+        |         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |           + CAST(l_quantity AS BIGINT) AS hi_day
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |p AS (SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS p_day
+        |      FROM orders)
+        |SELECT l_orderkey, l_linenumber, count(*) AS n_orders,
+        |       min(p_day) AS first_day, max(p_day) AS last_day
+        |FROM itv JOIN p ON p.p_day BETWEEN itv.lo_day AND itv.hi_day
+        |GROUP BY 1, 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -34,6 +34,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), s"plan:\n$p")
   }
 
+  test("q_range_join: unkeyed interval predicate runs as an equi-join on bins") {
+    val p = plan("q_range_join")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop shape:\n$p")
+  }
+
   test("q_pack_sequences: packing window is per-shard, not a global sort") {
     val p = plan("q_pack_sequences")
     assert(p.contains("hashpartitioning(shard"), s"plan:\n$p")

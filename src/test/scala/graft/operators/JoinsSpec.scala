@@ -95,6 +95,51 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("binned range join: value-identical to the naive range predicate") {
+    // Intervals spanning 0–4 bins, negative coordinates, zero-length
+    // intervals, and points sitting exactly on lo/hi boundaries — the cases
+    // where floor-division vs truncation and BETWEEN inclusivity bite.
+    val intervals = Seq(
+      (1L, -25L, -25L), // zero-length, negative, mid-bin
+      (2L, -7L, 13L), // straddles zero
+      (3L, 0L, 0L),
+      (4L, 5L, 39L), // 4 bins wide
+      (5L, 14L, 20L), // exactly bin-aligned at lo
+      (6L, 100L, 110L) // no points in range
+    ).toDF("iid", "lo", "hi")
+    val points = (-30L to 45L).map(p => (p * 31 % 7, p)).toDF("tag", "p")
+
+    val naive = points
+      .join(intervals, col("p").between(col("lo"), col("hi")))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    val binned =
+      Joins.binnedRangeJoin(points, "p", intervals, "lo", "hi", binWidth = 10L)
+    assert(binned.columns.toSeq === Seq("tag", "p", "iid", "lo", "hi"))
+    assert(binned.collect().map(_.toSeq).toSet === naive)
+  }
+
+  test("binned range join: no pair is emitted twice for multi-bin intervals") {
+    val intervals = Seq((1L, 0L, 99L)).toDF("iid", "lo", "hi") // covers 10 bins
+    val points = (0L to 99L).toDF("p")
+    val out = Joins.binnedRangeJoin(points, "p", intervals, "lo", "hi", 10L)
+    assert(out.count() === 100L) // each point matches exactly once
+  }
+
+  test("binned range join: plans as a hash/sort-merge join, not BNLJ") {
+    val intervals = Seq((1L, 0L, 9L)).toDF("iid", "lo", "hi")
+    val points = spark.range(100L).select(col("id").as("p"))
+    val plan = Joins
+      .binnedRangeJoin(points, "p", intervals, "lo", "hi", 10L)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop shape:\n$plan")
+  }
+
   test("bloom-pruned join: definite non-members are dropped by the filter alone") {
     val small = (0L until 10L).map(k => (k, "d")).toDF("k", "attr")
     val bf = small.stat.bloomFilter("k", 10L, 0.01)
