@@ -1155,6 +1155,28 @@ object SparkEntry {
       "q_dedup_keep_longest" -> ((s, dir) =>
         Dedup.exactKeepLongest(Tables.documents(s, dir)).orderBy("keep_id")),
 
+      // Incremental batch-vs-corpus dedup (training-pipeline extension):
+      // the corpus is every doc_id % 5 != 0; the "new batch" is the %5 == 0
+      // docs re-keyed (near-dup relations to the corpus must be
+      // rediscovered) plus verbatim copies of every 83rd corpus doc (which
+      // MUST come back exact_dup — the query validates its own exact stage).
+      // Bloom-pruned exact stage, then contaminationPairs for the near
+      // stage; the corpus side never shuffles.
+      "q_dedup_incremental" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val batch = docs
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(
+            corpus
+              .filter(pmod(col("doc_id"), lit(83)) === 0)
+              .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        Dedup
+          .incrementalDedup(batch, corpus, 0.3, expectedCorpusDocs = 100000L)
+          .orderBy("doc_id")
+      }),
+
       // Near-dup: blocked word-3-gram Jaccard pairs
       "q_dedup_ngram" -> ((s, dir) =>
         Dedup
@@ -1720,6 +1742,48 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT b_id FROM ($NgramPairsSql))
          |ORDER BY doc_id""".stripMargin,
+    // Bloom pruning is transparent (FPs are re-checked by the exact fp
+    // join), so the oracle is the PLAIN two-stage classification: exact
+    // fingerprint membership first, blocked ngram-Jaccard (same CTE shape
+    // as q_contamination, corpus-side bucket cap) on the remainder.
+    "q_dedup_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |          UNION ALL
+         |          SELECT doc_id + 2000000 AS doc_id, text FROM documents
+         |          WHERE doc_id % 5 <> 0 AND doc_id % 83 = 0),
+         |cfp AS (SELECT DISTINCT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         |        FROM corpus),
+         |ex AS (SELECT b.doc_id FROM batch b
+         |       JOIN cfp ON md5(trim(lower(regexp_replace(b.text, '\\s+', ' ', 'g')))) = cfp.fp),
+         |rest AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+         |ck0 AS (SELECT doc_id,
+         |               md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk
+         |        FROM corpus),
+         |ok AS (SELECT bk FROM ck0 GROUP BY bk HAVING count(*) <= 2000),
+         |ck AS (SELECT ck0.* FROM ck0 JOIN ok USING (bk)),
+         |bk2 AS (SELECT doc_id,
+         |               md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk
+         |        FROM rest),
+         |cand AS (SELECT c.doc_id AS a_id, b.doc_id AS b_id FROM ck c JOIN bk2 b USING (bk)),
+         |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM rest),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |       FROM (SELECT doc_id, $ToksSql AS toks FROM alld)),
+         |j AS (SELECT a_id, b_id,
+         |             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+         |      FROM cand JOIN sh a ON a.doc_id = cand.a_id JOIN sh b ON b.doc_id = cand.b_id),
+         |nr AS (SELECT DISTINCT b_id AS doc_id FROM j
+         |       WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.3)
+         |SELECT doc_id,
+         |       CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+         |            WHEN doc_id IN (SELECT doc_id FROM nr) THEN 'near_dup'
+         |            ELSE 'kept' END AS status
+         |FROM batch ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($ToksSql) AS BIGINT) AS n_tokens,

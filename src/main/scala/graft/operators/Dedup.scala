@@ -268,6 +268,75 @@ object Dedup {
       .select(col("a_id.id").as("a_id"), col("b_id.id").as("b_id"), col("jac"))
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the daily-ingest shape: classify
+    * each NEW batch document against an EXISTING corpus as `exact_dup`
+    * (verbatim content already in the corpus), `near_dup` (≥ `threshold`
+    * word-3-gram Jaccard with some corpus doc), or `kept`. Returns one row
+    * per batch doc: `(doc_id, status)`.
+    *
+    * Scale shape — the corpus is the 100 TB side and is never shuffled:
+    *  1. Exact stage: a Bloom filter over the corpus's 64-bit content hashes
+    *     (one tree-aggregated pass; only the O(bits) sketch reaches the
+    *     driver) prunes the batch to might-be-duplicate rows BEFORE any join;
+    *     the md5 fingerprint semi-join that confirms them runs on that sliver
+    *     only, so Bloom false positives cost a probe, never a wrong drop.
+    *  2. Near stage: [[contaminationPairs]] with the (already exact-deduped)
+    *     batch as the broadcast side — corpus-side candidates come from the
+    *     blocked prefix key with the same bucket cap, and shingles are
+    *     computed only for block-colliding docs.
+    * In production the corpus fingerprint/blocking index would be a
+    * precomputed bucketed table maintained by the ingest job itself; here it
+    * is derived inline from `corpus`, which costs one extra scan but changes
+    * no join shape. The batch must fit the broadcast budget (a day's ingest
+    * against a corpus of years); for batch sizes beyond it, run this in
+    * batch-partition slices.
+    *
+    * Exact runs BEFORE near deliberately: verbatim copies would otherwise
+    * all reappear as jac-1.0 near pairs, and the near stage is the expensive
+    * one ([[simhashPairs]] documents the same ordering contract). */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.3,
+      expectedCorpusDocs: Long = 1000000L,
+      maxBucket: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, BloomMightContain}
+    val corpusFp = corpus.select(
+      fingerprint(col("text")).as("fp"),
+      xxhash64(normalize(col("text"))).as("fph"))
+    val bf = corpusFp.stat.bloomFilter("fph", expectedCorpusDocs, 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val batchFp = batch.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      xxhash64(normalize(col("text"))).as("fph"))
+    val exactDup = batchFp
+      .filter(Bridge.column(
+        BloomMightContain(Bridge.expression(col("fph")), Literal(bos.toByteArray))))
+      .join(corpusFp.select("fp"), Seq("fp"), "left_semi")
+      .select("doc_id")
+    val rest = batch.join(broadcast(exactDup), Seq("doc_id"), "left_anti")
+    val nearDup = contaminationPairs(
+      corpus,
+      rest.select("doc_id", "text"),
+      threshold,
+      maxBucket)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+    batch
+      .select("doc_id")
+      .join(broadcast(exactDup.withColumn("_e", lit(true))), Seq("doc_id"), "left_outer")
+      .join(broadcast(nearDup.withColumn("_n", lit(true))), Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        when(col("_e"), "exact_dup")
+          .when(col("_n"), "near_dup")
+          .otherwise("kept")
+          .as("status"))
+  }
+
   /** Survivor corpus after near-dup removal: drops the higher `doc_id` of
     * every verified pair (greedy one-pass policy — the standard corpus-
     * curation choice: chains collapse toward the lowest id without an

@@ -122,6 +122,37 @@ class DedupSpec extends SparkSpec {
     assert(jac0 === 1.0)
   }
 
+  test("incrementalDedup: batch docs classified exact_dup / near_dup / kept against the corpus") {
+    val corpus = Seq((0L, base), (1L, "unrelated corpus doc about columnar engines and such")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "  " + base.toUpperCase.toLowerCase + "  "), // exact after normalization
+      (101L, base + " extra"), // near-dup of corpus 0 (shares prefix block + shingles)
+      (102L, "fresh novel content never seen in any corpus before this moment arrived here")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .incrementalDedup(batch, corpus, 0.3, expectedCorpusDocs = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out === Map(100L -> "exact_dup", 101L -> "near_dup", 102L -> "kept"))
+  }
+
+  test("incrementalDedup: empty batch and batch-only duplicates stay kept") {
+    val corpus = Seq((0L, base)).toDF("doc_id", "text")
+    // Two batch docs that duplicate EACH OTHER but not the corpus: incremental
+    // dedup is vs the corpus only (intra-batch dedup is exact()'s job).
+    val t = "twin text payload repeated within the same batch twice over and over again tonight"
+    val batch = Seq((200L, t), (201L, t)).toDF("doc_id", "text")
+    val out = Dedup
+      .incrementalDedup(batch, corpus, 0.3, expectedCorpusDocs = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out === Map(200L -> "kept", 201L -> "kept"))
+    val empty = Dedup.incrementalDedup(batch.limit(0), corpus, 0.3, expectedCorpusDocs = 10L)
+    assert(empty.count() === 0L)
+  }
+
   test("dropNearDuplicates: greedy drop of each pair's higher id, keepers survive") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a_id", "b_id")
     val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id")
