@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,8 +16,8 @@ import org.apache.spark.sql.types._
   * (`array_max(transform(abs))` + two `transform` lambdas) evaluates
   * interpreted with per-element boxing — profiled as the dominant term of
   * the quantization query. This kernel is two tight primitive passes (max,
-  * then scale) per row. CodegenFallback like the Signatures kernels: the
-  * eval is compiled JVM code; codegen would only shave the per-row dispatch.
+  * then scale) per row, and codegens as a single compiled-kernel call (the
+  * Signatures pattern), so the enclosing whole-stage span stays fused.
   *
   * Numeric contract: `floor(x + 0.5)` rather than `round()` (engines
   * disagree on round-half-to-even vs half-away for doubles; floor is exact),
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
 case class QuantizeInt8(child: Expression)
     extends UnaryExpression
     with ImplicitCastInputTypes
-    with CodegenFallback {
+    with KernelCodegen {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
 
@@ -36,8 +36,7 @@ case class QuantizeInt8(child: Expression)
 
   override def prettyName: String = "graft_quantize_int8"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val v = new Array[Double](m)
     var mx = 0.0
@@ -58,6 +57,12 @@ case class QuantizeInt8(child: Expression)
     }
     new GenericArrayData(out)
   }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)

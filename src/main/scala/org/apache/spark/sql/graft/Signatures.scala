@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -15,10 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order functions (`transform`/`aggregate` lambdas) evaluates
   * interpreted with per-element boxing — profiling at sf0.1 showed the
   * signature stage dominating MinHash/SimHash dedup by >20×. These kernels
-  * hash each element once in a tight compiled loop. They are CodegenFallback
-  * (the eval itself is plain JVM code; codegen would only shave the per-row
-  * dispatch), deterministic, and depend only on murmur3 — no wall-clock, no
-  * RNG.
+  * hash each element once in a tight compiled loop.
+  *
+  * Codegen contract: each kernel implements `doGenCode` as a single call
+  * into its compiled `compute` method (via `ctx.addReferenceObj`), NOT as
+  * CodegenFallback. A fallback expression would split the whole-stage
+  * codegen span of every stage it appears in — de-optimizing the
+  * surrounding projections and filters, which on the text paths are the
+  * tokenize → signature → stats chains themselves. The per-row loop stays
+  * plain JVM code (generating it inline would duplicate logic for no
+  * measurable gain); what matters is that the enclosing stage still fuses.
+  * All kernels are deterministic and depend only on murmur3 — no
+  * wall-clock, no RNG.
   */
 private[graft] object HashKernels {
   @inline def murmur(s: UTF8String, seed: Int): Int =
@@ -33,6 +41,13 @@ private[graft] object HashKernels {
   }
 }
 
+/** Shared doGenCode shape: bind `this` into the generated class's reference
+  * array and emit one call to the kernel's `compute`. */
+private[graft] trait KernelCodegen { self: Expression =>
+  protected def kernelRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("graftKernel", this, getClass.getName)
+}
+
 /** Distinct, sorted 64-bit hashes of the word n-grams of an `array<string>`
   * token column. Replaces materializing n-gram *strings*
   * (`transform` + `concat_ws` + `array_distinct` — interpreted per element,
@@ -42,13 +57,12 @@ private[graft] object HashKernels {
   * Fewer than `n` tokens → empty array. */
 case class NGramHashes(child: Expression, n: Int)
     extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_ngram_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](m)
@@ -79,6 +93,12 @@ case class NGramHashes(child: Expression, n: Int)
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -88,14 +108,12 @@ case class NGramHashes(child: Expression, n: Int)
   * replacing interpreted `size(array_intersect(...))`. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def compute(x: ArrayData, y: ArrayData): Int = {
     var i = 0
     var j = 0
     var c = 0
@@ -108,6 +126,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     c
   }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = ${kernelRef(ctx)}.compute($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,
@@ -123,13 +150,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * Long.MaxValue (callers filter empty shingle sets). */
 case class MinHashSignature(child: Expression, numPerm: Int)
     extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
@@ -148,6 +174,12 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     new GenericArrayData(sig)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -159,7 +191,7 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   * engine on every text path (tokens feed shingles, stats, lang-ID). */
 case class WhitespaceTokens(child: Expression)
     extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"
@@ -167,8 +199,8 @@ case class WhitespaceTokens(child: Expression)
   @inline private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def compute(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
     val n = bytes.length
@@ -181,6 +213,12 @@ case class WhitespaceTokens(child: Expression)
     new GenericArrayData(out.toArray[Any])
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -190,9 +228,9 @@ case class WhitespaceTokens(child: Expression)
   * `size(filter(arr, t -> t IN (...)))` lambda on the text-quality path. */
 case class CountInSet(child: Expression, set: Seq[String])
     extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
 
-  private lazy val lookup: java.util.HashSet[UTF8String] = {
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](set.size * 2)
     set.foreach(v => s.add(UTF8String.fromString(v)))
     s
@@ -201,8 +239,7 @@ case class CountInSet(child: Expression, set: Seq[String])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_count_in_set"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Int = {
     var i = 0
     var c = 0
     while (i < arr.numElements()) {
@@ -211,6 +248,12 @@ case class CountInSet(child: Expression, set: Seq[String])
     }
     c
   }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -223,13 +266,12 @@ case class CountInSet(child: Expression, set: Seq[String])
   * the whole exploded corpus for a row-local statistic. */
 case class MaxMultiplicity(child: Expression)
     extends UnaryExpression
-    with CodegenFallback {
+    with KernelCodegen {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_max_multiplicity"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Int = {
     val n = arr.numElements()
     if (n == 0) return 0
     val counts = new java.util.HashMap[UTF8String, Int](n * 2)
@@ -246,6 +288,12 @@ case class MaxMultiplicity(child: Expression)
     best
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -254,13 +302,12 @@ case class MaxMultiplicity(child: Expression)
   * on every bit of its 64-bit hash (two murmur3 halves); bit i of the result
   * is set iff the summed vote is positive. Single pass, one int[64] of local
   * state per row. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -282,6 +329,12 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     sig
   }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

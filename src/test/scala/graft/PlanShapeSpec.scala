@@ -34,6 +34,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), s"plan:\n$p")
   }
 
+  test("signature kernels participate in whole-stage codegen (span not split)") {
+    import org.apache.spark.sql.functions.col
+    // A CodegenFallback expression would exclude its ProjectExec from the
+    // WholeStageCodegen wrapper (no '*' prefix), splitting the scan→project
+    // span on every text path. The kernels codegen as compiled-kernel calls.
+    val df = graft.sources.Tables
+      .documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator
+      .find(_.contains("graft_tokens"))
+      .getOrElse(fail(s"no kernel in plan:\n$p"))
+    assert(projLine.trim.startsWith("*"), s"kernel Project not codegen'd:\n$p")
+  }
+
   test("q_range_join: unkeyed interval predicate runs as an equi-join on bins") {
     val p = plan("q_range_join")
     assert(
