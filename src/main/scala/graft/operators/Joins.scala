@@ -97,6 +97,11 @@ object Joins {
     * it, incl. negative and boundary values; oracle-checked as
     * `q_range_join` against DuckDB's native IEJoin).
     *
+    * Measured (graft.tools.RangeJoinBench, local[32]): 200k points × 20k
+    * intervals — binned 0.47 s vs naive BNLJ 2.4 s; at 10× (2M × 200k) —
+    * binned 0.72 s vs naive 117.5 s. Naive cost grew ~49× (quadratic in
+    * scale), binned ~1.5× (output-linear).
+    *
     * Cost model: intervals replicate `(len/binWidth + 1)`× — pick `binWidth`
     * near the median interval length so the blow-up stays ~2× while each bin
     * pairs a point only with intervals nearby. Degenerate inputs to watch:
