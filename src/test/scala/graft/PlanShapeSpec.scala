@@ -49,6 +49,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.trim.startsWith("*"), s"kernel Project not codegen'd:\n$p")
   }
 
+  test("q_dedup_incremental: bloom probe guards the exact stage; drop sets broadcast") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("graft_bloom_might_contain"), s"bloom prune missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"status-assembly joins not broadcast:\n$p")
+  }
+
   test("q_range_join: unkeyed interval predicate runs as an equi-join on bins") {
     val p = plan("q_range_join")
     assert(
