@@ -1639,7 +1639,90 @@ object SparkEntry {
       "q_source_weights" -> ((s, dir) =>
         graft.operators.Curation
           .sourceWeights(Tables.documents(s, dir))
-          .orderBy("source"))
+          .orderBy("source")),
+
+      // Deterministic global training-order shuffle: epoch-0 data loaders
+      // need a reproducible pseudo-random permutation of the corpus split
+      // into K shard files. Shard = Knuth-multiplicative bucket of doc_id
+      // (DuckDB-replayable), position = rank of md5(seed ‖ doc_id) WITHIN
+      // the shard; the global order is (shard, pos), so no single-partition
+      // window ever materializes — each shard sorts independently, the same
+      // K-way-parallel shape as q_pack_sequences.
+      "q_train_order" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            pmod(Curation.hashBucket(col("doc_id")), lit(8L)).cast("int").as("shard"),
+            md5(concat(lit("ep0:"), col("doc_id").cast("string"))).as("okey"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      }),
+
+      // Length-bucketed batching: group docs into power-of-two token-length
+      // buckets (the dynamic-batching layout inference servers and padded
+      // SFT loaders use) and price the padding each bucket pays. Row-local
+      // bucket math, then ONE partial-aggregated shuffle of O(buckets) rows.
+      "q_length_buckets" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(greatest(T.tokenCount(col("text")).cast("long"), lit(1L)).as("nt"))
+          .withColumn("bucket_len", pow(lit(2.0), ceil(log2(col("nt")))).cast("long"))
+          .groupBy("bucket_len")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("tok_total"))
+          .select(
+            col("bucket_len"),
+            col("n_docs"),
+            col("tok_total"),
+            (col("n_docs") * col("bucket_len") - col("tok_total")).as("padding"))
+          .orderBy("bucket_len")),
+
+      // Paragraph-level dedup (the CCNet/RefinedWeb line-dedup shape, over
+      // fixed 12-token chunks since this corpus is single-line): a chunk
+      // survives only in the lowest-doc_id document containing it, and each
+      // document is reassembled from its surviving chunks in order —
+      // boilerplate shared across documents vanishes everywhere but its
+      // first occurrence. Scale shape: the min-owner aggregate combines
+      // map-side on 16-byte chunk hashes; chunk text crosses the wire only
+      // in the owner join and the per-doc reassembly — never as pairs. The
+      // md5 of the rebuilt text keeps the comparison fixed-width while
+      // pinning the exact byte order of the reassembly.
+      "q_dedup_paragraphs" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val chunks = docs
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(12))))
+          .select(
+            col("doc_id"),
+            (col("start") / 12).cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("toks"), col("start") + 1, lit(12))).as("chunk"))
+          .withColumn("ch", md5(col("chunk")))
+        val owner = chunks.groupBy("ch").agg(min("doc_id").as("owner"))
+        val rebuilt = chunks
+          .join(owner, Seq("ch"))
+          .filter(col("doc_id") === col("owner"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            md5(concat_ws(
+              " ",
+              transform(
+                array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+                x => x.getField("chunk")))).as("rebuilt_md5"))
+        docs
+          .select(
+            col("doc_id"),
+            ceil(size(T.tokens(col("text"))) / lit(12.0)).cast("long").as("n_chunks"))
+          .join(rebuilt, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            col("rebuilt_md5"))
+          .orderBy("doc_id")
+      })
     )
   }
 
@@ -2280,6 +2363,39 @@ object SparkEntry {
          |m AS (SELECT max(tok_total) AS mx FROM t)
          |SELECT source, tok_total,
          |       sqrt(CAST(tok_total AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)) AS weight
-         |FROM t CROSS JOIN m ORDER BY source""".stripMargin
+         |FROM t CROSS JOIN m ORDER BY source""".stripMargin,
+    "q_train_order" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+        |                  md5('ep0:' || CAST(doc_id AS VARCHAR)) AS okey
+        |           FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos
+        |FROM t ORDER BY shard, pos""".stripMargin,
+    "q_length_buckets" ->
+      s"""WITH t AS (SELECT greatest(CAST(len($ToksSql) AS BIGINT), 1) AS nt FROM documents),
+         |b AS (SELECT nt, CAST(power(2, ceil(log2(nt))) AS BIGINT) AS bucket_len FROM t)
+         |SELECT bucket_len, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok_total,
+         |       CAST(count(*) * bucket_len - sum(nt) AS BIGINT) AS padding
+         |FROM b GROUP BY 1 ORDER BY bucket_len""".stripMargin,
+    "q_dedup_paragraphs" ->
+      s"""WITH w AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
+         |      FROM w WHERE len(toks) > 0),
+         |c AS (SELECT doc_id,
+         |             CAST(start // 12 AS BIGINT) AS chunk_idx,
+         |             array_to_string(list_slice(toks, start + 1, least(start + 12, len(toks))), ' ') AS chunk
+         |      FROM s),
+         |o AS (SELECT chunk, min(doc_id) AS owner FROM c GROUP BY 1),
+         |k AS (SELECT c.doc_id, c.chunk_idx, c.chunk
+         |      FROM c JOIN o ON c.chunk = o.chunk AND c.doc_id = o.owner),
+         |r AS (SELECT doc_id, count(*) AS n_kept,
+         |             md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS rebuilt_md5
+         |      FROM k GROUP BY 1)
+         |SELECT w.doc_id,
+         |       CAST(ceil(len(w.toks) / 12.0) AS BIGINT) AS n_chunks,
+         |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       r.rebuilt_md5
+         |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming exact dedup across micro-batches (SURVEY §2.11 extension): the
+  * continuous-ingest version of [[graft.operators.Dedup.incrementalDedup]]'s
+  * exact stage. Each arriving document is classified `kept` (first time this
+  * content has ever been seen) or `exact_dup`, with the seen-set carried as
+  * keyed streaming state so a duplicate is caught no matter how many days
+  * separate it from the original — `dropDuplicatesWithinWatermark` cannot
+  * express that (its state, by design, expires with the watermark).
+  *
+  * Scale shape: state is keyed by the 64-bit content hash, so the store
+  * holds one ~16-byte entry per DISTINCT document ever ingested — the
+  * smallest possible representation of "what have I seen" short of lossy
+  * sketches, partitioned across executors by hash (RocksDB-backed in
+  * production, `spark.sql.streaming.stateStore.providerClass`). Unlike the
+  * batch path there is no corpus rescan per batch: each micro-batch costs
+  * O(batch) state lookups. For corpora where even the hash set outgrows the
+  * store, the documented fallback is the batch [[graft.operators.Dedup
+  * .incrementalDedup]] whose Bloom stage bounds driver+executor memory
+  * explicitly.
+  *
+  * Within a micro-batch, ties collapse to the lowest doc_id (events in one
+  * batch have no arrival order) — same first-wins policy as the batch
+  * operators, and deterministic under replay, so the checkpoint's
+  * exactly-once contract extends to the classification itself.
+  */
+object StreamingDedup {
+
+  /** One classified document. */
+  case class DedupVerdict(doc_id: Long, status: String)
+
+  /** Streaming source over a documents parquet directory (file source:
+    * new files discovered per micro-batch). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(dir)
+
+  /** Classify each streamed document against all content ever seen:
+    * first occurrence of a normalized content hash → `kept`, every later
+    * one → `exact_dup`. */
+  def classify(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(
+        col("doc_id"),
+        xxhash64(trim(lower(regexp_replace(col("text"), "\\s+", " ")))).as("fph"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, DedupVerdict](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())( (_, rows, state) => {
+        val ids = rows.map(_._1).toArray.sorted
+        val seenBefore = state.exists
+        if (!seenBefore) state.update(true)
+        ids.iterator.zipWithIndex.map { case (id, i) =>
+          DedupVerdict(id, if (seenBefore || i > 0) "exact_dup" else "kept")
+        }
+      })
+      .toDF()
+  }
+}
