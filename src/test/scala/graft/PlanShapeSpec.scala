@@ -55,6 +55,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"status-assembly joins not broadcast:\n$p")
   }
 
+  test("q_train_order: permutation windows per shard — never a single-partition sort") {
+    val p = plan("q_train_order")
+    assert(p.contains("Window") && p.contains("hashpartitioning(shard"), s"plan:\n$p")
+    assert(exchanges(p) === 2, s"expected shard shuffle + output sort only, plan:\n$p")
+  }
+
+  test("q_length_buckets: text-only scan, map-side combine, one O(buckets) shuffle") {
+    val p = plan("q_length_buckets")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"), s"scan not pruned to text:\n$p")
+    assert(exchanges(p) === 2, s"expected agg shuffle + output sort only, plan:\n$p")
+  }
+
+  test("q_dedup_paragraphs: min-owner combines map-side; chunk space never goes pairwise") {
+    val p = plan("q_dedup_paragraphs")
+    assert(p.contains("partial_min"), s"owner agg not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q_range_join: unkeyed interval predicate runs as an equi-join on bins") {
     val p = plan("q_range_join")
     assert(
