@@ -1678,6 +1678,29 @@ object SparkEntry {
             (col("n_docs") * col("bucket_len") - col("tok_total")).as("padding"))
           .orderBy("bucket_len")),
 
+      // Per-source document cap (the domain-cap curation step: no single
+      // source may contribute more than N docs): keep the N docs with the
+      // smallest seeded-hash priority within each source — a deterministic
+      // lottery rather than doc_id order, so the kept subset is unbiased by
+      // ingest order. ONE window shuffle keyed by source. A pathologically
+      // large source sorts within its partition; because the priority is
+      // uniform, the documented skew escape is pre-filtering on an
+      // approximate okey quantile (≈ N/count) before the window, which
+      // bounds the sorted set to ~N rows per source.
+      "q_source_cap" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("okey", "doc_id")
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("source"),
+            md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("okey"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 15)
+          .select("doc_id", "source", "rk")
+          .orderBy("source", "rk")
+      }),
+
       // Paragraph-level dedup (the CCNet/RefinedWeb line-dedup shape, over
       // fixed 12-token chunks since this corpus is single-line): a chunk
       // survives only in the lowest-doc_id document containing it, and each
@@ -2378,6 +2401,14 @@ object SparkEntry {
          |SELECT bucket_len, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok_total,
          |       CAST(count(*) * bucket_len - sum(nt) AS BIGINT) AS padding
          |FROM b GROUP BY 1 ORDER BY bucket_len""".stripMargin,
+    "q_source_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  md5('cap:' || CAST(doc_id AS VARCHAR)) AS okey
+        |           FROM documents),
+        |r AS (SELECT doc_id, source,
+        |             CAST(row_number() OVER (PARTITION BY source ORDER BY okey, doc_id) AS BIGINT) AS rk
+        |      FROM t)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
     "q_dedup_paragraphs" ->
       s"""WITH w AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
