@@ -50,4 +50,43 @@ object Sinks {
       .partitionBy("shard")
       .parquet(path)
   }
+
+  /** Compact a parquet directory's small files in place (the operational
+    * complement to continuous ingest: an AvailableNow drain per micro-batch
+    * lands one file per batch per task, and a year of that makes every
+    * downstream scan pay per-file open/footer cost). Rewrites the directory
+    * as `ceil(bytes / targetFileBytes)` files via a round-robin
+    * repartition — content-identical, one shuffle whose width IS the
+    * output layout. Writes to `<path>.compact.tmp` first and swaps only
+    * after the rewrite commits, so a failed compaction never touches the
+    * original (same tmp-then-swap discipline as WideColumnTable.put).
+    * Returns (filesBefore, filesAfter). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String): Seq[java.nio.file.Path] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .toSeq
+    val before = parquetFiles(path)
+    val bytes = before.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path + ".compact.tmp"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = path + ".compact.old"
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    def deleteTree(p: String): Unit = {
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+    }
+    deleteTree(old)
+    (before.size, parquetFiles(path).size)
+  }
 }

@@ -79,4 +79,24 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
     assert(counts2 === counts)
   }
+
+  test("compact: many small files become few, content identical, atomic swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dir = s"$base/ingested"
+    // Simulate 20 micro-batch drains: one tiny file each.
+    for (b <- 0 until 20)
+      Seq((b.toLong, s"doc $b")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val expected = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val nBefore = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nBefore === 20)
+
+    val (before, after) = Sinks.compact(spark, dir, targetFileBytes = 1L * 1024 * 1024)
+    assert(before === 20 && after < 20)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) === after)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet === expected)
+    // tmp/old staging dirs are gone
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+    assert(!new java.io.File(dir + ".compact.old").exists())
+  }
 }
