@@ -1678,6 +1678,57 @@ object SparkEntry {
             (col("n_docs") * col("bucket_len") - col("tok_total")).as("padding"))
           .orderBy("bucket_len")),
 
+      // Ordered funnel (view → click → purchase): per user, the first view,
+      // the first click strictly after it, the first purchase strictly
+      // after that; emits users-reaching-stage counts. Sequencing is three
+      // chained min-aggregates over equi-joins keyed by user_id — each
+      // stage's first-touch set is O(users), shuffled by the same key as
+      // the events (no broadcast hint: users scale with the data, AQE
+      // upgrades the join when a stage set is small). Timestamps compare in
+      // microsecond space on both sides (epoch_us convention, cf.
+      // q_sessionize).
+      "q_funnel" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min("us").as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min("us").as("t3"))
+        def stage(df: DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), col("n_users"))
+        stage(t1, "1_view")
+          .unionByName(stage(t2, "2_click"))
+          .unionByName(stage(t3, "3_purchase"))
+          .orderBy("stage")
+      }),
+
+      // Weekly cohort retention: cohort = ISO week of a user's first event,
+      // k = weeks since cohort; n_active = users of that cohort active in
+      // week k. The (user, week) activity set is deduped FIRST (one
+      // map-side-combined distinct of fixed-width pairs), so the cohort
+      // join and the roll-up never see more than users × weeks rows —
+      // count(*) over the deduped set replaces a shuffling count-distinct.
+      "q_retention" -> ((s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        uw.join(cohort, "user_id")
+          .select(
+            col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("long").as("k"))
+          .groupBy("cohort_wk", "k")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_wk", "k")
+      }),
+
       // Per-source document cap (the domain-cap curation step: no single
       // source may contribute more than N docs): keep the N docs with the
       // smallest seeded-hash priority within each source — a deterministic
@@ -2401,6 +2452,27 @@ object SparkEntry {
          |SELECT bucket_len, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS tok_total,
          |       CAST(count(*) * bucket_len - sum(nt) AS BIGINT) AS padding
          |FROM b GROUP BY 1 ORDER BY bucket_len""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        |  UNION ALL SELECT '2_click', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM t3
+        |) ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |            FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+        |SELECT c.cohort_wk,
+        |       CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS k,
+        |       count(*) AS n_active
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, k""".stripMargin,
     "q_source_cap" ->
       """WITH t AS (SELECT doc_id, source,
         |                  md5('cap:' || CAST(doc_id AS VARCHAR)) AS okey
