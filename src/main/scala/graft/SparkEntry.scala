@@ -1796,7 +1796,91 @@ object SparkEntry {
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             col("rebuilt_md5"))
           .orderBy("doc_id")
-      })
+      }),
+
+      // Corpus-wide most-duplicated 5-grams — the diagnostic that tunes
+      // span/paragraph dedup thresholds (which n-grams are boilerplate vs
+      // genuine repetition). The 5-gram stream is 5× the token stream but
+      // collapses map-side before its one shuffle; TakeOrderedAndProject
+      // keeps top-20 off the driver. n_docs rides the same aggregate as a
+      // distinct-count (Spark plans the expand once, still partial-agg'd).
+      "q_top_dup_ngrams" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(
+            col("doc_id"),
+            explode(transform(
+              sequence(lit(1), size(col("toks")) - 4),
+              i => concat_ws(" ", slice(col("toks"), i, lit(5))))).as("ngram"))
+          .groupBy("ngram")
+          .agg(
+            count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occ").desc, col("ngram"))
+          .limit(20)),
+
+      // Token-level Shannon entropy per document — the information-density
+      // quality signal (spam/keyword-stuffed pages score low, natural prose
+      // high). H = log2(n) - sum(c*log2(c))/n over per-token counts c.
+      // Numeric discipline per the file header: each c*log2(c) term is
+      // rounded to 6 dp and summed as DECIMAL (exact, order-insensitive),
+      // so the one engine-sensitive step is the final 4 dp rounding of a
+      // deterministic scalar expression. Two map-side-combined aggregates:
+      // the token stream collapses on (doc_id, tok) before its shuffle, the
+      // per-doc roll-up then shuffles only O(docs × distinct-tokens) rows.
+      "q_doc_entropy" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n"),
+            sum(round(col("c").cast("double") * log2(col("c").cast("double")), 6)
+              .cast("decimal(20,6)")).as("clog"))
+          .select(
+            col("doc_id"),
+            col("n"),
+            round(log2(col("n").cast("double")) - col("clog").cast("double") / col("n"), 4)
+              .as("entropy"))
+          .orderBy("doc_id")),
+
+      // Exact length deciles via the distributed ntile (operators/
+      // Analytics.scala): global quantile buckets with NO corpus-wide
+      // single-partition window — the global order is reconstructed from
+      // the value histogram's cumulative offsets plus per-value tie ranks.
+      "q_length_deciles" -> ((s, dir) =>
+        graft.operators.Analytics
+          .distributedNtile(
+            Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+            "n_chars",
+            "doc_id",
+            10)
+          .withColumnRenamed("bucket", "decile")
+          .groupBy("decile")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("decile")),
+
+      // Fixed-bound value histogram over events (Postgres width_bucket
+      // semantics: bucket 0 below range, n+1 above). Pure row-local math
+      // then one O(buckets) partial-aggregated shuffle; min/max are the
+      // order-insensitive double aggregates the header contract allows.
+      "q_histogram" -> ((s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            width_bucket(col("value"), lit(0d), lit(500d), lit(20L)).as("bucket"),
+            col("value"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            min("value").as("lo"),
+            max("value").as("hi"))
+          .orderBy("bucket"))
     )
   }
 
@@ -2499,6 +2583,44 @@ object SparkEntry {
          |       CAST(ceil(len(w.toks) / 12.0) AS BIGINT) AS n_chunks,
          |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
          |       r.rebuilt_md5
-         |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_top_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, len(toks) - 3),
+         |                    i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS ngram
+         |      FROM t WHERE len(toks) >= 5)
+         |SELECT ngram, count(*) AS n_occ,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1 ORDER BY n_occ DESC, ngram LIMIT 20""".stripMargin,
+    "q_doc_entropy" ->
+      s"""WITH c AS (SELECT doc_id, tok, count(*) AS c
+         |           FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+         |           GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |             sum(CAST(round(c * log2(c), 6) AS DECIMAL(20,6))) AS clog
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n,
+         |       round(log2(n) - CAST(clog AS DOUBLE) / n, 4) AS entropy
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_length_deciles" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |                  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |                  count(*) OVER () AS n
+        |           FROM documents)
+        |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+        |       count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q_histogram" ->
+      // DuckDB has no width_bucket; this is the Postgres formula with the
+      // same float steps Spark's WidthBucket takes (width = 500/20 = 25,
+      // exact in binary, so floor(value/width)+1 is bit-identical).
+      """SELECT CAST(CASE WHEN value < 0 THEN 0
+        |                 WHEN value >= 500 THEN 21
+        |                 ELSE floor(value / 25.0) + 1 END AS BIGINT) AS bucket,
+        |       count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -207,4 +207,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("q_length_deciles: only the value histogram funnels to one partition") {
+    val p = plan("q_length_deciles")
+    // exactly two SinglePartition exchanges, both over the O(distinct
+    // values) histogram (cumulative-offset window + 1-row total) — the
+    // corpus itself shuffles keyed by value
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 2, s"plan:\n$p")
+    // the corpus-side rank window is partitioned (by n_chars), not global
+    assert(p.contains("row_number() windowspecdefinition(n_chars"), s"plan:\n$p")
+    // offsets and the 1-row total reach the corpus as broadcasts
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+
+  test("q_top_dup_ngrams: 5-gram stream combines map-side, top-20 cut off-driver") {
+    val p = plan("q_top_dup_ngrams")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), s"plan:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("q_doc_entropy: token stream collapses on (doc_id, tok) before shuffling") {
+    val p = plan("q_doc_entropy")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(exchanges(p) === 3, s"expected tok agg + doc agg + output sort, plan:\n$p")
+  }
+
+  test("q_histogram: value-only scan, row-local bucketing, O(buckets) shuffle") {
+    val p = plan("q_histogram")
+    assert(p.contains("ReadSchema: struct<value:double>"), s"scan not pruned:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(exchanges(p) === 2, s"expected agg shuffle + output sort only, plan:\n$p")
+  }
 }
