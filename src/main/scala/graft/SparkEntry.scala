@@ -1880,8 +1880,48 @@ object SparkEntry {
             count(lit(1)).as("n"),
             min("value").as("lo"),
             max("value").as("hi"))
-          .orderBy("bucket"))
+          .orderBy("bucket")),
+
+      // Per-label centroid pairwise cosines — see [[embedCentroidSim]].
+      "q_embed_centroid_sim" -> ((s, dir) => embedCentroidSim(s, dir))
     )
+  }
+
+  /** Cluster-separation diagnostic: per-label centroids and their pairwise
+    * cosines — how far apart the labeled regions of embedding space sit
+    * (IVF seeding sanity, label purity). Scale shape: posexplode multiplies
+    * the corpus by dim but combines map-side on (label, pos); everything
+    * after the first aggregate is model-sized (labels × dim), so the
+    * pairwise stage is bounded by the label count, never the corpus.
+    * Numeric discipline: float components and centroid products are rounded
+    * to a fixed scale and summed as DECIMAL (exact, order-insensitive);
+    * the only double steps are deterministic scalar arithmetic on
+    * identically-derived values (file header contract). */
+  private def embedCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(round(col("v").cast("double"), 6).cast("decimal(20,6)")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("sv").cast("double") / col("n")).as("c"))
+    val a = comp.select(col("label").as("la"), col("pos"), col("c").as("ca"))
+    val b = comp.select(col("label").as("lb"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("pos"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(
+        sum(round(col("ca") * col("cb"), 12).cast("decimal(30,12)")).as("dot"),
+        sum(round(col("ca") * col("ca"), 12).cast("decimal(30,12)")).as("na"),
+        sum(round(col("cb") * col("cb"), 12).cast("decimal(30,12)")).as("nb"))
+      .select(
+        col("la"),
+        col("lb"),
+        round(
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          4).as("cos_sim"))
+      .orderBy("la", "lb")
   }
 
   private val ToksSql =
@@ -2621,6 +2661,25 @@ object SparkEntry {
         |                 WHEN value >= 500 THEN 21
         |                 ELSE floor(value / 25.0) + 1 END AS BIGINT) AS bucket,
         |       count(*) AS n, min(value) AS lo, max(value) AS hi
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_embed_centroid_sim" ->
+      // this DuckDB build lacks UNNEST..WITH ORDINALITY; enumerate positions
+      // via the range table function (dim is fixed at 64 per TESTDATA.md)
+      """WITH x AS (SELECT label, t.i AS pos, embedding[CAST(t.i AS INT)] AS v
+        |           FROM embeddings, range(1, 65) AS t(i)),
+        |c AS (SELECT label, pos,
+        |             CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(20,6))) AS DOUBLE)
+        |               / count(*) AS c
+        |      FROM x GROUP BY 1, 2),
+        |p AS (SELECT a.label AS la, b.label AS lb,
+        |             sum(CAST(round(a.c * b.c, 12) AS DECIMAL(30,12))) AS dot,
+        |             sum(CAST(round(a.c * a.c, 12) AS DECIMAL(30,12))) AS na,
+        |             sum(CAST(round(b.c * b.c, 12) AS DECIMAL(30,12))) AS nb
+        |      FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT la, lb,
+        |       round(CAST(dot AS DOUBLE)
+        |             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_sim
+        |FROM p ORDER BY la, lb""".stripMargin
   )
 }

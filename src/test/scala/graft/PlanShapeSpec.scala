@@ -232,6 +232,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) === 3, s"expected tok agg + doc agg + output sort, plan:\n$p")
   }
 
+  test("q_embed_centroid_sim: corpus collapses map-side at (label, pos); pairwise stage is model-sized") {
+    val p = plan("q_embed_centroid_sim")
+    // the dim-multiplied stream combines before its one corpus shuffle
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    // label pairing is an equi-join on pos over the tiny centroid table
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q_histogram: value-only scan, row-local bucketing, O(buckets) shuffle") {
     val p = plan("q_histogram")
     assert(p.contains("ReadSchema: struct<value:double>"), s"scan not pruned:\n$p")
