@@ -1883,7 +1883,37 @@ object SparkEntry {
           .orderBy("bucket")),
 
       // Per-label centroid pairwise cosines — see [[embedCentroidSim]].
-      "q_embed_centroid_sim" -> ((s, dir) => embedCentroidSim(s, dir))
+      "q_embed_centroid_sim" -> ((s, dir) => embedCentroidSim(s, dir)),
+
+      // Per-user z-score outliers (|z| ≥ 2.5): the anomaly gate over event
+      // values. Moments are EXACT decimal sums (count, Σv, Σv²) so the
+      // aggregate is order-insensitive; mean/variance/z are then pure IEEE
+      // scalar arithmetic on identically-derived values, and the
+      // degenerate-variance guard (n·Σv² > (Σv)²) compares decimals, not
+      // doubles. One map-side-combined aggregate + one same-key join — the
+      // stats table shuffles by the join's own key, no window.
+      "q_outliers" -> ((s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value").cast("decimal(12,2)").as("v"))
+        val st = e
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("v").as("sv"),
+            sum(col("v") * col("v")).as("sv2"))
+        val mean = col("sv").cast("double") / col("n")
+        val variance =
+          (col("sv2").cast("double") - col("sv").cast("double") * col("sv").cast("double") / col("n")) / col("n")
+        e.join(st, "user_id")
+          .filter(col("n") >= 2 && col("sv2") * col("n") > col("sv") * col("sv"))
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("v").cast("double").as("value"),
+            round((col("v").cast("double") - mean) / sqrt(variance), 4).as("z"))
+          .filter(abs(col("z")) >= 2.5)
+          .orderBy("event_id")
+      })
     )
   }
 
@@ -2680,6 +2710,18 @@ object SparkEntry {
         |SELECT la, lb,
         |       round(CAST(dot AS DOUBLE)
         |             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_sim
-        |FROM p ORDER BY la, lb""".stripMargin
+        |FROM p ORDER BY la, lb""".stripMargin,
+    "q_outliers" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |s AS (SELECT user_id, count(*) AS n, sum(v) AS sv, sum(v*v) AS sv2
+        |      FROM e GROUP BY 1),
+        |j AS (SELECT e.user_id, e.event_id, CAST(e.v AS DOUBLE) AS value,
+        |             round((CAST(e.v AS DOUBLE) - CAST(sv AS DOUBLE)/n)
+        |                   / sqrt((CAST(sv2 AS DOUBLE)
+        |                           - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)/n), 4) AS z
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE n >= 2 AND sv2 * n > sv * sv)
+        |SELECT user_id, event_id, value, z FROM j WHERE abs(z) >= 2.5
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -87,4 +87,32 @@ class LayoutSpec extends SparkSpec {
     val back = spark.read.parquet(s"$base/z").as[(Long, Long)].collect().toSet
     assert(back === pts.as[(Long, Long)].collect().toSet)
   }
+
+  test("hive-partitioned write: a partition-key predicate prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/docs"
+    (0 until 100)
+      .map(i => (i.toLong, s"text $i", if (i % 3 == 0) "web" else if (i % 3 == 1) "books" else "code"))
+      .toDF("doc_id", "text", "source")
+      .write
+      .partitionBy("source")
+      .parquet(dir)
+
+    val q = spark.read.parquet(dir).filter(col("source") === "books").select("doc_id")
+    val p = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters (directory pruning — zero I/O
+    // for other sources), not in PushedFilters (row-group filtering)
+    assert(p.contains("PartitionFilters: [isnotnull(source"), s"plan:\n$p")
+    assert(p.contains("(source"), s"partition predicate missing:\n$p")
+    assert(q.count() === 33)
+    // the executed scan actually skipped the other partitions' files
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().flatMap(_.partitions).collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.filePath.toString).toSeq
+        }.flatten
+    }.getOrElse(Seq.empty)
+    assert(scanned.nonEmpty && scanned.forall(_.contains("source=books")),
+      scanned.mkString(", "))
+  }
 }
