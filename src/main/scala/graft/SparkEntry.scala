@@ -1913,6 +1913,32 @@ object SparkEntry {
             round((col("v").cast("double") - mean) / sqrt(variance), 4).as("z"))
           .filter(abs(col("z")) >= 2.5)
           .orderBy("event_id")
+      }),
+
+      // Leakage-safe train/val/test split: q_train_split's hash lottery,
+      // but keyed on the near-dup CLUSTER representative instead of the
+      // doc id — every member of a duplicate component lands in the same
+      // split, so no near-copy of a validation document can leak into
+      // train. Singletons anchor on their own id (identical to the plain
+      // split). The cluster map is tiny relative to the corpus (duplicate
+      // members only), so the anchor join broadcasts; the split itself
+      // stays pure integer hashing — deterministic across engines,
+      // partitionings, and reruns.
+      "q_train_split_leakfree" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.duplicateClusters(Dedup.ngramJaccardPairs(docs, 0.3))
+        docs
+          .select(col("doc_id"))
+          .join(broadcast(clusters), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("anchor"))
+          .withColumn("bucket", Curation.hashBucket(col("anchor")))
+          .withColumn(
+            "split",
+            when(col("bucket") < 3435973836L, "train") // floor(0.8 * 2^32)
+              .when(col("bucket") < 3865470566L, "val") // floor(0.9 * 2^32)
+              .otherwise("test"))
+          .select("doc_id", "anchor", "split")
+          .orderBy("doc_id")
       })
     )
   }
@@ -2722,6 +2748,16 @@ object SparkEntry {
         |      FROM e JOIN s USING (user_id)
         |      WHERE n >= 2 AND sv2 * n > sv * sv)
         |SELECT user_id, event_id, value, z FROM j WHERE abs(z) >= 2.5
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q_train_split_leakfree" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureSql,
+         |a AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS anchor
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, anchor,
+         |       CASE WHEN (anchor * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+         |            WHEN (anchor * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -184,6 +184,31 @@ class DedupSpec extends SparkSpec {
     assert(a === Set((1L, 1L), (5L, 1L), (9L, 1L)))
   }
 
+  test("leakage-safe split: every near-dup pair lands in one split; singletons match the plain split") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val split = graft.SparkEntry.queries("q_train_split_leakfree")(spark, dir)
+      .select("doc_id", "split")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.3).select("a_id", "b_id")
+    assert(pairs.count() > 0, "fixture has no near-dup pairs; property vacuous")
+    // the property the operator exists for: no pair straddles splits
+    val straddlers = pairs
+      .join(split.withColumnRenamed("doc_id", "a_id").withColumnRenamed("split", "sa"), "a_id")
+      .join(split.withColumnRenamed("doc_id", "b_id").withColumnRenamed("split", "sb"), "b_id")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddlers.count() === 0)
+    // docs in no pair keep exactly the plain hash-split assignment
+    val plain = graft.SparkEntry.queries("q_train_split")(spark, dir)
+      .withColumnRenamed("split", "plain_split")
+    val paired = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val singletonDiffs = split
+      .join(paired, Seq("doc_id"), "left_anti")
+      .join(plain, "doc_id")
+      .filter(col("split") =!= col("plain_split"))
+    assert(singletonDiffs.count() === 0)
+  }
+
   test("duplicateClusters: a 64-deep chain converges well inside the default round cap") {
     // BFS alone would need 63 rounds; pointer halving must close the chain
     // within the default maxIter = 25.
