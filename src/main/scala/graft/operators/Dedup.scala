@@ -300,21 +300,15 @@ object Dedup {
       threshold: Double = 0.3,
       expectedCorpusDocs: Long = 1000000L,
       maxBucket: Int = 2000): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.graft.{Bridge, BloomMightContain}
     val corpusFp = corpus.select(
       fingerprint(col("text")).as("fp"),
       xxhash64(normalize(col("text"))).as("fph"))
-    val bf = corpusFp.stat.bloomFilter("fph", expectedCorpusDocs, 0.03)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
     val batchFp = batch.select(
       col("doc_id"),
       fingerprint(col("text")).as("fp"),
       xxhash64(normalize(col("text"))).as("fph"))
     val exactDup = batchFp
-      .filter(Bridge.column(
-        BloomMightContain(Bridge.expression(col("fph")), Literal(bos.toByteArray))))
+      .filter(Joins.bloomMightContain(corpusFp, "fph", col("fph"), expectedCorpusDocs, 0.03))
       .join(corpusFp.select("fp"), Seq("fp"), "left_semi")
       .select("doc_id")
     val rest = batch.join(broadcast(exactDup), Seq("doc_id"), "left_anti")

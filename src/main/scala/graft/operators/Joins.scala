@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join shapes for the two failure modes a 100 TB shuffle join hits:
@@ -74,15 +74,32 @@ object Joins {
       key: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.03): DataFrame = {
+    val pruned = big.filter(bloomMightContain(small, key, col(key), expectedItems, fpp))
+    pruned.join(small, Seq(key))
+  }
+
+  /** `might_contain(bloom(buildSide.buildKey), probe)` as a Column, with the
+    * empty-build-side case guarded: Spark's `stat.bloomFilter` NPEs on zero
+    * rows (the aggregate yields null bytes and `BloomFilter.readFrom(null)`
+    * dereferences them), and the semantically-right answer for an empty
+    * set's filter is constant false. The emptiness probe is one `limit(1)`
+    * job over the build side — the side that is small by contract and
+    * already pays a full build pass. */
+  private[operators] def bloomMightContain(
+      buildSide: DataFrame,
+      buildKey: String,
+      probe: Column,
+      expectedItems: Long,
+      fpp: Double): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.{Bridge, BloomMightContain}
-    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val pruned = big.filter(
-      Bridge.column(
-        BloomMightContain(Bridge.expression(col(key)), Literal(bos.toByteArray))))
-    pruned.join(small, Seq(key))
+    if (buildSide.isEmpty) lit(false)
+    else {
+      val bf = buildSide.stat.bloomFilter(buildKey, expectedItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Bridge.column(BloomMightContain(Bridge.expression(probe), Literal(bos.toByteArray)))
+    }
   }
 
   /** UNKEYED point-in-interval range join (`point BETWEEN lo AND hi` with no

@@ -123,6 +123,14 @@ object SimilaritySearch {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    if (centroids.isEmpty) {
+      // No candidate vectors to index: an empty index answers every query
+      // with no neighbors (a pruned partition or fresh ingest dir must be a
+      // no-op, not a seed-collection crash).
+      val s = queries.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+    }
     // Per-cell means as ONE hash aggregate with `dim` avg expressions inside
     // an array() — map-side combine reduces the shuffle to nlist×dim partial
     // rows per iteration regardless of corpus size. The earlier
