@@ -78,6 +78,13 @@ object Bench {
     var kept = results
     while (line(kept).length > budget && kept.nonEmpty)
       kept = kept.sortBy(-_._2).dropRight(1).sortBy(_._1)
+    // Full-precision, no-query-dropped record alongside the bounded stdout
+    // line, so per-query numbers for the fast (dropped) queries survive.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
     println(line(kept))
     spark.stop()
   }

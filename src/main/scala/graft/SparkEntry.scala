@@ -1939,6 +1939,35 @@ object SparkEntry {
               .otherwise("test"))
           .select("doc_id", "anchor", "split")
           .orderBy("doc_id")
+      }),
+
+      // Mergeable-sketch rollup gate (operators/IncrementalRollup.scala):
+      // per-day HLL user sketches, range query answered by sketch union —
+      // zero event rows rescanned. The gate pins BOTH properties: the
+      // merged estimate within 5% of the exact distinct count (DuckDB
+      // recomputes the exact side), and merge losslessness — the union of
+      // per-day sketches estimates bit-identically to one sketch built
+      // over the whole range (HLL union is register-wise max).
+      "q_sketch_rollup_gate" -> ((s, dir) => {
+        import graft.operators.IncrementalRollup
+        val (from, to) = ("2024-01-01", "2024-01-15")
+        val ev = Tables.events(s, dir)
+        val merged = IncrementalRollup
+          .distinctUsersOverRange(IncrementalRollup.dailyUserSketches(ev), from, to)
+          .select(col("est_users").as("est_merged"), col("n_events"), col("n_days"))
+        val ranged = ev.filter(to_date(col("ts")).between(from, to))
+        val single = ranged.agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_single"),
+          countDistinct(col("user_id")).as("n_exact_users"))
+        merged
+          .crossJoin(broadcast(single))
+          .select(
+            col("n_days"),
+            col("n_events"),
+            col("n_exact_users").cast("long").as("n_exact_users"),
+            (abs(col("est_merged") - col("n_exact_users")) <=
+              col("n_exact_users").cast("double") * 0.05).as("hll_ok"),
+            (col("est_merged") === col("est_single")).as("merge_exact"))
       })
     )
   }
@@ -2758,6 +2787,13 @@ object SparkEntry {
          |       CASE WHEN (anchor * 2654435761) % 4294967296 < 3435973836 THEN 'train'
          |            WHEN (anchor * 2654435761) % 4294967296 < 3865470566 THEN 'val'
          |            ELSE 'test' END AS split
-         |FROM a ORDER BY doc_id""".stripMargin
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_sketch_rollup_gate" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       count(*) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+        |       TRUE AS hll_ok, TRUE AS merge_exact
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-15'""".stripMargin
   )
 }
