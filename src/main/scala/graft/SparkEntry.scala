@@ -1968,9 +1968,43 @@ object SparkEntry {
             (abs(col("est_merged") - col("n_exact_users")) <=
               col("n_exact_users").cast("double") * 0.05).as("hll_ok"),
             (col("est_merged") === col("est_single")).as("merge_exact"))
-      })
+      }),
+
+      // BM25 top-10 retrieval for a literal term query (TextIndex.bm25TopK):
+      // exploded stream filtered to the query terms BEFORE the tf shuffle,
+      // TakeOrderedAndProject cut, rank window over exactly k rows.
+      "q_bm25_topk" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 10)
+          .orderBy("rk")),
+
+      // Linear classifier inference (TextIndex.linearClassifier): broadcast
+      // weight table, exact-DECIMAL weighted sum per doc, sign test. The
+      // fasttext-style quality-filter plan shape.
+      "q_quality_classifier" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .linearClassifier(Tables.documents(s, dir), ClassifierWeights, BigDecimal("-1.000"))
+          .orderBy("doc_id"))
     )
   }
+
+  /** Query terms for q_bm25_topk — mid/high-df fixture tokens so idf spread
+    * is exercised; mirrored verbatim in the oracle's IN list. */
+  private val Bm25Terms = Seq("filter", "stream", "vector")
+
+  /** q_quality_classifier model — weights mirrored verbatim in the oracle's
+    * VALUES list; 3-decimal literals so DECIMAL(6,3) holds them exactly. */
+  private val ClassifierWeights: Seq[(String, BigDecimal)] = Seq(
+    "data" -> BigDecimal("0.250"),
+    "table" -> BigDecimal("0.200"),
+    "join" -> BigDecimal("0.150"),
+    "group" -> BigDecimal("0.100"),
+    "order" -> BigDecimal("0.050"),
+    "slow" -> BigDecimal("-0.300"),
+    "small" -> BigDecimal("-0.250"),
+    "scan" -> BigDecimal("-0.200"),
+    "hash" -> BigDecimal("-0.150"),
+    "row" -> BigDecimal("-0.100"))
 
   /** Cluster-separation diagnostic: per-label centroids and their pairwise
     * cosines — how far apart the labeled regions of embedding space sit
@@ -2794,6 +2828,46 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
         |       TRUE AS hll_ok, TRUE AS merge_exact
         |FROM events
-        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-15'""".stripMargin
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-15'""".stripMargin,
+    "q_bm25_topk" ->
+      // Same linear-idf BM25 expression tree as TextIndex.bm25TopK, term for
+      // term: (N−df+0.5)/(df+0.5) · tf·2.2/(tf + 0.3 + 0.9·(dl/avgdl)),
+      // round-12 → DECIMAL(30,12) per-doc sum, final round-4.
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit
+         |FROM r ORDER BY rk""".stripMargin,
+    "q_quality_classifier" ->
+      // Weight table mirrored from ClassifierWeights; all-DECIMAL exact
+      // arithmetic, one final double cast — no rounding discipline needed.
+      s"""WITH w(tok, wt) AS (VALUES
+         |  ('data', 0.250), ('table', 0.200), ('join', 0.150), ('group', 0.100),
+         |  ('order', 0.050), ('slow', -0.300), ('small', -0.250), ('scan', -0.200),
+         |  ('hash', -0.150), ('row', -0.100)),
+         |t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_signal, sum(wt) AS sw
+         |      FROM t JOIN w USING (tok) GROUP BY 1),
+         |f AS (SELECT d.doc_id,
+         |             CAST(coalesce(n_signal, 0) AS BIGINT) AS n_signal,
+         |             CAST(-1.000 AS DECIMAL(6,3)) + coalesce(sw, 0) AS score_dec
+         |      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+         |SELECT doc_id, n_signal, CAST(score_dec AS DOUBLE) AS score,
+         |       score_dec > 0 AS label
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

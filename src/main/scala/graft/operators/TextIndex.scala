@@ -92,6 +92,99 @@ object TextIndex {
       .select("vid", "tok", "n")
   }
 
+  /** BM25 top-`k` retrieval for a literal query-term set — the classic
+    * corpus ranking function, shaped for scale: the exploded token stream
+    * is filtered to the query terms BEFORE the tf aggregate, so the only
+    * corpus-keyed exchange carries query-term hits (O(hits), not O(tokens));
+    * df over those terms is O(|terms|) rows; the corpus length stats are a
+    * 1-row broadcast; the top-k cut compiles to TakeOrderedAndProject so
+    * the rank window sees exactly `k` rows, never the corpus.
+    *
+    * Numeric contract (cross-engine hashing, cf. the object scaladoc):
+    * linear idf `(N − df + 0.5)/(df + 0.5)` — same Robertson shape, `ln`
+    * dropped — and the per-document sum over terms goes through
+    * round-12 → DECIMAL(30,12) so it is order-insensitive; one final
+    * round(·, 4) double. k1 = 1.2, b = 0.75 are inlined as the folded
+    * literals 2.2 / 0.3 / 0.9 so both engines evaluate the identical
+    * IEEE expression tree. Returns (rk, doc_id, score, n_hit). */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val g = dl.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(g)) // 1 row
+      .withColumn(
+        "sc",
+        ((col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(2.2) /
+            (col("tf") + lit(0.3) +
+              lit(0.9) * (col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_hit"),
+        round(sum(round(col("sc"), 12).cast("decimal(30,12)")).cast("double"), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    scored
+      .withColumn(
+        "rk",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select("rk", "doc_id", "score", "n_hit")
+  }
+
+  /** Linear text-classifier inference — the fasttext-style quality-filter
+    * shape: a broadcast weight table joined against the exploded token
+    * stream, one weighted sum per document, sign test against a bias. The
+    * model (the weight table) is the only broadcast state; the corpus
+    * never shuffles except for the per-doc roll-up, so the plan is the
+    * same O(model)-broadcast class as the OOV check above.
+    *
+    * All arithmetic is exact DECIMAL (weights DECIMAL(6,3) × integer
+    * counts, summed), so the score is order-insensitive and bit-identical
+    * cross-engine with no rounding discipline needed; the double cast
+    * happens once, on the already-exact final value. Tokenless or
+    * signal-free docs score exactly `bias` (label false for bias < 0).
+    * Returns (doc_id, n_signal, score, label). */
+  def linearClassifier(
+      documents: DataFrame,
+      weights: Seq[(String, BigDecimal)],
+      bias: BigDecimal): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val w = broadcast(
+      weights.toDF("tok", "wt").select(col("tok"), col("wt").cast("decimal(6,3)").as("wt")))
+    val sums = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(w, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_signal"), sum(col("wt")).as("sw"))
+    documents
+      .select("doc_id")
+      .join(sums, Seq("doc_id"), "left_outer")
+      .withColumn(
+        "score_dec",
+        lit(bias.bigDecimal).cast("decimal(6,3)") +
+          coalesce(col("sw"), lit(BigDecimal(0).bigDecimal).cast("decimal(16,3)")))
+      .select(
+        col("doc_id"),
+        coalesce(col("n_signal"), lit(0L)).as("n_signal"),
+        col("score_dec").cast("double").as("score"),
+        (col("score_dec") > 0).as("label"))
+  }
+
   /** Per-document out-of-vocabulary rate against the size-`k`
     * [[vocabulary]]: `(doc_id, n_tokens, n_oov, oov_rate)` counting token
     * OCCURRENCES (multiplicity matters — a doc spamming one OOV token is

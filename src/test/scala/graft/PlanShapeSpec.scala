@@ -246,4 +246,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
     assert(exchanges(p) === 2, s"expected agg shuffle + output sort only, plan:\n$p")
   }
+
+  test("q_bm25_topk: term filter precedes the tf shuffle; top-k cut stays distributed") {
+    val p = plan("q_bm25_topk")
+    // the exploded token stream is cut to the query terms row-locally, so
+    // the tf exchange carries O(hits): the IN filter must sit below the
+    // first aggregate, and the final cut must be TakeOrderedAndProject
+    // (partial top-k per partition), never a global sort of scored docs
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(
+      p.indexOf("Filter") > p.indexOf("TakeOrderedAndProject"),
+      s"term filter should be below (printed after) the top-k cut, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // rank window consumes exactly k rows — above the cut, not the corpus
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("q_quality_classifier: weight table broadcasts; corpus shuffles only for the doc roll-up") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    // token-stream join + per-doc agg + doc_id outer join + output sort:
+    // nothing else may move the corpus
+    assert(exchanges(p) <= 4, s"unexpected extra exchange, plan:\n$p")
+  }
 }

@@ -99,4 +99,48 @@ class TextIndexSpec extends SparkSpec {
     assert(out(2L) === ((5L, 0L, 0.0)))
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
+
+  test("bm25TopK: tf and idf both lift rank; no-hit and tokenless docs absent") {
+    // N=4, sum_dl=9, avgdl=2.25; df(filter)=2 -> idf 1.0; df(stream)=1 -> idf 7/3
+    val docs = Seq(
+      (0L, "filter stream filter"), // 2 hits on filter + the rarer stream
+      (1L, "filter alpha beta gamma"), // 1 hit, longer doc -> penalized
+      (2L, "delta epsilon"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextIndex
+      .bm25TopK(docs, Seq("filter", "stream"), 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
+    assert(out.map(_.getAs[Long]("rk")).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("n_hit")).toSeq === Seq(2L, 1L))
+    val s = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // doc0: 1.0*(2*2.2/(2+0.3+0.9*(3/2.25))) + (7/3)*(2.2/(1+0.3+0.9*(3/2.25)))
+    assert(math.abs(s(0L) - 3.3105) < 1e-3)
+    // doc1: 1.0*(2.2/(1+0.3+0.9*(4/2.25)))
+    assert(math.abs(s(1L) - 0.7586) < 1e-3)
+  }
+
+  test("linearClassifier: exact decimal score, bias on signal-free docs, sign label") {
+    val docs = Seq(
+      (0L, "good good good"),
+      (1L, "good bad"),
+      (2L, "neutral words"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextIndex
+      .linearClassifier(
+        docs,
+        Seq("good" -> BigDecimal("0.500"), "bad" -> BigDecimal("-0.750")),
+        BigDecimal("-1.000"))
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_signal"), r.getAs[Double]("score"), r.getAs[Boolean]("label"))))
+      .toMap
+    assert(out(0L) === ((3L, 0.5, true)))
+    assert(out(1L) === ((2L, -1.25, false)))
+    assert(out(2L) === ((0L, -1.0, false)))
+    assert(out(3L) === ((0L, -1.0, false)))
+  }
 }
