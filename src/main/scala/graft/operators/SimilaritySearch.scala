@@ -98,24 +98,30 @@ object SimilaritySearch {
     * distributed, so the plan scales with executors: one broadcast-assign
     * narrow pass per iteration plus one shuffle for the mean aggregation.
     */
-  def ivfTopK(
-      queries: DataFrame,
-      candidates: DataFrame,
-      k: Int,
-      nlist: Int = 8,
-      nprobe: Int = 2,
-      iters: Int = 2): DataFrame = {
-    val c = withNorm(candidates, "n_id", "nv", "nn")
+  // array_max over (dot, cid) structs — NOT a when(...)-reduce chain, which
+  // references each partial struct twice per level and doubles the
+  // expression tree per centroid (profiled 10× slower at nlist=8).
+  private def assign(cents: Array[(Int, Array[Double])], vecCol: String): Column =
+    array_max(array(cents.map { case (cid, v) =>
+      struct(dot(col(vecCol), lit(v)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
 
-    // array_max over (dot, cid) structs — NOT a when(...)-reduce chain, which
-    // references each partial struct twice per level and doubles the
-    // expression tree per centroid (profiled 10× slower at nlist=8).
-    def assign(cents: Array[(Int, Array[Double])], vecCol: String): Column =
-      array_max(array(cents.map { case (cid, v) =>
-        struct(dot(col(vecCol), lit(v)).as("d"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
-
-    // Deterministic seeds + Lloyd refinement (means over the assigned cells).
+  /** Deterministic seeds + Lloyd refinement (means over the assigned
+    * cells). Only the nlist × dim centroid model reaches the driver.
+    *
+    * Per-cell means run as ONE hash aggregate with `dim` avg expressions
+    * inside an array() — map-side combine reduces the shuffle to nlist×dim
+    * partial rows per iteration regardless of corpus size. The earlier
+    * explode-per-dimension formulation shuffled corpus×dim rows into the
+    * first groupBy (64× the corpus at dim=64) plus a second groupBy and a
+    * per-cell sort; measured ~20% faster per iteration even at sf0.1's
+    * trivial volume (graft.tools.IvfBench: 0.40 s vs 0.51 s), and the gap
+    * is the whole explode volume at real scale. Empty input → empty model
+    * (callers answer degenerate corpora as no-ops, not crashes). */
+  private def trainCentroids(
+      c: DataFrame,
+      nlist: Int,
+      iters: Int): Array[(Int, Array[Double])] = {
     var centroids: Array[(Int, Array[Double])] = c
       .orderBy("n_id")
       .limit(nlist)
@@ -123,22 +129,7 @@ object SimilaritySearch {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    if (centroids.isEmpty) {
-      // No candidate vectors to index: an empty index answers every query
-      // with no neighbors (a pruned partition or fresh ingest dir must be a
-      // no-op, not a seed-collection crash).
-      val s = queries.sparkSession
-      import s.implicits._
-      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
-    }
-    // Per-cell means as ONE hash aggregate with `dim` avg expressions inside
-    // an array() — map-side combine reduces the shuffle to nlist×dim partial
-    // rows per iteration regardless of corpus size. The earlier
-    // explode-per-dimension formulation shuffled corpus×dim rows into the
-    // first groupBy (64× the corpus at dim=64) plus a second groupBy and a
-    // per-cell sort; measured ~20% faster per iteration even at sf0.1's
-    // trivial volume (graft.tools.IvfBench: 0.40 s vs 0.51 s), and the gap
-    // is the whole explode volume at real scale.
+    if (centroids.isEmpty) return centroids
     val dims = centroids.head._2.length
     for (_ <- 0 until iters) {
       val means = c
@@ -148,6 +139,62 @@ object SimilaritySearch {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       if (means.nonEmpty) centroids = means
+    }
+    centroids
+  }
+
+  /** Semantic diversity downsample: cap how many vectors any one region of
+    * embedding space contributes. The corpus is assigned to k-means cells
+    * (same Lloyd model as [[ivfTopK]] — O(nlist × dim) driver state, one
+    * broadcast-assign narrow pass), then each cell keeps at most `cap`
+    * members in deterministic hash-lottery order (xxhash64 of the id —
+    * rerun-stable, no RNG state), so over-represented semantic clusters are
+    * trimmed while sparse regions survive intact. The standard
+    * embedding-space alternative to uniform sampling for training-corpus
+    * balance.
+    *
+    * The per-cell window partitions by cell id — nlist partitions of
+    * at-most-cell-size rows; with heavy clustering one cell can be large,
+    * but the window only top-k's it (WindowGroupLimit prunes past `cap`
+    * per partition before the sort completes). Returns
+    * (vec_id, cell, rk ≤ cap). */
+  def diversitySample(
+      embeddings: DataFrame,
+      cap: Int,
+      nlist: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val c = withNorm(embeddings, "n_id", "nv", "nn")
+    val centroids = trainCentroids(c, nlist, iters)
+    if (centroids.isEmpty) {
+      val s = embeddings.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long)].toDF("vec_id", "cell", "rk")
+    }
+    val byCell = Window
+      .partitionBy(col("cell"))
+      .orderBy(xxhash64(col("n_id")), col("n_id"))
+    c.withColumn("cell", assign(centroids, "nv"))
+      .withColumn("rk", row_number().over(byCell).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("n_id").as("vec_id"), col("cell"), col("rk"))
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val c = withNorm(candidates, "n_id", "nv", "nn")
+    val centroids = trainCentroids(c, nlist, iters)
+    if (centroids.isEmpty) {
+      // No candidate vectors to index: an empty index answers every query
+      // with no neighbors (a pruned partition or fresh ingest dir must be a
+      // no-op, not a seed-collection crash).
+      val s = queries.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
     }
 
     val indexed = c.withColumn("cell", assign(centroids, "nv"))

@@ -104,4 +104,31 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(h.n_bytes === 11L)
     assert(h.features.length === 8)
   }
+
+  test("diversitySample: dense cluster trimmed to cap, sparse cluster survives intact") {
+    // ids 0,1 are one vector from each cluster, so the deterministic seeds
+    // (first nlist by id) span both clusters and Lloyd separates them
+    val a = (Seq(0L) ++ (2L to 30L)).map(i =>
+      (i, Array(1.0f, 0.001f * i))) // 30 docs near [1, 0]
+    val b = Seq(1L, 31L, 32L).map(i => (i, Array(0.001f * i, 1.0f))) // 3 near [0, 1]
+    val e = (a ++ b).toDF("vec_id", "embedding")
+    val kept = SimilaritySearch
+      .diversitySample(e, cap = 5, nlist = 2, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = kept.groupBy(_._2)
+    assert(byCell.size === 2)
+    byCell.values.foreach(c => assert(c.length <= 5))
+    // the sparse cluster is never trimmed
+    val bIds = Set(1L, 31L, 32L)
+    assert(bIds.subsetOf(kept.map(_._1).toSet))
+    // the dense cluster is trimmed to exactly cap
+    assert(kept.count(r => !bIds.contains(r._1)) === 5)
+    // rerun-stable: the hash lottery has no RNG state
+    val again = SimilaritySearch
+      .diversitySample(e, cap = 5, nlist = 2, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
