@@ -154,6 +154,38 @@ object Dedup {
       .select("a_id", "b_id", "n_inter", "n_union", "jac")
   }
 
+  /** LSH band buckets with the signature carried along:
+    * `(doc_id, sig, bucket)`, one row per (doc, band). Signature first
+    * (native single-pass kernel), then explode *literal* band indices and
+    * slice the materialized signature attribute — exploding an array of
+    * per-band keys would inline the signature expression into the Generate
+    * and re-evaluate it per band (profiled ~85× slower). Shingle-less docs
+    * (< 3 tokens) emit no rows. */
+  private[graft] def bandedBuckets(documents: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    shingleTable(documents)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(
+        col("doc_id"),
+        col("sig"),
+        hash((col("band") +: (0 until rowsPerBand).map { r =>
+          element_at(col("sig"), col("band") * rowsPerBand + r + 1)
+        }): _*).as("bucket"))
+  }
+
+  /** The persisted LSH index of a corpus for incremental/streaming
+    * batch-vs-corpus near-dedup: `(bucket, c_id, c_sig)`, one row per
+    * (corpus doc, band). An arriving document computes its own bands with
+    * the same parameters and equi-joins on `bucket`; the carried signature
+    * lets the consumer estimate Jaccard by component agreement without ever
+    * rescanning corpus text. O(corpus × bands) rows, append-only as the
+    * corpus grows — the natural parquet-table shape. */
+  def minhashIndex(corpus: DataFrame, numPerm: Int = 16, bands: Int = 4): DataFrame =
+    bandedBuckets(corpus, numPerm, bands)
+      .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
+
   /** MinHash + LSH near-dup pairs: shingle → 16-perm MinHash signature →
     * 4 bands × 4 rows → band-bucket self-join for candidates → exact Jaccard
     * verification ≥ threshold. The full pairwise phase never materializes;
@@ -164,21 +196,8 @@ object Dedup {
       numPerm: Int = 16,
       bands: Int = 4,
       maxBucket: Int = 2000): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    // Signature first (native single-pass kernel), then explode *literal*
-    // band indices and slice the materialized signature attribute. Exploding
-    // an array of per-band keys would inline the signature expression into
-    // the Generate and re-evaluate it per band (profiled ~85× slower).
-    val banded = shingleTable(documents)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numPerm))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .select(
-        col("doc_id"),
-        hash((col("band") +: (0 until rowsPerBand).map { r =>
-          element_at(col("sig"), col("band") * rowsPerBand + r + 1)
-        }): _*).as("bucket"))
-    val capped = capBuckets(banded, Seq("bucket"), maxBucket)
+    val capped =
+      capBuckets(bandedBuckets(documents, numPerm, bands).drop("sig"), Seq("bucket"), maxBucket)
     val cand = capped
       .select(col("bucket"), col("doc_id").as("a_id"))
       .join(capped.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))

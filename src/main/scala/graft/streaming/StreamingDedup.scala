@@ -40,6 +40,62 @@ object StreamingDedup {
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
       .parquet(dir)
 
+  /** One near-dup classification: `best_est` is the highest MinHash
+    * component-agreement estimate against any corpus candidate (−1.0 when
+    * the doc hit no index bucket). */
+  case class NearVerdict(doc_id: Long, status: String, best_est: Double)
+
+  /** Streaming NEAR-dedup against a static corpus index — the continuous
+    * version of [[graft.operators.Dedup.incrementalDedup]]'s near stage.
+    * Each arriving document computes its LSH band buckets (same parameters
+    * as the index), stream-static equi-joins [[graft.operators.Dedup
+    * .minhashIndex]] on `bucket`, and estimates Jaccard against each
+    * candidate as the fraction of agreeing MinHash components — corpus
+    * TEXT is never rescanned; the index rows carry everything needed.
+    * Verdict per doc: `near_dup` iff any candidate's estimate ≥
+    * `threshold`, else `kept`.
+    *
+    * Scale shape: the join is stream-static (index side is a plain
+    * equi-join build per micro-batch — bucketed/broadcast by Spark
+    * depending on index size), and the per-doc collapse runs through
+    * flatMapGroupsWithState with state NEVER updated, so the state store
+    * stays empty — it is used only as the per-key collapse primitive that
+    * streaming append mode permits (a streaming self-join or aggregation
+    * would demand watermarks this classification doesn't need).
+    * Boundary: duplicates of OTHER STREAMED docs are not caught here —
+    * that is [[classify]]'s exact stage or a periodic index refresh;
+    * stream-vs-stream NEAR-dedup needs a watermarked similarity join that
+    * no bounded state can express exactly. */
+  def classifyNear(
+      documents: DataFrame,
+      index: DataFrame,
+      threshold: Double = 0.5,
+      numPerm: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val banded = graft.operators.Dedup.bandedBuckets(documents, numPerm, bands)
+    val est = banded
+      .join(index, Seq("bucket"))
+      .select(
+        col("doc_id"),
+        (size(filter(zip_with(col("sig"), col("c_sig"), (a, b) => a === b), x => x))
+          / lit(numPerm.toDouble)).as("est"))
+    val base = documents.select(col("doc_id"), lit(-1.0).as("est"))
+    est
+      .unionByName(base)
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, NearVerdict](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())( (id, rows, _) => {
+        val best = rows.map(_._2).max
+        Iterator.single(
+          NearVerdict(id, if (best >= threshold) "near_dup" else "kept", best))
+      })
+      .toDF()
+  }
+
   /** Classify each streamed document against all content ever seen:
     * first occurrence of a normalized content hash → `kept`, every later
     * one → `exact_dup`. */

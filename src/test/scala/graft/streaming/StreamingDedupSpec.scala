@@ -50,4 +50,47 @@ class StreamingDedupSpec extends SparkSpec {
     drain(src, out, ckpt)
     assert(spark.read.parquet(out).count() === 5)
   }
+
+  test("classifyNear: stream-vs-corpus near-dup via the static LSH index, no corpus text rescans") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sneard").toString
+    val (src, out, ckpt) = (s"$base/docs", s"$base/out", s"$base/ckpt")
+    // ~40 words so a one-word edit keeps Jaccard high (~0.85), and 8 narrow
+    // bands (2 rows each) so a collision is near-certain at that similarity
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog and runs far away into the green hills " +
+        "while the silver moon rises slowly above the quiet valley where the old stone bridge " +
+        "crosses the winding river near the sleeping village tonight"
+    val corpus = Seq((1000L, corpusText))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashIndex(corpus, numPerm = 16, bands = 8)
+
+    writeDocs(
+      src,
+      Seq(
+        // verbatim copy of the corpus doc: every MinHash component agrees
+        31L -> corpusText,
+        // one-word edit: near-dup, most components agree
+        32L -> corpusText.replace("tonight", "tomorrow"),
+        // unrelated: must not match any band (or fail the estimate)
+        33L -> "completely different subject matter with zero shared shingles whatsoever here",
+        // too short to shingle: no bands, kept with sentinel estimate
+        34L -> "tiny doc"))
+    DailyIngest.runIncremental(
+      StreamingDedup
+        .classifyNear(StreamingDedup.readDocuments(spark, src), index, 0.5, bands = 8),
+      out,
+      ckpt)
+    val got = spark.read
+      .parquet(out)
+      .as[(Long, String, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(31L)._1 === "near_dup")
+    assert(got(31L)._2 === 1.0)
+    assert(got(32L)._1 === "near_dup")
+    assert(got(32L)._2 >= 0.5 && got(32L)._2 < 1.0)
+    assert(got(33L)._1 === "kept")
+    assert(got(34L) === (("kept", -1.0)))
+  }
 }
