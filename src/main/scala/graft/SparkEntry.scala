@@ -2018,6 +2018,22 @@ object SparkEntry {
             // corpus fits under the cap at every tested SF ≥ this gate's
             // dirs? no — only assert the kept set never exceeds the corpus
             (col("n_kept") <= col("n_corpus")).as("bound_ok"))
+      }),
+
+      // Corpus LSH index cardinality gate (Dedup.minhashIndex, the static
+      // side of StreamingDedup.classifyNear): bucket hashes are
+      // engine-specific, but the index's SHAPE is exact — one row per
+      // (shingleable doc, band). DuckDB recomputes the shingleable-doc
+      // count from the same tokenizer; both equalities are hard
+      // cross-checks, not constants.
+      "q_minhash_index_gate" -> ((s, dir) => {
+        val index = graft.operators.Dedup.minhashIndex(Tables.documents(s, dir))
+        index.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("c_id")).as("n_docs_indexed"))
+          .select(
+            col("n_docs_indexed").cast("long").as("n_docs_indexed"),
+            (col("n_rows") === col("n_docs_indexed") * 4).as("rows_per_band_ok"))
       })
     )
   }
@@ -2906,6 +2922,10 @@ object SparkEntry {
     "q_diverse_sample_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_corpus,
         |       TRUE AS cap_ok, TRUE AS distinct_ok, TRUE AS cells_ok, TRUE AS bound_ok
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    "q_minhash_index_gate" ->
+      // shingleable = at least one word-3-gram = at least 3 tokens
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs_indexed, TRUE AS rows_per_band_ok
+         |FROM (SELECT len($ToksSql) AS nt FROM documents) WHERE nt >= 3""".stripMargin
   )
 }
