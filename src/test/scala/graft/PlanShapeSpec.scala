@@ -247,6 +247,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) === 2, s"expected agg shuffle + output sort only, plan:\n$p")
   }
 
+  test("q_diverse_sample: per-cell cap prunes map-side (Partial WindowGroupLimit under the exchange)") {
+    val p = plan("q_diverse_sample")
+    // each task caps its own cell fragments BEFORE the shuffle, so a hot
+    // cell never ships more than cap rows per input partition; the Final
+    // pass re-caps after co-location — no full-cell sort-and-buffer
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+    assert(
+      "WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined ||
+        p.contains(", Partial"),
+      s"no map-side (Partial) group limit, plan:\n$p")
+    assert(exchanges(p) === 2, s"expected cell shuffle + output sort only, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_bm25_topk: term filter precedes the tf shuffle; top-k cut stays distributed") {
     val p = plan("q_bm25_topk")
     // the exploded token stream is cut to the query terms row-locally, so
