@@ -1945,9 +1945,13 @@ object SparkEntry {
       // per-day HLL user sketches, range query answered by sketch union —
       // zero event rows rescanned. The gate pins BOTH properties: the
       // merged estimate within 5% of the exact distinct count (DuckDB
-      // recomputes the exact side), and merge losslessness — the union of
-      // per-day sketches estimates bit-identically to one sketch built
-      // over the whole range (HLL union is register-wise max).
+      // recomputes the exact side), and merge agreement — the union of
+      // per-day sketches agrees with one sketch built over the whole range
+      // to within 1%. Losslessness holds at the REGISTER level (union is
+      // register-wise max), but DataSketches estimates a directly-updated
+      // sketch with HIP and a unioned sketch with the composite estimator,
+      // so the two ESTIMATES may differ slightly past exact-coupon mode —
+      // bit-equality would false-fail at scale.
       "q_sketch_rollup_gate" -> ((s, dir) => {
         import graft.operators.IncrementalRollup
         val (from, to) = ("2024-01-01", "2024-01-15")
@@ -1967,7 +1971,8 @@ object SparkEntry {
             col("n_exact_users").cast("long").as("n_exact_users"),
             (abs(col("est_merged") - col("n_exact_users")) <=
               col("n_exact_users").cast("double") * 0.05).as("hll_ok"),
-            (col("est_merged") === col("est_single")).as("merge_exact"))
+            (abs(col("est_merged") - col("est_single")) <=
+              greatest(lit(1.0), col("est_single").cast("double") * 0.01)).as("merge_ok"))
       }),
 
       // BM25 top-10 retrieval for a literal term query (TextIndex.bm25TopK):
@@ -2025,7 +2030,10 @@ object SparkEntry {
       // engine-specific, but the index's SHAPE is exact — one row per
       // (shingleable doc, band). DuckDB recomputes the shingleable-doc
       // count from the same tokenizer; both equalities are hard
-      // cross-checks, not constants.
+      // cross-checks, not constants. (Equality relies on no fixture bucket
+      // exceeding the build-time cap — a capped bucket would shrink the
+      // index below docs × bands, which on this corpus would itself be a
+      // regression worth failing on.)
       "q_minhash_index_gate" -> ((s, dir) => {
         val index = graft.operators.Dedup.minhashIndex(Tables.documents(s, dir))
         index.agg(
@@ -2876,7 +2884,7 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |       count(*) AS n_events,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
-        |       TRUE AS hll_ok, TRUE AS merge_exact
+        |       TRUE AS hll_ok, TRUE AS merge_ok
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-15'""".stripMargin,
     "q_bm25_topk" ->

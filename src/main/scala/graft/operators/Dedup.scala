@@ -181,9 +181,21 @@ object Dedup {
     * the same parameters and equi-joins on `bucket`; the carried signature
     * lets the consumer estimate Jaccard by component agreement without ever
     * rescanning corpus text. O(corpus × bands) rows, append-only as the
-    * corpus grows — the natural parquet-table shape. */
-  def minhashIndex(corpus: DataFrame, numPerm: Int = 16, bands: Int = 4): DataFrame =
-    bandedBuckets(corpus, numPerm, bands)
+    * corpus grows — the natural parquet-table shape.
+    *
+    * Oversized buckets are dropped at build time (same `maxBucket` policy
+    * and rationale as the batch candidate joins): a boilerplate bucket with
+    * 10^6 corpus members would fan every matching arrival out ×10^6 rows
+    * per band, every micro-batch — those clone groups belong to exact
+    * dedup ([[exact]] / [[graft.streaming.StreamingDedup.classify]]), not
+    * a similarity join. The cap is a semantic no-op when no bucket
+    * exceeds it. */
+  def minhashIndex(
+      corpus: DataFrame,
+      numPerm: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame =
+    capBuckets(bandedBuckets(corpus, numPerm, bands), Seq("bucket"), maxBucket)
       .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
 
   /** MinHash + LSH near-dup pairs: shingle → 16-perm MinHash signature →

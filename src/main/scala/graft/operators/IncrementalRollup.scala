@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * later range query unions O(days) sketch rows (`hll_union_agg`) — the
   * event history is never rescanned, and adding a new day never touches
   * the existing rows. HLL union is lossless with respect to the sketch
-  * state (the register-wise max of two sketches IS the sketch of the
-  * union), so the merged estimate is bit-identical to the estimate of a
-  * single sketch built over the whole range — pinned in
-  * `IncrementalRollupSpec` and the registered gate query.
+  * STATE (the register-wise max of two sketches IS the sketch of the
+  * union); the resulting estimate agrees with a one-shot sketch of the
+  * whole range up to estimator choice — DataSketches reads a
+  * directly-updated sketch with the HIP estimator but a unioned one with
+  * the composite estimator, so the two can differ slightly past
+  * exact-coupon mode. Pinned (as a 1% agreement bound) in
+  * `IncrementalRollupSpec` and the registered gate query; append-vs-
+  * rebuild equality is exact, since both sides go through the union path.
   */
 object IncrementalRollup {
 

@@ -106,7 +106,15 @@ object TextIndex {
     * round-12 → DECIMAL(30,12) so it is order-insensitive; one final
     * round(·, 4) double. k1 = 1.2, b = 0.75 are inlined as the folded
     * literals 2.2 / 0.3 / 0.9 so both engines evaluate the identical
-    * IEEE expression tree. Returns (rk, doc_id, score, n_hit). */
+    * IEEE expression tree. Returns (rk, doc_id, score, n_hit).
+    *
+    * Known 3× on the tokenize stage (same non-reuse as [[tfIdfTopK]]'s
+    * 2×, documented there): tf, dl, and the 1-row corpus stats are three
+    * uncached branches over the token projection, so one query costs
+    * three scan+tokenize passes. dl cannot be derived from tf (tf sees
+    * only query-term hits; dl counts ALL tokens), so the pass count is
+    * inherent to a plan-per-run registry; repeated-retrieval callers
+    * should `persist()` the token projection and pass it through. */
   def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))

@@ -48,11 +48,14 @@ object Ingest {
         col("value"),
         from_json(col("value"), parseSchema, Map("columnNameOfCorruptRecord" -> crCol).asJava)
           .as("r"))
+    // `null` is valid JSON but parses to a null STRUCT with no corrupt
+    // field to inspect — without the isNotNull guard it would flow into
+    // `good` as an all-null row instead of quarantining.
     val good = parsed
-      .filter(col(s"r.$crCol").isNull)
+      .filter(col("r").isNotNull && col(s"r.$crCol").isNull)
       .select(schema.fieldNames.map(f => col(s"r.$f")).toIndexedSeq: _*)
     val quarantine = parsed
-      .filter(col(s"r.$crCol").isNotNull)
+      .filter(col("r").isNull || col(s"r.$crCol").isNotNull)
       .select(col("value").as("raw_line"))
     (good, quarantine)
   }
@@ -74,10 +77,14 @@ object Ingest {
   def parquetEvolving(spark: SparkSession, dir: String, canonical: StructType): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true").parquet(dir)
     val present = merged.schema.fieldNames.toSet
-    val widened = canonical.fields.foldLeft(merged) { (df, f) =>
-      if (present.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    widened.select(canonical.fieldNames.map(col).toIndexedSeq: _*)
+    // Cast present columns too: mergeSchema only unifies what the footers
+    // agree on — a generation written before a column was WIDENED (int
+    // doc_id vs canonical long) merges without conflict at the old type,
+    // and an uncast projection would leak it downstream.
+    merged
+      .select(canonical.fields.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
   }
 }

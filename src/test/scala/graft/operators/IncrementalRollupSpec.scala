@@ -29,7 +29,7 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(answer(appended) === answer(rebuilt))
   }
 
-  test("range estimate within 5% of exact; sketch union estimates identically to one-shot") {
+  test("range estimate within 5% of exact; sketch union agrees with one-shot within 1%") {
     val ev = Tables.events(spark, dir)
     val est = IncrementalRollup
       .distinctUsersOverRange(
@@ -43,6 +43,8 @@ class IncrementalRollupSpec extends SparkSpec {
       .getLong(0)
     assert(est.getAs[Long]("n_days") === 16L)
     assert(math.abs(est.getAs[Long]("est_users") - exact) <= exact * 0.05)
-    assert(est.getAs[Long]("est_users") === oneShot)
+    // HIP (direct) vs composite (post-union) estimator: agreement, not
+    // bit-equality — see the IncrementalRollup scaladoc
+    assert(math.abs(est.getAs[Long]("est_users") - oneShot) <= math.max(1L, oneShot / 100))
   }
 }

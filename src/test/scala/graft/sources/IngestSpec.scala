@@ -20,6 +20,7 @@ class IngestSpec extends SparkSpec {
       """{"doc_id": 3, "text": "gamma",""", // truncated mid-object
       """not json at all""",
       "", // blank artifact: dropped from both sides
+      "null", // valid JSON, null struct: must quarantine, not emit all-nulls
       """{"doc_id": 4, "text": "delta", "lang": "de"}"""
     )
     java.nio.file.Files.write(
@@ -34,7 +35,7 @@ class IngestSpec extends SparkSpec {
       (2L, "beta", None),
       (4L, "delta", Some("de"))))
     val q = quarantine.collect().map(_.getString(0)).sorted
-    assert(q.toSeq === Seq("""not json at all""", """{"doc_id": 3, "text": "gamma","""))
+    assert(q.toSeq === Seq("not json at all", "null", """{"doc_id": 3, "text": "gamma","""))
   }
 
   test("parquetEvolving: generations merge by addition; never-written canonical columns null-fill") {
