@@ -2034,6 +2034,15 @@ object SparkEntry {
       // exceeding the build-time cap — a capped bucket would shrink the
       // index below docs × bands, which on this corpus would itself be a
       // regression worth failing on.)
+      // Pre-flight join profile (Joins.joinProfile): exact key overlap,
+      // worst-key multiplicities, and the exact inner-join output size from
+      // two key aggregates + one O(keys) join — the data rows never join.
+      "q_join_profile" -> ((s, dir) =>
+        graft.operators.Joins.joinProfile(
+          Tables.orders(s, dir).select(col("o_custkey").as("k")),
+          Tables.customer(s, dir).select(col("c_custkey").as("k")),
+          "k")),
+
       "q_minhash_index_gate" -> ((s, dir) => {
         val index = graft.operators.Dedup.minhashIndex(Tables.documents(s, dir))
         index.agg(
@@ -2934,6 +2943,21 @@ object SparkEntry {
     "q_minhash_index_gate" ->
       // shingleable = at least one word-3-gram = at least 3 tokens
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs_indexed, TRUE AS rows_per_band_ok
-         |FROM (SELECT len($ToksSql) AS nt FROM documents) WHERE nt >= 3""".stripMargin
+         |FROM (SELECT len($ToksSql) AS nt FROM documents) WHERE nt >= 3""".stripMargin,
+    "q_join_profile" ->
+      """WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+        |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+        |      FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+        |             CAST(coalesce(sum(l.n * r.n), 0) AS BIGINT) AS est_rows
+        |      FROM l JOIN r USING (k)),
+        |la AS (SELECT CAST(count(*) AS BIGINT) AS n_left_keys,
+        |              CAST(coalesce(max(n), 0) AS BIGINT) AS max_left_mult FROM l),
+        |ra AS (SELECT CAST(count(*) AS BIGINT) AS n_right_keys,
+        |              CAST(coalesce(max(n), 0) AS BIGINT) AS max_right_mult FROM r)
+        |SELECT la.n_left_keys, ra.n_right_keys, s.n_shared_keys,
+        |       la.max_left_mult, ra.max_right_mult, s.est_rows
+        |FROM la, ra, s""".stripMargin
   )
 }

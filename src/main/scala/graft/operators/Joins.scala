@@ -148,4 +148,38 @@ object Joins {
       .where(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("_bin")
   }
+
+  /** Pre-flight join profile — run this BEFORE committing a 100 TB shuffle
+    * join: exact per-side key cardinalities, key overlap, worst-key
+    * multiplicities (the skew predictor: `max_left_mult × max_right_mult`
+    * is the single hottest key's output), and the EXACT inner-join output
+    * row count (`Σ over shared keys of left_mult × right_mult`) — all from
+    * two map-side-combined key aggregates and one O(distinct keys)
+    * equi-join; the data rows themselves are never joined. Decides
+    * broadcast-vs-shuffle, salt-or-not, and whether the join is about to
+    * explode, at ~the cost of reading the two key columns. NULL keys are
+    * excluded (equi-joins never match them). Returns one row:
+    * (n_left_keys, n_right_keys, n_shared_keys, max_left_mult,
+    * max_right_mult, est_rows). */
+  def joinProfile(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    def keyCounts(df: DataFrame) =
+      df.filter(col(key).isNotNull).groupBy(key).agg(count(lit(1)).as("_n"))
+    val l = keyCounts(left).select(col(key), col("_n").as("_ln"))
+    val r = keyCounts(right).select(col(key), col("_n").as("_rn"))
+    val shared = l.join(r, Seq(key)).agg(
+      count(lit(1)).as("n_shared_keys"),
+      sum(col("_ln") * col("_rn")).as("est_rows"))
+    val lAgg = l.agg(count(lit(1)).as("n_left_keys"), max(col("_ln")).as("max_left_mult"))
+    val rAgg = r.agg(count(lit(1)).as("n_right_keys"), max(col("_rn")).as("max_right_mult"))
+    lAgg
+      .crossJoin(rAgg)
+      .crossJoin(shared) // three 1-row frames
+      .select(
+        col("n_left_keys"),
+        col("n_right_keys"),
+        coalesce(col("n_shared_keys"), lit(0L)).as("n_shared_keys"),
+        coalesce(col("max_left_mult"), lit(0L)).as("max_left_mult"),
+        coalesce(col("max_right_mult"), lit(0L)).as("max_right_mult"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"))
+  }
 }

@@ -148,4 +148,35 @@ class JoinsSpec extends SparkSpec {
     val misses = (1000000L until 1000100L).count(bf.mightContainLong)
     assert(misses < 10)
   }
+
+  test("joinProfile: exact overlap, skew multiplicities, and predicted = actual join size") {
+    // left: key 1 ×3 (the hot key), key 2 ×1, key 3 ×1, null ×2
+    val left = Seq(
+      Some(1L), Some(1L), Some(1L), Some(2L), Some(3L), None, None
+    ).toDF("k")
+    // right: key 1 ×2, key 2 ×1, key 9 ×1 (left-only key 3, right-only key 9)
+    val right = Seq(Some(1L), Some(1L), Some(2L), Some(9L)).toDF("k")
+    val p = Joins.joinProfile(left, right, "k").head()
+    assert(p.getAs[Long]("n_left_keys") === 3L) // nulls excluded
+    assert(p.getAs[Long]("n_right_keys") === 3L)
+    assert(p.getAs[Long]("n_shared_keys") === 2L)
+    assert(p.getAs[Long]("max_left_mult") === 3L)
+    assert(p.getAs[Long]("max_right_mult") === 2L)
+    // prediction is exact: 3×2 (key 1) + 1×1 (key 2) = 7
+    val actual = left.join(right, Seq("k")).count()
+    assert(p.getAs[Long]("est_rows") === 7L)
+    assert(p.getAs[Long]("est_rows") === actual)
+  }
+
+  test("joinProfile: disjoint and empty sides produce zeros, not nulls") {
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(3L).toDF("k")
+    val p = Joins.joinProfile(a, b, "k").head()
+    assert(p.getAs[Long]("n_shared_keys") === 0L)
+    assert(p.getAs[Long]("est_rows") === 0L)
+    val e = Joins.joinProfile(a, spark.emptyDataset[Long].toDF("k"), "k").head()
+    assert(e.getAs[Long]("n_right_keys") === 0L)
+    assert(e.getAs[Long]("max_right_mult") === 0L)
+    assert(e.getAs[Long]("est_rows") === 0L)
+  }
 }
