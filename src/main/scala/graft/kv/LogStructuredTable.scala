@@ -1,0 +1,138 @@
+package graft.kv
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Log-structured wide-column table: the LSM-tree analog of the reference's
+  * HBase store (HBaseClient.java), reproducing the COST PROFILE of `put`,
+  * not just its semantics. [[WideColumnTable.put]] is semantically faithful
+  * but read-merge-rewrites the touched family partitions — O(family), where
+  * HBase `put` (HBaseClient.java:95-111) is O(batch): an append to the
+  * WAL/memstore, later folded into HFiles by compaction. This class is that
+  * design on parquet:
+  *
+  *  - [[putLog]] — O(batch) append: writes the batch (plus a monotone
+  *    sequence number) as a new directory under `log/`; the base data is
+  *    never read, never rewritten (asserted byte-identical in
+  *    LogStructuredTableSpec). HBase analog: memstore flush → one new HFile.
+  *  - [[readView]] — merge-on-read: base ∪ logs, newest sequence wins per
+  *    cell, tombstones (NULL `value`) masked out. HBase analog: a scan
+  *    merging HFiles + memstore by timestamp. Read amplification grows with
+  *    the log count — exactly HBase's pre-compaction read cost.
+  *  - [[compact]] — folds all logs into a new base, physically dropping
+  *    shadowed cells and tombstones, and empties the log. HBase analog:
+  *    major compaction. The view is value-identical before and after
+  *    (asserted in the spec).
+  *
+  * Sequence allocation lists the `log/` directory on the driver — bounded by
+  * batches-since-last-compaction, the same bookkeeping scale as HBase's
+  * HFile count per store, never data-scale. Single-writer by design (an
+  * HBase region has exactly one owning region server); concurrent-writer
+  * deployments belong on a transactional table format (Delta/Iceberg), per
+  * SURVEY §7.4.
+  */
+class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
+
+  private val basePath = s"$warehouse/$name/base"
+  private val logPath = s"$warehouse/$name/log"
+  private val schemaCols = Seq("row_key", "family", "qualifier", "value")
+
+  def baseDir: String = basePath
+  def logDir: String = logPath
+
+  /** DDL: materialize an empty base so the table exists (K5). */
+  def create(): Unit =
+    if (!exists) {
+      spark.emptyDataFrame
+        .withColumn("row_key", lit(""))
+        .withColumn("family", lit(""))
+        .withColumn("qualifier", lit(""))
+        .withColumn("value", lit(""))
+        .write.mode(SaveMode.Overwrite).parquet(basePath)
+    }
+
+  def exists: Boolean = Files.exists(Paths.get(basePath))
+
+  /** Sequence numbers already on disk, ascending. Base is seq 0. */
+  private def logSeqs(): Seq[Long] = {
+    val d = new java.io.File(logPath)
+    if (!d.exists()) Seq.empty
+    else
+      d.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("seq="))
+        .map(_.getName.stripPrefix("seq=").toLong)
+        .toSeq
+        .sorted
+  }
+
+  /** O(batch) upsert append (K1 with HBase's cost profile): the batch lands
+    * as `log/seq=N/` parquet; nothing else on disk is read or touched. A
+    * NULL `value` is a tombstone (HBase Delete). Within one batch a
+    * DataFrame has no row order, so duplicate cells resolve deterministically
+    * — a non-null value beats a tombstone, greatest value wins — rather than
+    * by arrival order (which HBase's same-timestamp puts resolve by
+    * memstore insertion order, i.e. arbitrarily from the caller's view). */
+  def putLog(cells: DataFrame): Unit = {
+    val seq = logSeqs().lastOption.getOrElse(0L) + 1L
+    cells
+      .select(schemaCols.map(col): _*)
+      .groupBy("row_key", "family", "qualifier")
+      .agg(max("value").as("value")) // intra-batch: deterministic, non-null wins
+      .withColumn("seq", lit(seq))
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$logPath/seq=$seq")
+  }
+
+  /** All cell versions with their sequence: base at seq 0 plus every log. */
+  private def versions(): DataFrame = {
+    val schema = "row_key STRING, family STRING, qualifier STRING, value STRING"
+    val base = spark.read.schema(schema).parquet(basePath).withColumn("seq", lit(0L))
+    logSeqs().foldLeft(base) { (acc, s) =>
+      acc.unionByName(
+        spark.read.schema(s"$schema, seq BIGINT").parquet(s"$logPath/seq=$s"))
+    }
+  }
+
+  /** Merge-on-read live view: newest write wins per cell, tombstones drop. */
+  def readView(): DataFrame = LogStructuredTable.resolve(versions())
+
+  /** Major compaction: fold logs into the base, drop shadowed cells and
+    * tombstones physically, clear the log. One shuffle by cell key over
+    * base+logs; the view is unchanged. */
+  def compact(): Unit = {
+    val seqs = logSeqs()
+    if (seqs.isEmpty) return
+    val tmp = s"$warehouse/$name/base.tmp"
+    readView().write.mode(SaveMode.Overwrite).parquet(tmp)
+    import scala.jdk.CollectionConverters._
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    deleteTree(Paths.get(basePath))
+    Files.move(Paths.get(tmp), Paths.get(basePath))
+    deleteTree(Paths.get(logPath))
+  }
+}
+
+object LogStructuredTable {
+
+  /** Merge-on-read resolution, as a pure plan over versioned cells
+    * `(row_key, family, qualifier, value, seq)`: per cell key, the row with
+    * the highest `seq` is the live version; a live NULL `value` is a
+    * tombstone and masks the cell. One window (or, at scale, one
+    * `max_by`-shaped aggregation — same shuffle) per read; ties broken by
+    * `value` DESC NULLS LAST so resolution is deterministic even on inputs
+    * that violate the writer's unique-(cell, seq) invariant. Registered as
+    * the oracled `q_kv_log_view` (DuckDB recomputes the same window). */
+  def resolve(versions: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("row_key", "family", "qualifier")
+      .orderBy(col("seq").desc, col("value").desc_nulls_last)
+    versions
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("value").isNotNull)
+      .select("row_key", "family", "qualifier", "value")
+  }
+}
