@@ -1891,6 +1891,44 @@ object SparkEntry {
               .as("entropy"))
           .orderBy("doc_id")),
 
+      // Corpus-unigram-LM quality score (the CCNet-style LM filter, Wenzek
+      // et al. 2019, with the corpus itself as the LM): mean token
+      // log2-probability under the corpus unigram distribution — docs made
+      // of rare/garbage tokens score far below prose. Numeric discipline as
+      // q_doc_entropy: per-token logprob quantized to 6 dp DECIMAL, per-doc
+      // sums exact (order-insensitive), one final 4 dp double round. Plan:
+      // the raw token stream is scanned ONCE and collapsed map-side on
+      // (doc_id, tok); the vocab (groupBy tok) and the scalar total chain
+      // on that collapsed frame, never re-reading the corpus; the lp table
+      // is vocab-sized (bounded by distinct tokens, not corpus rows).
+      "q_quality_lm" -> ((s, dir) => {
+        val docTok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+        val vocab = docTok.groupBy("tok").agg(sum("c").as("cnt"))
+        val total = vocab.agg(sum("cnt").as("total"))
+        val lp = vocab
+          .crossJoin(broadcast(total))
+          .select(
+            col("tok"),
+            round(log2(col("cnt").cast("double") / col("total").cast("double")), 6)
+              .cast("decimal(20,6)")
+              .as("lp"))
+        docTok
+          .join(lp, "tok")
+          .groupBy("doc_id")
+          .agg(
+            sum("c").cast("long").as("n_tokens"),
+            sum(col("c").cast("decimal(20,6)") * col("lp")).as("slp"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            round(col("slp").cast("double") / col("n_tokens").cast("double"), 4)
+              .as("logprob"))
+          .orderBy("doc_id")
+      }),
+
       // Exact length deciles via the distributed ntile (operators/
       // Analytics.scala): global quantile buckets with NO corpus-wide
       // single-partition window — the global order is reconstructed from
@@ -2874,6 +2912,21 @@ object SparkEntry {
          |SELECT doc_id, n,
          |       round(log2(n) - CAST(clog AS DOUBLE) / n, 4) AS entropy
          |FROM a ORDER BY doc_id""".stripMargin,
+    "q_quality_lm" ->
+      s"""WITH dt AS (SELECT doc_id, tok, count(*) AS c
+         |            FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+         |            GROUP BY 1, 2),
+         |v AS (SELECT tok, sum(c) AS cnt FROM dt GROUP BY 1),
+         |t AS (SELECT sum(cnt) AS total FROM v),
+         |lp AS (SELECT tok,
+         |              CAST(round(log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+         |                   AS DECIMAL(20,6)) AS lp
+         |       FROM v, t)
+         |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(dt.c * lp.lp) AS DOUBLE)
+         |             / CAST(sum(dt.c) AS DOUBLE), 4) AS logprob
+         |FROM dt JOIN lp USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_length_deciles" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |                  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
