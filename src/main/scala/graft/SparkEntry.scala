@@ -1897,10 +1897,15 @@ object SparkEntry {
       // of rare/garbage tokens score far below prose. Numeric discipline as
       // q_doc_entropy: per-token logprob quantized to 6 dp DECIMAL, per-doc
       // sums exact (order-insensitive), one final 4 dp double round. Plan:
-      // the raw token stream is scanned ONCE and collapsed map-side on
-      // (doc_id, tok); the vocab (groupBy tok) and the scalar total chain
-      // on that collapsed frame, never re-reading the corpus; the lp table
-      // is vocab-sized (bounded by distinct tokens, not corpus rows).
+      // each pass collapses map-side on its key before shuffling, and the
+      // lp table is vocab-sized (distinct tokens, not corpus rows) — but
+      // the tokenize stage runs 3× (score join, vocab, scalar total are
+      // three uncached branches; verified in the final adaptive plan, no
+      // exchange reuse): the same documented trade as TextIndex.tfIdfTopK —
+      // a plan-per-run registry cannot persist() the (doc_id, tok) frame
+      // without leaking a cached copy per construction. A production LM
+      // scorer materializes the tf frame once and reuses it across all
+      // three consumers.
       "q_quality_lm" -> ((s, dir) => {
         val docTok = Tables.documents(s, dir)
           .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
