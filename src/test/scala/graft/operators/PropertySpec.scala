@@ -92,4 +92,44 @@ class PropertySpec extends SparkSpec {
       assert(wide.count() === rows.map(_._1).distinct.size)
     }
   }
+
+  test("LSM resolve equals a sequential last-write-wins fold over the batches") {
+    // model: apply batches in sequence order to a Map, None = tombstone;
+    // engine: union all versions with their seq and resolve in one window
+    val keyGen = Gen.oneOf("r1", "r2", "r3")
+    val qualGen = Gen.oneOf("a", "b")
+    val cellGen = Gen.zip(keyGen, qualGen, Gen.option(Gen.choose(0, 99).map(_.toString)))
+    val batchesGen =
+      Gen.listOfN(4, Gen.listOfN(6, cellGen).map(_.distinctBy(c => (c._1, c._2))))
+    forAllSamples(batchesGen, n = 10) { batches =>
+      val model = batches.zipWithIndex
+        .foldLeft(Map.empty[(String, String), Option[String]]) { case (m, (batch, _)) =>
+          batch.foldLeft(m) { case (acc, (rk, q, v)) => acc.updated((rk, q), v) }
+        }
+        .collect { case ((rk, q), Some(v)) => (rk, "cf", q, v) }
+        .toSet
+      val versions = batches.zipWithIndex.flatMap { case (batch, i) =>
+        batch.map { case (rk, q, v) => (rk, "cf", q, v.orNull, (i + 1).toLong) }
+      }.toDF("row_key", "family", "qualifier", "value", "seq")
+      val resolved = graft.kv.LogStructuredTable
+        .resolve(versions)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(resolved === model)
+    }
+  }
+
+  test("joinProfile: est_rows is the exact inner-join count on random key bags") {
+    val bagGen = Gen.listOfN(30, Gen.option(Gen.choose(1L, 8L)))
+    forAllSamples(Gen.zip(bagGen, bagGen), n = 10) { case (lKeys, rKeys) =>
+      val l = lKeys.toDF("k")
+      val r = rKeys.toDF("k")
+      val p = Joins.joinProfile(l, r, "k").head()
+      assert(p.getAs[Long]("est_rows") === l.join(r, Seq("k")).count())
+      assert(p.getAs[Long]("n_left_keys") === lKeys.flatten.distinct.size.toLong)
+      val maxL = lKeys.flatten.groupBy(identity).map(_._2.size).maxOption.getOrElse(0)
+      assert(p.getAs[Long]("max_left_mult") === maxL.toLong)
+    }
+  }
 }
