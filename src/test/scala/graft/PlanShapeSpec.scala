@@ -284,4 +284,26 @@ class PlanShapeSpec extends SparkSpec {
     // nothing else may move the corpus
     assert(exchanges(p) <= 4, s"unexpected extra exchange, plan:\n$p")
   }
+
+  test("q_quality_lm: map-side token collapse; the only nested-loop join is the 1-row total") {
+    val p = plan("q_quality_lm")
+    // (doc_id, tok) counts combine before every exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), s"no map-side combine:\n$p")
+    // the scalar corpus total broadcasts as one row; no other nested-loop
+    // or cartesian anywhere (the lp join must be a hash join on tok)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // no corpus-wide single-partition stage: every window/sort here is
+    // absent — scoring is pure aggregation until the output orderBy
+    assert(!p.contains("Window"), s"unexpected window, plan:\n$p")
+  }
+
+  test("q_kv_log_view: resolution window shuffles by cell key, never one partition") {
+    val p = plan("q_kv_log_view")
+    assert(p.contains("Window"), s"plan:\n$p")
+    assert(
+      p.contains("hashpartitioning(row_key"),
+      s"resolution window must partition by cell key, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
 }
