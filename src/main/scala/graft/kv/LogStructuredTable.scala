@@ -85,6 +85,47 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$logPath/seq=$seq")
   }
 
+  /** Idempotent epoch-keyed append — the streaming write path
+    * (`writeStream.foreachBatch((batch, id) => table.putLogEpoch(batch, id))`).
+    * Structured Streaming's foreachBatch delivers each micro-batch
+    * at-least-once (a crash between sink write and checkpoint commit
+    * replays the epoch); here the epoch id IS the sequence number, so:
+    *
+    *  - a replayed epoch targets the same `seq=` directory and is skipped —
+    *    exactly-once cell state on top of at-least-once delivery;
+    *  - a partially-written first attempt can't be mistaken for complete:
+    *    the batch stages to a dot-prefixed temp dir and moves into place as
+    *    the last step (the move is the commit point);
+    *  - an epoch already folded into the base by [[compact]] is skipped via
+    *    the compaction high-water mark — without it, a replay of an old
+    *    epoch would land ABOVE the base's seq 0 and shadow newer compacted
+    *    values with stale ones.
+    *
+    * Epochs map to `seq = epoch + 1` (base is seq 0; streaming epochs start
+    * at 0). Mixing manual [[putLog]] and epoch-keyed appends on one table
+    * would collide sequence ranges — a table is either batch-fed or
+    * stream-fed. */
+  def putLogEpoch(cells: DataFrame, epoch: Long): Unit = {
+    val seq = epoch + 1L
+    val dst = Paths.get(s"$logPath/seq=$seq")
+    if (seq <= compactedThrough || Files.exists(dst)) return
+    val tmp = s"$logPath/.inflight-seq=$seq"
+    cells
+      .select(schemaCols.map(col): _*)
+      .groupBy("row_key", "family", "qualifier")
+      .agg(max("value").as("value"))
+      .withColumn("seq", lit(seq))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(tmp), dst)
+  }
+
+  /** Highest sequence folded into the base by [[compact]]; 0 before any
+    * compaction. One tiny driver-side marker file. */
+  def compactedThrough: Long = {
+    val m = Paths.get(s"$warehouse/$name/_compacted_through")
+    if (Files.exists(m)) Files.readString(m).trim.toLong else 0L
+  }
+
   /** All cell versions with their sequence: base at seq 0 plus every log. */
   private def versions(): DataFrame = {
     val schema = "row_key STRING, family STRING, qualifier STRING, value STRING"
@@ -128,6 +169,9 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
     deleteTree(Paths.get(basePath))
     Files.move(Paths.get(tmp), Paths.get(basePath))
     deleteTree(Paths.get(logPath))
+    // High-water mark for [[putLogEpoch]]: replays of epochs at or below
+    // this are already in the base and must not re-append.
+    Files.writeString(Paths.get(s"$warehouse/$name/_compacted_through"), seqs.max.toString)
   }
 }
 
