@@ -141,18 +141,53 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
     * With zero outstanding logs the resolution window is skipped entirely —
     * the base is only ever written by [[create]] (empty) or [[compact]]
     * (already resolved, tombstone-free), so a compacted table reads at
-    * plain-scan cost with no shuffle (LsmBench, 10M-cell base: 2.9 s with 5
-    * outstanding logs → 0.3 s compacted). With logs outstanding the window shuffles base+logs by
-    * cell key — the merge-on-read price of O(batch) writes; HBase dodges it
-    * with sorted HFiles + a merge iterator, the parquet analog being a
-    * bucketed-by-key layout (sources/Bucketing.scala) when view reads
-    * dominate appends. */
-  def readView(): DataFrame =
-    if (logSeqs().isEmpty)
-      spark.read
-        .schema("row_key STRING, family STRING, qualifier STRING, value STRING")
-        .parquet(basePath)
-    else LogStructuredTable.resolve(versions())
+    * plain-scan cost with no shuffle (LsmBench, 10M-cell base: ~0.15 s
+    * compacted vs ~5 s with 5 outstanding logs).
+    *
+    * With logs outstanding, read cost tracks the LOG, not the table — the
+    * HBase merge-iterator property, recovered on parquet with broadcast
+    * joins: the log cell KEYS broadcast, a broadcast anti join passes
+    * untouched base cells through as-is (they are live by the compaction
+    * invariant — the base never holds shadowed cells or tombstones), a
+    * broadcast semi join carves out the touched sliver, and only
+    * sliver+logs go through the resolution window. The base is scanned but
+    * NEVER shuffles — at a 100 TB base with a day of appends, the exchange
+    * carries the day, not the table. Logs past the broadcast budget fall
+    * back to a full [[LogStructuredTable.resolve]] over base+logs (the
+    * table is overdue for [[compact]] anyway — unbounded log growth
+    * degrades every LSM store's reads). Value-identity of the split path
+    * with plain resolve is pinned by a randomized fold-model property and
+    * the no-base-exchange plan shape in LogStructuredTableSpec.
+    *
+    * Honest regime note (LsmBench, 10M skinny cells, local[32]): the split
+    * path measures ~4.9 s vs ~2.9 s for the full-shuffle resolve — locally
+    * a shuffle is a memory copy, and the split pays two base scans plus
+    * per-read job overhead. The design targets the cluster regime the
+    * local box cannot exhibit: there the full resolve serializes the
+    * ENTIRE base through the network exchange on every read, while the
+    * split path streams it from storage with only broadcast probes —
+    * shuffle bytes scale with the table, split-path bytes with the log. */
+  def readView(maxBroadcastLogCells: Long = 4000000L): DataFrame = {
+    val schema = "row_key STRING, family STRING, qualifier STRING, value STRING"
+    val seqs = logSeqs()
+    val base = spark.read.schema(schema).parquet(basePath)
+    if (seqs.isEmpty) return base
+    // one metadata-only count over all log dirs (parquet row counts come
+    // from footers, no data scan) decides split-path vs full resolve
+    val logCells =
+      spark.read.parquet(seqs.map(s => s"$logPath/seq=$s"): _*).count()
+    if (logCells > maxBroadcastLogCells) return LogStructuredTable.resolve(versions())
+    val logs = seqs
+      .map(s => spark.read.schema(s"$schema, seq BIGINT").parquet(s"$logPath/seq=$s"))
+      .reduce(_ unionByName _)
+    val cellKey = Seq("row_key", "family", "qualifier")
+    val logKeys = broadcast(logs.select(cellKey.map(col): _*).distinct())
+    val untouched = base.join(logKeys, cellKey, "left_anti")
+    val touched = base
+      .join(logKeys, cellKey, "left_semi")
+      .withColumn("seq", lit(0L))
+    untouched.unionByName(LogStructuredTable.resolve(touched.unionByName(logs)))
+  }
 
   /** Major compaction: fold logs into the base, drop shadowed cells and
     * tombstones physically, clear the log. One shuffle by cell key over

@@ -152,6 +152,50 @@ class LogStructuredTableSpec extends SparkSpec {
     assert(state() === expect)
   }
 
+  test("split-path view: base never shuffles — broadcast anti/semi carve, window on the sliver") {
+    val t = fresh("split")
+    t.putLog(cells(("r1", "cf", "a", "1"), ("r2", "cf", "a", "2"), ("r3", "cf", "a", "3")))
+    t.compact()
+    t.putLog(cells(("r1", "cf", "a", "10")))
+    val p = t.readView().queryExecution.executedPlan.toString
+    // both carve joins are broadcast (log keys build side), so the base
+    // FileScans feed the joins directly — a shuffled carve would plan
+    // SortMergeJoin with exchanges over the base
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"), s"plan:\n$p")
+    assert(
+      "BroadcastHashJoin".r.findAllIn(p).size >= 2 && !p.contains("SortMergeJoin"),
+      s"log keys not broadcast:\n$p")
+    // exactly three hash exchanges, none over the base: two O(log-keys)
+    // distinct aggregates feeding the broadcasts, one resolution window
+    // over sliver+logs — an exchange of the base itself would be a fourth
+    assert(
+      "Exchange hashpartitioning".r.findAllIn(p).size === 3,
+      s"unexpected exchange count (base shuffling?), plan:\n$p")
+  }
+
+  test("split-path view equals full resolve on randomized batch histories") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val t = fresh(s"rand$trial")
+      // model: sequential LWW fold, None = tombstone
+      var model = Map.empty[(String, String), Option[String]]
+      (0 until 4).foreach { _ =>
+        val batch = (0 until 8).map { _ =>
+          (s"r${rnd.nextInt(5)}", s"q${rnd.nextInt(3)}", Option.when(rnd.nextInt(4) > 0)(rnd.nextInt(100).toString))
+        }.distinctBy(c => (c._1, c._2))
+        // deterministic intra-batch contract: unique cells per batch (above)
+        batch.foreach { case (rk, q, v) => model = model.updated((rk, q), v) }
+        t.putLog(
+          batch.map { case (rk, q, v) => (rk, "cf", q, v.orNull) }
+            .toDF("row_key", "family", "qualifier", "value"))
+        if (rnd.nextInt(3) == 0) t.compact() // interleave compactions
+      }
+      val expect = model.collect { case ((rk, q), Some(v)) => (rk, q, v) }.toSet
+      val got = t.readView().collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("view equals WideColumnTable.put semantics for the same batch sequence") {
     // same batches through the rewrite-based facade and the log-structured
     // one: identical final state (two implementations, one contract)
