@@ -167,7 +167,7 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
     * ENTIRE base through the network exchange on every read, while the
     * split path streams it from storage with only broadcast probes —
     * shuffle bytes scale with the table, split-path bytes with the log. */
-  def readView(maxBroadcastLogCells: Long = 4000000L): DataFrame = {
+  def readView(maxBroadcastLogCells: Long = 1000000L): DataFrame = {
     val schema = "row_key STRING, family STRING, qualifier STRING, value STRING"
     val seqs = logSeqs()
     val base = spark.read.schema(schema).parquet(basePath)
