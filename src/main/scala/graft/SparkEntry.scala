@@ -2063,6 +2063,51 @@ object SparkEntry {
               greatest(lit(1.0), col("est_single").cast("double") * 0.01)).as("merge_ok"))
       }),
 
+      // Count-min frequency-sketch gate (operators/FrequencySketch.scala) —
+      // the third mergeable-sketch family next to HLL distinct counts and GK
+      // quantiles: point-frequency estimates over the token stream in
+      // O(width×depth) memory. One sketch is built over the exploded tokens
+      // (each partition folds rows into a local sketch; the one exchange
+      // carries ~320 KB partials, not rows), probed at the exact top-20
+      // terms. The gate pins all three contract properties: estimates never
+      // undercount (deterministic — every counter a term hashes to received
+      // all its increments), overcount by at most eps·N (eps=5e-4 at
+      // confidence 0.999, depth 10 — deterministic for a fixed dataset+seed,
+      // verified green at sf0.001/0.01/0.1), and an 8-shard merged sketch
+      // answers every probe identically to the whole-stream sketch
+      // (counter-wise addition is exact — the incremental-rollup property).
+      // DuckDB recomputes the exact side (probe count, stream length) and
+      // emits TRUE for the contract columns.
+      "q_cms_gate" -> ((s, dir) => {
+        import graft.operators.FrequencySketch
+        val (eps, conf, seed) = (0.0005, 0.999, 42)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        val single = FrequencySketch.build(toks, "tok", eps, conf, seed)
+        val merged = FrequencySketch.buildMerged(
+          toks.withColumn("shard", (col("doc_id") % 8).cast("int")),
+          "tok", "shard", eps, conf, seed)
+        val top = toks
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .toSeq
+        import s.implicits._
+        top.map { case (t, n) =>
+            (t, n, single.estimateCount(t), merged.estimateCount(t))
+          }
+          .toDF("tok", "n_exact", "est", "est_merged")
+          .agg(
+            count(lit(1)).as("n_probes"),
+            lit(single.totalCount()).as("n_tokens"),
+            min(col("est") >= col("n_exact")).as("overcount_ok"),
+            min(col("est") - col("n_exact") <=
+              lit(eps) * lit(single.totalCount()).cast("double")).as("eps_ok"),
+            min(col("est") === col("est_merged")).as("merge_exact"))
+      }),
+
       // BM25 top-10 retrieval for a literal term query (TextIndex.bm25TopK):
       // exploded stream filtered to the query terms BEFORE the tf shuffle,
       // TakeOrderedAndProject cut, rank window over exactly k rows.
@@ -2999,6 +3044,12 @@ object SparkEntry {
         |       TRUE AS hll_ok, TRUE AS merge_ok
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-15'""".stripMargin,
+    "q_cms_gate" ->
+      s"""WITH toks AS (SELECT unnest($ToksSql) AS tok FROM documents)
+         |SELECT CAST(least(20, count(DISTINCT tok)) AS BIGINT) AS n_probes,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       TRUE AS overcount_ok, TRUE AS eps_ok, TRUE AS merge_exact
+         |FROM toks""".stripMargin,
     "q_bm25_topk" ->
       // Same linear-idf BM25 expression tree as TextIndex.bm25TopK, term for
       // term: (N−df+0.5)/(df+0.5) · tf·2.2/(tf + 0.3 + 0.9·(dl/avgdl)),
