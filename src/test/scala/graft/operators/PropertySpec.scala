@@ -120,6 +120,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CMS: never undercounts and shard-merge equals whole-stream on random bags") {
+    val bagGen = Gen.listOfN(120, Gen.oneOf((1 to 12).map(i => s"t$i")))
+    forAllSamples(bagGen, n = 8) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "tok")
+      val exact = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val single = FrequencySketch.build(df, "tok", 0.01, 0.99, 5)
+      val merged = FrequencySketch.buildMerged(
+        df.withColumn("shard", (col("id") % 3).cast("int")), "tok", "shard", 0.01, 0.99, 5)
+      assert(single.totalCount() === toks.size.toLong)
+      exact.foreach { case (t, c) =>
+        assert(single.estimateCount(t) >= c, s"undercount for $t")
+        assert(merged.estimateCount(t) === single.estimateCount(t), s"merge drift for $t")
+      }
+    }
+  }
+
   test("joinProfile: est_rows is the exact inner-join count on random key bags") {
     val bagGen = Gen.listOfN(30, Gen.option(Gen.choose(1L, 8L)))
     forAllSamples(Gen.zip(bagGen, bagGen), n = 10) { case (lKeys, rKeys) =>
