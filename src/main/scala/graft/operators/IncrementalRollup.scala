@@ -46,4 +46,57 @@ object IncrementalRollup {
         expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est_users"),
         sum("n_events").as("n_events"),
         count(lit(1)).as("n_days"))
+
+  /** The same rollup for term FREQUENCIES: one row per day carrying a
+    * count-min sketch of that day's token stream (plus the exact stream
+    * length). Same maintenance contract as [[dailyUserSketches]] — a new
+    * day appends one row, existing rows are never touched, and any range
+    * query is answered from O(days) sketch rows.
+    *
+    * `tokens` must have a `day` date column and a string `tok` column
+    * (e.g. exploded tokenizer output joined to an ingest date).
+    */
+  def dailyTermSketches(
+      tokens: DataFrame,
+      eps: Double,
+      confidence: Double,
+      seed: Int): DataFrame =
+    tokens
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr(s"count_min_sketch(tok, ${eps}d, ${confidence}d, $seed)").as("sketch"))
+
+  /** Frequency estimates for `terms` over [from, to]: the range's per-day
+    * sketches (KB each) are collected and summed counter-wise on the driver
+    * — unlike HLL there is no SQL-level union aggregate for count-min, but
+    * the merge is EXACT (counter addition), so the range sketch equals one
+    * built over the whole range's stream; `FrequencySketchSpec` and
+    * `q_cms_gate` pin that. Returns one row per probed term. Zero token
+    * rows are rescanned; only O(days) sketch blobs move.
+    */
+  def termFreqOverRange(
+      sketches: DataFrame,
+      from: String,
+      to: String,
+      terms: Seq[String],
+      eps: Double,
+      confidence: Double,
+      seed: Int): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val inRange = sketches
+      .filter(col("day").between(from, to))
+      .select("sketch")
+      .collect()
+      .map(r =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sketch"))))
+    val merged =
+      if (inRange.isEmpty) org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)
+      else inRange.reduce((a, b) => a.mergeInPlace(b))
+    terms
+      .map(t => (t, merged.estimateCount(t), merged.totalCount()))
+      .toDF("tok", "est", "n_tokens_range")
+  }
 }

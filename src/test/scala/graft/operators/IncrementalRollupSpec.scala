@@ -47,4 +47,37 @@ class IncrementalRollupSpec extends SparkSpec {
     // bit-equality — see the IncrementalRollup scaladoc
     assert(math.abs(est.getAs[Long]("est_users") - oneShot) <= math.max(1L, oneShot / 100))
   }
+
+  test("term-frequency rollup: range probe equals a whole-range sketch exactly") {
+    import graft.functions.{TextFunctions => T}
+    val (eps, conf, seed) = (0.001, 0.99, 11)
+    // documents have no date; assign a deterministic synthetic ingest day
+    val toks = Tables.documents(spark, dir)
+      .select(
+        date_add(lit("2024-01-01").cast("date"), (col("doc_id") % 10).cast("int")).as("day"),
+        explode(T.tokens(col("text"))).as("tok"))
+    val daily = IncrementalRollup.dailyTermSketches(toks, eps, conf, seed)
+    assert(daily.count() === 10L)
+
+    val (from, to) = ("2024-01-03", "2024-01-07")
+    val probes = Seq("the", "of", "zzz-absent")
+    val viaRollup = IncrementalRollup
+      .termFreqOverRange(daily, from, to, probes, eps, conf, seed)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    // one sketch over the whole range's stream — counter-add merge is exact,
+    // so every probe and the total must agree with the rollup answer
+    val ranged = toks.filter(col("day").between(from, to))
+    val whole = FrequencySketch.build(ranged, "tok", eps, conf, seed)
+    probes.foreach { t =>
+      assert(viaRollup(t) === ((whole.estimateCount(t), whole.totalCount())), s"drift for $t")
+    }
+    // and the estimates bound the exact counts from above
+    val exact = ranged.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaRollup("the")._1 >= exact.getOrElse("the", 0L))
+    assert(viaRollup("zzz-absent")._1 <= (eps * whole.totalCount()).toLong)
+  }
 }
