@@ -94,7 +94,13 @@ object StreamingRollup {
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     es.foreach(e => deleteTree(Paths.get(s"$dir/epoch=$e")))
     Files.move(Paths.get(tmp), Paths.get(s"$dir/epoch=0"))
-    Files.writeString(Paths.get(s"$dir/_compacted_through"), es.max.toString)
+    // Monotone high-water mark: a re-compaction over just the folded
+    // epoch=0 has es.max == 0, and lowering the mark would re-admit a late
+    // replay of an already-folded epoch (its sketch would union away, but
+    // n_events would double-count).
+    Files.writeString(
+      Paths.get(s"$dir/_compacted_through"),
+      math.max(es.max, compactedThrough(dir)).toString)
   }
 
   /** Drain a streaming event source into the rollup table and stop —

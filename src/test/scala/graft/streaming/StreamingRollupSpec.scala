@@ -50,6 +50,12 @@ class StreamingRollupSpec extends SparkSpec {
     // directory is gone (it was folded into the compacted row)
     StreamingRollup.appendBatch(out, ev.limit(5), 2L)
     assert(answer(StreamingRollup.dayRollup(spark, out)) === before)
+    // re-compaction over just the folded epoch=0 must not LOWER the mark —
+    // that would re-admit late replays of already-folded epochs
+    StreamingRollup.compactDays(spark, out)
+    assert(StreamingRollup.compactedThrough(out) === 2L)
+    StreamingRollup.appendBatch(out, ev.limit(5), 1L)
+    assert(answer(StreamingRollup.dayRollup(spark, out)) === before)
   }
 
   test("checkpointed AvailableNow drain feeds the rollup through foreachBatch") {
