@@ -2108,6 +2108,45 @@ object SparkEntry {
             min(col("est") === col("est_merged")).as("merge_exact"))
       }),
 
+      // Per-day CMS rollup gate (IncrementalRollup.dailyTermSketches /
+      // termFreqOverRange): date-range term-frequency probes answered from
+      // O(days) sketch rows — zero token rows rescanned at query time.
+      // Documents carry no date, so ingest day is a deterministic synthetic
+      // (doc_id % 10 past 2024-01-01, the IncrementalRollupSpec fixture),
+      // which DuckDB reproduces exactly. The gate pins the CMS contract on
+      // the MERGED range sketch: estimates never undercount the exact range
+      // count, overcount ≤ eps·N_range (counter-add merge is exact, so the
+      // range sketch equals one built over the whole range's stream), and
+      // the sketch's totalCount equals the exact range stream length
+      // (n_tokens_range is hash-compared against DuckDB's count, not
+      // gated). Probes include an absent term: its estimate is pure
+      // collision mass and must still sit under the eps bound.
+      "q_cms_rollup_gate" -> ((s, dir) => {
+        import graft.operators.IncrementalRollup
+        val (eps, conf, seed) = (0.0005, 0.999, 42)
+        val toks = Tables.documents(s, dir).select(
+          date_add(lit("2024-01-01").cast("date"), (col("doc_id") % 10).cast("int")).as("day"),
+          explode(T.tokens(col("text"))).as("tok"))
+        val daily = IncrementalRollup.dailyTermSketches(toks, eps, conf, seed)
+        val (from, to) = ("2024-01-03", "2024-01-07")
+        val probes = Seq("filter", "stream", "vector", "zzz-absent")
+        val est = IncrementalRollup.termFreqOverRange(daily, from, to, probes, eps, conf, seed)
+        val exact = toks
+          .filter(col("day").between(from, to))
+          .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        val nExact = coalesce(col("n_exact"), lit(0L))
+        est
+          .join(exact, Seq("tok"), "left_outer")
+          .select(
+            col("tok"),
+            nExact.as("n_exact"),
+            col("n_tokens_range"),
+            (col("est") >= nExact).as("under_ok"),
+            (col("est") - nExact <=
+              lit(eps) * col("n_tokens_range").cast("double")).as("eps_ok"))
+          .orderBy("tok")
+      }),
+
       // BM25 top-10 retrieval for a literal term query (TextIndex.bm25TopK):
       // exploded stream filtered to the query terms BEFORE the tf shuffle,
       // TakeOrderedAndProject cut, rank window over exactly k rows.
@@ -3050,6 +3089,21 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_tokens,
          |       TRUE AS overcount_ok, TRUE AS eps_ok, TRUE AS merge_exact
          |FROM toks""".stripMargin,
+    "q_cms_rollup_gate" ->
+      // Synthetic ingest day mirrored term for term; DuckDB recomputes the
+      // exact per-probe range counts and the exact range stream length, and
+      // emits TRUE for the contract columns the sketch side asserts.
+      s"""WITH t AS (SELECT DATE '2024-01-01' + CAST(doc_id % 10 AS INT) AS day,
+         |                  unnest($ToksSql) AS tok FROM documents),
+         |r AS (SELECT tok FROM t
+         |      WHERE day BETWEEN DATE '2024-01-03' AND DATE '2024-01-07'),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens_range FROM r),
+         |e AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM r GROUP BY 1),
+         |p(tok) AS (VALUES ('filter'), ('stream'), ('vector'), ('zzz-absent'))
+         |SELECT p.tok, CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+         |       (SELECT n_tokens_range FROM g) AS n_tokens_range,
+         |       TRUE AS under_ok, TRUE AS eps_ok
+         |FROM p LEFT JOIN e USING (tok) ORDER BY tok""".stripMargin,
     "q_bm25_topk" ->
       // Same linear-idf BM25 expression tree as TextIndex.bm25TopK, term for
       // term: (N−df+0.5)/(df+0.5) · tf·2.2/(tf + 0.3 + 0.9·(dl/avgdl)),
