@@ -434,6 +434,17 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // Cross-engine table checksum (Analytics.tableChecksum): one tiny row
+    // proves two engines hold the same rows without moving either side —
+    // the migration-validation companion to q_snapshot_diff (which needs
+    // both snapshots IN one engine). The DuckDB oracle recomputes the
+    // md5-prefix hashes and both order-insensitive combiners byte for
+    // byte; the hash match IS the cross-engine reproducibility contract.
+    "q_table_checksum" -> ((s, dir) =>
+      graft.operators.Analytics.tableChecksum(
+        Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // Window ranking — top-5 events per type (sort/limit per group)
     "q_topk_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -824,6 +835,18 @@ object SparkEntry {
         |       count(*) AS n
         |FROM v1 FULL OUTER JOIN v2 USING (k)
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    "q_table_checksum" ->
+      // Same canonicalization and combiners as Analytics.tableChecksum:
+      // \x01-joined string casts, 60-bit md5-prefix int, XOR + sum mod 2^61.
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |             CAST(doc_id AS VARCHAR), text, lang, source,
+        |             CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |           FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       bit_xor(h) AS checksum_xor,
+        |       CAST(CAST(sum(CAST(h AS DECIMAL(20,0))) AS DECIMAL(38,0))
+        |            % 2305843009213693952 AS BIGINT) AS checksum_sum
+        |FROM h""".stripMargin,
     "q_topk_window" ->
       """SELECT event_type, rank, event_id, value FROM
         |  (SELECT event_type, event_id, value,

@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Order/partition-insensitive table checksum — the migration-validation
+    * primitive for this engine's own use case: after re-platforming a
+    * 100 TB table, prove source and target hold the SAME ROWS without
+    * moving either (each side computes one tiny row; compare).
+    *
+    * Per row: canonical string = `concat_ws(\\u0001, cols as string)`, then
+    * a 60-bit integer from the md5 prefix — md5, substring, hex→int, and
+    * string casts of ints/strings are engine-portable (the DuckDB oracle
+    * recomputes the checksum byte for byte, which IS the cross-engine
+    * contract). Two combiners, both commutative+associative so the
+    * aggregate is map-side combined and partitioning/order never matter:
+    * XOR (but self-cancelling on even duplicate multiplicity) and a SUM
+    * mod 2^61 carried in DECIMAL (exact, duplicate-sensitive — together
+    * they also certify multiplicities modulo astronomically unlikely
+    * collisions).
+    *
+    * Caller contract: `cols` must be NULL-free (coalesce first) —
+    * `concat_ws` SKIPS nulls in both engines, which would make
+    * ("a", null, "b") and ("a", "b", null) collide.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val canon = concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(h.as("h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        (sum(col("h").cast("decimal(20,0)")) % lit(2305843009213693952L))
+          .cast("long")
+          .as("checksum_sum"))
+  }
+
   /** Exact k-bucket quantile assignment (a distributed `ntile`).
     *
     * Each row gets `bucket = (global_rank - 1) * k div n` where

@@ -136,6 +136,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tableChecksum: order/partition-insensitive, change-sensitive, duplicate-aware") {
+    val rowGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 40L), Gen.alphaStr.map(_.take(6))))
+    forAllSamples(rowGen, n = 8) { rows =>
+      val df = rows.toDF("id", "s")
+      val base = Analytics.tableChecksum(df, Seq("id", "s")).head()
+      // permutation + different partitioning → identical checksums
+      val shuffled = Analytics
+        .tableChecksum(df.orderBy(col("s"), col("id")).repartition(7), Seq("id", "s"))
+        .head()
+      assert(base === shuffled)
+      // flipping one row's value changes both combiners
+      if (rows.nonEmpty) {
+        val changed = Analytics
+          .tableChecksum(
+            rows.updated(0, (rows.head._1 + 1000L, rows.head._2)).toDF("id", "s"),
+            Seq("id", "s"))
+          .head()
+        assert(changed.getAs[Long]("checksum_xor") !== base.getAs[Long]("checksum_xor"))
+        assert(changed.getAs[Long]("checksum_sum") !== base.getAs[Long]("checksum_sum"))
+      }
+    }
+    // XOR blind spot the scaladoc documents: doubling every row cancels in
+    // XOR (back to the empty-table NULL-adjacent value domain) but the sum
+    // combiner sees the multiplicity — together they certify the bag.
+    val rows = Seq((1L, "a"), (2L, "b"))
+    val once = Analytics.tableChecksum(rows.toDF("id", "s"), Seq("id", "s")).head()
+    val twice = Analytics.tableChecksum((rows ++ rows).toDF("id", "s"), Seq("id", "s")).head()
+    assert(twice.getAs[Long]("checksum_xor") === 0L)
+    assert(twice.getAs[Long]("checksum_sum") !== once.getAs[Long]("checksum_sum"))
+    assert(twice.getAs[Long]("n_rows") === 4L)
+  }
+
   test("joinProfile: est_rows is the exact inner-join count on random key bags") {
     val bagGen = Gen.listOfN(30, Gen.option(Gen.choose(1L, 8L)))
     forAllSamples(Gen.zip(bagGen, bagGen), n = 10) { case (lKeys, rKeys) =>
