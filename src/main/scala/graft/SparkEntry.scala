@@ -671,6 +671,32 @@ object SparkEntry {
       graft.kv.LogStructuredTable.resolve(versions).orderBy("row_key", "qualifier")
     }),
 
+    // Versioned (as-of) read — the HBase timestamp-range Get/Scan: the same
+    // version frame resolved at seq <= 2 sees the status overwrite and the
+    // prio tombstone but NOT the seq-3 resurrection. Same window-resolution
+    // plan as q_kv_log_view over fewer versions; kv.LogStructuredTable
+    // .readViewAsOf is this exact shape over the on-disk table
+    // (ScalaTest-covered, incl. compaction-discard semantics).
+    "q_kv_asof" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def cell(rows: DataFrame, q: String, v: org.apache.spark.sql.Column, seq: Long) =
+        rows.select(
+          col("o_orderkey").cast("string").as("row_key"),
+          lit("cf").as("family"),
+          lit(q).as("qualifier"),
+          v.cast("string").as("value"),
+          lit(seq).as("seq"))
+      val versions = cell(o, "status", col("o_orderstatus"), 0L)
+        .unionByName(cell(o, "prio", col("o_orderpriority"), 0L))
+        .unionByName(cell(o.filter(col("o_orderkey") % 7 === 0), "status", lit("X"), 1L))
+        .unionByName(cell(o.filter(col("o_orderkey") % 11 === 0), "prio", lit(null), 2L))
+        .unionByName(
+          cell(o.filter(col("o_orderkey") % 22 === 0), "prio", lit("RESTORED"), 3L))
+      graft.kv.LogStructuredTable
+        .resolve(versions.filter(col("seq") <= 2L))
+        .orderBy("row_key", "qualifier")
+    }),
+
     // F7 audit — the rows the broadcast join *drops* (RdlETL.java:110-114
     // logs-and-skips misses): left-anti join of deduped readings vs the
     // dimension. Broadcast anti join — same single-exchange shape as J1.
@@ -957,6 +983,28 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY row_key, family, qualifier
         |        ORDER BY seq DESC, value DESC NULLS LAST) AS rn FROM v)
+        |SELECT row_key, family, qualifier, value FROM r
+        |WHERE rn = 1 AND value IS NOT NULL
+        |ORDER BY row_key, qualifier""".stripMargin,
+    "q_kv_asof" ->
+      """WITH v AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS row_key, 'cf' AS family,
+        |         'status' AS qualifier, o_orderstatus AS value, 0 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 'cf', 'prio', o_orderpriority, 0 FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 'cf', 'status', 'X', 1
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 'cf', 'prio', NULL, 2
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 'cf', 'prio', 'RESTORED', 3
+        |  FROM orders WHERE o_orderkey % 22 = 0),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY row_key, family, qualifier
+        |        ORDER BY seq DESC, value DESC NULLS LAST) AS rn
+        |      FROM v WHERE seq <= 2)
         |SELECT row_key, family, qualifier, value FROM r
         |WHERE rn = 1 AND value IS NOT NULL
         |ORDER BY row_key, qualifier""".stripMargin,

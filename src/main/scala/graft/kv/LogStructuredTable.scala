@@ -74,9 +74,15 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
     * DataFrame has no row order, so duplicate cells resolve deterministically
     * — a non-null value beats a tombstone, greatest value wins — rather than
     * by arrival order (which HBase's same-timestamp puts resolve by
-    * memstore insertion order, i.e. arbitrarily from the caller's view). */
+    * memstore insertion order, i.e. arbitrarily from the caller's view).
+    *
+    * Sequences are GLOBALLY monotone, surviving compaction (continue past
+    * the high-water mark, never restart at 1) — resolution only needs
+    * log-order within a compaction generation, but [[readViewAsOf]]
+    * snapshots are meaningless if a sequence number can name two different
+    * writes across a compact. */
   def putLog(cells: DataFrame): Unit = {
-    val seq = logSeqs().lastOption.getOrElse(0L) + 1L
+    val seq = math.max(logSeqs().lastOption.getOrElse(0L), compactedThrough) + 1L
     cells
       .select(schemaCols.map(col): _*)
       .groupBy("row_key", "family", "qualifier")
@@ -188,6 +194,45 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
       .withColumn("seq", lit(0L))
     untouched.unionByName(LogStructuredTable.resolve(touched.unionByName(logs)))
   }
+
+  /** Snapshot read as of sequence `asOfSeq` — the HBase timestamp-range
+    * read (Get/Scan.setTimeRange): resolve only versions with
+    * `seq <= asOfSeq`, so the view is exactly what [[readView]] returned
+    * when that sequence was the newest. Version retention follows HBase
+    * major-compaction semantics: [[compact]] physically discards shadowed
+    * versions, so snapshots strictly BELOW the compaction mark are gone —
+    * asking for one fails loudly rather than answering with the silently
+    * post-compaction state. Snapshots at or above the mark remain exact:
+    * the folded base holds the resolved state as of the mark, and later
+    * logs layer on top. */
+  def readViewAsOf(asOfSeq: Long): DataFrame = {
+    require(
+      asOfSeq >= compactedThrough,
+      s"snapshot seq=$asOfSeq predates compaction (compacted through $compactedThrough); " +
+        "versions below the mark are physically discarded")
+    LogStructuredTable.resolve(versions().filter(col("seq") <= asOfSeq))
+  }
+
+  /** Version history of ONE cell, newest first — HBase `get` with
+    * VERSIONS=n (HBaseClient.java's Result carries all requested cell
+    * versions). Tombstones appear as NULL values: history reads show the
+    * delete, unlike the resolved views which mask it. Retention caveat as
+    * in [[readViewAsOf]]: [[compact]] collapses history below the mark to
+    * the single surviving version. Driver-side pruning only — the filter
+    * pushes down to every base/log scan; rows matching one cell key are
+    * O(versions of that cell). */
+  def cellVersions(
+      rowKey: String,
+      family: String,
+      qualifier: String,
+      maxVersions: Int = Int.MaxValue): DataFrame =
+    versions()
+      .filter(
+        col("row_key") === rowKey &&
+          col("family") === family &&
+          col("qualifier") === qualifier)
+      .orderBy(col("seq").desc)
+      .limit(maxVersions)
 
   /** Major compaction: fold logs into the base, drop shadowed cells and
     * tombstones physically, clear the log. One shuffle by cell key over

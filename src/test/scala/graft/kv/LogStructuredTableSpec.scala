@@ -89,11 +89,57 @@ class LogStructuredTableSpec extends SparkSpec {
     val base = spark.read.parquet(t.baseDir)
     assert(base.count() === 2)
     assert(base.filter(col("value").isNull || col("row_key") === "r2").count() === 0)
-    // and the table keeps accepting appends after compaction (seq monotone
-    // across the compact: directory listing restarts at 1 — fine, the base
-    // already holds everything older)
+    // and the table keeps accepting appends after compaction, with seq
+    // numbering continuing PAST the high-water mark (never restarting at 1
+    // — a reused sequence number would make as-of snapshots ambiguous)
     t.putLog(cells(("r4", "cf", "a", "4")))
     assert(t.readView().count() === 3)
+    val postCompactSeqs = new java.io.File(t.logDir).listFiles().map(_.getName).sorted
+    assert(postCompactSeqs.head === s"seq=${t.compactedThrough + 1}")
+  }
+
+  test("readViewAsOf: each historical snapshot is exactly the view at that seq") {
+    val t = fresh("asof")
+    t.putLog(cells(("r1", "cf", "a", "1"), ("r2", "cf", "a", "2"))) // seq 1
+    t.putLog(cells(("r1", "cf", "a", "10")))                        // seq 2
+    t.putLog(Seq(("r2", "cf", "a", Option.empty[String]))
+      .toDF("row_key", "family", "qualifier", "value"))             // seq 3: tombstone
+    def snap(s: Long) = t.readViewAsOf(s).orderBy("row_key")
+      .collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(snap(1L) === Seq(("r1", "1"), ("r2", "2")))
+    assert(snap(2L) === Seq(("r1", "10"), ("r2", "2")))
+    assert(snap(3L) === Seq(("r1", "10")))
+    // as-of the current frontier ≡ the live view
+    assert(t.readViewAsOf(99L).orderBy("row_key").collect().toSeq ===
+      t.readView().orderBy("row_key").collect().toSeq)
+  }
+
+  test("readViewAsOf: snapshots below the compaction mark are discarded, at/above remain") {
+    val t = fresh("asof-cpt")
+    t.putLog(cells(("r1", "cf", "a", "1"))) // seq 1
+    t.putLog(cells(("r1", "cf", "a", "2"))) // seq 2
+    t.compact()                             // mark = 2; history below folded
+    t.putLog(cells(("r1", "cf", "a", "3"))) // seq 3 (monotone past the mark)
+    assert(t.readViewAsOf(2L).head().getString(3) === "2")
+    assert(t.readViewAsOf(3L).head().getString(3) === "3")
+    val e = intercept[IllegalArgumentException](t.readViewAsOf(1L))
+    assert(e.getMessage.contains("predates compaction"))
+  }
+
+  test("cellVersions: full newest-first history of one cell, tombstones visible") {
+    val t = fresh("hist")
+    t.putLog(cells(("r1", "cf", "a", "1"), ("r1", "cf", "b", "x"))) // seq 1
+    t.putLog(Seq(("r1", "cf", "a", Option.empty[String]))
+      .toDF("row_key", "family", "qualifier", "value"))             // seq 2: delete
+    t.putLog(cells(("r1", "cf", "a", "3")))                         // seq 3: resurrect
+    val h = t.cellVersions("r1", "cf", "a")
+      .collect().map(r => (r.getAs[Long]("seq"), Option(r.getString(3))))
+    assert(h.toSeq === Seq((3L, Some("3")), (2L, None), (1L, Some("1"))))
+    // maxVersions cap, newest first — HBase get-with-VERSIONS=n
+    assert(t.cellVersions("r1", "cf", "a", maxVersions = 2)
+      .collect().map(_.getAs[Long]("seq")).toSeq === Seq(3L, 2L))
+    // other qualifiers don't leak in
+    assert(t.cellVersions("r1", "cf", "b").count() === 1L)
   }
 
   test("putLogEpoch: a replayed epoch is skipped — exactly-once cell state") {
