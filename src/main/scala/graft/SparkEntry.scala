@@ -445,6 +445,30 @@ object SparkEntry {
         Tables.documents(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Integer-exact PageRank over the symmetrized customer↔supplier trade
+    // graph (distinct o_custkey—l_suppkey pairs, both directions so no node
+    // dangles): 5 power-iteration rounds in pure BIGINT truncating
+    // arithmetic, so DuckDB replays the identical rounds as unrolled CTEs
+    // and the top-20 hub list hash-matches bit for bit. The web-corpus
+    // quality signal (link centrality gating documents into the training
+    // mix) and the second iterative-graph operator next to q_dedup_clusters.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      // prefixes differ, so the reversed set is disjoint — no re-distinct
+      val edges = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Analytics.pageRank(edges, iters = 5)
+        .orderBy(col("pr_micro").desc, col("node"))
+        .limit(20)
+    }),
+
     // Window ranking — top-5 events per type (sort/limit per group)
     "q_topk_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -873,6 +897,44 @@ object SparkEntry {
         |       CAST(CAST(sum(CAST(h AS DECIMAL(20,0))) AS DECIMAL(38,0))
         |            % 2305843009213693952 AS BIGINT) AS checksum_sum
         |FROM h""".stripMargin,
+    "q_pagerank" ->
+      // The same 5 integer rounds Analytics.pageRank runs, unrolled:
+      // `//` is DuckDB's truncating BIGINT division = Spark's `div` on the
+      // non-negative values ranks live in.
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (SELECT d.node, CAST(150000 + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r2 AS (SELECT d.node, CAST(150000 + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r3 AS (SELECT d.node, CAST(150000 + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r2 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r4 AS (SELECT d.node, CAST(150000 + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r3 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r5 AS (SELECT d.node, CAST(150000 + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM deg d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r4 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node)
+        |SELECT node, pr AS pr_micro FROM r5
+        |ORDER BY pr_micro DESC, node LIMIT 20""".stripMargin,
     "q_topk_window" ->
       """SELECT event_type, rank, event_id, value FROM
         |  (SELECT event_type, event_id, value,

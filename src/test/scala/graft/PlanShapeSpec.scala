@@ -306,4 +306,20 @@ class PlanShapeSpec extends SparkSpec {
       s"resolution window must partition by cell key, plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("pageRank round: contribution agg combines map-side; no cartesian, no window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val ranks = deg.select(col("node"), lit(1000000L).as("pr"))
+    val p = graft.operators.Analytics
+      .pageRankRound(e, deg, ranks)
+      .queryExecution.executedPlan.toString
+    // per-round cost at 100 TB: edge-side joins + ONE map-side-combined
+    // aggregate keyed by dst — never a global sort/window, never all-pairs
+    assert(p.contains("partial_sum"), s"contribution agg not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("Window"), s"unexpected window, plan:\n$p")
+  }
 }

@@ -180,4 +180,35 @@ class PropertySpec extends SparkSpec {
       assert(p.getAs[Long]("max_left_mult") === maxL.toLong)
     }
   }
+
+  test("pageRank equals a sequential integer power iteration on random symmetric graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(3, 12)
+      m <- Gen.choose(n, 4 * n)
+      es <- Gen.listOfN(
+        m,
+        for {
+          a <- Gen.choose(0, n - 1)
+          b0 <- Gen.choose(0, n - 2) // shift past a: no self-loops, no filter retries
+        } yield (a, if (b0 >= a) b0 + 1 else b0))
+    } yield (es ++ es.map(_.swap)).distinct // symmetric: operator's no-dangling contract
+    forAllSamples(edgeGen, n = 6) { es =>
+      val got = Analytics
+        .pageRank(es.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst"), iters = 3)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      // sequential model with the identical BIGINT truncating arithmetic
+      // (Scala Long `/` truncates like Spark `div` on non-negatives)
+      val outMap = es.groupBy(_._1)
+      val nodes = outMap.keySet
+      var pr: Map[Int, Long] = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val in = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+        for ((s, out) <- outMap; (_, d) <- out) in(d) += pr(s) / out.size
+        pr = nodes.map(nd => nd -> (150000L + in(nd) * 85L / 100L)).toMap
+      }
+      assert(got === pr.map { case (k, v) => (s"n$k", v) })
+    }
+  }
 }
