@@ -2196,6 +2196,57 @@ object SparkEntry {
               greatest(lit(1.0), col("est_single").cast("double") * 0.01)).as("merge_ok"))
       }),
 
+      // Quantile rollup — the third mergeable-rollup family member next to
+      // HLL distinct counts and CMS term frequencies: per-day floor(value)
+      // integer histograms (exact counter-addition merge), probed for
+      // order-statistic quantiles over a date range from O(days × bins)
+      // rows without rescanning events. The sketch state is engine-
+      // replayable (floor on IEEE doubles is exact everywhere), so unlike
+      // the HLL/CMS contract gates this probe is FULLY oracled — DuckDB
+      // replays the estimator bin for bin, k for k.
+      "q_quantile_rollup" -> ((s, dir) => {
+        import graft.operators.IncrementalRollup
+        val hists = IncrementalRollup.dailyValueHistograms(Tables.events(s, dir))
+        IncrementalRollup
+          .quantileOverRange(hists, "2024-01-05", "2024-01-20", Seq("0.5", "0.9", "0.99"))
+          .orderBy("p")
+      }),
+
+      // Gate on the same probe: the exact k-th order statistic — computed
+      // scale-honestly, per-bin rank windows after a bin-count cumsum over
+      // O(bins) rows, never a global event sort — must land inside the
+      // one-bin bracket the merged histogram reported. within_ok is
+      // mathematically guaranteed by the power-of-two bin-width contract,
+      // so the oracle emits literal TRUE.
+      "q_quantile_rollup_gate" -> ((s, dir) => {
+        import graft.operators.IncrementalRollup
+        import org.apache.spark.sql.expressions.Window
+        val (from, to) = ("2024-01-05", "2024-01-20")
+        val est = IncrementalRollup.quantileOverRange(
+          IncrementalRollup.dailyValueHistograms(Tables.events(s, dir)),
+          from, to, Seq("0.5", "0.9", "0.99"))
+        val binned = Tables.events(s, dir)
+          .filter(to_date(col("ts")).between(from, to))
+          .select(col("value"), floor(col("value")).cast("long").as("bin"))
+        val below = binned
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+          .withColumn("below", sum("cnt").over(Window.orderBy("bin")) - col("cnt"))
+          .select("bin", "below")
+        val ranked = binned
+          .withColumn("rn", row_number().over(Window.partitionBy("bin").orderBy("value")))
+        est
+          .join(below, Seq("bin"))
+          .join(ranked, Seq("bin"))
+          .filter(col("rn") === col("k") - col("below"))
+          .select(
+            col("p"),
+            col("n_range"),
+            col("k"),
+            col("value").as("exact_q"),
+            (col("value") >= col("lo") && col("value") < col("hi")).as("within_ok"))
+          .orderBy("p")
+      }),
+
       // Count-min frequency-sketch gate (operators/FrequencySketch.scala) —
       // the third mergeable-sketch family next to HLL distinct counts and GK
       // quantiles: point-frequency estimates over the token stream in
@@ -3216,6 +3267,32 @@ object SparkEntry {
         |       TRUE AS hll_ok, TRUE AS merge_ok
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-15'""".stripMargin,
+    "q_quantile_rollup" ->
+      // Replays the merged-histogram estimator exactly: same floor(value)
+      // bins, same decimal-exact k = ceil(p·n), same bracketing rule.
+      """WITH r AS (SELECT value FROM events
+        |           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'),
+        |h AS (SELECT CAST(floor(value) AS BIGINT) AS bin, count(*) AS cnt FROM r GROUP BY 1),
+        |c AS (SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER () AS BIGINT) AS n_range FROM h),
+        |p(p) AS (VALUES (CAST(0.5 AS DECIMAL(5,4))), (CAST(0.9 AS DECIMAL(5,4))),
+        |                (CAST(0.99 AS DECIMAL(5,4)))),
+        |s AS (SELECT p, n_range, CAST(ceil(p * n_range) AS BIGINT) AS k, bin, cum, cnt
+        |      FROM p CROSS JOIN c)
+        |SELECT p, n_range, k, bin, CAST(bin AS DOUBLE) AS lo, CAST(bin + 1 AS DOUBLE) AS hi
+        |FROM s WHERE cum >= k AND cum - cnt < k ORDER BY p""".stripMargin,
+    "q_quantile_rollup_gate" ->
+      // Exact k-th order statistic by global rank; within_ok is TRUE by the
+      // power-of-two bin-width containment guarantee the Spark side asserts.
+      """WITH r AS (SELECT value FROM events
+        |           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_range FROM r),
+        |o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM r),
+        |p(p) AS (VALUES (CAST(0.5 AS DECIMAL(5,4))), (CAST(0.9 AS DECIMAL(5,4))),
+        |                (CAST(0.99 AS DECIMAL(5,4)))),
+        |s AS (SELECT p, n_range, CAST(ceil(p * n_range) AS BIGINT) AS k FROM p CROSS JOIN g)
+        |SELECT s.p, s.n_range, s.k, o.value AS exact_q, TRUE AS within_ok
+        |FROM s JOIN o ON o.rn = s.k ORDER BY p""".stripMargin,
     "q_cms_gate" ->
       s"""WITH toks AS (SELECT unnest($ToksSql) AS tok FROM documents)
          |SELECT CAST(least(20, count(DISTINCT tok)) AS BIGINT) AS n_probes,

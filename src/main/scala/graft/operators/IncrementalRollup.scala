@@ -47,6 +47,78 @@ object IncrementalRollup {
         sum("n_events").as("n_events"),
         count(lit(1)).as("n_days"))
 
+  /** The third member of the mergeable-rollup family — QUANTILES, next to
+    * distinct counts ([[dailyUserSketches]], HLL) and frequencies
+    * ([[dailyTermSketches]], count-min). One row per `(day, bin)` where
+    * `bin = floor(value / binWidth)`: an integer histogram whose merge is
+    * exact counter addition, so append-vs-rebuild equality is exact and a
+    * range quantile probe never rescans events. Unlike the HLL/CMS blobs
+    * the sketch state here is engine-replayable (floor on IEEE doubles is
+    * exact in any engine), so the probe below is FULLY oracled, not just
+    * contract-gated.
+    *
+    * `binWidth` must be exactly representable in binary (1.0, 0.5, 0.25,
+    * 2.0, …) so `floor(value / binWidth)` is computed without rounding and
+    * `value ∈ [bin·w, (bin+1)·w)` holds mathematically — the within-bin
+    * containment the gate asserts is then guaranteed, never ULP-lucky.
+    *
+    * Rows per day ≤ (value range / binWidth) — bounded by the DOMAIN, not
+    * the data volume: at 100 TB the histogram table is still O(days × bins).
+    */
+  def dailyValueHistograms(events: DataFrame, binWidth: Double = 1.0): DataFrame = {
+    require(
+      binWidth > 0 && !binWidth.isInfinite &&
+        (java.lang.Double.doubleToLongBits(binWidth) & 0x000fffffffffffffL) == 0L,
+      s"binWidth must be a power of two for exact binning, got $binWidth")
+    events
+      .select(
+        to_date(col("ts")).as("day"),
+        floor(col("value") / lit(binWidth)).cast("long").as("bin"))
+      .groupBy("day", "bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Order-statistic quantile probes over [from, to] from the per-day
+    * histograms: for each probe `p` (DECIMAL(5,4) — `k = ceil(p·n)` is
+    * computed in exact decimal arithmetic, never a double rounding away
+    * from the intended rank), returns the bin bracketing the k-th smallest
+    * value, i.e. the exact quantile located to within one `binWidth`.
+    *
+    * Shape: the merge is one map-side-combined sum keyed by bin over
+    * O(days × bins) rows; the cumulative window runs over O(bins) rows
+    * (hundreds — bounded by the value domain), never over events. Output:
+    * `(p, n_range, k, bin, lo, hi)`, one row per probe.
+    */
+  def quantileOverRange(
+      hists: DataFrame,
+      from: String,
+      to: String,
+      ps: Seq[String],
+      binWidth: Double = 1.0): DataFrame = {
+    val spark = hists.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val merged = hists
+      .filter(col("day").between(from, to))
+      .groupBy("bin")
+      .agg(sum("cnt").as("cnt"))
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+      .withColumn("n_range", sum("cnt").over(Window.partitionBy()))
+    val probes = ps.toDF("p_raw").select(col("p_raw").cast("decimal(5,4)").as("p"))
+    probes
+      .crossJoin(cum)
+      .withColumn("k", ceil(col("p") * col("n_range")).cast("long"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(
+        col("p"),
+        col("n_range"),
+        col("k"),
+        col("bin"),
+        (col("bin") * lit(binWidth)).as("lo"),
+        ((col("bin") + 1) * lit(binWidth)).as("hi"))
+  }
+
   /** The same rollup for term FREQUENCIES: one row per day carrying a
     * count-min sketch of that day's token stream (plus the exact stream
     * length). Same maintenance contract as [[dailyUserSketches]] — a new

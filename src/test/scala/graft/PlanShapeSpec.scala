@@ -307,6 +307,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("quantile rollup: histogram and merge aggs combine map-side; windows never touch events") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq((java.sql.Timestamp.valueOf("2024-01-05 01:00:00"), 3.7))
+      .toDF("ts", "value")
+    val hists = graft.operators.IncrementalRollup.dailyValueHistograms(ev)
+    val ph = hists.queryExecution.executedPlan.toString
+    // per-day histogram build: ONE map-side-combined shuffle keyed (day, bin)
+    assert(ph.contains("partial_count"), s"histogram build not map-side combined:\n$ph")
+    val probe = graft.operators.IncrementalRollup
+      .quantileOverRange(hists, "2024-01-01", "2024-01-31", Seq("0.5"))
+    val pp = probe.queryExecution.executedPlan.toString
+    // range merge: map-side-combined sum over O(days × bins) rows; the only
+    // windows and the probe cross join run over O(bins) rows — event rows
+    // are never sorted globally and never joined
+    assert(pp.contains("partial_sum"), s"range merge not map-side combined:\n$pp")
+    assert(!pp.contains("SortMergeJoin"), s"probe must not shuffle-join:\n$pp")
+  }
+
   test("pageRank round: contribution agg combines map-side; no cartesian, no window") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -48,6 +48,47 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(math.abs(est.getAs[Long]("est_users") - oneShot) <= math.max(1L, oneShot / 100))
   }
 
+  test("quantile rollup: append = rebuild exactly; probe brackets the true order statistic") {
+    val ev = Tables.events(spark, dir)
+    val history = ev.filter(to_date(col("ts")) <= "2024-01-29")
+    val newDay = ev.filter(to_date(col("ts")) === "2024-01-30")
+    val appended = IncrementalRollup
+      .dailyValueHistograms(history)
+      .unionByName(IncrementalRollup.dailyValueHistograms(newDay))
+    val rebuilt = IncrementalRollup.dailyValueHistograms(ev)
+    val (from, to) = ("2024-01-01", "2024-01-30")
+    val ps = Seq("0.25", "0.5", "0.75", "0.9", "0.99")
+    // histogram merge is exact counter addition → probe answers are
+    // BIT-identical between append and rebuild (stronger than HLL's
+    // estimator-agreement bound)
+    def probe(h: org.apache.spark.sql.DataFrame) = IncrementalRollup
+      .quantileOverRange(h, from, to, ps).orderBy("p").collect().toSeq
+    assert(probe(appended) === probe(rebuilt))
+
+    // every reported bracket contains the exact k-th smallest value
+    val vals = ev
+      .filter(to_date(col("ts")).between(from, to))
+      .select("value").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().sorted
+    probe(rebuilt).foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      val exact = vals(k - 1)
+      assert(
+        exact >= r.getAs[Double]("lo") && exact < r.getAs[Double]("hi"),
+        s"p=${r.get(0)}: $exact outside [${r.get(4)}, ${r.get(5)})")
+    }
+  }
+
+  test("quantile rollup: non-power-of-two bin width is rejected") {
+    val ev = Tables.events(spark, dir)
+    intercept[IllegalArgumentException] {
+      IncrementalRollup.dailyValueHistograms(ev, binWidth = 0.1)
+    }
+    // powers of two pass the exactness gate
+    IncrementalRollup.dailyValueHistograms(ev, binWidth = 0.25)
+    IncrementalRollup.dailyValueHistograms(ev, binWidth = 2.0)
+  }
+
   test("term-frequency rollup: range probe equals a whole-range sketch exactly") {
     import graft.functions.{TextFunctions => T}
     val (eps, conf, seed) = (0.001, 0.99, 11)
