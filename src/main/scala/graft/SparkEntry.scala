@@ -393,6 +393,23 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Batch twin of the stream–stream attribution join (streaming/
+    // StreamJoin.scala): purchases attributed to same-user clicks within a
+    // 2-hour window, aggregated per click. The SAME operator builds both
+    // plans (withWatermark is a no-op on batch), so this oracle plus
+    // StreamJoinSpec's row-identity proof covers the streaming path too.
+    // Equi key (user_id) + interval predicate → a hash-partitioned join,
+    // never an IEJoin/BNLJ: the time bound rides along as a post-join
+    // filter on co-partitioned rows.
+    "q_attribution" -> ((s, dir) =>
+      graft.streaming.StreamJoin.attribution(Tables.events(s, dir))
+        .groupBy("user_id", "click_id")
+        .agg(
+          count(lit(1)).as("n_purch"),
+          min("lag_us").as("min_lag_us"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        .orderBy("user_id", "click_id")),
+
     // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
     // customers counted with zero orders preserved, then a histogram of
     // order counts. Exercises outer-join null semantics + double grouping.
@@ -851,6 +868,17 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey = 1
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, count(*) AS n_purch,
+        |       min(epoch_us(p_ts) - epoch_us(c_ts)) AS min_lag_us,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |              AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOUR
+        |GROUP BY 1, 2 ORDER BY c.user_id, click_id""".stripMargin,
     // Binning must be invisible: the oracle is the PLAIN range predicate
     // (DuckDB plans it as its native IEJoin).
     "q_range_join" ->

@@ -307,6 +307,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("attribution interval join: equi key carries the join; time bound is a residual, not a BNLJ") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 7L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = graft.streaming.StreamJoin.attribution(ev)
+      .queryExecution.executedPlan.toString
+    // at 100 TB the user_id equi key must hash-partition the join; an
+    // interval-only formulation would degenerate to all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("quantile rollup: histogram and merge aggs combine map-side; windows never touch events") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
