@@ -410,6 +410,40 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
         .orderBy("user_id", "click_id")),
 
+    // Bivariate statistics (correlation / least-squares regression) per
+    // group. Spark's built-in corr/covar/regr_* stream doubles through an
+    // online update whose result depends on row order — unusable for a
+    // cross-engine hash match and subtly nondeterministic across partition
+    // layouts at any scale. Instead: the five moment sums are aggregated
+    // EXACTLY in decimal (order-insensitive by construction), cast to
+    // double once, and combined in one fixed IEEE expression tree — the
+    // same plan is also ONE map-side-combined shuffle instead of the
+    // multi-pass naive variance formulation.
+    "q_corr_regr" -> ((s, dir) => {
+      val dec = (c: String) => col(c).cast("decimal(12,2)")
+      val d = (c: String) => col(c).cast("double")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("l_quantity")).as("sx"),
+          sum(dec("l_extendedprice")).as("sy"),
+          sum(dec("l_quantity") * dec("l_quantity")).as("sxx"),
+          sum(dec("l_quantity") * dec("l_extendedprice")).as("sxy"),
+          sum(dec("l_extendedprice") * dec("l_extendedprice")).as("syy"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+              (d("n") * d("syy") - d("sy") * d("sy")))).as("corr"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (d("n") * d("sxx") - d("sx") * d("sx"))).as("slope"),
+          ((d("sy") - (d("n") * d("sxy") - d("sx") * d("sy")) /
+            (d("n") * d("sxx") - d("sx") * d("sx")) * d("sx")) / d("n")).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
     // customers counted with zero orders preserved, then a histogram of
     // order counts. Exercises outer-join null semantics + double grouping.
@@ -868,6 +902,29 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_nationkey = 1
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_corr_regr" ->
+      // Same exact-decimal moment sums, same double expression tree, op
+      // for op — the cast-once-then-fixed-IEEE-combination contract that
+      // makes doubles cross-engine comparable.
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l_returnflag, n,
+        |             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |             CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |      FROM m)
+        |SELECT l_returnflag, n,
+        |       (nd * sxyd - sxd * syd)
+        |         / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS corr,
+        |       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+        |       (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "q_attribution" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
         |           FROM events WHERE event_type = 'click'),

@@ -181,6 +181,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exact-decimal corr/slope agree with Spark's streaming builtins to 1e-9") {
+    // the q_corr_regr formulation trades Spark's order-dependent online
+    // update for order-insensitive exact moment sums; both estimate the
+    // same Pearson r / OLS slope, so they must agree to float tolerance
+    val got = graft.SparkEntry.queries("q_corr_regr")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        expr("regr_slope(l_extendedprice, l_quantity)").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (c, s)) =>
+      assert(math.abs(c - ref(k)._1) < 1e-9, s"corr($k)")
+      assert(math.abs((s - ref(k)._2) / ref(k)._2) < 1e-9, s"slope($k)")
+    }
+  }
+
   test("pageRank equals a sequential integer power iteration on random symmetric graphs") {
     val edgeGen = for {
       n <- Gen.choose(3, 12)
