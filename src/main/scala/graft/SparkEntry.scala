@@ -1653,6 +1653,15 @@ object SparkEntry {
       // Deterministic stratified downsample (training-pipeline extension):
       // cap each event_type stratum at an expected 500 rows by integer hash
       // threshold; verified per stratum by kept-count and id checksum.
+      // DSIR-style importance resampling: continuous quality-proportional
+      // keep probability via the deterministic fibhash lottery, at an 80%
+      // global rate — fully integer-exact, so DuckDB replays weight, rate,
+      // and lottery bit for bit. No shuffle: scan-speed at any scale.
+      "q_importance_resample" -> ((s, dir) =>
+        graft.operators.Curation
+          .importanceResample(Tables.documents(s, dir), ratePpm = 800000L)
+          .orderBy("doc_id")),
+
       "q_sample_stratified" -> ((s, dir) =>
         graft.operators.Curation
           .stratifiedSample(
@@ -2980,6 +2989,24 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_importance_resample" ->
+      // Weight, rate, and lottery replayed in the same exact integer
+      // arithmetic: thr_full = min(2^32, n_stop·(2^32·25/2) // nt),
+      // thr = thr_full·800000 // 10^6, keep iff fibhash(doc_id) < thr.
+      // Pure BIGINT here (exact at oracle scale; DuckDB's DECIMAL(38,0)
+      // arithmetic silently falls back to DOUBLE) — the Spark side uses
+      // decimal for 100 TB overflow headroom, same mathematical integers.
+      s"""WITH f AS (SELECT doc_id, source,
+         |                  CAST(len($ToksSql) AS BIGINT) AS nt,
+         |                  CAST(len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS BIGINT) AS n_stop
+         |           FROM documents),
+         |t AS (SELECT doc_id, source, nt,
+         |             least(4294967296, (n_stop * 53687091200) // nt) AS thr_full
+         |      FROM f WHERE nt > 0)
+         |SELECT doc_id, source, nt, (thr_full * 800000) // 1000000 AS thr
+         |FROM t
+         |WHERE (doc_id * 2654435761) % 4294967296 < (thr_full * 800000) // 1000000
+         |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """WITH c AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type),
         |t AS (SELECT event_type,

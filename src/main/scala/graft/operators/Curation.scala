@@ -93,6 +93,47 @@ object Curation {
       .drop("thr")
   }
 
+  /** Quality-proportional importance resampling — the continuous-weight
+    * cousin of [[stratifiedSample]]'s per-stratum uniform cap, and the
+    * deterministic version of the importance-sampling step a data-mixing
+    * pipeline runs before training: each document is kept with probability
+    * `min(1, 12.5 · stop_ratio) · rate`, so high-quality prose is kept
+    * (ratio ≥ 8% ⇒ probability 1·rate) and junk decays linearly, instead
+    * of a hard gate that drops everything below a cutoff.
+    *
+    * The lottery is `fibhash(doc_id) < thr` with `thr` derived in pure
+    * integer arithmetic (`2^32·25/2 = 53687091200` exactly):
+    * membership is a function of the row alone — stable across engines,
+    * partitionings, and reruns — and MONOTONE in `ratePpm`: lowering the
+    * rate only shrinks the kept set pointwise (floor division is monotone,
+    * the hash is fixed), so ablation subsets nest. Tokenless documents
+    * have weight 0 and are dropped before the division can see nt = 0.
+    *
+    * Scale shape: row-local projections and one codegen'd filter — no
+    * shuffle at all; runs at scan speed on 100 TB.
+    *
+    * Returns kept `(doc_id, source, nt, thr)`.
+    */
+  def importanceResample(documents: DataFrame, ratePpm: Long = 1000000L): DataFrame = {
+    require(ratePpm >= 0 && ratePpm <= 1000000L, s"ratePpm out of [0, 1e6]: $ratePpm")
+    documents
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("toks")).cast("long").as("nt"),
+        stopwordHits(col("toks")).cast("long").as("n_stop"))
+      .filter(col("nt") > 0)
+      .withColumn(
+        "thr_full",
+        least(
+          lit(4294967296L),
+          expr("(CAST(n_stop AS DECIMAL(38,0)) * 53687091200) div nt")))
+      .withColumn("thr", expr(s"(CAST(thr_full AS DECIMAL(38,0)) * $ratePpm) div 1000000"))
+      .filter(hashBucket(col("doc_id")) < col("thr"))
+      .select("doc_id", "source", "nt", "thr")
+  }
+
   /** Relative quality gate: keep each document whose quality score sits at or
     * above the `floor` percentile *within its own source* — the
     * distribution-aware alternative to a fixed threshold (a cutoff tuned for

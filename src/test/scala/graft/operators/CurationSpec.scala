@@ -66,6 +66,27 @@ class CurationSpec extends SparkSpec {
     assert(out("solo")._2 === 1L)
   }
 
+  test("importanceResample: rates nest pointwise, weight-1 docs survive full rate, no shuffle") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def ids(ppm: Long) =
+      Curation.importanceResample(docs, ppm).collect().map(_.getLong(0)).toSet
+    val (full, r80, r40) = (ids(1000000L), ids(800000L), ids(400000L))
+    assert(full.nonEmpty && r80.nonEmpty)
+    // monotone: lowering the rate only removes documents (ablation nesting)
+    assert(r80.subsetOf(full) && r40.subsetOf(r80))
+    // a doc at the probability-1 cap is kept at full rate regardless of its
+    // hash: stop_ratio >= 8% => thr_full = 2^32 > any bucket
+    import org.apache.spark.sql.functions._
+    val capped = Curation
+      .importanceResample(docs, 1000000L)
+      .filter(col("thr") === 4294967296L).count()
+    assert(capped > 0, "fixture has no probability-1 documents")
+    // scan-speed contract: no exchange anywhere in the plan
+    val plan = Curation.importanceResample(docs, 800000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resample must not shuffle:\n$plan")
+  }
+
   test("sourceWeights: largest source gets 1.0, smaller sources get sqrt-scaled weights") {
     val docs = Seq(
       (1L, "a b c d", "big"), // 4 tokens
