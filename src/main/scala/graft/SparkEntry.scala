@@ -633,6 +633,38 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("g_d", "g_t", "d", "event_type")),
 
+    // Integer-exact EWMA (α = 1/2) over per-type daily totals: the decayed-
+    // counter trend signal, folded per key over the bounded day array with
+    // the aggregate() HOF — row-local recursion, no cross-row window. The
+    // oracle replays the fold as a recursive CTE; truncating BIGINT
+    // division makes them agree to the cent.
+    "q_ewma" -> ((s, dir) =>
+      graft.operators.Analytics.ewmaDaily(Tables.events(s, dir)).orderBy("key")),
+
+    // Explicit GROUPING SETS (completing the rollup/cube family): exactly
+    // the three requested groupings — (day), (type), (day, user-bucket) —
+    // not the power set; one expand + one shuffle, the shape a reporting
+    // layer asks for when cube's 2^n sets would mostly be discarded.
+    "q_grouping_sets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(
+          to_date(col("ts")).as("d"),
+          col("event_type"),
+          (col("user_id") % 10).as("ub"),
+          col("value"))
+      ev.createOrReplaceTempView("gs_events")
+      ev.sparkSession.sql(
+        """SELECT d, event_type, ub,
+          |       CAST(grouping(d) AS INT) AS g_d,
+          |       CAST(grouping(event_type) AS INT) AS g_t,
+          |       CAST(grouping(ub) AS INT) AS g_u,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+          |FROM gs_events
+          |GROUP BY GROUPING SETS ((d), (event_type), (d, ub))
+          |ORDER BY g_d, g_t, g_u, d, event_type, ub""".stripMargin)
+    }),
+
     // Exact percentiles (extension): sort-based exact quantiles per group.
     // Quarter-point fractions over integral doubles make the linear
     // interpolation ((1-g)*lo + g*hi here, lo + (hi-lo)*g in DuckDB)
@@ -1088,6 +1120,39 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE(CAST(ts AS DATE), event_type)
         |ORDER BY g_d, g_t, d, event_type""".stripMargin,
+    "q_ewma" ->
+      // The same fold, day by day, as a recursive CTE: rec(rn) carries the
+      // EWMA after the rn-th day; `//` = Spark's `div` on the non-negative
+      // cents the fold lives in.
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT key, d, cents,
+        |               CAST(row_number() OVER (PARTITION BY key ORDER BY d) AS BIGINT) AS rn
+        |        FROM daily),
+        |rec AS (
+        |  SELECT key, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS ew
+        |  FROM (SELECT DISTINCT key FROM idx)
+        |  UNION ALL
+        |  SELECT i.key, i.rn, (r.ew + i.cents) // 2
+        |  FROM rec r JOIN idx i ON i.key = r.key AND i.rn = r.rn + 1),
+        |fin AS (SELECT key, max(rn) AS n_days FROM rec GROUP BY 1),
+        |ld AS (SELECT key, max(d) AS last_day FROM daily GROUP BY 1)
+        |SELECT r.key, f.n_days, ld.last_day, r.ew AS ewma_cents
+        |FROM rec r JOIN fin f ON r.key = f.key AND r.rn = f.n_days
+        |JOIN ld ON ld.key = r.key
+        |ORDER BY r.key""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, user_id % 10 AS ub,
+        |       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_d,
+        |       CAST(GROUPING(event_type) AS INT) AS g_t,
+        |       CAST(GROUPING(user_id % 10) AS INT) AS g_u,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE), user_id % 10))
+        |ORDER BY g_d, g_t, g_u, d, event_type, ub""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,

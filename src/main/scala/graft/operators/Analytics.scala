@@ -84,6 +84,37 @@ object Analytics {
       .drop("_offset", "_total", "_rank")
   }
 
+  /** Integer-exact exponential-decay rollup (EWMA with α = 1/2): per key,
+    * fold the ordered per-day totals through `ew' = (ew + x_day) div 2` —
+    * the decayed-counter primitive a data pipeline uses for trend signals
+    * (source quality drifting down, a crawl going stale) where yesterday
+    * matters twice as much as the day before.
+    *
+    * The recursion is sequential by nature; the trick is WHERE it runs:
+    * daily totals reduce to exact BIGINT cents in one map-side-combined
+    * shuffle (O(keys × days) rows), then the fold runs per key over the
+    * bounded day array with the `aggregate` higher-order function — a
+    * row-local loop over ≤ days elements, never a cross-row window, so the
+    * shape is identical at 100 TB. Truncating integer division makes the
+    * result bit-exact across engines: the DuckDB oracle replays the fold
+    * as a recursive CTE and must agree to the last cent.
+    *
+    * Returns `(key, n_days, last_day, ewma_cents)`.
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String = "event_type"): DataFrame =
+    events
+      .groupBy(col(keyCol).as("key"), to_date(col("ts")).as("d"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)").as("cents"))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_days"),
+        max("d").as("last_day"),
+        expr(
+          """aggregate(
+            |  array_sort(collect_list(struct(d, cents))),
+            |  CAST(0 AS BIGINT),
+            |  (acc, x) -> (acc + x.cents) div 2)""".stripMargin).as("ewma_cents"))
+
   /** Integer-exact PageRank: `iters` fixed power-iteration rounds over a
     * directed edge list `(src, dst)`, damping 0.85, every node seeded with
     * `1_000_000` micro-units of rank. The web-corpus quality signal (a

@@ -181,6 +181,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ewmaDaily equals a sequential integer fold on random day series") {
+    val seriesGen = for {
+      nDays <- Gen.choose(1, 20)
+      vals <- Gen.listOfN(nDays, Gen.choose(0, 500000))
+    } yield vals
+    forAllSamples(seriesGen, n = 8) { vals =>
+      val rows = vals.zipWithIndex.flatMap { case (total, i) =>
+        // split each day's total across two events: the fold must see the
+        // day SUM, not per-event values
+        val ts = java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 12:00:00")
+        Seq(("k", ts, total / 100.0 - 1.0), ("k", ts, 1.0))
+      }
+      val got = Analytics
+        .ewmaDaily(rows.toDF("event_type", "ts", "value"))
+        .head()
+      val model = vals.foldLeft(0L)((acc, x) => (acc + x) / 2)
+      assert(got.getAs[Long]("ewma_cents") === model)
+      assert(got.getAs[Long]("n_days") === vals.size.toLong)
+    }
+  }
+
   test("exact-decimal corr/slope agree with Spark's streaming builtins to 1e-9") {
     // the q_corr_regr formulation trades Spark's order-dependent online
     // update for order-insensitive exact moment sums; both estimate the
