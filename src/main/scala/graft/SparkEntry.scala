@@ -633,6 +633,44 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("g_d", "g_t", "d", "event_type")),
 
+    // Data-validation suite (operators/Validation.scala) — the contract
+    // gate before a table is allowed near training. Three shapes: a one-
+    // pass per-column profile, one-pass row-level contracts with violation
+    // counts, and referential integrity as anti-join counts. All exact,
+    // all tiny outputs, all replayed number-for-number by DuckDB.
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Validation
+        .columnProfile(
+          Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column")),
+
+    "q_expectations" -> ((s, dir) =>
+      graft.operators.Validation
+        .expect(
+          Tables.events(s, dir),
+          Seq(
+            "ts_in_2024" -> (year(col("ts")) === 2024),
+            "type_known" -> col("event_type")
+              .isin("click", "view", "purchase", "signup", "error"),
+            "value_le_400" -> (col("value") <= 400.0), // deliberately tight
+            "value_nonneg" -> (col("value") >= 0.0),
+            "value_nonnull" -> col("value").isNotNull))
+        .orderBy("check")),
+
+    "q_fk_orphans" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      graft.operators.Validation
+        .expectForeignKey(Tables.orders(s, dir), "o_custkey", cust, "c_custkey")
+        .withColumn("fk", lit("orders_custkey"))
+        .unionByName(
+          graft.operators.Validation
+            .expectForeignKey(Tables.events(s, dir), "user_id", cust, "c_custkey")
+            .withColumn("fk", lit("events_userid")))
+        .select("fk", "n_orphans", "ok")
+        .orderBy("fk")
+    }),
+
     // Integer-exact EWMA (α = 1/2) over per-type daily totals: the decayed-
     // counter trend signal, folded per key over the bounded day array with
     // the aggregate() HOF — row-local recursion, no cross-row window. The
@@ -1120,6 +1158,41 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE(CAST(ts AS DATE), event_type)
         |ORDER BY g_d, g_t, d, event_type""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s,
+           |       CAST(coalesce(sum(len(CAST($c AS VARCHAR))), 0) AS BIGINT) AS sum_len
+           |FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q_expectations" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN coalesce(year(CAST(ts AS DATE)) = 2024, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_year,
+        |       CAST(sum(CASE WHEN coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_type,
+        |       CAST(sum(CASE WHEN coalesce(value <= 400.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_le400,
+        |       CAST(sum(CASE WHEN coalesce(value >= 0.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_nonneg,
+        |       CAST(sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nonnull
+        |FROM events)
+        |SELECT t.* FROM a, LATERAL (VALUES
+        |  ('ts_in_2024', n_rows, v_year, v_year = 0),
+        |  ('type_known', n_rows, v_type, v_type = 0),
+        |  ('value_le_400', n_rows, v_le400, v_le400 = 0),
+        |  ('value_nonneg', n_rows, v_nonneg, v_nonneg = 0),
+        |  ('value_nonnull', n_rows, v_nonnull, v_nonnull = 0)) t("check", n_rows, violations, ok)
+        |ORDER BY "check" """.stripMargin,
+    "q_fk_orphans" ->
+      """SELECT 'events_userid' AS fk,
+        |       CAST(count(*) AS BIGINT) AS n_orphans, count(*) = 0 AS ok
+        |FROM events e WHERE e.user_id IS NULL
+        |   OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        |UNION ALL
+        |SELECT 'orders_custkey', CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM orders o WHERE o.o_custkey IS NULL
+        |   OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY fk""".stripMargin,
     "q_ewma" ->
       // The same fold, day by day, as a recursive CTE: rec(rn) carries the
       // EWMA after the rn-th day; `//` = Spark's `div` on the non-negative
