@@ -633,6 +633,22 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("g_d", "g_t", "d", "event_type")),
 
+    // Robust outliers: median/MAD per event type (breakdown-point-0.5
+    // counterpart of q_outliers' z-score gate — moments are dragged by the
+    // very outliers they hunt; the MAD is not). Exact integer cents, so
+    // DuckDB's quantile_cont replays every interpolation and boundary
+    // decision bit for bit.
+    "q_outliers_mad" -> ((s, dir) =>
+      graft.operators.Analytics
+        .madOutliers(
+          Tables.events(s, dir)
+            .select(
+              col("event_type"),
+              expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents")),
+          "event_type",
+          "cents")
+        .orderBy("key")),
+
     // Data-validation suite (operators/Validation.scala) — the contract
     // gate before a table is allowed near training. Three shapes: a one-
     // pass per-column profile, one-pass row-level contracts with violation
@@ -1158,6 +1174,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE(CAST(ts AS DATE), event_type)
         |ORDER BY g_d, g_t, d, event_type""".stripMargin,
+    "q_outliers_mad" ->
+      """WITH v AS (SELECT event_type AS key,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |m AS (SELECT key, quantile_cont(cents, 0.5) AS med_cents FROM v GROUP BY 1),
+        |d AS (SELECT v.key, cents, med_cents, abs(cents - med_cents) AS adev
+        |      FROM v JOIN m USING (key)),
+        |s AS (SELECT key, quantile_cont(adev, 0.5) AS mad_cents FROM d GROUP BY 1)
+        |SELECT d.key, count(*) AS n,
+        |       any_value(d.med_cents) AS med_cents,
+        |       any_value(s.mad_cents) AS mad_cents,
+        |       CAST(sum(CASE WHEN adev > 4.4478 * s.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM d JOIN s USING (key)
+        |GROUP BY d.key ORDER BY d.key""".stripMargin,
     "q_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       cols.map(c =>

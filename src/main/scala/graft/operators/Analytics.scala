@@ -84,6 +84,46 @@ object Analytics {
       .drop("_offset", "_total", "_rank")
   }
 
+  /** Robust outlier gate: median / MAD instead of mean / stddev (the
+    * z-score gate's moments are themselves dragged by the outliers they
+    * hunt; the median absolute deviation is breakdown-point-0.5 robust —
+    * the standard choice for corrupted-feed detection). A row is an
+    * outlier when `|x − median| > k·MAD`; the default k = 4.4478 is the
+    * classic 3σ-equivalent (3 × 1.4826, the normal-consistency constant).
+    *
+    * Cross-engine determinism: `cents` must be exact integers (cast
+    * decimals upstream). Medians interpolate as `(a+b)/2` of integers —
+    * exact in double — and the threshold compare is one double product,
+    * so DuckDB's `quantile_cont` replays every boundary decision.
+    *
+    * Scale shape: two aggregate passes (median, then MAD over broadcast
+    * medians) and one filtered count — the per-key exact `percentile`
+    * buffers each group's values, the documented bounded-domain caveat
+    * shared with `q_percentiles`; swap in `percentile_approx` for
+    * unbounded domains. Returns per-key
+    * `(key, n, med_cents, mad_cents, n_outliers)`.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, centsCol: String, k: Double = 4.4478): DataFrame = {
+    val med = df
+      .groupBy(col(keyCol).as("key"))
+      .agg(expr(s"percentile($centsCol, 0.5)").as("med_cents"))
+    val dev = df
+      .select(col(keyCol).as("key"), col(centsCol).as("cents"))
+      .join(broadcast(med), Seq("key"))
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val mad = dev
+      .groupBy("key")
+      .agg(expr("percentile(adev, 0.5)").as("mad_cents"))
+    dev
+      .join(broadcast(mad), Seq("key"))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        first("med_cents").as("med_cents"),
+        first("mad_cents").as("mad_cents"),
+        sum(when(col("adev") > lit(k) * col("mad_cents"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Integer-exact exponential-decay rollup (EWMA with α = 1/2): per key,
     * fold the ordered per-day totals through `ew' = (ew + x_day) div 2` —
     * the decayed-counter primitive a data pipeline uses for trend signals

@@ -181,6 +181,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: a massive spike is flagged without dragging the gate (robustness)") {
+    // 200 well-behaved cents + one 10^7 spike: the spike must be the ONLY
+    // outlier — mean/stddev would be dragged by it, median/MAD are not
+    val rows = (1 to 200).map(i => ("k", 1000L + (i % 50))) :+ (("k", 10000000L))
+    val r = Analytics.madOutliers(rows.toDF("event_type", "cents"), "event_type", "cents").head()
+    assert(r.getAs[Long]("n") === 201L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(math.abs(r.getAs[Double]("med_cents") - 1025.0) < 50.0) // unmoved by the spike
+  }
+
   test("ewmaDaily equals a sequential integer fold on random day series") {
     val seriesGen = for {
       nDays <- Gen.choose(1, 20)
