@@ -420,17 +420,25 @@ object SparkEntry {
     // same plan is also ONE map-side-combined shuffle instead of the
     // multi-pass naive variance formulation.
     "q_corr_regr" -> ((s, dir) => {
-      val dec = (c: String) => col(c).cast("decimal(12,2)")
+      // Integer-cent base units, DECIMAL(38,0) sums: a fractional-scale
+      // decimal→double cast rounds differently across engines (DuckDB's
+      // DECIMAL(35,4) cast measured 1 ULP off correctly-rounded), while an
+      // INTEGER-valued sum casts correctly-rounded everywhere. corr and
+      // slope are scale-invariant, so cents change nothing but the
+      // intercept's unit (cents, documented in the name).
+      val cx = expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      val cy = expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
       val d = (c: String) => col(c).cast("double")
       Tables.lineitem(s, dir)
+        .select(cx.as("x"), cy.as("y"), col("l_returnflag"))
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          sum(dec("l_quantity")).as("sx"),
-          sum(dec("l_extendedprice")).as("sy"),
-          sum(dec("l_quantity") * dec("l_quantity")).as("sxx"),
-          sum(dec("l_quantity") * dec("l_extendedprice")).as("sxy"),
-          sum(dec("l_extendedprice") * dec("l_extendedprice")).as("syy"))
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
         .select(
           col("l_returnflag"),
           col("n"),
@@ -440,7 +448,7 @@ object SparkEntry {
           ((d("n") * d("sxy") - d("sx") * d("sy")) /
             (d("n") * d("sxx") - d("sx") * d("sx"))).as("slope"),
           ((d("sy") - (d("n") * d("sxy") - d("sx") * d("sy")) /
-            (d("n") * d("sxx") - d("sx") * d("sx")) * d("sx")) / d("n")).as("intercept"))
+            (d("n") * d("sxx") - d("sx") * d("sx")) * d("sx")) / d("n")).as("intercept_cents"))
         .orderBy("l_returnflag")
     }),
 
@@ -989,17 +997,20 @@ object SparkEntry {
         |WHERE c_nationkey = 1
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_corr_regr" ->
-      // Same exact-decimal moment sums, same double expression tree, op
-      // for op — the cast-once-then-fixed-IEEE-combination contract that
-      // makes doubles cross-engine comparable.
+      // Same integer-cent moment sums, same double expression tree, op for
+      // op. Integer-valued sums cast to double correctly-rounded in every
+      // engine; a fractional-scale decimal cast does NOT (DuckDB's
+      // DECIMAL(35,4)→DOUBLE measured 1 ULP off), which is why the moments
+      // are in cents.
       """WITH m AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-        |         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
-        |         sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
-        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
-        |  FROM lineitem GROUP BY 1),
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM (SELECT l_returnflag,
+        |               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |        FROM lineitem)
+        |  GROUP BY 1),
         |d AS (SELECT l_returnflag, n,
         |             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
         |             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
@@ -1009,7 +1020,8 @@ object SparkEntry {
         |       (nd * sxyd - sxd * syd)
         |         / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS corr,
         |       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
-        |       (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd AS intercept
+        |       (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd
+        |         AS intercept_cents
         |FROM d ORDER BY l_returnflag""".stripMargin,
     "q_attribution" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
