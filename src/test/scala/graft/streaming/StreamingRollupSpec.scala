@@ -58,6 +58,29 @@ class StreamingRollupSpec extends SparkSpec {
     assert(answer(StreamingRollup.dayRollup(spark, out)) === before)
   }
 
+  test("histogram rollup: streamed epochs equal the batch rebuild BIT-EXACTLY; compaction too") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rollup").toString + "/h"
+    val ev = Tables.events(spark, dir)
+    (0 to 2).foreach { i =>
+      StreamingRollup.appendHistBatch(out, ev.filter(col("event_id") % 3 === i), i.toLong)
+    }
+    def probe(h: org.apache.spark.sql.DataFrame) = IncrementalRollup
+      .quantileOverRange(h, "2024-01-01", "2024-01-31", Seq("0.25", "0.5", "0.9"))
+      .orderBy("p").collect().toSeq
+    val rebuilt = probe(IncrementalRollup.dailyValueHistograms(ev))
+    // counter addition is exact: stronger than the HLL path's estimate-equality
+    assert(probe(StreamingRollup.histRollup(spark, out)) === rebuilt)
+    // replay with corrupt content: existing epoch dir wins
+    StreamingRollup.appendHistBatch(out, ev.limit(5), 1L)
+    assert(probe(StreamingRollup.histRollup(spark, out)) === rebuilt)
+    // compaction folds to one row per (day, bin), answer unchanged
+    StreamingRollup.compactHistDays(spark, out)
+    assert(StreamingRollup.compactedThrough(out) === 2L)
+    val rolled = StreamingRollup.histRollup(spark, out)
+    assert(rolled.groupBy("day", "bin").count().filter(col("count") > 1).isEmpty)
+    assert(probe(rolled) === rebuilt)
+  }
+
   test("checkpointed AvailableNow drain feeds the rollup through foreachBatch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toString
     val (evDir, out, ckpt) = (s"$tmp/events", s"$tmp/rollup", s"$tmp/ckpt")
