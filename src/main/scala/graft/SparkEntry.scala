@@ -641,6 +641,22 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("g_d", "g_t", "d", "event_type")),
 
+    // Aggregation-based argmax: the largest document per source via ONE
+    // map-side-combined max over lexicographic (n_chars, doc_id) structs —
+    // the no-window spelling of per-group top-1 (a row_number window
+    // shuffles every row to its group's partition; a struct-max shuffles
+    // one partial row per group per task). Struct comparison makes the
+    // tie-break deterministic where max_by would not be.
+    "q_argmax" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(max(struct(col("n_chars"), col("doc_id"))).as("m"))
+        .select(
+          col("source"),
+          col("m.n_chars").as("n_chars"),
+          col("m.doc_id").as("doc_id"))
+        .orderBy("source")),
+
     // Robust outliers: median/MAD per event type (breakdown-point-0.5
     // counterpart of q_outliers' z-score gate — moments are dragged by the
     // very outliers they hunt; the MAD is not). Exact integer cents, so
@@ -1186,6 +1202,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE(CAST(ts AS DATE), event_type)
         |ORDER BY g_d, g_t, d, event_type""".stripMargin,
+    "q_argmax" ->
+      // The window spelling is the oracle: the struct-max must agree with
+      // rank-1 under (n_chars DESC, doc_id DESC).
+      """SELECT source, n_chars, doc_id FROM (
+        |  SELECT source, n_chars, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY source""".stripMargin,
     "q_outliers_mad" ->
       """WITH v AS (SELECT event_type AS key,
         |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

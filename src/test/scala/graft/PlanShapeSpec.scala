@@ -307,6 +307,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("argmax struct-max: map-side combined, no window over the table") {
+    val p = graft.SparkEntry.queries("q_argmax")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max"), s"struct-max not map-side combined:\n$p")
+    assert(!p.contains("Window"), s"argmax must not window:\n$p")
+  }
+
   test("attribution interval join: equi key carries the join; time bound is a residual, not a BNLJ") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
