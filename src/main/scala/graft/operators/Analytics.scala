@@ -200,6 +200,12 @@ object Analytics {
       prevCkpt = next
       ranks = next
     }
+    // the final round's checkpoint IS the result (self-contained); the
+    // edge and degree blocks served their last join and can go now —
+    // holding them across repeated constructions (bench warm + timed
+    // passes, verify) accumulates executor storage for nothing
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(e)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(deg)
     ranks.select(col("node"), col("pr").as("pr_micro"))
   }
 
