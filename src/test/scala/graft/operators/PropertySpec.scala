@@ -181,6 +181,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantileOverRange brackets the true order statistic on random bags") {
+    val bagGen = for {
+      n <- Gen.choose(1, 400)
+      vals <- Gen.listOfN(n, Gen.choose(0.0, 300.0))
+      days <- Gen.listOfN(n, Gen.choose(1, 28))
+    } yield vals.zip(days)
+    forAllSamples(bagGen, n = 6) { bag =>
+      val rows = bag.map { case (v, d) =>
+        (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), v)
+      }
+      val hists = IncrementalRollup.dailyValueHistograms(rows.toDF("ts", "value"))
+      val ps = Seq("0.1", "0.5", "0.95")
+      val got = IncrementalRollup
+        .quantileOverRange(hists, "2024-01-01", "2024-01-28", ps)
+        .collect()
+      assert(got.length === ps.length)
+      val sorted = bag.map(_._1).sorted
+      got.foreach { r =>
+        val k = r.getAs[Long]("k").toInt
+        val exact = sorted(k - 1)
+        assert(
+          exact >= r.getAs[Double]("lo") && exact < r.getAs[Double]("hi"),
+          s"k=$k of n=${sorted.size}: $exact outside [${r.getAs[Double]("lo")}, ${r.getAs[Double]("hi")})")
+        assert(r.getAs[Long]("n_range") === sorted.size.toLong)
+      }
+    }
+  }
+
+  test("attribution equals the brute-force pair model on random event streams") {
+    val evGen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(
+        n,
+        for {
+          u <- Gen.choose(1, 5)
+          t <- Gen.oneOf("click", "purchase", "view")
+          m <- Gen.choose(0, 10 * 60) // minutes across 10 hours
+        } yield (u.toLong, t, m))
+    } yield rows.zipWithIndex
+    forAllSamples(evGen, n = 6) { rows =>
+      val df = rows.map { case ((u, t, m), i) =>
+        (i.toLong, new java.sql.Timestamp(1709280000000L + m * 60000L), u, t, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.streaming.StreamJoin
+        .attribution(df)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+        .toSet
+      val model = (for {
+        ((cu, ct, cm), ci) <- rows if ct == "click"
+        ((pu, pt, pm), pi) <- rows
+        if pt == "purchase" && pu == cu && pm >= cm && pm <= cm + 120
+      } yield (ci.toLong, pi.toLong)).toSet
+      assert(got === model)
+    }
+  }
+
   test("madOutliers: a massive spike is flagged without dragging the gate (robustness)") {
     // 200 well-behaved cents + one 10^7 spike: the spike must be the ONLY
     // outlier — mean/stddev would be dragged by it, median/MAD are not
