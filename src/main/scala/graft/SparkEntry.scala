@@ -641,6 +641,21 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("g_d", "g_t", "d", "event_type")),
 
+    // Percentile winsorization: per-type values clamped into the exact
+    // [p05, p95] band — the cleaning step before spike-draggable stats;
+    // clipped sums ride the half-cent grid exactly (decimal-summed,
+    // order-insensitive), so DuckDB replays band, clamp, and sum.
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Analytics
+        .winsorize(
+          Tables.events(s, dir)
+            .select(
+              col("event_type"),
+              expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents")),
+          "event_type",
+          "cents")
+        .orderBy("key")),
+
     // Aggregation-based argmax: the largest document per source via ONE
     // map-side-combined max over lexicographic (n_chars, doc_id) structs —
     // the no-window spelling of per-group top-1 (a row_number window
@@ -1202,6 +1217,27 @@ object SparkEntry {
         |FROM events
         |GROUP BY CUBE(CAST(ts AS DATE), event_type)
         |ORDER BY g_d, g_t, d, event_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH v AS (SELECT event_type AS key,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |b AS (SELECT key, quantile_cont(cents, 0.05) AS lo_cents,
+        |             quantile_cont(cents, 0.95) AS hi_cents
+        |      FROM v GROUP BY 1)
+        |SELECT key, n, lo_cents, hi_cents, n_clip_lo, n_clip_hi,
+        |       CAST(sum_inside AS DOUBLE)
+        |         + CAST(n_clip_lo AS DOUBLE) * lo_cents
+        |         + CAST(n_clip_hi AS DOUBLE) * hi_cents AS sum_after
+        |FROM (
+        |  SELECT v.key, count(*) AS n,
+        |         any_value(lo_cents) AS lo_cents, any_value(hi_cents) AS hi_cents,
+        |         CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |         CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |         CAST(sum(CASE WHEN cents >= lo_cents AND cents <= hi_cents
+        |                       THEN cents ELSE 0 END) AS BIGINT) AS sum_inside
+        |  FROM v JOIN b USING (key)
+        |  GROUP BY v.key)
+        |ORDER BY key""".stripMargin,
     "q_argmax" ->
       // The window spelling is the oracle: the struct-max must agree with
       // rank-1 under (n_chars DESC, doc_id DESC).

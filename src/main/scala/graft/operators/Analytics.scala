@@ -84,6 +84,60 @@ object Analytics {
       .drop("_offset", "_total", "_rank")
   }
 
+  /** Percentile winsorization: clamp each value into its group's
+    * [pLo, pHi] exact-percentile band — the standard numeric-feature
+    * cleaning step before statistics a spike would drag (a gentler
+    * alternative to dropping rows that [[madOutliers]] flags). Returns
+    * per-key `(key, n, lo_cents, hi_cents, n_clip_lo, n_clip_hi,
+    * sum_after)` — the clipped sum decomposed so it stays exact and
+    * order-insensitive: in-band cents sum as BIGINT, then the two clip
+    * populations contribute `count × boundary` as scalar double products
+    * in a fixed expression tree. (Summing clamped DOUBLES would be
+    * accumulation-order-dependent, and rounding the interpolated
+    * boundaries to any decimal grid diverges between engines — measured:
+    * Spark and DuckDB round a .05 boundary double to different tenths.)
+    *
+    * Same determinism contract as [[madOutliers]]: integer `cents` in,
+    * every interpolation and clamp decision replayed exactly by DuckDB's
+    * quantile_cont. Same scale shape too: one exact-percentile aggregate
+    * (bounded-domain caveat), broadcast of the O(keys) band table, one
+    * map-side-combined final aggregate. */
+  def winsorize(
+      df: DataFrame,
+      keyCol: String,
+      centsCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val bands = df
+      .groupBy(col(keyCol).as("key"))
+      .agg(
+        expr(s"percentile($centsCol, $pLo)").as("lo_cents"),
+        expr(s"percentile($centsCol, $pHi)").as("hi_cents"))
+    df.select(col(keyCol).as("key"), col(centsCol).as("cents"))
+      .join(broadcast(bands), Seq("key"))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        first("lo_cents").as("lo_cents"),
+        first("hi_cents").as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(
+          when(
+            col("cents") >= col("lo_cents") && col("cents") <= col("hi_cents"),
+            col("cents")).otherwise(0L)).as("sum_inside"))
+      .select(
+        col("key"),
+        col("n"),
+        col("lo_cents"),
+        col("hi_cents"),
+        col("n_clip_lo"),
+        col("n_clip_hi"),
+        (col("sum_inside").cast("double")
+          + col("n_clip_lo").cast("double") * col("lo_cents")
+          + col("n_clip_hi").cast("double") * col("hi_cents")).as("sum_after"))
+  }
+
   /** Robust outlier gate: median / MAD instead of mean / stddev (the
     * z-score gate's moments are themselves dragged by the outliers they
     * hunt; the median absolute deviation is breakdown-point-0.5 robust —
