@@ -240,7 +240,7 @@ object Analytics {
     * Output: `(node, pr_micro)` — final rank in micro-units, one row per
     * node that has at least one out-edge.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5, ckptEvery: Int = 2): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e
       .groupBy(col("src").as("node"))
@@ -248,11 +248,20 @@ object Analytics {
       .localCheckpoint()
     var ranks = deg.select(col("node"), lit(prScale).as("pr"))
     var prevCkpt: DataFrame = null
-    for (_ <- 1 to iters) {
-      val next = pageRankRound(e, deg, ranks).localCheckpoint()
-      if (prevCkpt != null) org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(prevCkpt)
-      prevCkpt = next
-      ranks = next
+    for (i <- 1 to iters) {
+      val round = pageRankRound(e, deg, ranks)
+      // checkpoint every `ckptEvery` rounds (and always the last): plan
+      // depth stays bounded while skipping half the materialization jobs —
+      // each checkpoint is a full job + storage write, and two rounds of
+      // join+agg lineage is still a small plan
+      if (i % ckptEvery == 0 || i == iters) {
+        val next = round.localCheckpoint()
+        if (prevCkpt != null) org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(prevCkpt)
+        prevCkpt = next
+        ranks = next
+      } else {
+        ranks = round
+      }
     }
     // the final round's checkpoint IS the result (self-contained); the
     // edge and degree blocks served their last join and can go now —
