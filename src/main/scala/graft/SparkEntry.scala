@@ -2442,6 +2442,42 @@ object SparkEntry {
       // Per-label centroid pairwise cosines — see [[embedCentroidSim]].
       "q_embed_centroid_sim" -> ((s, dir) => embedCentroidSim(s, dir)),
 
+      // Distributed PCA gate (operators/Pca.scala): the corpus-sized work
+      // is the decimal-quantized upper-triangle gram (one map-side-combined
+      // aggregate, DuckDB recomputes it entry-exactly as diag/triangle
+      // checksums); only the d×d model reaches the driver, where the
+      // fixed-iteration power method's eigenpair is self-checked — unit
+      // norm, and the Rayleigh quotient dominating the best coordinate
+      // axis (λ₁ ≥ max diagonal, up to convergence slack).
+      "q_pca_gate" -> ((s, dir) => {
+        import graft.operators.Pca
+        val g = Pca.gram(Tables.embeddings(s, dir))
+        val rows = g.collect()
+        val (dominantOk, unitOk, dim) =
+          if (rows.isEmpty) (true, true, 0)
+          else {
+            val d = rows.map(_.getAs[Int]("j")).max + 1
+            val (v, lam) = Pca.topComponent(rows, d)
+            val maxDiag = rows
+              .filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+              .map(_.getAs[java.math.BigDecimal]("g").doubleValue)
+              .max
+            val norm = math.sqrt(v.map(x => x * x).sum)
+            (lam >= 0.999 * maxDiag, math.abs(norm - 1.0) < 1e-9, d)
+          }
+        g.agg(
+          count(lit(1)).as("n_entries"),
+          sum(when(col("i") === col("j"), col("g"))).as("diag_sum"),
+          sum("g").as("tri_sum"))
+          .select(
+            lit(dim).as("d"),
+            col("n_entries"),
+            col("diag_sum"),
+            col("tri_sum"),
+            lit(dominantOk).as("dominant_ok"),
+            lit(unitOk).as("unit_ok"))
+      }),
+
       // Per-user z-score outliers (|z| ≥ 2.5): the anomaly gate over event
       // values. Moments are EXACT decimal sums (count, Σv, Σv²) so the
       // aggregate is order-insensitive; mean/variance/z are then pure IEEE
@@ -3592,6 +3628,22 @@ object SparkEntry {
         |       round(CAST(dot AS DOUBLE)
         |             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_sim
         |FROM p ORDER BY la, lb""".stripMargin,
+    "q_pca_gate" ->
+      // Entry-exact gram recomputation (same 12 dp quantized products, same
+      // DECIMAL sums); the eigen checks are Spark-side self-assertions, so
+      // the oracle emits TRUE.
+      """WITH x AS (SELECT vec_id, t.i - 1 AS i,
+        |                  CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS xi
+        |           FROM embeddings, range(1, 65) AS t(i)),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |             CAST(round(a.xi * b.xi, 12) AS DECIMAL(30,12)) AS p
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i),
+        |g AS (SELECT i, j, sum(p) AS g FROM p GROUP BY 1, 2)
+        |SELECT CAST(64 AS INT) AS d, CAST(count(*) AS BIGINT) AS n_entries,
+        |       sum(CASE WHEN i = j THEN g END) AS diag_sum,
+        |       sum(g) AS tri_sum,
+        |       TRUE AS dominant_ok, TRUE AS unit_ok
+        |FROM g""".stripMargin,
     "q_outliers" ->
       """WITH e AS (SELECT user_id, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events),
         |s AS (SELECT user_id, count(*) AS n, sum(v) AS sv, sum(v*v) AS sv2
