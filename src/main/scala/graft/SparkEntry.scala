@@ -1915,6 +1915,20 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_kept"), sum("event_id").as("id_sum"))
           .orderBy("event_type")),
 
+      // Deterministic k-fold assignment (k = 5): fold = fibhash(doc_id)
+      // mod k — the cross-validation sibling of the 80/10/10 split, with
+      // the same guarantees (engine-/partitioning-/rerun-stable, no RNG
+      // state) and the same no-shuffle shape; per-fold counts and id sums
+      // as the manifest a CV harness checks before training.
+      "q_kfold" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            pmod(graft.operators.Curation.hashBucket(col("doc_id")), lit(5L)).as("fold"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+          .orderBy("fold")),
+
       // Deterministic train/val/test split (training-pipeline extension):
       // multiplicative Fibonacci hash of doc_id into 2^32 buckets, 80/10/10
       // by fixed integer thresholds. Pure integer arithmetic — stable across
@@ -3294,6 +3308,10 @@ object SparkEntry {
         |FROM events e JOIN t USING (event_type)
         |WHERE (e.event_id * 2654435761) % 4294967296 < t.thr
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_kfold" ->
+      """SELECT (doc_id * 2654435761) % 4294967296 % 5 AS fold,
+        |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY fold""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id,
         |       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
