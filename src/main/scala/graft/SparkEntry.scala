@@ -2474,7 +2474,7 @@ object SparkEntry {
             val (v, lam) = Pca.topComponent(rows, d)
             val maxDiag = rows
               .filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
-              .map(_.getAs[java.math.BigDecimal]("g").doubleValue)
+              .map(_.getAs[java.math.BigDecimal]("g").doubleValue / 1e12)
               .max
             val norm = math.sqrt(v.map(x => x * x).sum)
             (lam >= 0.999 * maxDiag, math.abs(norm - 1.0) < 1e-9, d)
@@ -3647,16 +3647,17 @@ object SparkEntry {
         |             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_sim
         |FROM p ORDER BY la, lb""".stripMargin,
     "q_pca_gate" ->
-      // Entry-exact gram recomputation (same 12 dp quantized products, same
-      // DECIMAL sums); the eigen checks are Spark-side self-assertions, so
-      // the oracle emits TRUE.
+      // Entry-exact gram recomputation — products quantized to 10⁻¹²-units
+      // (round(x·10¹²) in double, identical in every IEEE engine), summed
+      // as exact integers; the eigen checks are Spark-side
+      // self-assertions, so the oracle emits TRUE.
       """WITH x AS (SELECT vec_id, t.i - 1 AS i,
         |                  CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS xi
         |           FROM embeddings, range(1, 65) AS t(i)),
         |p AS (SELECT a.i AS i, b.i AS j,
-        |             CAST(round(a.xi * b.xi, 12) AS DECIMAL(30,12)) AS p
+        |             CAST(round(a.xi * b.xi * 1000000000000) AS BIGINT) AS pl
         |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i),
-        |g AS (SELECT i, j, sum(p) AS g FROM p GROUP BY 1, 2)
+        |g AS (SELECT i, j, CAST(sum(pl) AS DECIMAL(38,0)) AS g FROM p GROUP BY 1, 2)
         |SELECT CAST(64 AS INT) AS d, CAST(count(*) AS BIGINT) AS n_entries,
         |       sum(CASE WHEN i = j THEN g END) AS diag_sum,
         |       sum(g) AS tri_sum,

@@ -19,16 +19,17 @@ class PcaSpec extends SparkSpec {
     val g = Pca.gram(df).collect()
     assert(g.length === dim * (dim + 1) / 2)
 
-    // entry-exactness: (0,1) entry equals the quantized-product model sum
+    // entry-exactness: (0,1) entry equals the 10⁻¹²-unit quantized model sum
     val model01 = rows
       .map { case (_, v) =>
-        BigDecimal(v(0).toDouble * v(1).toDouble)
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        BigDecimal(v(0).toDouble * v(1).toDouble * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong
       }
       .sum
     val got01 = g
       .find(r => r.getAs[Int]("i") == 0 && r.getAs[Int]("j") == 1)
-      .map(r => BigDecimal(r.getAs[java.math.BigDecimal]("g")))
+      .map(r => r.getAs[java.math.BigDecimal]("g").longValueExact)
       .get
     assert(got01 === model01)
 
@@ -37,7 +38,7 @@ class PcaSpec extends SparkSpec {
     assert(cos > 0.99, s"pc1 misses the planted direction: |cos| = $cos")
     val maxDiag = g
       .filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
-      .map(_.getAs[java.math.BigDecimal]("g").doubleValue)
+      .map(_.getAs[java.math.BigDecimal]("g").doubleValue / 1e12)
       .max
     assert(lam >= maxDiag, "dominant eigenvalue must dominate every coordinate axis")
   }
