@@ -2456,6 +2456,29 @@ object SparkEntry {
       // Per-label centroid pairwise cosines — see [[embedCentroidSim]].
       "q_embed_centroid_sim" -> ((s, dir) => embedCentroidSim(s, dir)),
 
+      // Compression-ratio quality signal (Gopher-family): deflate length
+      // per doc via the codegen'd native kernel — repetitive/templated
+      // text compresses far below prose, catching long-period structure
+      // n-gram stats miss. The exact length is a property of the JVM's
+      // zlib, so like the HLL/CMS estimates the oracle checks CONTRACT
+      // properties (positive output on nonempty text, raw-deflate
+      // overhead bound) plus the exact byte totals, never raw values.
+      "q_compression_gate" -> ((s, dir) => {
+        import graft.functions.{TextFunctions => T}
+        Tables.documents(s, dir)
+          .select(
+            col("source"),
+            octet_length(col("text")).cast("long").as("blen"),
+            T.deflateLen(col("text")).cast("long").as("dlen"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("blen").as("bytes_total"),
+            (min(when(col("blen") > 0, col("dlen"))) > 0).as("nonzero_ok"),
+            (max(col("dlen") - col("blen")) <= 64L).as("bound_ok"))
+          .orderBy("source")
+      }),
+
       // Distributed PCA gate (operators/Pca.scala): the corpus-sized work
       // is the decimal-quantized upper-triangle gram (one map-side-combined
       // aggregate, DuckDB recomputes it entry-exactly as diag/triangle
@@ -3646,6 +3669,11 @@ object SparkEntry {
         |       round(CAST(dot AS DOUBLE)
         |             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos_sim
         |FROM p ORDER BY la, lb""".stripMargin,
+    "q_compression_gate" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS bytes_total,
+        |       TRUE AS nonzero_ok, TRUE AS bound_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_pca_gate" ->
       // Entry-exact gram recomputation — products quantized to 10⁻¹²-units
       // (round(x·10¹²) in double, identical in every IEEE engine), summed

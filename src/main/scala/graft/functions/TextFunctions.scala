@@ -83,6 +83,15 @@ object TextFunctions {
     * engines implement identically). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Deflate-compressed byte length (native kernel, codegen'd) — the
+    * numerator of the compression-ratio repetitiveness signal; see
+    * [[org.apache.spark.sql.graft.DeflateLength]] for the determinism
+    * contract (byte-stable per JVM, engine-specific across oracles). */
+  def deflateLen(text: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, DeflateLength}
+    Bridge.column(DeflateLength(Bridge.expression(text)))
+  }
+
   /** Distinct word n-gram shingles from a token array; fewer than `n`
     * tokens → empty array. (Guarded because `sequence(1, size-n+1)` would
     * generate a *descending* range when size < n.) */

@@ -59,6 +59,9 @@ object GraftFunctions {
     }),
     ("graft_quantize_int8", classOf[QuantizeInt8].getName, { args =>
       arity("graft_quantize_int8", 1, args); QuantizeInt8(args.head)
+    }),
+    ("graft_deflate_len", classOf[DeflateLength].getName, { args =>
+      arity("graft_deflate_len", 1, args); DeflateLength(args.head)
     }))
 
   /** Extension-injection path (analysis-time, all sessions). */

@@ -115,6 +115,38 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("self") - 1.0) < 1e-12)
   }
 
+  test("deflate length: repetition compresses away, prose does not; SQL surface agrees") {
+    val repetitive = "lorem ipsum " * 200
+    val prose = (1 to 200)
+      .map(i => s"w${i * 2654435761L % 9973}")
+      .mkString(" ") // high-entropy distinct tokens
+    val df = Seq(("r", repetitive), ("p", prose)).toDF("k", "text")
+    val out = df
+      .select(
+        col("k"),
+        octet_length(col("text")).cast("double").as("b"),
+        TextFunctions.deflateLen(col("text")).cast("double").as("d"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2) / r.getDouble(1)))
+      .toMap
+    assert(out("r") < 0.05, s"repetitive ratio ${out("r")} should collapse")
+    assert(out("p") > 0.3, s"prose ratio ${out("p")} should not")
+    // kernel registered on the SQL surface, same implementation
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("defl_t")
+    val sqlOut = spark
+      .sql("SELECT k, graft_deflate_len(text) AS d FROM defl_t")
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    val dslOut = df
+      .select(col("k"), TextFunctions.deflateLen(col("text")).as("d"))
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    assert(sqlOut === dslOut)
+  }
+
   test("srp buckets: identical vectors always share a bucket") {
     val planes = VectorFunctions.randomPlanes(8, 4)
     val df = Seq(
