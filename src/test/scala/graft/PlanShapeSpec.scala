@@ -307,6 +307,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("corr/regr moments: one map-side-combined aggregate, no join, no window") {
+    val p = graft.SparkEntry.queries("q_corr_regr")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"moment sums not map-side combined:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"plan:\n$p")
+  }
+
+  test("winsorize: band table broadcasts back; no shuffle join of the data") {
+    val p = graft.SparkEntry.queries("q_winsorize")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bands must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"data must not shuffle-join:\n$p")
+  }
+
+  test("PCA gram: triangle-only generate, two-stage map-side-combined sum, no join") {
+    import spark.implicits._
+    val g = graft.operators.Pca.gram(
+      Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"gram partials not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"gram must not join:\n$p")
+    // the corpus-sized stage carries LONG partials; DECIMAL appears only in
+    // the final O(partitions·d²) merge
+    assert(p.contains("slice"), s"second explode must slice the tail:\n$p")
+  }
+
   test("argmax struct-max: map-side combined, no window over the table") {
     val p = graft.SparkEntry.queries("q_argmax")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
