@@ -2488,7 +2488,7 @@ object SparkEntry {
       // axis (λ₁ ≥ max diagonal, up to convergence slack).
       "q_pca_gate" -> ((s, dir) => {
         import graft.operators.Pca
-        val g = Pca.gram(Tables.embeddings(s, dir))
+        val g = Pca.gram(Tables.embeddings(s, dir), 64)
         val rows = g.collect()
         val (dominantOk, unitOk, dim) =
           if (rows.isEmpty) (true, true, 0)

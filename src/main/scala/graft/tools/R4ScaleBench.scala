@@ -80,6 +80,37 @@ object R4ScaleBench {
           "cents")
         .count()
     }
+    time("winsorize") {
+      graft.operators.Analytics
+        .winsorize(
+          ev.select(
+            col("event_type"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents")),
+          "event_type",
+          "cents")
+        .count()
+    }
+    time("validation expect") {
+      graft.operators.Validation
+        .expect(
+          ev,
+          Seq(
+            "value_nonneg" -> (col("value") >= 0.0),
+            "type_nonnull" -> col("event_type").isNotNull))
+        .count()
+    }
+    // PCA gram scales with the embedding corpus, not events: replicate 20×
+    val emb1 = Tables.embeddings(spark, dir)
+    val emb = emb1
+      .crossJoin(broadcast(reps))
+      .select((col("vec_id") * rep + col("r")).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    println(s"embeddings: ${emb.count()} vectors")
+    time("pca gram+eig") {
+      val rows = graft.operators.Pca.gram(emb, 64).collect()
+      val d = rows.map(_.getAs[Int]("j")).max + 1
+      graft.operators.Pca.topComponent(rows, d)._1.length.toLong
+    }
     val pairs = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(

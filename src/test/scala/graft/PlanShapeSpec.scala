@@ -321,16 +321,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"data must not shuffle-join:\n$p")
   }
 
-  test("PCA gram: triangle-only generate, two-stage map-side-combined sum, no join") {
+  test("PCA gram: one kernel generate, two-stage map-side-combined sum, joins only post-agg") {
     import spark.implicits._
     val g = graft.operators.Pca.gram(
-      Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+      Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"), 2)
     val p = g.queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), s"gram partials not map-side combined:\n$p")
-    assert(!p.contains("Join"), s"gram must not join:\n$p")
-    // the corpus-sized stage carries LONG partials; DECIMAL appears only in
-    // the final O(partitions·d²) merge
-    assert(p.contains("slice"), s"second explode must slice the tail:\n$p")
+    // the corpus touches exactly ONE Generate (the kernel's term array);
+    // the only join is the broadcast O(d²)×O(d) position-decode after the
+    // final aggregate — never a shuffle join, never corpus-sized
+    assert(p.split("Generate").length == 2, s"corpus must explode exactly once:\n$p")
+    assert(p.contains("graft_gram_terms"), s"kernel missing from plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join allowed:\n$p")
   }
 
   test("argmax struct-max: map-side combined, no window over the table") {

@@ -16,7 +16,7 @@ class PcaSpec extends SparkSpec {
       (k.toLong, v)
     }
     val df = rows.toDF("vec_id", "embedding")
-    val g = Pca.gram(df).collect()
+    val g = Pca.gram(df, dim).collect()
     assert(g.length === dim * (dim + 1) / 2)
 
     // entry-exactness: (0,1) entry equals the 10⁻¹²-unit quantized model sum
