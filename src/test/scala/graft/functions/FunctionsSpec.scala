@@ -147,6 +147,31 @@ class FunctionsSpec extends SparkSpec {
     assert(sqlOut === dslOut)
   }
 
+  test("kernel edges: deflate of empty/null text, gram terms of empty/null vectors") {
+    val df = Seq(("e", Some("")), ("n", None), ("x", Some("abc")))
+      .toDF("k", "text")
+    val defl = df
+      .select(col("k"), TextFunctions.deflateLen(col("text")).as("d"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    assert(defl("n") === -1, "null text must stay null, not crash")
+    assert(defl("e") >= 0, "empty text deflates to a (tiny) valid stream")
+    assert(defl("x") > 0)
+
+    val vdf = Seq((1L, Some(Array.empty[Float])), (2L, None), (3L, Some(Array(1f, 2f))))
+      .toDF("vec_id", "embedding")
+    import org.apache.spark.sql.graft.{Bridge, GramTerms}
+    val gt = vdf
+      .select(col("vec_id"), Bridge.column(GramTerms(Bridge.expression(col("embedding")))).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(gt(1L) === Seq.empty, "empty vector -> empty term array")
+    assert(gt(2L) === null, "null vector stays null")
+    assert(gt(3L).length === 3) // d(d+1)/2 for d=2
+  }
+
   test("srp buckets: identical vectors always share a bucket") {
     val planes = VectorFunctions.randomPlanes(8, 4)
     val df = Seq(
