@@ -56,6 +56,27 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
 
   def exists: Boolean = Files.exists(Paths.get(basePath))
 
+  /** LSM storage-status probe (K6 parity for the log-structured engine):
+    * base vs outstanding-log footprint from filesystem metadata only —
+    * the number an operator reads to decide "time to compact", the same
+    * role as the reference's RegionServer heap log (HBaseClient.java:67-73;
+    * HBase's analog pressure signal is memstore/HFile counts).
+    * Returns (baseBytes, logBytes, outstandingLogSeqs, compactedThrough). */
+  def status(): (Long, Long, Int, Long) = {
+    def bytesUnder(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!Files.exists(root)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala
+          .filter(f => Files.isRegularFile(f))
+          .map(f => Files.size(f))
+          .sum
+      }
+    }
+    (bytesUnder(basePath), bytesUnder(logPath), logSeqs().size, compactedThrough)
+  }
+
   /** Sequence numbers already on disk, ascending. Base is seq 0. */
   private def logSeqs(): Seq[Long] = {
     val d = new java.io.File(logPath)

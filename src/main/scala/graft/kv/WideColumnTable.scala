@@ -47,6 +47,28 @@ class WideColumnTable(spark: SparkSession, warehouse: String, name: String) {
 
   def exists: Boolean = Files.exists(Paths.get(path))
 
+  /** Storage-status probe — K6 parity (HBaseClient.java:67-73 logs
+    * per-RegionServer heap; the parquet analog is per-family storage
+    * footprint). One row per `family=` partition: file count and bytes
+    * from filesystem metadata only — no data is read, the same cost class
+    * as the reference's admin RPC. Cell counts live in `observe()`
+    * metrics / `q_count`, not here, precisely so status stays metadata-
+    * cheap on a 100 TB table. */
+  def status(): Seq[(String, Int, Long)] = {
+    val root = new java.io.File(path)
+    if (!root.exists()) Seq.empty
+    else
+      root
+        .listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("family="))
+        .map { d =>
+          val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+          (d.getName.stripPrefix("family="), parts.length, parts.map(_.length()).sum)
+        }
+        .sortBy(_._1)
+        .toSeq
+  }
+
   private def readAll(): DataFrame =
     spark.read
       .schema("row_key STRING, qualifier STRING, value STRING, family STRING")

@@ -46,6 +46,18 @@ class LogStructuredTableSpec extends SparkSpec {
     assert(logDirs.length === 2 && logDirs.forall(_.startsWith("seq=")))
   }
 
+  test("status probe tracks log growth and compaction (the time-to-compact signal)") {
+    val t = fresh("st")
+    t.putLog(cells(("r1", "cf", "a", "1")))
+    t.putLog(cells(("r1", "cf", "a", "2")))
+    val (_, logBytes, nLogs, _) = t.status()
+    assert(nLogs === 2 && logBytes > 0L, "two outstanding log seqs expected")
+    t.compact()
+    val (baseAfter, logAfter, nAfter, _) = t.status()
+    assert(nAfter === 0 && logAfter === 0L, "compaction must drain the log")
+    assert(baseAfter > 0L, "compacted cells land in the base")
+  }
+
   test("readView: newest seq wins per cell; untouched cells survive") {
     val t = fresh("lww")
     t.putLog(cells(("r1", "cf", "a", "1"), ("r1", "cf", "b", "2")))

@@ -26,6 +26,17 @@ class WideColumnTableSpec extends SparkSpec {
     assert(t.get("nobody", "score", "math") === None)
   }
 
+  test("status probe: per-family footprint from metadata only (K6 parity)") {
+    val t = freshTable("status_t")
+    t.create(Seq("cf1", "cf2"))
+    t.put("r1", "cf1", Seq("a" -> "1", "b" -> "2"))
+    t.put("r2", "cf2", Seq("c" -> "3"))
+    val st = t.status().map { case (f, n, b) => f -> ((n, b)) }.toMap
+    assert(st.keySet === Set("cf1", "cf2"))
+    assert(st("cf1")._1 > 0 && st("cf1")._2 > 0L, "cf1 must report files and bytes")
+    assert(st("cf2")._1 > 0 && st("cf2")._2 > 0L)
+  }
+
   test("upsert is cell-level last-write-wins") {
     val t = freshTable("fact")
     t.create(Seq("bmz"))
