@@ -246,7 +246,7 @@ object Analytics {
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
       .localCheckpoint()
-    var ranks = deg.select(col("node"), lit(prScale).as("pr"))
+    var ranks = deg.select(col("node"), lit(prScale).as("pr"), col("deg"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val round = pageRankRound(e, deg, ranks)
@@ -274,22 +274,23 @@ object Analytics {
 
   private val prScale = 1000000L
 
-  /** One power-iteration round, `(node, pr) → (node, pr)` — exposed for the
-    * plan guard: the returned (un-checkpointed) frame is the per-round
-    * shape that must stay two-shuffle / map-side-combined at any scale. */
+  /** One power-iteration round, `(node, pr, deg) → (node, pr, deg)` — the
+    * rank state CARRIES its out-degree, so each round joins edges⋈ranks
+    * and degrees⋈sums but never ranks⋈degrees (one fewer shuffle join per
+    * round than the textbook three-table spelling). Exposed for the plan
+    * guard: the returned (un-checkpointed) frame is the per-round shape
+    * that must stay map-side-combined at any scale. */
   private[graft] def pageRankRound(e: DataFrame, deg: DataFrame, ranks: DataFrame): DataFrame = {
     val contrib = e
-      .join(
-        ranks.join(deg, Seq("node")).withColumnRenamed("node", "src"),
-        Seq("src"))
+      .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
       .select(col("dst").as("node"), expr("pr div deg").as("c"))
     val inSum = contrib.groupBy("node").agg(sum(col("c")).cast("long").as("m"))
     deg
-      .select("node")
       .join(inSum, Seq("node"), "left")
       .select(
         col("node"),
         (lit(prScale * 15L / 100L) +
-          expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100")).as("pr"))
+          expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100")).as("pr"),
+        col("deg"))
   }
 }

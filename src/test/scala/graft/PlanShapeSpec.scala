@@ -378,7 +378,7 @@ class PlanShapeSpec extends SparkSpec {
     import spark.implicits._
     val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("deg"))
-    val ranks = deg.select(col("node"), lit(1000000L).as("pr"))
+    val ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("deg"))
     val p = graft.operators.Analytics
       .pageRankRound(e, deg, ranks)
       .queryExecution.executedPlan.toString
