@@ -5,6 +5,21 @@ import graft.SparkSpec
 class PcaSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gram is invariant to the INPUT partition layout (partition-id partials are exact)") {
+    // the two-stage sum keys partials by spark_partition_id — different
+    // input layouts produce different partials but the exact-integer merge
+    // must erase the difference bit for bit
+    val vecs = (0 until 30)
+      .map(k => (k.toLong, Array.tabulate(6)(i => (k * 6 + i) * 0.01f - 0.8f)))
+    def canon(np: Int) = Pca
+      .gram(vecs.toDF("vec_id", "embedding").repartition(np), 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[java.math.BigDecimal](2).toString))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+    assert(canon(1) === canon(7))
+  }
+
   test("power method recovers a planted dominant direction; gram is entry-exact") {
     val dim = 8
     val u = Array(0.5f, 0.5f, 0.5f, 0.5f, 0f, 0f, 0f, 0f) // unit, planted
