@@ -452,6 +452,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Last-touch attribution: each purchase credits ONLY its latest
+    // preceding click (minimum lag; ties broken by highest click id) —
+    // the 1:1 policy real marketing attribution uses, vs q_attribution's
+    // every-click fan-out. Same interval join, then one struct-max
+    // aggregate per purchase (the q_argmax pattern: no window, one
+    // map-side-combined shuffle, deterministic tie-break).
+    "q_attribution_last" -> ((s, dir) =>
+      graft.streaming.StreamJoin.attribution(Tables.events(s, dir))
+        .groupBy("user_id", "purchase_id")
+        .agg(max(struct((-col("lag_us")).as("neg_lag"), col("click_id"))).as("m"))
+        .select(
+          col("user_id"),
+          col("purchase_id"),
+          col("m.click_id").as("click_id"),
+          (-col("m.neg_lag")).as("lag_us"))
+        .orderBy("user_id", "purchase_id")),
+
     // Left-outer join + anti-pattern LIKE predicate (TPC-H Q13 shape):
     // customers counted with zero orders preserved, then a histogram of
     // order counts. Exercises outer-join null semantics + double grouping.
@@ -1054,6 +1071,22 @@ object SparkEntry {
         |       (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd
         |         AS intercept_cents
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q_attribution_last" ->
+      // rank-1 under (lag ASC, click_id DESC) — the window spelling of the
+      // struct-max argmax.
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, purchase_id, click_id,
+        |             epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |                    AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOUR)
+        |SELECT user_id, purchase_id, click_id, lag_us FROM (
+        |  SELECT j.*, row_number() OVER (PARTITION BY purchase_id
+        |                                 ORDER BY lag_us ASC, click_id DESC) AS rn
+        |  FROM j)
+        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin,
     "q_attribution" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
         |           FROM events WHERE event_type = 'click'),
