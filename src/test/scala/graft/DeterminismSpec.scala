@@ -18,29 +18,39 @@ class DeterminismSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("every oracled query is invariant to the shuffle partition count") {
+  test("every oracled query is invariant to shuffle partitioning and AQE replanning") {
     val oracled = SparkEntry.oracleSql.keySet
     def canon(name: String): Seq[String] = {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect().map(_.toString).sorted.toSeq
     }
+    // (partitions, AQE): the reference layout, a coarser layout, and the
+    // static planner — three genuinely different physical plans per query
+    val configs = Seq(("32", "true"), ("5", "true"), ("32", "false"))
+    def withConfig[A](c: (String, String))(f: => A): A = {
+      spark.conf.set("spark.sql.shuffle.partitions", c._1)
+      spark.conf.set("spark.sql.adaptive.enabled", c._2)
+      try f
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
     val failures = oracled.toSeq.sorted.flatMap { name =>
       try {
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        val a = canon(name)
-        spark.conf.set("spark.sql.shuffle.partitions", "5")
-        val b = canon(name)
-        if (a == b) None
-        else
-          Some(
-            s"$name: ${a.size} vs ${b.size} rows; first diff: " +
-              a.zipAll(b, "<missing>", "<missing>")
-                .find { case (x, y) => x != y }
-                .getOrElse(("", "")))
+        val ref = withConfig(configs.head)(canon(name))
+        configs.tail.flatMap { c =>
+          val got = withConfig(c)(canon(name))
+          if (got == ref) None
+          else
+            Some(
+              s"$name@$c: ${ref.size} vs ${got.size} rows; first diff: " +
+                ref.zipAll(got, "<missing>", "<missing>")
+                  .find { case (x, y) => x != y }
+                  .getOrElse(("", "")))
+        }
       } catch {
         case e: Throwable => Some(s"$name: threw ${e.toString.linesIterator.next()}")
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
