@@ -238,6 +238,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winsorize equals a sequential clamp model on random bags") {
+    val bagGen = for {
+      n <- Gen.choose(3, 300)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+    } yield vals
+    forAllSamples(bagGen, n = 8) { vals =>
+      val r = Analytics
+        .winsorize(vals.map(("k", _)).toDF("event_type", "cents"), "event_type", "cents")
+        .head()
+      // model: same (n-1)p linear interpolation as Spark's percentile
+      val sorted = vals.sorted
+      def pct(p: Double): Double = {
+        val pos = (sorted.size - 1) * p
+        val lo = pos.toInt
+        val g = pos - lo
+        if (lo + 1 < sorted.size) sorted(lo) + (sorted(lo + 1) - sorted(lo)) * g
+        else sorted(lo).toDouble
+      }
+      val (lo, hi) = (pct(0.05), pct(0.95))
+      assert(math.abs(r.getAs[Double]("lo_cents") - lo) < 1e-6 * math.max(1.0, lo))
+      assert(math.abs(r.getAs[Double]("hi_cents") - hi) < 1e-6 * math.max(1.0, hi))
+      val clipLo = vals.count(_ < lo)
+      val clipHi = vals.count(_ > hi)
+      assert(r.getAs[Long]("n_clip_lo") === clipLo.toLong)
+      assert(r.getAs[Long]("n_clip_hi") === clipHi.toLong)
+      val model = vals.map(v => math.max(lo, math.min(hi, v.toDouble))).sum
+      assert(math.abs(r.getAs[Double]("sum_after") - model) < 1e-6 * math.max(1.0, model))
+      // the quantile definition bounds the clip populations
+      assert(clipLo <= 0.05 * vals.size + 1 && clipHi <= 0.05 * vals.size + 1)
+    }
+  }
+
   test("madOutliers: a massive spike is flagged without dragging the gate (robustness)") {
     // 200 well-behaved cents + one 10^7 spike: the spike must be the ONLY
     // outlier — mean/stddev would be dragged by it, median/MAD are not
