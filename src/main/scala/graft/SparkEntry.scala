@@ -452,6 +452,41 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Time-weighted average value per (user, day) — the metering-domain
+    // quantity (energy = power × time) for irregular sample streams:
+    // each reading weights by the microseconds until the next one
+    // (interval-end convention; a day's last reading carries no weight).
+    // Exactness discipline: value is DECIMAL(12,2), the weight an exact
+    // BIGINT of microseconds, their product an exact decimal — the
+    // weighted sum is order-insensitive, one IEEE division at the end.
+    // One lead window per (user, day) partition + one aggregate.
+    "q_twap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "d").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .select(
+          col("user_id"),
+          to_date(col("ts")).as("d"),
+          expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"),
+          col("value").cast("decimal(12,2)").as("v"))
+        .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dt_us").isNotNull && col("dt_us") > 0)
+        .groupBy("user_id", "d")
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("span_us"),
+          sum(col("v") * col("dt_us").cast("decimal(20,0)")).as("wsum"))
+        .filter(col("n_intervals") >= 3)
+        .select(
+          col("user_id"),
+          col("d"),
+          col("n_intervals"),
+          col("span_us"),
+          (col("wsum").cast("double") / col("span_us").cast("double")).as("twap"))
+        .orderBy("user_id", "d")
+    }),
+
     // Last-touch attribution: each purchase credits ONLY its latest
     // preceding click (minimum lag; ties broken by highest click id) —
     // the 1:1 policy real marketing attribution uses, vs q_attribution's
@@ -1071,6 +1106,22 @@ object SparkEntry {
         |       (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd
         |         AS intercept_cents
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, epoch_us(ts) AS ts_us,
+        |                  event_id, CAST(value AS DECIMAL(12,2)) AS v
+        |           FROM events),
+        |i AS (SELECT user_id, d, v,
+        |             lead(ts_us) OVER (PARTITION BY user_id, d
+        |                               ORDER BY ts_us, event_id) - ts_us AS dt_us
+        |      FROM e),
+        |g AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n_intervals,
+        |             CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |             sum(v * CAST(dt_us AS DECIMAL(20,0))) AS wsum
+        |      FROM i WHERE dt_us IS NOT NULL AND dt_us > 0
+        |      GROUP BY 1, 2)
+        |SELECT user_id, d, n_intervals, span_us,
+        |       CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) AS twap
+        |FROM g WHERE n_intervals >= 3 ORDER BY user_id, d""".stripMargin,
     "q_attribution_last" ->
       // rank-1 under (lag ASC, click_id DESC) — the window spelling of the
       // struct-max argmax.
