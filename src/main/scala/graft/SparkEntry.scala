@@ -2900,7 +2900,78 @@ object SparkEntry {
           .select(
             col("n_docs_indexed").cast("long").as("n_docs_indexed"),
             (col("n_rows") === col("n_docs_indexed") * 4).as("rows_per_band_ok"))
-      })
+      }),
+
+      // Blocked entity-resolution self-join: customer-name pairs within one
+      // edit, blocked on nation and pruned by the length band BEFORE the
+      // O(len²) distance kernel — the all-pairs space is never formed.
+      "q_fuzzy_match" -> ((s, dir) =>
+        graft.operators.EntityResolution
+          .fuzzyPairs(Tables.customer(s, dir), "c_custkey", "c_name", "c_nationkey", 1)
+          .orderBy("a_id", "b_id")),
+
+      // First-order Markov transition matrix over per-user event streams:
+      // one user-partitioned window shuffle, map-side-combined count into
+      // |types|² cells; P(next|prev) restored from the cells, not a second
+      // pass. p = one IEEE division of exact longs.
+      "q_transitions" -> ((s, dir) =>
+        graft.operators.Analytics
+          .eventTransitions(Tables.events(s, dir))
+          .orderBy("prev_type", "next_type")),
+
+      // Top-20 three-step user journeys: two lags in ONE window frame,
+      // count into |types|³ cells, TakeOrderedAndProject cut with a
+      // deterministic total order.
+      "q_event_ngrams" -> ((s, dir) =>
+        graft.operators.Analytics.eventTrigrams(Tables.events(s, dir), 20)),
+
+      // EXACT-10-per-source reservoir, two-phase: expected-40 hash-threshold
+      // pre-thin (no shuffle) then the exact window on the survivors — the
+      // window's per-group input is ~4k rows at ANY corpus scale, so the
+      // hard-quota guarantee survives a dominant-stratum skew.
+      "q_reservoir_group" -> ((s, dir) =>
+        Curation
+          .reservoirPerGroup(
+            Curation.stratifiedSample(
+              Tables.documents(s, dir).select(col("doc_id"), col("source")),
+              "source",
+              "doc_id",
+              40L),
+            "source",
+            "doc_id",
+            10)
+          .orderBy("source", "doc_id")),
+
+      // Pairwise source-vocabulary Jaccard: corpus collapses to distinct
+      // (source, token) FIRST (output bounded by |sources|·|vocab|), pair
+      // join keyed on token over that collapsed set, sizes broadcast back.
+      "q_source_overlap" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .sourceOverlap(Tables.documents(s, dir))
+          .orderBy("s1", "s2")),
+
+      // Asymmetric shingle containment ≥ 0.6 over the same prefix-blocked
+      // candidate space as q_dedup_ngram — catches subset duplication
+      // (quote-wrapper docs) that Jaccard structurally scores near 0.
+      "q_dedup_containment" -> ((s, dir) =>
+        graft.operators.Dedup
+          .ngramContainmentPairs(Tables.documents(s, dir), 0.6)
+          .orderBy("a_id", "b_id")),
+
+      // Top-5 PMI-salient terms per source (linear PMI: exact DECIMAL
+      // products, one IEEE division — ln never enters). One corpus-keyed
+      // shuffle; marginals rolled up from the cells.
+      "q_pmi_terms" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .pmiTerms(Tables.documents(s, dir), 5)
+          .orderBy("source", "rk")),
+
+      // Rolling 7-day distinct users via explode-merge (window× linear
+      // cost, no range self-join) joined to the per-day distinct count.
+      "q_rolling_dau" -> ((s, dir) =>
+        graft.operators.Analytics
+          .rollingDistinctUsers(Tables.events(s, dir), 7)
+          .orderBy("d"))
     )
   }
 
@@ -3913,6 +3984,109 @@ object SparkEntry {
         |              CAST(coalesce(max(n), 0) AS BIGINT) AS max_right_mult FROM r)
         |SELECT la.n_left_keys, ra.n_right_keys, s.n_shared_keys,
         |       la.max_left_mult, ra.max_right_mult, s.est_rows
-        |FROM la, ra, s""".stripMargin
+        |FROM la, ra, s""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |       a.c_name AS a_name, b.c_name AS b_name,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_transitions" ->
+      """WITH s AS (SELECT event_type AS next_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                                        ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q_event_ngrams" ->
+      """WITH s AS (SELECT event_type AS e3,
+        |                  lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts, event_id) AS e2,
+        |                  lag(event_type, 2) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts, event_id) AS e1
+        |           FROM events)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE e1 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q_reservoir_group" ->
+      // 171798691840 = 40 · 2^32 (the expected-40 pre-thin threshold)
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        |t AS (SELECT source,
+        |             least(4294967296, 171798691840 // n_total) AS thr FROM c),
+        |kept AS (SELECT d.doc_id, d.source
+        |         FROM documents d JOIN t USING (source)
+        |         WHERE (d.doc_id * 2654435761) % 4294967296 < t.thr),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY (doc_id * 2654435761) % 4294967296,
+        |                                         doc_id) AS rn
+        |      FROM kept)
+        |SELECT doc_id, source FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH tk AS (SELECT source, unnest($ToksSql) AS tok FROM documents),
+         |st AS (SELECT DISTINCT source, tok FROM tk),
+         |v AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY source),
+         |i AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+         |      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT s1, s2, v1.nv AS n1, v2.nv AS n2, inter,
+         |       CAST(inter AS DOUBLE) / (v1.nv + v2.nv - inter) AS jaccard
+         |FROM i JOIN v v1 ON v1.source = i.s1 JOIN v v2 ON v2.source = i.s2
+         |ORDER BY s1, s2""".stripMargin,
+    "q_dedup_containment" ->
+      // Same blocked candidate space as NgramPairsSql; containment measure.
+      s"""WITH t0 AS (SELECT doc_id,
+         |                   md5(substr(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40)) AS bk,
+         |                   $ToksSql AS toks FROM documents),
+         |ok AS (SELECT bk FROM t0 GROUP BY bk HAVING count(*) <= 2000),
+         |t AS (SELECT t0.* FROM t0 JOIN ok USING (bk)),
+         |sh AS (SELECT doc_id, bk,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |       FROM t),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+         |      FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id,
+         |             CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_inter,
+         |             CAST(len(sa) AS BIGINT) AS na,
+         |             CAST(len(sb) AS BIGINT) AS nb
+         |      FROM p)
+         |SELECT a_id, b_id, n_inter, na, nb,
+         |       CAST(n_inter AS DOUBLE) / least(na, nb) AS cont
+         |FROM j
+         |WHERE least(na, nb) > 0 AND CAST(n_inter AS DOUBLE) / least(na, nb) >= 0.6
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_pmi_terms" ->
+      s"""WITH tk AS (SELECT source, unnest($ToksSql) AS tok FROM documents),
+         |nst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st FROM tk GROUP BY 1, 2),
+         |ns AS (SELECT source, sum(n_st) AS n_s FROM nst GROUP BY 1),
+         |nt AS (SELECT tok, sum(n_st) AS n_t FROM nst GROUP BY 1),
+         |nn AS (SELECT sum(n_st) AS n_corpus FROM nst),
+         |p AS (SELECT source, tok, n_st,
+         |             CAST(n_st * n_corpus AS DOUBLE) / CAST(n_s * n_t AS DOUBLE) AS pmi
+         |      FROM nst JOIN nt USING (tok) JOIN ns USING (source) CROSS JOIN nn
+         |      WHERE n_st >= 5),
+         |r AS (SELECT source, tok, n_st, pmi,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY pmi DESC, tok) AS rk
+         |      FROM p)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, tok, n_st, pmi
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "q_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |w AS (SELECT DISTINCT user_id, d + CAST(o AS INTEGER) AS d
+        |      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+        |d1 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau1 FROM ud GROUP BY 1),
+        |d7 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau7 FROM w GROUP BY 1)
+        |SELECT d, dau1, dau7 FROM d1 JOIN d7 USING (d) ORDER BY d""".stripMargin
   )
 }

@@ -293,4 +293,92 @@ object Analytics {
           expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100")).as("pr"),
         col("deg"))
   }
+
+  /** Rolling 7-day (trailing, inclusive) distinct active users per day,
+    * alongside the per-day count — the retention/engagement headline metric.
+    *
+    * The scale-correct shape for windowed COUNT DISTINCT: a range self-join
+    * (`a.day BETWEEN b.day-6 AND b.day`) re-associates every user-day with
+    * every window it falls in through a JOIN — O(days) probe amplification
+    * through a shuffle. Instead each distinct (user, day) contribution
+    * EXPLODES to the ≤ `window` window-end days it reaches (a narrow,
+    * row-local multiply), and one distinct + count per (user, window-day)
+    * finishes it. Cost is exactly `window ×` the user-day table — linear,
+    * map-side combined, no join. Days with no prior history report the
+    * partial trailing window (standard dashboard semantics); window-end
+    * days beyond the data's last day are clipped by the join back to the
+    * observed-day spine.
+    */
+  def rollingDistinctUsers(events: DataFrame, window: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val daily = userDays.groupBy("d").agg(count(lit(1)).cast("long").as("dau1"))
+    val windowed = userDays
+      .select(
+        col("user_id"),
+        explode(sequence(lit(0), lit(window - 1))).as("o"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("o")).as("d"))
+      .distinct()
+      .groupBy("d")
+      .agg(count(lit(1)).cast("long").as("dau7"))
+    daily.join(windowed, Seq("d")).select("d", "dau1", "dau7")
+  }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * count of (prev → next) steps and the conditional probability
+    * P(next | prev). The behavioral-model primitive behind next-event
+    * prediction and anomaly scoring on clickstreams.
+    *
+    * Scale shape: ONE window shuffle partitioned by user (per-user groups
+    * are session-sized, never corpus-sized, so no single-task funnel),
+    * then a map-side-combined count into O(|types|²) cells. The
+    * conditional total is restored from the cells themselves by a second
+    * tiny window over the |types|²-row matrix — never a second pass over
+    * the events. `p = n / total` is one IEEE division of two exact longs,
+    * bit-identical in any IEEE-754 engine.
+    *
+    * Tie order within a timestamp is pinned by (ts, event_id) so the lag
+    * sequence — and therefore every count — is deterministic under any
+    * partitioning.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val cells = steps
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    cells
+      .withColumn("total", sum(col("n")).over(byPrev))
+      .select(
+        col("prev_type"),
+        col("next_type"),
+        col("n"),
+        (col("n").cast("double") / col("total")).as("p"))
+  }
+
+  /** Top-`k` event trigrams (3-step paths) across all user streams — the
+    * path-mining sibling of [[eventTransitions]]: which three-step journeys
+    * dominate the product. Same single window shuffle (two lags share one
+    * WindowExec frame), map-side-combined count into O(|types|³) cells,
+    * then a TakeOrderedAndProject cut — per-partition top-k on the
+    * executors, only k rows reach the driver-side merge. Deterministic
+    * total order (n desc, then the path) so the cut is rerun-stable. */
+  def eventTrigrams(events: DataFrame, k: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e3"))
+      .withColumn("e2", lag(col("e3"), 1).over(byUser))
+      .withColumn("e1", lag(col("e3"), 2).over(byUser))
+      .filter(col("e1").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
 }

@@ -93,6 +93,41 @@ object Curation {
       .drop("thr")
   }
 
+  /** EXACT-`k`-per-group deterministic reservoir: keep precisely `k` rows
+    * per stratum (or all, if the stratum is smaller), chosen by the
+    * fibonacci-hash lottery order — the guaranteed-count sibling of
+    * [[stratifiedSample]]'s expected-count threshold. Use it where the
+    * downstream contract is a hard quota (eval sets, per-source caps with
+    * billing implications), and the threshold variant where a ±√k wobble
+    * is fine and the window shuffle isn't.
+    *
+    * Determinism: the reservoir is the k smallest (fibhash(id), id) pairs
+    * per stratum — a pure function of ids, so rerun-/partitioning-/
+    * engine-stable, and adding rows to OTHER strata never changes this
+    * stratum's pick.
+    *
+    * Scale shape: one window shuffle partitioned by stratum. Per-stratum
+    * groups are the skew risk at 100 TB (a dominant web crawl is one
+    * window group → one task); for that regime, pre-thin with
+    * [[stratifiedSample]] at ~4k expected rows first — the lottery order
+    * is the same hash, so thinning by a hash threshold keeps a superset
+    * of the k smallest and the exact window then runs on k·4 rows per
+    * group, not the raw stratum. That two-phase composition is what
+    * `q_reservoir_group` registers.
+    */
+  def reservoirPerGroup(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val byStratum = Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(byStratum))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Quality-proportional importance resampling — the continuous-weight
     * cousin of [[stratifiedSample]]'s per-stratum uniform cap, and the
     * deterministic version of the importance-sampling step a data-mixing

@@ -53,16 +53,20 @@ object Dedup {
     * join's condition and re-evaluated (interpreted — array set ops are
     * CodegenFallback) for every probed pair. Profiled ~30× faster at sf0.1.
     */
-  private def verifyJaccard(
+  /** Shared verification stage for shingle-overlap measures:
+    * `(a_id, b_id) → (a_id, b_id, n_inter, na, nb)`.
+    *
+    * Shingles are computed ONLY for documents that appear in a candidate
+    * pair: semi-join prune first, then shingle the survivors. At 100 TB the
+    * candidate set is a sliver of the corpus, so this replaces two
+    * full-corpus tokenize+shingle passes (one per join side) with two
+    * passes over the survivor set; the candidate subtree is evaluated once
+    * more to produce the id list, which is cheap post-cap (id pairs only).
+    */
+  private def candidateShingleStats(
       candidates: DataFrame, // (a_id, b_id)
-      documents: DataFrame, // raw (doc_id, text, …)
-      threshold: Double): DataFrame = {
-    // Shingles are computed ONLY for documents that appear in a candidate
-    // pair: semi-join prune first, then shingle the survivors. At 100 TB the
-    // candidate set is a sliver of the corpus, so this replaces two
-    // full-corpus tokenize+shingle passes (one per join side) with two
-    // passes over the survivor set; the candidate subtree is evaluated once
-    // more to produce the id list, which is cheap post-cap (id pairs only).
+      documents: DataFrame // raw (doc_id, text, …)
+  ): DataFrame = {
     val ids = candidates
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
@@ -78,6 +82,13 @@ object Dedup {
         sortedIntersectCount(col("sa"), col("sb")).cast("long").as("n_inter"),
         size(col("sa")).cast("long").as("na"),
         size(col("sb")).cast("long").as("nb"))
+  }
+
+  private def verifyJaccard(
+      candidates: DataFrame, // (a_id, b_id)
+      documents: DataFrame, // raw (doc_id, text, …)
+      threshold: Double): DataFrame = {
+    candidateShingleStats(candidates, documents)
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn(
         "jac",
@@ -152,6 +163,46 @@ object Dedup {
       .select("a_id", "b_id")
     verifyJaccard(candidates, documents, threshold)
       .select("a_id", "b_id", "n_inter", "n_union", "jac")
+  }
+
+  /** Asymmetric shingle CONTAINMENT near-dup:
+    * `cont = |A∩B| / min(|A|, |B|)` over the same prefix-blocked candidate
+    * space as [[ngramJaccardPairs]]. Catches subset duplication that
+    * Jaccard structurally cannot: a document quoted whole inside a much
+    * larger one has `jac ≈ |A|/|B| → 0` but containment 1.0 — the
+    * boilerplate-wrapper and quote-expansion cases a crawl corpus is full
+    * of. Same blocking bound, same cap, same semi-join-pruned verify; the
+    * only change is the final measure, one IEEE division of exact longs.
+    * Returns (a_id, b_id, n_inter, na, nb, cont) for cont ≥ threshold.
+    *
+    * Blocking caveat (same contract as the Jaccard variant): the 40-char
+    * normalized-prefix block finds prefix-sharing pairs — the
+    * quote-at-the-start and append-suffix cases. A contained quote that
+    * starts mid-document needs the [[minhashLshPairs]] banding or the
+    * [[duplicatedSpanStats]] span index as the candidate source instead;
+    * the verify stage here accepts any (a_id, b_id) candidate frame.
+    */
+  def ngramContainmentPairs(
+      documents: DataFrame,
+      threshold: Double = 0.6,
+      maxBucket: Int = 2000): DataFrame = {
+    val keyed = capBuckets(
+      documents.select(col("doc_id"), md5(substring(normalize(col("text")), 1, 40)).as("bk")),
+      Seq("bk"),
+      maxBucket)
+    val candidates = keyed
+      .select(col("doc_id").as("a_id"), col("bk"))
+      .join(keyed.select(col("doc_id").as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    candidateShingleStats(candidates, documents)
+      .withColumn(
+        "cont",
+        when(
+          least(col("na"), col("nb")) > 0,
+          col("n_inter").cast("double") / least(col("na"), col("nb"))))
+      .filter(col("cont") >= threshold)
+      .select("a_id", "b_id", "n_inter", "na", "nb", "cont")
   }
 
   /** LSH band buckets with the signature carried along:

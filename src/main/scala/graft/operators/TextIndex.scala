@@ -225,4 +225,92 @@ object TextIndex {
           .otherwise(lit(0.0))
           .as("oov_rate"))
   }
+
+  /** Pairwise vocabulary overlap between corpus sources: for every source
+    * pair, the distinct-token counts, the intersection size, and the
+    * Jaccard similarity of the two vocabularies. The corpus-mixing
+    * diagnostic that flags two crawls as near-identical (merge them) or a
+    * source as lexically disjoint (its tokens are OOV for the rest).
+    *
+    * Scale shape: the corpus collapses FIRST to distinct (source, token)
+    * pairs — one map-side-combined distinct, output bounded by
+    * |sources| · |vocab|, never by corpus rows. The pair join is keyed on
+    * token over that collapsed set, so a hot token costs
+    * O(|sources|²) intermediate rows, not O(docs²). Per-source vocabulary
+    * sizes are a tiny aggregate broadcast back onto the O(|sources|²)
+    * result. `jaccard = inter / (n1 + n2 − inter)` is one IEEE division
+    * of exact longs — engine-portable.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).cast("long").as("nv"))
+    val inter = st
+      .toDF("s1", "tok")
+      .join(st.toDF("s2", "tok"), Seq("tok"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("s1", "n1")), Seq("s1"))
+      .join(broadcast(sizes.toDF("s2", "n2")), Seq("s2"))
+      .select(
+        col("s1"),
+        col("s2"),
+        col("n1"),
+        col("n2"),
+        col("inter"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Top-`k` PMI-salient terms per source: which tokens are
+    * over-represented in a source relative to the corpus — the
+    * source-characterization diagnostic (what *is* this crawl?) and the
+    * feature extractor behind source-classifier quality filters.
+    *
+    * Linear PMI, same numeric contract as this file's linear idf:
+    * `pmi = (n_st · N) / (n_s · n_t)` — the exponential of classic PMI, so
+    * rank-equivalent per fixed source — computed as exact integer products
+    * in DECIMAL(38,0) (a 100 TB corpus holds ~10¹⁴ tokens; the cross
+    * product n_st·N overflows BIGINT long before that) and ONE IEEE
+    * division of the two exactly-represented products. `ln`'s last-ulp
+    * libm drift never enters.
+    *
+    * Scale shape: ONE corpus-keyed shuffle (the (source, token) cell
+    * aggregate, map-side combined). Every marginal — per-source totals,
+    * per-token totals, the corpus total — is rolled up FROM THE CELLS
+    * (O(sources·vocab) rows), never by re-scanning the corpus; token
+    * marginals join back on the token key (AQE broadcasts the
+    * source-marginal and corpus-total sides). The `minCount` floor cuts
+    * the hapax tail before the join and the per-source window ranks
+    * O(cells) rows partitioned by source. */
+  def pmiTerms(documents: DataFrame, k: Int, minCount: Long = 5L): DataFrame = {
+    val cells = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("n_st"))
+    val bySource = cells.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+    val byTok = cells.groupBy("tok").agg(sum(col("n_st")).as("n_t"))
+    val total = cells.agg(sum(col("n_st")).as("n_corpus"))
+    val byRank = Window.partitionBy(col("source")).orderBy(col("pmi").desc, col("tok"))
+    cells
+      .filter(col("n_st") >= minCount)
+      .join(byTok, Seq("tok"))
+      .join(broadcast(bySource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "pmi",
+        (col("n_st").cast("decimal(38,0)") * col("n_corpus")).cast("double") /
+          (col("n_s").cast("decimal(38,0)") * col("n_t")).cast("double"))
+      .withColumn("rk", row_number().over(byRank))
+      .filter(col("rk") <= k)
+      .select(
+        col("source"),
+        col("rk").cast("long").as("rk"),
+        col("tok"),
+        col("n_st").cast("long").as("n_st"),
+        col("pmi"))
+  }
 }

@@ -34,8 +34,19 @@ object Tables {
     * a surprise type downstream. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    // Two testdata generations exist: int64-nanos (read as BIGINT under the
+    // nanosAsLong conf, converted here) and native timestamp[us] (read as
+    // TIMESTAMP_NTZ — cast to session-TZ TimestampType, value-preserving
+    // under the UTC session timezone, so downstream plans see the same
+    // TimestampType either way).
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ => org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    raw
+      .withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -30,11 +30,18 @@ object DailyIngest {
     * downstream non-null encoders). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
-      .schema(schema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Same two-generation ts handling as the batch path (Tables.events):
+    // sniff the on-disk type with a one-footer batch read — streaming
+    // sources need the schema declared up front, and declaring the wrong
+    // one is a hard "Parquet column cannot be converted" at drain time.
+    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    val schema =
+      s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Deduplicated per-meter-per-day readings as an incremental stream:
