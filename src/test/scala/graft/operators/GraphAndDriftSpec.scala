@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphAndDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- distributionDrift -------------------------------------------------
+
+  test("distributionDrift: hand-computed TVD and chi2 on a two-bucket fixture") {
+    // width 10, 2 buckets; group a all in bucket 0, group b all in bucket 1.
+    // Smoothed: ps(a) = (0.8, 0.2), pooled pr = (0.5, 0.5)
+    // tvd = (0.3 + 0.3) / 2 = 0.3; chi2 = 0.09/0.5 * 2 = 0.36 — symmetric.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 11L), ("b", 12L), ("b", 13L))
+      .toDF("g0", "v")
+    val out = Analytics
+      .distributionDrift(df, "g0", "v", 10L, 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val (n, tvd, chi2) = out(g)
+      assert(n === 3L)
+      assert(math.abs(tvd - 0.3) < 1e-9, s"$g tvd=$tvd")
+      assert(math.abs(chi2 - 0.36) < 1e-9, s"$g chi2=$chi2")
+    }
+  }
+
+  test("distributionDrift: identical group distributions drift zero") {
+    val df = Seq(("a", 5L), ("a", 15L), ("b", 5L), ("b", 15L)).toDF("g0", "v")
+    val out = Analytics.distributionDrift(df, "g0", "v", 10L, 2).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getDouble(2) === 0.0)
+      assert(r.getDouble(3) === 0.0)
+    }
+  }
+
+  test("distributionDrift: values beyond the grid clamp into the last bucket") {
+    // 9999 lands in the same (last) bucket as 25, so group a's histogram is
+    // identical to group b's and both drift identically vs the pool.
+    val df = Seq(("a", 5L), ("a", 9999L), ("b", 5L), ("b", 25L)).toDF("g0", "v")
+    val out = Analytics
+      .distributionDrift(df, "g0", "v", 10L, 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("a") === out("b"))
+  }
+
+  // ---- userRateAnomaly ---------------------------------------------------
+
+  private def dayEvents(user: Long, day: String, n: Int, idBase: Long) =
+    (0 until n).map(i => (idBase + i, s"$day 12:00:00", user, "e", 1.0))
+
+  test("userRateAnomaly: a burst day beyond 2 sigma is flagged; quiet days are not") {
+    // user 1: five 1-event days then a 10-event day.
+    // n=6, s=15, ss=105, var=(6*105-225)/30=13.5, mean=2.5,
+    // z(10) = 7.5/sqrt(13.5) = 2.0412... > 2 -> flagged; z(1) = -0.408.
+    val rows =
+      (1 to 5).flatMap(d => dayEvents(1L, f"2024-01-0$d", 1, d * 100L)) ++
+        dayEvents(1L, "2024-01-06", 10, 600L)
+    val df = rows
+      .toDF("event_id", "ts0", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val out = Analytics.userRateAnomaly(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getDate(1).toString === "2024-01-06")
+    assert(r.getLong(2) === 10L)
+    assert(math.abs(r.getDouble(3) - 7.5 / math.sqrt(13.5)) < 1e-6)
+  }
+
+  test("userRateAnomaly: constant-rate and short-history users are excluded") {
+    val rows =
+      // user 2: constant 5/day over 4 days -> zero variance, excluded
+      (1 to 4).flatMap(d => dayEvents(2L, f"2024-01-0$d", 5, 2000L + d * 10L)) ++
+        // user 3: two wildly different days, but nd < 3 -> excluded
+        (dayEvents(3L, "2024-01-01", 1, 3000L) ++ dayEvents(3L, "2024-01-02", 50, 3100L))
+    val df = rows
+      .toDF("event_id", "ts0", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    assert(Analytics.userRateAnomaly(df).count() === 0)
+  }
+
+  // ---- coOrderEdges / triangleStats --------------------------------------
+
+  test("coOrderEdges: distinct sorted pairs per order, join-free") {
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (2L, 30L), (3L, 40L), (1L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val edges = Analytics
+      .coOrderEdges(li)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(edges === Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("triangleStats: one triangle, gcc 1.0") {
+    val edges = Seq((10L, 20L), (10L, 30L), (20L, 30L)).toDF("a", "b")
+    val r = Analytics.triangleStats(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 1L)))
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("triangleStats: open path has no triangles") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Analytics.triangleStats(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 0L)))
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("triangleStats: degree-oriented count equals brute force on a planted graph") {
+    // Deterministic pseudo-random graph on 20 nodes.
+    val es = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      if (a * 31 + b * 17) % 5 == 0
+    } yield (a, b)).toSeq
+    val esSet = es.toSet
+    val brute = (for {
+      (a, b) <- es; c <- (b + 1) to 20L
+      if esSet.contains((a, c)) && esSet.contains((b, c))
+    } yield 1).size.toLong
+    val r = Analytics.triangleStats(es.toDF("a", "b")).collect().head
+    assert(r.getLong(2) === brute)
+    assert(r.getLong(0) === es.size.toLong)
+  }
+
+  // ---- skipgramPairs / bpeMergeCandidates --------------------------------
+
+  test("skipgramPairs: +-2 ordered pairs with multiplicity") {
+    val docs = Seq("a b c", "a a a").toDF("text")
+    val out = TextIndex
+      .skipgramPairs(docs, 2, 10)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // "a b c": (a,b) (a,c) (b,c); "a a a": (a,a) at d=1 twice + d=2 once
+    assert(out === Map(("a", "a") -> 3L, ("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("skipgramPairs: deterministic top-k cut") {
+    val docs = Seq("x y x y x y").toDF("text")
+    // pairs: (x,y)x3 d1 + (y,x)x2 d1 + (x,x)x2 d2 + (y,y)x2 d2... compute via op
+    val top1 = TextIndex.skipgramPairs(docs, 2, 1).collect()
+    assert(top1.length === 1)
+    assert((top1.head.getString(0), top1.head.getString(1)) === (("x", "y")))
+  }
+
+  test("bpeMergeCandidates: frequency-weighted bigrams over the distinct vocab") {
+    val docs = Seq("ab ab cd", "aaa x").toDF("text")
+    // words: ab(2), cd(1), aaa(1); x dropped (len 1)
+    // pairs: ab -> 2; cd -> 1; aa -> 2 (two positions x wf 1)
+    val out = TextIndex
+      .bpeMergeCandidates(docs, 10)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map("ab" -> 2L, "cd" -> 1L, "aa" -> 2L))
+  }
+}

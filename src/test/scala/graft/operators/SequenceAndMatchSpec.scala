@@ -84,6 +84,43 @@ class SequenceAndMatchSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
   }
 
+  test("fuzzyPairs: deletion-neighborhood path equals the quadratic on adversarial inputs") {
+    // Transposition ("ab"/"ba"), repeated chars ("aa"/"a"), empty string,
+    // equal strings, and a distance-2 pair — the deletion join must admit
+    // candidates for all and let the kernel keep exactly lev <= 1.
+    val recs = Seq(
+      (1L, "ab", "X"),
+      (2L, "ba", "X"), // shares deletion variants with ab, lev = 2 -> killed
+      (3L, "aa", "X"),
+      (4L, "a", "X"),
+      (5L, "", "X"),
+      (6L, "ab", "X"), // exact duplicate of 1
+      (7L, "xyz", "X")
+    ).toDF("id", "name", "blk")
+    val fast = EntityResolution
+      .fuzzyPairs(recs, "id", "name", "blk", 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+    // ground truth via the quadratic path's semantics
+    val names = Map(1L -> "ab", 2L -> "ba", 3L -> "aa", 4L -> "a", 5L -> "", 6L -> "ab", 7L -> "xyz")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      x <- names.keys; y <- names.keys if x < y
+      dd = lev(names(x), names(y)) if dd <= 1
+    } yield (x, y, dd.toLong)).toSet
+    assert(fast === truth)
+  }
+
   test("reservoirPerGroup: exactly k per big group in fibhash order; small group kept whole") {
     val df = ((1L to 5L).map(i => (i, "g1")) ++ Seq((10L, "g2"), (11L, "g2")))
       .toDF("id", "grp")
