@@ -3005,7 +3005,22 @@ object SparkEntry {
       // Top-30 BPE first-merge candidates: corpus collapses to the distinct
       // word-frequency table first; bigrams expand from vocab, not corpus.
       "q_bpe_pairs" -> ((s, dir) =>
-        graft.operators.TextIndex.bpeMergeCandidates(Tables.documents(s, dir), 30))
+        graft.operators.TextIndex.bpeMergeCandidates(Tables.documents(s, dir), 30)),
+
+      // Substring grep via the inverted trigram index: ALL-grams candidate
+      // intersection, exact contains-verify only on candidates. The oracle
+      // is the ground truth the index must reproduce: a full LIKE scan.
+      "q_substring_search" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .substringSearch(Tables.documents(s, dir), "vector table")
+          .orderBy("doc_id")),
+
+      // Which sources duplicate each other: verified ngram near-dup pairs
+      // projected onto their (source, source) cells.
+      "q_dup_matrix" -> ((s, dir) =>
+        graft.operators.Dedup
+          .crossSourceDupMatrix(Tables.documents(s, dir))
+          .orderBy("s1", "s2"))
     )
   }
 
@@ -4185,6 +4200,18 @@ object SparkEntry {
          |                                       i -> substr(word, i, 2))) AS pair, wf
          |          FROM wfr)
          |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
-         |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin
+         |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "q_substring_search" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE contains(text, 'vector table') ORDER BY doc_id""".stripMargin,
+    "q_dup_matrix" ->
+      s"""WITH pr AS ($NgramPairsSql),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS s1,
+         |       greatest(a.source, b.source) AS s2,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr JOIN src a ON pr.a_id = a.doc_id
+         |        JOIN src b ON pr.b_id = b.doc_id
+         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
   )
 }

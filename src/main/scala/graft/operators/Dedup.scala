@@ -741,4 +741,30 @@ object Dedup {
           .otherwise(lit(0.0))
           .as("dup_frac"))
   }
+
+  /** Cross-source duplication matrix: for every unordered source pair
+    * (s1 ≤ s2), how many verified near-dup pairs straddle them — the
+    * curation diagnostic that tells you WHICH crawls duplicate each other
+    * (and how much of a source is self-duplication) before deciding what
+    * to drop at corpus scale.
+    *
+    * Scale shape: reuses the blocked+capped [[ngramJaccardPairs]] candidate
+    * machinery (never all-pairs); the verified id-pair set then joins the
+    * corpus' (doc_id, source) projection twice — id-keyed joins of an
+    * O(pairs) table against a two-column projection, with the pair sources
+    * normalized (least/greatest) so each unordered source pair is one cell.
+    * Output is O(|sources|²) cells, model-sized at any corpus scale.
+    */
+  def crossSourceDupMatrix(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(documents, threshold)
+      .select("a_id", "b_id")
+      .join(src.toDF("a_id", "sa"), Seq("a_id"))
+      .join(src.toDF("b_id", "sb"), Seq("b_id"))
+      .select(
+        least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
 }

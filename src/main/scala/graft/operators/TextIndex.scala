@@ -345,6 +345,51 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Substring search through an inverted character-trigram index — the
+    * grep-over-the-corpus primitive (code search, contamination probes for
+    * a literal string) without a full-text scan per query.
+    *
+    * Index side: distinct (doc_id, trigram) postings, generated row-locally
+    * from each document (|text| rows per doc, built once and amortized over
+    * queries in production; this operator composes build + one query so the
+    * whole path is checkable). Query side: a document can contain `pattern`
+    * only if it contains ALL of the pattern's distinct trigrams, so the
+    * postings are semi-joined to the pattern's trigram set (a tiny literal
+    * list, broadcast), counted per doc, and only docs matching every
+    * trigram reach the verify stage — one exact `contains` over the
+    * candidate documents, reached by an id-keyed semi-join, never a corpus
+    * scan. False candidates (trigrams present but scattered) die there.
+    *
+    * At 100 TB the postings table is the thing you'd materialize (bucketed
+    * by trigram); the per-query cost is then |postings(pattern grams)| +
+    * |candidates|, independent of corpus size.
+    */
+  def substringSearch(documents: DataFrame, pattern: String): DataFrame = {
+    require(pattern.length >= 3, "pattern must be at least one trigram long")
+    val qGrams = pattern.sliding(3).toSeq.distinct
+    val postings = documents
+      .select(
+        col("doc_id"),
+        // CASE guard, not greatest(len-2, 0): sequence(1, 0) is DESCENDING
+        // [1, 0] in Spark, which would emit junk grams for sub-trigram docs.
+        explode(expr(
+          """CASE WHEN length(text) >= 3
+            |     THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+            |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("gram"))
+      .distinct()
+    val candidates = postings
+      .filter(col("gram").isin(qGrams: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === qGrams.size)
+      .select("doc_id")
+    documents
+      .join(candidates, Seq("doc_id"), "left_semi")
+      .filter(col("text").contains(pattern))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Top-`k` BPE merge candidates — the first step of byte-pair-encoding
     * tokenizer training: over the word-frequency table, count every
     * adjacent symbol pair (character bigram) weighted by word frequency;

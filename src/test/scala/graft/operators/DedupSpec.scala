@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(jac01 > 0.8 && jac01 < 1.0)
   }
 
+  test("crossSourceDupMatrix: pair cells keyed by normalized source pair") {
+    // docs 0/1/3 are mutual near-dups; give 0,1 source sB and 3 source sA:
+    // pairs (0,1) -> (sB,sB); (0,3),(1,3) -> (sA,sB) after least/greatest.
+    val withSrc = docs.withColumn(
+      "source",
+      when(col("doc_id") === 3L, lit("sA")).otherwise(lit("sB")))
+    val cells = Dedup
+      .crossSourceDupMatrix(withSrc, 0.3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(cells(("sB", "sB")) === 1L)
+    assert(cells(("sA", "sB")) === 2L)
+  }
+
   test("minhash LSH pairs: near-dups surface, distinct docs do not") {
     val pairs = Dedup.minhashLshPairs(docs, 0.5)
     val ids = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -143,4 +143,30 @@ class TextIndexSpec extends SparkSpec {
     assert(out(2L) === ((0L, -1.0, false)))
     assert(out(3L) === ((0L, -1.0, false)))
   }
+
+  test("substringSearch: trigram candidates verified exactly; scattered grams rejected") {
+    val docs = Seq(
+      (0L, "the quick brown fox", "s0", 19L),
+      // contains every trigram of "brown" but not the substring itself
+      (1L, "bro row own nothing here", "s0", 24L),
+      (2L, "dark brown shoes", "s1", 16L),
+      (3L, "", "s1", 0L),
+      (4L, "br", "s1", 2L) // sub-trigram doc: no postings at all
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val hits = TextIndex
+      .substringSearch(docs, "brown")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(hits === Set(0L, 2L))
+  }
+
+  test("substringSearch: multi-word pattern spans token boundaries") {
+    val docs = Seq(
+      (0L, "vector table scan", "s0", 17L),
+      (1L, "vector index table", "s0", 18L) // both words, wrong adjacency
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val hits = TextIndex.substringSearch(docs, "vector table").collect().map(_.getLong(0))
+    assert(hits.toSeq === Seq(0L))
+  }
 }
