@@ -3020,7 +3020,13 @@ object SparkEntry {
       "q_dup_matrix" -> ((s, dir) =>
         graft.operators.Dedup
           .crossSourceDupMatrix(Tables.documents(s, dir))
-          .orderBy("s1", "s2"))
+          .orderBy("s1", "s2")),
+
+      // Top-50 association rules over the order/part baskets: join-free
+      // row-local pair cells, supports rolled up from the same distinct
+      // basket table, exact-count confidence and DECIMAL-product lift.
+      "q_assoc_rules" -> ((s, dir) =>
+        graft.operators.Analytics.associationRules(Tables.lineitem(s, dir), 2L, 50))
     )
   }
 
@@ -4212,6 +4218,23 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_pairs
          |FROM pr JOIN src a ON pr.a_id = a.doc_id
          |        JOIN src b ON pr.b_id = b.doc_id
-         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM oi),
+        |pair AS (SELECT a.i AS a, b.i AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |         FROM oi a JOIN oi b ON a.o = b.o AND a.i < b.i
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM oi GROUP BY 1),
+        |directed AS (SELECT a AS ante, b AS cons, n_ab FROM pair
+        |             UNION ALL SELECT b AS ante, a AS cons, n_ab FROM pair),
+        |r AS (SELECT ante, cons, n_ab, sa.n_i AS n_a, sb.n_i AS n_b,
+        |             CAST(n_ab AS DOUBLE) / sa.n_i AS conf,
+        |             CAST(n_ab * n_orders AS DOUBLE) /
+        |               CAST(sa.n_i * sb.n_i AS DOUBLE) AS lift
+        |      FROM directed JOIN sup sa ON ante = sa.i
+        |                    JOIN sup sb ON cons = sb.i CROSS JOIN n)
+        |SELECT ante, cons, n_ab, n_a, n_b, conf, lift
+        |FROM r ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin
   )
 }

@@ -452,9 +452,14 @@ object Analytics {
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id", "d")
       .agg(count(lit(1)).cast("long").as("c"))
+      // c*c materializes BEFORE the window: windowing over a raw column keeps
+      // all three aggregates in ONE Window node (an expression operand would
+      // split planning into two stacked WindowExecs — same single shuffle,
+      // but a second buffering pass over every user group).
+      .withColumn("cc", col("c") * col("c"))
       .withColumn("nd", count(lit(1)).over(byUser))
       .withColumn("s", sum(col("c")).over(byUser))
-      .withColumn("ss", sum(col("c") * col("c")).over(byUser))
+      .withColumn("ss", sum(col("cc")).over(byUser))
       .filter(col("nd") >= minDays)
       .withColumn(
         "varr",
@@ -534,6 +539,65 @@ object Analytics {
         col("n_wedges"),
         col("n_triangles"),
         (lit(3.0) * col("n_triangles") / col("n_wedges")).as("gcc"))
+  }
+
+  /** Top-`k` association rules a→b over the order/part basket table —
+    * market-basket mining at the pair level: support (co-occurrence
+    * count), confidence `n_ab / n_a`, and lift
+    * `n_ab·N / (n_a·n_b)` for every part pair co-ordered at least
+    * `minSupport` times. The pair level is the honest distributed kernel
+    * of FP-growth: higher-order itemsets prune FROM these cells,
+    * driver-side, on a model-sized table.
+    *
+    * Scale shape: baskets collapse to distinct (order, item) once; pair
+    * counts are generated ROW-LOCALLY from each order's sorted item set
+    * (bounded per order) and combine map-side into O(co-pairs) cells —
+    * the basket table never self-joins. Item supports and the basket
+    * count roll up from the same distinct table; the rule assembly joins
+    * cells→supports on the item key (model-sized). The support floor cuts
+    * the hapax tail before any join.
+    *
+    * Numeric contract: confidence is one IEEE division of exact longs;
+    * lift multiplies in DECIMAL(38,0) first (corpus-scale counts overflow
+    * BIGINT products) then performs ONE double division — the same
+    * discipline as the PMI query. Deterministic total order
+    * (lift desc, ante, cons) under the top-k cut.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    val oi = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+      .distinct()
+    val nOrders = oi.agg(countDistinct(col("o")).cast("long").as("n_orders"))
+    val sup = oi.groupBy("i").agg(count(lit(1)).cast("long").as("n_i"))
+    val ab = oi
+      .groupBy("o")
+      .agg(sort_array(collect_set(col("i"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (pa, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), pb -> struct(pa AS a, pb AS b))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    // both rule directions from the a<b cells — row-local flip, no second count
+    val directed = ab
+      .select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .union(ab.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    directed
+      .join(sup.toDF("ante", "n_a"), Seq("ante"))
+      .join(sup.toDF("cons", "n_b"), Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("ante"),
+        col("cons"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("n_a")).as("conf"),
+        ((col("n_ab").cast("decimal(38,0)") * col("n_orders")).cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(k)
   }
 
   /** Top-`k` event trigrams (3-step paths) across all user streams — the

@@ -388,4 +388,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
     assert(!p.contains("Window"), s"unexpected window, plan:\n$p")
   }
+
+  test("q_skipgram: pairs generated row-locally — no join anywhere in the plan") {
+    val p = plan("q_skipgram")
+    assert(!p.contains("Join"), s"skipgram formed pairs via a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k cut not distributed:\n$p")
+    assert(p.contains("partial_count"), s"pair count not map-side combined:\n$p")
+  }
+
+  test("q_bpe_pairs: bigrams expand from the vocab aggregate, not the corpus") {
+    val p = plan("q_bpe_pairs")
+    // Generate (the bigram explode) must sit ABOVE the word-frequency
+    // aggregate: exactly one Generate after the first HashAggregate pair.
+    val genIdx = p.indexOf("Generate explode")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, s"plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k cut not distributed:\n$p")
+  }
+
+  test("q_fuzzy_match: deletion-neighborhood equi-join — never block-quadratic") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    // the variant join keys on (blk, v); the old quadratic keyed on blk only
+    assert(p.contains("levenshtein"), s"verify kernel missing:\n$p")
+  }
+
+  test("q_triangles: no nested-loop anywhere except the 1-row stat assembly") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_substring_search: candidate gram filter pushes below the postings distinct") {
+    val p = plan("q_substring_search")
+    assert(p.contains("LeftSemi"), s"verify stage not a semi-join:\n$p")
+    // the isin(qGrams) filter must prune the exploded gram stream BEFORE the
+    // distinct aggregate, or the full postings table shuffles per query
+    assert(p.contains("HashAggregate(keys=[doc_id"), s"postings distinct missing:\n$p")
+    assert(p.contains("INSET") || p.contains(" IN ("), s"gram filter missing:\n$p")
+  }
+
+  test("q_drift: one corpus-keyed cell aggregate; all marginals model-sized") {
+    val p = plan("q_drift")
+    assert(p.contains("partial_count"), s"cell count not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_user_anomaly: one user-partitioned window carries all three moments") {
+    val p = plan("q_user_anomaly")
+    assert("Window ".r.findAllIn(p).size <= 1, s"moments split across windows:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"window not user-partitioned:\n$p")
+  }
 }

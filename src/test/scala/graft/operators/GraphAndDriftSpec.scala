@@ -128,6 +128,30 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(r.getLong(0) === es.size.toLong)
   }
 
+  test("associationRules: hand-computed support, confidence, lift; deterministic cut") {
+    // baskets: o1{A,B,C} o2{A,B} o3{A,C} o4{B}; N=4, sup A=3 B=3 C=2
+    // pairs >= 2: (A,B)=2, (A,C)=2
+    // lift(A,C) = 2*4/(3*2) = 4/3 > lift(A,B) = 8/9
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 20L),
+      (1L, 10L) // duplicate line within an order collapses
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Analytics
+      .associationRules(li, 2L, 10)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+    assert(out.map(_._1).toSeq === Seq((10L, 30L), (30L, 10L), (10L, 20L), (20L, 10L)))
+    val m = out.toMap
+    assert(m((10L, 30L)) === ((2L, 3L, 2L, 2.0 / 3, 4.0 / 3)))
+    assert(m((30L, 10L)) === ((2L, 2L, 3L, 1.0, 4.0 / 3)))
+    assert(m((10L, 20L)) === ((2L, 3L, 3L, 2.0 / 3, 8.0 / 9)))
+  }
+
   // ---- skipgramPairs / bpeMergeCandidates --------------------------------
 
   test("skipgramPairs: +-2 ordered pairs with multiplicity") {
