@@ -3026,8 +3026,45 @@ object SparkEntry {
       // row-local pair cells, supports rolled up from the same distinct
       // basket table, exact-count confidence and DECIMAL-product lift.
       "q_assoc_rules" -> ((s, dir) =>
-        graft.operators.Analytics.associationRules(Tables.lineitem(s, dir), 2L, 50))
+        graft.operators.Analytics.associationRules(Tables.lineitem(s, dir), 2L, 50)),
+
+      // K-core of the co-order graph, certified: the synchronous-peel
+      // invariants (core keeps >= k in-core neighbors; every peeled node
+      // ran out of not-yet-peeled neighbors) pin the iterative result, so
+      // the oracle only recomputes the node universe + constant TRUE.
+      "q_kcore_gate" -> ((s, dir) => kcoreGate(s, dir, 40))
     )
+  }
+
+  /** One-row k-core certificate gate (see [[graft.operators.Analytics.kCore]]):
+    * `(n_nodes, core_ok)` where n_nodes is the co-order node-universe count
+    * (DuckDB-recomputable) and core_ok conjoins the two synchronous-peel
+    * invariants computed from the operator's own output joined back to the
+    * edge set. Vacuous truth (empty core / nothing peeled) matches the
+    * oracle's constant TRUE, same contract as the recall gates. */
+  private def kcoreGate(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.operators.Analytics
+    val edges = Analytics.coOrderEdges(Tables.lineitem(s, dir))
+    val kc = Analytics.kCore(edges, k)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val info = kc.select(col("node"), col("peel_round"), col("core"))
+    val perNode = sym
+      .join(info.toDF("a", "ra", "ca"), Seq("a"))
+      .join(info.toDF("b", "rb", "cb"), Seq("b"))
+      .groupBy(col("a").as("node"), col("ra"), col("ca"))
+      .agg(
+        count(when(col("cb"), 1)).as("n_core_nbrs"),
+        count(when(col("cb") || col("rb") >= col("ra"), 1)).as("n_late_nbrs"))
+    val checks = perNode.agg(
+      coalesce(
+        expr(s"every(CASE WHEN ca THEN n_core_nbrs >= $k ELSE NULL END)"),
+        lit(true)).as("sound_ok"),
+      coalesce(
+        expr(s"every(CASE WHEN NOT ca THEN n_late_nbrs < $k ELSE NULL END)"),
+        lit(true)).as("max_ok"))
+    kc.agg(count(lit(1)).cast("long").as("n_nodes"))
+      .crossJoin(broadcast(checks))
+      .select(col("n_nodes"), (col("sound_ok") && col("max_ok")).as("core_ok"))
   }
 
   /** Query terms for q_bm25_topk — mid/high-df fixture tokens so idf spread
@@ -4235,6 +4272,12 @@ object SparkEntry {
         |      FROM directed JOIN sup sa ON ante = sa.i
         |                    JOIN sup sb ON cons = sb.i CROSS JOIN n)
         |SELECT ante, cons, n_ab, n_a, n_b, conf, lift
-        |FROM r ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin
+        |FROM r ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin,
+    "q_kcore_gate" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes, TRUE AS core_ok
+        |FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)""".stripMargin
   )
 }

@@ -274,6 +274,79 @@ object Analytics {
 
   private val prScale = 1000000L
 
+  /** K-core decomposition by synchronous peeling: repeatedly delete every
+    * node of degree < k (all at once — a "round"), until the remainder (the
+    * k-core) has minimum degree ≥ k. The graph-curation primitive behind
+    * community-core extraction and spam-subgraph isolation. Returns EVERY
+    * node of the input edge set: `(node, peel_round, core)` with
+    * `peel_round = 0` for core members, else the 1-based round the node
+    * fell in.
+    *
+    * Scale shape (same discipline as [[pageRank]] / duplicateClusters):
+    * each round is one degree aggregate over live nodes (map-side
+    * combined; a node that lost all its edges still peels, via the
+    * node-spine left join) and two anti-joins trimming the edge list —
+    * never all-pairs, never a global sort. Convergence is a driver-side
+    * scalar (the peeled-count certificate); rounds are O(peel depth),
+    * bounded by `maxRounds`. The edge frame re-checkpoints each round so
+    * lineage stays flat, and superseded checkpoint blocks are freed
+    * eagerly; only the blocks backing the returned plan (per-round peel
+    * lists + the final core edges) persist until the caller is done.
+    *
+    * Synchronous-peel certificate (what the gate query checks): every core
+    * node keeps ≥ k in-core neighbors; every peeled node has < k
+    * neighbors in {u : round(u) ≥ round(v)} ∪ core. Those two invariants
+    * pin the output to THE k-core (peeling is confluent), so an oracle
+    * need not replay the iteration.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sym0 = edges
+      .select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    var cur = sym0.localCheckpoint()
+    var live = cur.select(col("a").as("node")).distinct().localCheckpoint()
+    val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 1
+    var done = false
+    while (!done && round <= maxRounds) {
+      val deg = cur.groupBy(col("a").as("node")).agg(count(lit(1)).cast("long").as("dg"))
+      val low = live
+        .join(deg, Seq("node"), "left")
+        .filter(coalesce(col("dg"), lit(0L)) < k)
+        .select("node")
+        .localCheckpoint()
+      if (low.count() == 0L) {
+        Bridge.freeLocalCheckpoint(low)
+        done = true
+      } else {
+        peels += low.select(col("node"), lit(round.toLong).as("peel_round"))
+        val nextCur = cur
+          .join(low.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(low.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint()
+        val nextLive = live
+          .join(low, Seq("node"), "left_anti")
+          .localCheckpoint()
+        Bridge.freeLocalCheckpoint(cur)
+        Bridge.freeLocalCheckpoint(live)
+        cur = nextCur
+        live = nextLive
+        round += 1
+      }
+    }
+    // the core edge list served its last degree count; only the node frames
+    // (peel lists + surviving live set) back the returned plan
+    Bridge.freeLocalCheckpoint(cur)
+    val core = live.select(col("node"), lit(0L).as("peel_round"))
+    (peels :+ core)
+      .reduce(_.union(_))
+      .select(col("node"), col("peel_round"), (col("peel_round") === 0L).as("core"))
+  }
+
   /** One power-iteration round, `(node, pr, deg) → (node, pr, deg)` — the
     * rank state CARRIES its out-degree, so each round joins edges⋈ranks
     * and degrees⋈sums but never ranks⋈degrees (one fewer shuffle join per

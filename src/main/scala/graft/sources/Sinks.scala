@@ -28,6 +28,24 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).json(path)
   }
 
+  /** ORC export — the other columnar interchange format (Hive/Trino
+    * ecosystems read it natively). Same rolling/partitioning contract as
+    * [[exportJsonl]]; Spark's ORC scan supports the same predicate
+    * pushdown and column pruning as parquet (SinksSpec asserts
+    * PushedFilters reaches the ORC reader), so a consumer can treat
+    * ORC-landed shards as first-class scan sources, not just exports. */
+  def exportOrc(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 500000L,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    val w = df.write
+      .mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Write the corpus as deterministic training shards: assigns each doc
     * the same rerun-stable shard as [[graft.operators.Curation
     * .shardManifest]] (so the manifest query IS the written layout's

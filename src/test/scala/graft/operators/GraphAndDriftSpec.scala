@@ -128,6 +128,59 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(r.getLong(0) === es.size.toLong)
   }
 
+  test("kCore: triangle survives 2-core, pendant chain peels in order") {
+    // triangle 1-2-3 plus chain 3-4-5: node 5 peels round 1, node 4 round 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Analytics
+      .kCore(edges, 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) === ((0L, true)))
+    assert(out(2L) === ((0L, true)))
+    assert(out(3L) === ((0L, true)))
+    assert(out(4L) === ((2L, false)))
+    assert(out(5L) === ((1L, false)))
+  }
+
+  test("kCore: star graph has an empty 2-core; every node is assigned a round") {
+    val edges = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val out = Analytics.kCore(edges, 2).collect()
+    assert(out.length === 6)
+    assert(out.forall(r => !r.getBoolean(2)))
+  }
+
+  test("kCore: matches brute-force peeling on a planted graph") {
+    val es = (for {
+      a <- 1L to 15L; b <- (a + 1) to 15L
+      if (a * 13 + b * 7) % 3 == 0
+    } yield (a, b)).toSeq
+    // brute force: iteratively delete < k nodes
+    def brute(k: Int): Set[Long] = {
+      var nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = nodes.map(n =>
+          n -> es.count { case (a, b) =>
+            (a == n && nodes(b)) || (b == n && nodes(a))
+          }).toMap
+        val drop = nodes.filter(deg(_) < k)
+        changed = drop.nonEmpty
+        nodes = nodes -- drop
+      }
+      nodes
+    }
+    for (k <- Seq(2, 4, 6)) {
+      val core = Analytics
+        .kCore(es.toDF("a", "b"), k)
+        .filter($"core")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      assert(core === brute(k), s"k=$k")
+    }
+  }
+
   test("associationRules: hand-computed support, confidence, lift; deterministic cut") {
     // baskets: o1{A,B,C} o2{A,B} o3{A,C} o4{B}; N=4, sup A=3 B=3 C=2
     // pairs >= 2: (A,B)=2, (A,C)=2

@@ -80,6 +80,26 @@ class SinksSpec extends SparkSpec {
     assert(counts2 === counts)
   }
 
+  test("exportOrc: round-trip preserves content; filter pushes into the ORC scan") {
+    val docs = Seq(
+      (0L, "alpha", "s0"),
+      (1L, "beta", "s0"),
+      (2L, "gamma", "s1")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/orc"
+    Sinks.exportOrc(docs, dir, partitionCols = Seq("source"))
+    val back = spark.read.orc(dir)
+    assert(
+      back.select("doc_id", "text").as[(Long, String)].collect().toSet ===
+        Set((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
+    // partition pruning + predicate pushdown both reach the ORC reader
+    val q = back.filter($"source" === "s0" && $"doc_id" > 0L).select("text")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,0)]"), s"plan:\n$p")
+    assert(p.contains("PartitionFilters"), s"plan:\n$p")
+    assert(q.as[String].collect().toSeq === Seq("beta"))
+  }
+
   test("compact: many small files become few, content identical, atomic swap") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val dir = s"$base/ingested"
