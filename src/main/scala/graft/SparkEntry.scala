@@ -3032,7 +3032,15 @@ object SparkEntry {
       // invariants (core keeps >= k in-core neighbors; every peeled node
       // ran out of not-yet-peeled neighbors) pin the iterative result, so
       // the oracle only recomputes the node universe + constant TRUE.
-      "q_kcore_gate" -> ((s, dir) => kcoreGate(s, dir, 40))
+      "q_kcore_gate" -> ((s, dir) => kcoreGate(s, dir, 40)),
+
+      // Drift-over-time from the exact-replayable histogram rollup: per-day
+      // TVD/chi2 vs the pooled distribution, zero event rescans.
+      "q_drift_timeline" -> ((s, dir) =>
+        graft.operators.Analytics
+          .driftTimeline(
+            graft.operators.IncrementalRollup.dailyValueHistograms(Tables.events(s, dir)))
+          .orderBy("day"))
     )
   }
 
@@ -4196,8 +4204,8 @@ object SparkEntry {
         |             CAST(pool.rc + 1 AS DOUBLE) / (tot.nn + 10) AS pr, pg.n
         |      FROM dense d JOIN pg USING (g) JOIN pool USING (b) CROSS JOIN tot)
         |SELECT g AS source, CAST(max(n) AS BIGINT) AS n,
-        |       CAST(sum(CAST(round(abs(ps - pr) / 2, 14) AS DECIMAL(20,14))) AS DOUBLE) AS tvd,
-        |       CAST(sum(CAST(round((ps - pr) * (ps - pr) / pr, 14) AS DECIMAL(20,14))) AS DOUBLE) AS chi2
+        |       CAST(sum(CAST(round(abs(ps - pr) / 2, 12) AS DECIMAL(20,12))) AS DOUBLE) AS tvd,
+        |       CAST(sum(CAST(round((ps - pr) * (ps - pr) / pr, 12) AS DECIMAL(20,12))) AS DOUBLE) AS chi2
         |FROM p GROUP BY g ORDER BY source""".stripMargin,
     "q_user_anomaly" ->
       """WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
@@ -4278,6 +4286,27 @@ object SparkEntry {
         |           FROM lineitem a JOIN lineitem b
         |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
         |SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes, TRUE AS core_ok
-        |FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)""".stripMargin
+        |FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)""".stripMargin,
+    "q_drift_timeline" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS g, CAST(floor(value / 1.0) AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bins AS (SELECT DISTINCT b FROM cells),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bins),
+        |spine AS (SELECT g, b FROM (SELECT DISTINCT g FROM cells) CROSS JOIN bins),
+        |dense AS (SELECT s.g, s.b, coalesce(c.c, 0) AS c
+        |          FROM spine s LEFT JOIN cells c ON s.g = c.g AND s.b = c.b),
+        |pg AS (SELECT g, sum(c) AS n FROM dense GROUP BY 1),
+        |pool AS (SELECT b, sum(c) AS rc FROM dense GROUP BY 1),
+        |tot AS (SELECT sum(rc) AS nn FROM pool),
+        |p AS (SELECT d.g, CAST(d.c + 1 AS DOUBLE) / (pg.n + nb.nb) AS ps,
+        |             CAST(pool.rc + 1 AS DOUBLE) / (tot.nn + nb.nb) AS pr, pg.n
+        |      FROM dense d JOIN pg USING (g) JOIN pool USING (b)
+        |      CROSS JOIN tot CROSS JOIN nb)
+        |SELECT g AS day, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(abs(ps - pr) / 2, 12) AS DECIMAL(20,12))) AS DOUBLE) AS tvd,
+        |       CAST(sum(CAST(round((ps - pr) * (ps - pr) / pr, 12) AS DECIMAL(20,12))) AS DOUBLE) AS chi2
+        |FROM p GROUP BY g ORDER BY day""".stripMargin
   )
 }

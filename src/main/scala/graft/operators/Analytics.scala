@@ -489,11 +489,58 @@ object Analytics {
       .groupBy("g")
       .agg(
         max(col("n")).as("n"),
-        sum(round(abs(col("ps") - col("pr")) / 2, 14).cast("decimal(20,14)")).as("tvd_d"),
-        sum(round((col("ps") - col("pr")) * (col("ps") - col("pr")) / col("pr"), 14)
-          .cast("decimal(20,14)")).as("chi2_d"))
+        sum(round(abs(col("ps") - col("pr")) / 2, 12).cast("decimal(20,12)")).as("tvd_d"),
+        sum(round((col("ps") - col("pr")) * (col("ps") - col("pr")) / col("pr"), 12)
+          .cast("decimal(20,12)")).as("chi2_d"))
       .select(
         col("g"),
+        col("n"),
+        col("tvd_d").cast("double").as("tvd"),
+        col("chi2_d").cast("double").as("chi2"))
+  }
+
+  /** Drift over time, composed on the [[IncrementalRollup]] histogram
+    * table: per-day TVD + χ² of that day's value histogram against the
+    * pooled all-days histogram — "which ingest days look distributionally
+    * wrong", answered FROM the O(days × bins) rollup rows with ZERO event
+    * rescans (the rollup appends one day's rows per day; this monitor then
+    * costs the same whether the history is a week or a decade of 100 TB).
+    *
+    * Same smoothing/numeric contract as [[distributionDrift]], except the
+    * bucket spine is the rollup's own observed-bin domain (model-sized)
+    * rather than a fixed literal grid, so the smoothing width `nb` rides
+    * along as a 1-row broadcast instead of a constant. Input: `(day, bin,
+    * cnt)` cells. Output: `(day, n, tvd, chi2)`.
+    */
+  def driftTimeline(hists: DataFrame): DataFrame = {
+    val cells = hists.select(
+      col("day").as("g"),
+      col("bin").as("b"),
+      col("cnt").cast("long").as("c"))
+    val bins = cells.select("b").distinct()
+    val nbDf = bins.agg(count(lit(1)).cast("long").as("nb"))
+    val spine = cells.select("g").distinct().crossJoin(bins)
+    val dense = spine
+      .join(cells, Seq("g", "b"), "left")
+      .select(col("g"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val perGroup = dense.groupBy("g").agg(sum(col("c")).as("n"))
+    val pooled = dense.groupBy("b").agg(sum(col("c")).as("rc"))
+    val total = pooled.agg(sum(col("rc")).as("nn"))
+    dense
+      .join(broadcast(perGroup), Seq("g"))
+      .join(broadcast(pooled), Seq("b"))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(nbDf))
+      .withColumn("ps", (col("c") + 1).cast("double") / (col("n") + col("nb")))
+      .withColumn("pr", (col("rc") + 1).cast("double") / (col("nn") + col("nb")))
+      .groupBy("g")
+      .agg(
+        max(col("n")).as("n"),
+        sum(round(abs(col("ps") - col("pr")) / 2, 12).cast("decimal(20,12)")).as("tvd_d"),
+        sum(round((col("ps") - col("pr")) * (col("ps") - col("pr")) / col("pr"), 12)
+          .cast("decimal(20,12)")).as("chi2_d"))
+      .select(
+        col("g").as("day"),
         col("n"),
         col("tvd_d").cast("double").as("tvd"),
         col("chi2_d").cast("double").as("chi2"))

@@ -49,6 +49,23 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(out("a") === out("b"))
   }
 
+  test("driftTimeline: hand-computed per-day drift from histogram cells") {
+    // day1 all mass in bin 0, day2 all in bin 1; smoothed ps=(0.75,0.25)
+    // vs pooled pr=(0.5,0.5): tvd=0.25, chi2=0.125/0.5*2=0.25 — symmetric.
+    val hists = Seq(("d1", 0L, 2L), ("d2", 1L, 2L)).toDF("day", "bin", "cnt")
+    val out = Analytics
+      .driftTimeline(hists)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    for (d <- Seq("d1", "d2")) {
+      val (n, tvd, chi2) = out(d)
+      assert(n === 2L)
+      assert(math.abs(tvd - 0.25) < 1e-9, s"$d tvd=$tvd")
+      assert(math.abs(chi2 - 0.25) < 1e-9, s"$d chi2=$chi2")
+    }
+  }
+
   // ---- userRateAnomaly ---------------------------------------------------
 
   private def dayEvents(user: Long, day: String, n: Int, idBase: Long) =
