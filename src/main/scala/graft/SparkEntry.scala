@@ -3040,7 +3040,23 @@ object SparkEntry {
         graft.operators.Analytics
           .driftTimeline(
             graft.operators.IncrementalRollup.dailyValueHistograms(Tables.events(s, dir)))
-          .orderBy("day"))
+          .orderBy("day")),
+
+      // Entity merge end-to-end: deletion-join fuzzy pairs -> connected
+      // components (chains merge transitively) -> struct-max golden record.
+      "q_entity_merge" -> ((s, dir) =>
+        graft.operators.EntityResolution
+          .mergeEntities(Tables.customer(s, dir), "c_custkey", "c_name", "c_nationkey")
+          .orderBy("entity_id")),
+
+      // Prequential anomaly scoring: each day judged by STRICTLY EARLIER
+      // days only (frame ends at 1 PRECEDING) — flags never change when
+      // later data arrives; the streaming twin carries the same moments
+      // as keyed state and is spec-proven to emit identical rows.
+      "q_user_anomaly_online" -> ((s, dir) =>
+        graft.operators.Analytics
+          .userRateAnomalyOnline(Tables.events(s, dir))
+          .orderBy("user_id", "d"))
     )
   }
 
@@ -4307,6 +4323,48 @@ object SparkEntry {
         |SELECT g AS day, CAST(max(n) AS BIGINT) AS n,
         |       CAST(sum(CAST(round(abs(ps - pr) / 2, 12) AS DECIMAL(20,12))) AS DOUBLE) AS tvd,
         |       CAST(sum(CAST(round((ps - pr) * (ps - pr) / pr, 12) AS DECIMAL(20,12))) AS DOUBLE) AS chi2
-        |FROM p GROUP BY g ORDER BY day""".stripMargin
+        |FROM p GROUP BY g ORDER BY day""".stripMargin,
+    "q_entity_merge" ->
+      """WITH RECURSIVE
+        |fp AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+        |       FROM customer a JOIN customer b
+        |         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |       WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+        |         AND levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM fp
+        |      UNION SELECT b_id, a_id FROM fp),
+        |walk AS (SELECT src, dst FROM e
+        |         UNION
+        |         SELECT w.src, e2.dst FROM walk w JOIN e e2 ON w.dst = e2.src),
+        |cl AS (SELECT src AS id, least(src, min(dst)) AS entity_id
+        |       FROM walk GROUP BY src),
+        |lab AS (SELECT c.c_custkey AS id, c.c_name AS nm,
+        |               coalesce(cl.entity_id, c.c_custkey) AS entity_id
+        |        FROM customer c LEFT JOIN cl ON c.c_custkey = cl.id),
+        |rk AS (SELECT entity_id, id, nm,
+        |              row_number() OVER (PARTITION BY entity_id
+        |                                 ORDER BY len(nm) DESC, id) AS rn
+        |       FROM lab),
+        |sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM lab GROUP BY 1)
+        |SELECT sz.entity_id, sz.n_members, rk.id AS rep_id, rk.nm AS rep_name
+        |FROM sz JOIN rk ON sz.entity_id = rk.entity_id AND rk.rn = 1
+        |ORDER BY sz.entity_id""".stripMargin,
+    "q_user_anomaly_online" ->
+      """WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, d, c,
+        |             CAST(count(*) OVER pu AS BIGINT) AS nd,
+        |             CAST(sum(c) OVER pu AS BIGINT) AS s,
+        |             CAST(sum(c * c) OVER pu AS BIGINT) AS ss
+        |      FROM ud WINDOW pu AS (PARTITION BY user_id ORDER BY d
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT *, CAST(nd * ss - s * s AS DOUBLE) / (nd * (nd - 1)) AS varr
+        |      FROM w WHERE nd >= 3),
+        |z AS (SELECT user_id, d, c,
+        |             (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / nd) / sqrt(varr) AS z
+        |      FROM v WHERE varr > 0)
+        |SELECT user_id, d, c, round(z, 6) AS z FROM z WHERE abs(z) > 2
+        |ORDER BY user_id, d""".stripMargin
   )
 }

@@ -593,6 +593,46 @@ object Analytics {
       .select(col("user_id"), col("d"), col("c"), round(col("z"), 6).as("z"))
   }
 
+  /** Prequential (online) variant of [[userRateAnomaly]]: day `d` is
+    * scored against the user's moments over STRICTLY EARLIER days only —
+    * the semantics a live detector can actually have (the retrospective
+    * variant's moments include the day being judged, so its flags change
+    * when later data arrives; this one's never do). Same exact-integer
+    * moment discipline, same pinned expression tree; the frame is
+    * `ROWS UNBOUNDED PRECEDING .. 1 PRECEDING` instead of the whole
+    * partition. One user-partitioned window shuffle; the streaming twin
+    * (`StreamingAnomaly`) carries (nd, Σc, Σc²) as keyed state and is
+    * spec-proven to emit exactly these rows.
+    */
+  def userRateAnomalyOnline(
+      events: DataFrame,
+      minDays: Int = 3,
+      zThresh: Double = 2.0): DataFrame = {
+    val prior = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("cc", col("c") * col("c"))
+      .withColumn("nd", count(lit(1)).over(prior))
+      .withColumn("s", sum(col("c")).over(prior))
+      .withColumn("ss", sum(col("cc")).over(prior))
+      .filter(col("nd") >= minDays)
+      .withColumn(
+        "varr",
+        (col("nd") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("nd") * (col("nd") - 1)))
+      .filter(col("varr") > 0)
+      .withColumn(
+        "z",
+        (col("c").cast("double") - col("s").cast("double") / col("nd")) / sqrt(col("varr")))
+      .filter(abs(col("z")) > zThresh)
+      .select(col("user_id"), col("d"), col("c"), round(col("z"), 6).as("z"))
+  }
+
   /** Co-occurrence edges for [[triangleStats]]: distinct unordered part
     * pairs appearing in the same order. Built WITHOUT a self-join — parts
     * collect per order (a bounded-cardinality set: an order has a handful

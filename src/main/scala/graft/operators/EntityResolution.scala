@@ -85,6 +85,51 @@ object EntityResolution {
         col("dist").cast("long").as("dist"))
   }
 
+  /** Full entity-merge pipeline (record linkage → survivorship): fuzzy
+    * pairs → connected components (a chain a~b~c is ONE entity even when
+    * lev(a, c) > maxDist — the greedy pairwise view would split it) →
+    * golden record per entity by a deterministic survivorship policy
+    * (longest name, ties to the smallest id — one struct-max aggregate,
+    * no window). Returns `(entity_id, n_members, rep_id, rep_name)`,
+    * entity_id = the component's smallest member id; singletons are their
+    * own entity.
+    *
+    * Scale shape: the pair stage is [[fuzzyPairs]] (linear deletion join
+    * at maxDist 1); the closure is the checkpointed min-label propagation
+    * of `Dedup.duplicateClusters` (O(diameter) rounds — component
+    * diameters in ER are tiny); unpaired records never enter the
+    * closure — they rejoin as singleton entities via a left join against
+    * the O(paired) label table.
+    */
+  def mergeEntities(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val pairs = fuzzyPairs(df, idCol, nameCol, blockCol, maxDist).select("a_id", "b_id")
+    val clusters = Dedup.duplicateClusters(pairs)
+    df.select(col(idCol).as("doc_id"), col(nameCol).as("nm"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as("id"),
+        col("nm"),
+        coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
+      .groupBy("entity_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_members"),
+        max(struct(
+          length(col("nm")).as("l"),
+          (-col("id")).as("nid"),
+          col("id").as("id"),
+          col("nm").as("nm"))).as("best"))
+      .select(
+        col("entity_id"),
+        col("n_members"),
+        col("best.id").as("rep_id"),
+        col("best.nm").as("rep_name"))
+  }
+
   /** Block-quadratic fallback for `maxDist > 1`: length band before kernel. */
   private def fuzzyPairsBlocked(
       df: DataFrame,

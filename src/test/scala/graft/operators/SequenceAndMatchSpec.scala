@@ -121,6 +121,26 @@ class SequenceAndMatchSpec extends SparkSpec {
     assert(fast === truth)
   }
 
+  test("mergeEntities: transitive chain is one entity; longest-name golden record; ties to min id") {
+    val recs = Seq(
+      (1L, "alpha", "X"),
+      (2L, "alphb", "X"), // 1 edit from alpha
+      (3L, "alphbz", "X"), // 1 edit from alphb, 2 from alpha -> chain merges all three
+      (4L, "omega", "X"), // singleton
+      (5L, "beta1", "Y"),
+      (6L, "beta2", "Y") // same length as beta1 -> tie, min id 5 wins
+    ).toDF("id", "name", "blk")
+    val out = EntityResolution
+      .mergeEntities(recs, "id", "name", "blk")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((3L, 3L, "alphbz")),
+      4L -> ((1L, 4L, "omega")),
+      5L -> ((2L, 5L, "beta1"))))
+  }
+
   test("reservoirPerGroup: exactly k per big group in fibhash order; small group kept whole") {
     val df = ((1L to 5L).map(i => (i, "g1")) ++ Seq((10L, "g2"), (11L, "g2")))
       .toDF("id", "grp")

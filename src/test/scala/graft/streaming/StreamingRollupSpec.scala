@@ -81,6 +81,26 @@ class StreamingRollupSpec extends SparkSpec {
     assert(probe(rolled) === rebuilt)
   }
 
+  test("streaming drift monitor: driftTimeline over streamed epochs equals the batch drift") {
+    // Composition closure: the drift monitor consumes the SAME histogram
+    // table the streaming writer maintains, so a streamed history answers
+    // the drift question bit-identically to a batch rebuild — the streaming
+    // deployment of q_drift_timeline needs no operator of its own.
+    val out = java.nio.file.Files.createTempDirectory("graft-rollup").toString + "/h"
+    val ev = Tables.events(spark, dir)
+    (0 to 2).foreach { i =>
+      StreamingRollup.appendHistBatch(out, ev.filter(col("event_id") % 3 === i), i.toLong)
+    }
+    def drift(h: org.apache.spark.sql.DataFrame) = graft.operators.Analytics
+      .driftTimeline(h).orderBy("day").collect().toSeq
+    val batch = drift(IncrementalRollup.dailyValueHistograms(ev))
+    assert(batch.nonEmpty)
+    assert(drift(StreamingRollup.histRollup(spark, out)) === batch)
+    // still equal after compaction (union fold is exact)
+    StreamingRollup.compactHistDays(spark, out)
+    assert(drift(StreamingRollup.histRollup(spark, out)) === batch)
+  }
+
   test("checkpointed AvailableNow drain feeds the rollup through foreachBatch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toString
     val (evDir, out, ckpt) = (s"$tmp/events", s"$tmp/rollup", s"$tmp/ckpt")
