@@ -241,11 +241,11 @@ object Analytics {
     * node that has at least one out-edge.
     */
   def pageRank(edges: DataFrame, iters: Int = 5, ckptEvery: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     val deg = e
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint()
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     var ranks = deg.select(col("node"), lit(prScale).as("pr"), col("deg"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
@@ -255,7 +255,7 @@ object Analytics {
       // each checkpoint is a full job + storage write, and two rounds of
       // join+agg lineage is still a small plan
       if (i % ckptEvery == 0 || i == iters) {
-        val next = round.localCheckpoint()
+        val next = round.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
         if (prevCkpt != null) org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(prevCkpt)
         prevCkpt = next
         ranks = next
@@ -307,8 +307,8 @@ object Analytics {
     val sym0 = edges
       .select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-    var cur = sym0.localCheckpoint()
-    var live = cur.select(col("a").as("node")).distinct().localCheckpoint()
+    var cur = sym0.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+    var live = cur.select(col("a").as("node")).distinct().transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
     var done = false
@@ -318,7 +318,7 @@ object Analytics {
         .join(deg, Seq("node"), "left")
         .filter(coalesce(col("dg"), lit(0L)) < k)
         .select("node")
-        .localCheckpoint()
+        .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
       if (low.count() == 0L) {
         Bridge.freeLocalCheckpoint(low)
         done = true
@@ -327,10 +327,10 @@ object Analytics {
         val nextCur = cur
           .join(low.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
           .join(low.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-          .localCheckpoint()
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
         val nextLive = live
           .join(low, Seq("node"), "left_anti")
-          .localCheckpoint()
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
         Bridge.freeLocalCheckpoint(cur)
         Bridge.freeLocalCheckpoint(live)
         cur = nextCur

@@ -470,17 +470,17 @@ object Dedup {
     // union's two branches would otherwise each evaluate the full candidate
     // + shingle-verification pipeline (the dominant cost) when the edges
     // checkpoint materializes — measured ~2× on q_dedup_cluster_survivors.
-    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val p0 = pairs.select(col("a_id"), col("b_id")).transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     val edges = p0
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p0.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(p0)
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     def certificate(l: DataFrame): Long =
       l.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
     var prev = certificate(labels)
@@ -496,12 +496,12 @@ object Dedup {
             .select(col("dst").as("id"), col("cluster_id")))
         .groupBy("id")
         .agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+        .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
       val mapping = propagated.select(col("id").as("cid"), col("cluster_id").as("cc"))
       val next = propagated
         .join(mapping, col("cluster_id") === col("cid"), "left")
         .select(col("id"), coalesce(col("cc"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
       val cur = certificate(next)
       converged = cur == prev
       prev = cur
