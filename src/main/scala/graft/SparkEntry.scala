@@ -3056,7 +3056,12 @@ object SparkEntry {
       "q_user_anomaly_online" -> ((s, dir) =>
         graft.operators.Analytics
           .userRateAnomalyOnline(Tables.events(s, dir))
-          .orderBy("user_id", "d"))
+          .orderBy("user_id", "d")),
+
+      // Gopher rule suite: every rule value + the keep verdict in one
+      // row-local projection — no shuffle besides the output ordering.
+      "q_quality_gopher" -> ((s, dir) =>
+        Curation.gopherRules(Tables.documents(s, dir)).orderBy("doc_id"))
     )
   }
 
@@ -4365,6 +4370,23 @@ object SparkEntry {
         |             (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / nd) / sqrt(varr) AS z
         |      FROM v WHERE varr > 0)
         |SELECT user_id, d, c, round(z, 6) AS z FROM z WHERE abs(z) > 2
-        |ORDER BY user_id, d""".stripMargin
+        |ORDER BY user_id, d""".stripMargin,
+    "q_quality_gopher" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksSql AS ts FROM documents),
+         |m AS (SELECT doc_id, source,
+         |             CAST(len(ts) AS BIGINT) AS n_words,
+         |             CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS char_sum,
+         |             CAST(len(list_intersect(ts, ['the','a','of','and','to','in','is','on','for','it'])) AS BIGINT) AS n_stop_distinct,
+         |             CAST(len(list_filter(ts, w -> regexp_matches(w, '^[^a-zA-Z0-9]+$$'))) AS BIGINT) AS n_symbol_words
+         |      FROM t),
+         |r AS (SELECT doc_id, source, n_words,
+         |             CASE WHEN n_words > 0 THEN CAST(char_sum AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen,
+         |             CASE WHEN n_words > 0 THEN CAST(n_symbol_words AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+         |             n_stop_distinct
+         |      FROM m)
+         |SELECT doc_id, source, n_words, mean_wlen, symbol_ratio, n_stop_distinct,
+         |       (n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 3.0 AND 10.0
+         |        AND symbol_ratio < 0.1 AND n_stop_distinct >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -203,6 +203,60 @@ object Curation {
       .select("doc_id", "source", "score", "pr")
   }
 
+  /** Gopher-style quality rule suite (the classic LLM-corpus filter
+    * family): per document, word count bounds, mean word length bounds,
+    * symbol-word ratio cap, and a distinct-stopword floor, plus the
+    * conjunction `keep`. Every rule value is emitted, not just the
+    * verdict — the tuning surface a curation run inspects before picking
+    * thresholds. (Line-level rules — bullet/ellipsis line fractions —
+    * need a multi-line text layout this corpus does not have, and are
+    * deliberately not faked.)
+    *
+    * Scale shape: one row-local projection off a (doc_id, source, text)
+    * scan — no shuffle at all besides the caller's ordering. Numeric
+    * contract: character sums and counts are exact integers; each ratio
+    * is ONE IEEE division, bit-identical cross-engine.
+    */
+  def gopherRules(
+      documents: DataFrame,
+      minWords: Long = 20L,
+      maxWords: Long = 80L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopDistinct: Long = 2L): DataFrame = {
+    val stopArr = graft.functions.TextFunctions.Stopwords
+      .map(s => s"'$s'")
+      .mkString("array(", ", ", ")")
+    documents
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("ts")).cast("long").as("n_words"),
+        expr("aggregate(ts, 0L, (acc, w) -> acc + length(w))").as("char_sum"),
+        expr(s"size(array_intersect(ts, $stopArr))").cast("long").as("n_stop_distinct"),
+        expr("size(filter(ts, w -> w rlike '^[^a-zA-Z0-9]+$'))").cast("long")
+          .as("n_symbol_words"))
+      .withColumn(
+        "mean_wlen",
+        when(col("n_words") > 0, col("char_sum").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "symbol_ratio",
+        when(col("n_words") > 0, col("n_symbol_words").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_wlen").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") < maxSymbolRatio &&
+          col("n_stop_distinct") >= minStopDistinct)
+      .select(
+        "doc_id", "source", "n_words", "mean_wlen", "symbol_ratio",
+        "n_stop_distinct", "keep")
+  }
+
   /** Deterministic corpus shuffle + shard manifest: every document gets a
     * pseudo-random but rerun-stable shard via [[hashBucket]] (the training-
     * order shuffle a dataloader needs — adjacent source documents land in

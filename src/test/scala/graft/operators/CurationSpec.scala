@@ -102,4 +102,25 @@ class CurationSpec extends SparkSpec {
     assert(out("small")._1 === 2L)
     assert(math.abs(out("small")._2 - 0.5) < 1e-15) // sqrt(2)/sqrt(8) = 1/2
   }
+
+  test("gopherRules: each rule fails independently; the good doc passes all") {
+    val good = (1 to 20).map(_ => "word").mkString(" ") + " the of and" // 23 words, 2+ stopwords
+    val tooShort = "the of tiny words here" // 5 words < 20
+    val symbols = (1 to 20).map(_ => "###").mkString(" ") + " the of" // symbol_ratio 20/22 > 0.1
+    val noStop = (1 to 25).map(i => s"w$i").mkString(" ") // 0 distinct stopwords
+    val longWords = (1 to 25).map(_ => "a" * 12).mkString(" ") + " the of" // mean_wlen > 10
+    val docs = Seq(
+      (1L, good, "s"), (2L, tooShort, "s"), (3L, symbols, "s"),
+      (4L, noStop, "s"), (5L, longWords, "s"), (6L, "", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation
+      .gopherRules(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6))
+      .toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false, 6L -> false))
+    val g = Curation.gopherRules(docs).filter($"doc_id" === 1L).collect().head
+    assert(g.getLong(2) === 23L) // n_words
+    assert(g.getLong(5) >= 2L) // distinct stopwords
+  }
 }
