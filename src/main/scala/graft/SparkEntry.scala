@@ -3061,7 +3061,17 @@ object SparkEntry {
       // Gopher rule suite: every rule value + the keep verdict in one
       // row-local projection — no shuffle besides the output ordering.
       "q_quality_gopher" -> ((s, dir) =>
-        Curation.gopherRules(Tables.documents(s, dir)).orderBy("doc_id"))
+        Curation.gopherRules(Tables.documents(s, dir)).orderBy("doc_id")),
+
+      // Fixed-round synchronous LPA communities on the co-order graph —
+      // deterministic ties (min label), oracle replays the rounds as
+      // unrolled CTEs (the PageRank contract applied to community
+      // detection).
+      "q_communities" -> ((s, dir) =>
+        graft.operators.Analytics
+          .labelPropagation(
+            graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)), 3)
+          .orderBy("node"))
     )
   }
 
@@ -4387,6 +4397,31 @@ object SparkEntry {
          |SELECT doc_id, source, n_words, mean_wlen, symbol_ratio, n_stop_distinct,
          |       (n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 3.0 AND 10.0
          |        AND symbol_ratio < 0.1 AND n_stop_distinct >= 2) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_communities" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |c1 AS (SELECT e.dst AS node, l.lab, CAST(count(*) AS BIGINT) AS n
+        |       FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |                row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l.lab, CAST(count(*) AS BIGINT) AS n
+        |       FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |                row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.dst AS node, l.lab, CAST(count(*) AS BIGINT) AS n
+        |       FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |                row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin
   )
 }

@@ -593,6 +593,49 @@ object Analytics {
       .select(col("user_id"), col("d"), col("c"), round(col("z"), 6).as("z"))
   }
 
+  /** Synchronous label propagation (LPA) for community detection, FIXED
+    * `rounds` — every node starts as its own label; each round every node
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLEST label. The fixed round count and total tie order make the
+    * result deterministic and ENGINE-REPLAYABLE (asynchronous LPA is
+    * neither), so the oracle unrolls the rounds as CTEs — the same
+    * contract as the integer-exact PageRank. Complements the suite:
+    * connected components answer "linked at all", k-core "dense enough",
+    * LPA "which cluster".
+    *
+    * Scale shape per round: one edges⋈labels shuffle join, one map-side-
+    * combined (node, label) count, one struct-max argmax per node (no
+    * window, no sort). Labels checkpoint per round with measured-size
+    * stats ([[org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats]])
+    * and superseded blocks free eagerly.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sym = edges
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .transform(Bridge.localCheckpointFreshStats)
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("lab"))
+      .transform(Bridge.localCheckpointFreshStats)
+    for (_ <- 1 to rounds) {
+      val next = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .groupBy("node")
+        .agg(max(struct(col("n").as("n"), (-col("lab")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("lab"))
+        .transform(Bridge.localCheckpointFreshStats)
+      Bridge.freeLocalCheckpoint(labels)
+      labels = next
+    }
+    Bridge.freeLocalCheckpoint(sym)
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   /** Prequential (online) variant of [[userRateAnomaly]]: day `d` is
     * scored against the user's moments over STRICTLY EARLIER days only —
     * the semantics a live detector can actually have (the retrospective

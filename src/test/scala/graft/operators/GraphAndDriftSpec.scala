@@ -198,6 +198,32 @@ class GraphAndDriftSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: two cliques joined by a bridge resolve to two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val out = Analytics
+      .labelPropagation(cl.toDF("a", "b"), 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // min-label ties pull each clique to its smallest member's label
+    assert(out(1L) === out(2L))
+    assert(out(10L) === out(11L) && out(11L) === out(12L))
+    assert(out.values.toSet.size <= 2)
+  }
+
+  test("labelPropagation: deterministic across reruns and partitionings") {
+    val es = (for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+      if (a * 31 + b * 17) % 4 == 0
+    } yield (a, b)).toSeq
+    val r1 = Analytics.labelPropagation(es.toDF("a", "b"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = Analytics.labelPropagation(es.toDF("a", "b").repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 === r2)
+  }
+
   test("associationRules: hand-computed support, confidence, lift; deterministic cut") {
     // baskets: o1{A,B,C} o2{A,B} o3{A,C} o4{B}; N=4, sup A=3 B=3 C=2
     // pairs >= 2: (A,B)=2, (A,C)=2
