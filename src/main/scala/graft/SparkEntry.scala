@@ -3083,7 +3083,11 @@ object SparkEntry {
     * oracle's constant TRUE, same contract as the recall gates. */
   private def kcoreGate(s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.operators.Analytics
-    val edges = Analytics.coOrderEdges(Tables.lineitem(s, dir))
+    // One materialization serves both consumers (the peel loop and the
+    // certificate join) — the groupBy+explode+distinct edge build is the
+    // only corpus-wide pass here and would otherwise run twice.
+    val edges = org.apache.spark.sql.graft.Bridge
+      .localCheckpointFreshStats(Analytics.coOrderEdges(Tables.lineitem(s, dir)))
     val kc = Analytics.kCore(edges, k)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     val info = kc.select(col("node"), col("peel_round"), col("core"))
