@@ -3071,7 +3071,188 @@ object SparkEntry {
         graft.operators.Analytics
           .labelPropagation(
             graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)), 3)
-          .orderBy("node"))
+          .orderBy("node")),
+
+      // Gaps-and-islands: per-user activity streaks over event days. The
+      // classic dnum − row_number island key, entirely within one user
+      // partition: the distinct collapses to (user, day) with map-side
+      // combine, then the window and both aggregates run under the same
+      // user_id hash partitioning (Catalyst reuses the exchange — day rows
+      // per user are bounded by the calendar, never data-scale).
+      "q_gaps_islands" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days
+          .withColumn(
+            "island",
+            datediff(col("d"), lit("1970-01-01")) - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(
+            sum(col("len")).cast("long").as("n_days"),
+            count(lit(1)).cast("long").as("n_streaks"),
+            max(col("len")).cast("long").as("max_streak"))
+          .orderBy("user_id")
+      }),
+
+      // Exact rolling median of event values over a trailing 5-row frame per
+      // user. The frame is restricted to full windows (rn >= 5) so the count
+      // is always odd and the median is an ORDER-STATISTIC — a selected
+      // element, bit-identical in every engine, no interpolation and no
+      // rounding needed. Spark's median/percentile aggregates reject window
+      // frames, so the frame's 5 values are gathered with collect_list
+      // (frame-capable) and the middle element selected — O(frame) per row,
+      // constant here. Both window functions share one Window exec (same
+      // partition/order spec), so the whole query is a single user_id
+      // shuffle.
+      "q_rolling_median" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val frame = ord.rowsBetween(-4, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("win5", collect_list(col("value")).over(frame))
+          .withColumn("rn", row_number().over(ord))
+          .filter(col("rn") >= 5)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            element_at(array_sort(col("win5")), 3).as("med5"))
+          .orderBy("user_id", "event_id")
+      }),
+
+      // Two-proportion z-test (experimentation surface): users are assigned
+      // to arms by the Knuth multiplicative hash (deterministic, oracle-
+      // replayable — the q_train_split contract), the tested proportion is
+      // the purchase share of each arm's events. Shape: one map-side-
+      // combined aggregate to arm level (2 rows), then driver-sized scalar
+      // arithmetic; the z statistic's divisions and sqrt are IEEE-identical
+      // cross-engine on identically-derived integer counts, rounded to 6 as
+      // the final guard.
+      "q_ab_test" -> ((s, dir) => {
+        val armed = Tables.events(s, dir)
+          .withColumn(
+            "arm",
+            when(
+              pmod(col("user_id") * 2654435761L, lit(4294967296L)) % 2 === 0,
+              "A").otherwise("B"))
+        armed
+          .agg(
+            sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("arm") === "A" && col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("x_a"),
+            sum(when(col("arm") === "B" && col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("x_b"))
+          .select(
+            col("n_a"),
+            col("n_b"),
+            col("x_a"),
+            col("x_b"),
+            round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
+            round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
+            round(
+              (col("x_a").cast("double") / col("n_a") -
+                col("x_b").cast("double") / col("n_b")) /
+                sqrt(
+                  ((col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))) *
+                    (lit(1.0) - (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))) *
+                    (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+              6).as("z"))
+      }),
+
+      // Boilerplate-chunk removal (C4-style): a 12-token chunk that appears
+      // in >= 3 DISTINCT documents is boilerplate (headers, nav, legal
+      // footers) and is dropped EVERYWHERE — unlike q_dedup_paragraphs'
+      // keep-first-owner rule, no copy survives. Same chunking contract as
+      // the paragraph dedup so the two stay comparable. Shape: chunks carry
+      // only (doc_id, md5) into the frequency join — never the text — and
+      // both aggregates are map-side combined on the 16-byte hash.
+      "q_boilerplate_chunks" -> ((s, dir) => {
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(12))))
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(12)))).as("ch"))
+        val freq = chunks.groupBy("ch").agg(countDistinct("doc_id").as("ndocs"))
+        chunks
+          .join(freq, Seq("ch"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_chunks"),
+            sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).cast("long").as("n_boiler"))
+          .withColumn(
+            "keep_ratio",
+            round(lit(1.0) - col("n_boiler").cast("double") / col("n_chunks"), 4))
+          .orderBy("doc_id")
+      }),
+
+      // Weighted sampling without replacement — Ohlsson's Sequential Poisson
+      // Sampling: priority = u / w with u the Knuth-hash uniform and w the
+      // byte weight; the k smallest priorities per source are the sample,
+      // inclusion probability ∝ n_chars. The priority is ONE IEEE division
+      // on an exactly-representable integer ratio, so the oracle replays it
+      // bit-identically (no ln/pow, whose libm rounding differs across
+      // engines). Deterministic: the odd multiplier is a bijection mod 2^32,
+      // so u is collision-free over doc_id; doc_id breaks any residual tie.
+      "q_weighted_sample" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pri = Tables.documents(s, dir)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn(
+            "pri",
+            ((pmod(col("doc_id") * 2654435761L, lit(4294967296L)) + 1).cast("double") /
+              lit(4294967296.0)) / col("n_chars"))
+        val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+        pri
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "rk")
+      }),
+
+      // Node similarity: neighbor-set Jaccard between customers that share
+      // ordered parts. Hub control: parts bought by > 25 distinct customers
+      // are dropped BEFORE pairing (the classic stop-node cut — a hub part
+      // contributes O(freq²) pairs and ~zero similarity signal), so the
+      // candidate space is Σ f² over capped f, linear-ish in parts, never
+      // all-pairs of customers. Degrees are computed on the same capped
+      // universe so the Jaccard is internally consistent.
+      "q_node_similarity" -> ((s, dir) => {
+        val cp = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .distinct()
+        val keep = cp.groupBy("part").agg(count(lit(1)).as("pf"))
+          .filter(col("pf") <= 25)
+          .select("part")
+        val cpf = cp.join(keep, Seq("part")).select("cust", "part")
+        val deg = cpf.groupBy("cust").agg(count(lit(1)).as("deg"))
+        val pairs = cpf.select(col("part"), col("cust").as("a"))
+          .join(cpf.select(col("part"), col("cust").as("b")), Seq("part"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).cast("long").as("inter"))
+        pairs
+          .join(deg.select(col("cust").as("a"), col("deg").as("da")), Seq("a"))
+          .join(deg.select(col("cust").as("b"), col("deg").as("db")), Seq("b"))
+          .select(
+            col("a"),
+            col("b"),
+            col("inter"),
+            round(
+              col("inter").cast("double") / (col("da") + col("db") - col("inter")),
+              6).as("jac"))
+          .orderBy(col("jac").desc, col("a"), col("b"))
+          .limit(20)
+      })
     )
   }
 
@@ -4426,6 +4607,82 @@ object SparkEntry {
         |         SELECT node, lab,
         |                row_number() OVER (PARTITION BY node ORDER BY n DESC, lab) AS rn
         |         FROM c3) WHERE rn = 1)
-        |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin
+        |SELECT node, lab AS community FROM l3 ORDER BY node""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |n AS (SELECT user_id, d,
+        |             datediff('day', DATE '1970-01-01', d)
+        |               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |      FROM d),
+        |i AS (SELECT user_id, island, count(*) AS len FROM n GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(sum(len) AS BIGINT) AS n_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS max_streak
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_rolling_median" ->
+      """WITH w AS (SELECT user_id, event_id,
+        |                  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |           FROM events)
+        |SELECT user_id, event_id, med5
+        |FROM w WHERE rn >= 5 ORDER BY user_id, event_id""".stripMargin,
+    "q_ab_test" ->
+      """WITH a AS (SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+        |                       THEN 'A' ELSE 'B' END AS arm, event_type
+        |           FROM events),
+        |c AS (SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |             CAST(sum(CASE WHEN arm = 'A' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+        |             CAST(sum(CASE WHEN arm = 'B' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        |      FROM a)
+        |SELECT n_a, n_b, x_a, x_b,
+        |       round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |       round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |       round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM c""".stripMargin,
+    "q_boilerplate_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
+         |      FROM w WHERE len(toks) > 0),
+         |c AS (SELECT doc_id,
+         |             md5(array_to_string(list_slice(toks, start + 1, least(start + 12, len(toks))), ' ')) AS ch
+         |      FROM s),
+         |f AS (SELECT ch, count(DISTINCT doc_id) AS ndocs FROM c GROUP BY 1),
+         |r AS (SELECT c.doc_id, count(*) AS n_chunks,
+         |             sum(CASE WHEN f.ndocs >= 3 THEN 1 ELSE 0 END) AS n_boiler
+         |      FROM c JOIN f USING (ch) GROUP BY 1)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |       CAST(n_boiler AS BIGINT) AS n_boiler,
+         |       round(1.0 - CAST(n_boiler AS DOUBLE) / n_chunks, 4) AS keep_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+        |                  (CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+        |                   / 4294967296) / n_chars AS pri
+        |           FROM documents WHERE n_chars > 0),
+        |r AS (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+        |      FROM p)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "q_node_similarity" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pf AS (SELECT part FROM (SELECT part, count(*) AS c FROM cp GROUP BY 1)
+        |       WHERE c <= 25),
+        |cpf AS (SELECT cust, part FROM cp JOIN pf USING (part)),
+        |deg AS (SELECT cust, count(*) AS deg FROM cpf GROUP BY 1),
+        |pr AS (SELECT x.cust AS a, y.cust AS b, count(*) AS inter
+        |       FROM cpf x JOIN cpf y ON x.part = y.part AND x.cust < y.cust
+        |       GROUP BY 1, 2)
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        |       round(CAST(inter AS DOUBLE) / (da.deg + db.deg - inter), 6) AS jac
+        |FROM pr JOIN deg da ON pr.a = da.cust JOIN deg db ON pr.b = db.cust
+        |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin
   )
 }

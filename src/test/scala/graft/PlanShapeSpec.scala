@@ -438,4 +438,38 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).size <= 1, s"moments split across windows:\n$p")
     assert(p.contains("hashpartitioning(user_id"), s"window not user-partitioned:\n$p")
   }
+
+  test("q_node_similarity: hub-capped equi-join pairing — no pairwise fallback") {
+    val p = plan("q_node_similarity")
+    assert(
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing fell back to a pairwise shape:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not cut off-driver:\n$p")
+  }
+
+  test("q_boilerplate_chunks: chunk frequency combines map-side on the hash") {
+    val p = plan("q_boilerplate_chunks")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_weighted_sample: priority ranking windows per source, never one partition") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("hashpartitioning(source"), s"window not source-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"), s"a global window snuck in:\n$p")
+  }
+
+  test("q_gaps_islands: window and both aggregates share the user_id partitioning") {
+    val p = plan("q_gaps_islands")
+    assert(p.contains("hashpartitioning(user_id"), s"window not user-partitioned:\n$p")
+    // distinct shuffle + user window shuffle + output sort; both post-window
+    // aggregates must reuse the window's user_id exchange
+    assert(exchanges(p) <= 3, s"expected <=3 exchanges, plan:\n$p")
+  }
+
+  test("q_ab_test: arm reduction is one map-side-combined global aggregate") {
+    val p = plan("q_ab_test")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(exchanges(p) === 1, s"expected the single final-agg exchange, plan:\n$p")
+  }
 }
