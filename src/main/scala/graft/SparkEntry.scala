@@ -3252,6 +3252,127 @@ object SparkEntry {
               6).as("jac"))
           .orderBy(col("jac").desc, col("a"), col("b"))
           .limit(20)
+      }),
+
+      // Time-series gap-fill with linear interpolation: each user's sparse
+      // daily purchase series is densified over [min_day, max_day] and
+      // missing days get the straight line between the surrounding
+      // observations — the resample step upstream of any rate/forecast
+      // model. Dense-grid shape shared with q_daily_energy (explode of a
+      // bounded calendar span, never data-scale); both directional windows
+      // and the output run under one user_id partitioning. Numerics: daily
+      // sums are exact DECIMAL; the interpolation is one fixed IEEE tree on
+      // identically-derived doubles, rounded 6 as the cross-engine guard.
+      "q_interpolate" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+        val spine = daily.groupBy("user_id")
+          .agg(min("d").as("d0"), max("d").as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        val wPrev = Window.partitionBy("user_id").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy("user_id").orderBy("d")
+          .rowsBetween(0, Window.unboundedFollowing)
+        spine
+          .join(daily, Seq("user_id", "d"), "left")
+          .withColumn("dn", datediff(col("d"), lit("1970-01-01")))
+          .withColumn("pv", last(col("v").cast("double"), ignoreNulls = true).over(wPrev))
+          .withColumn(
+            "pd",
+            last(when(col("v").isNotNull, col("dn")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v").cast("double"), ignoreNulls = true).over(wNext))
+          .withColumn(
+            "nd",
+            first(when(col("v").isNotNull, col("dn")), ignoreNulls = true).over(wNext))
+          .select(
+            col("user_id"),
+            col("d"),
+            round(
+              when(col("v").isNotNull, col("v").cast("double"))
+                .otherwise(
+                  col("pv") +
+                    (col("nv") - col("pv")) * (col("dn") - col("pd")) /
+                    (col("nd") - col("pd"))),
+              6).as("v_filled"),
+            col("v").isNull.as("interpolated"))
+          .orderBy("user_id", "d")
+      }),
+
+      // Token-budget priority fill: sources ranked by a quality proxy (mean
+      // doc length) absorb a global token budget best-first — full avail
+      // while the budget lasts, a partial fill at the boundary source, zero
+      // after (the "fill 1T tokens from the best crawls first" curation
+      // step). PURE INTEGER arithmetic end to end: avail is an integral
+      // token count, the budget is 60% of the total via integer div, alloc
+      // is clamp(T − cum_before) — no FP anywhere, so the oracle is exact
+      // by construction. The running sum is a single-partition window over
+      // the SOURCE-LEVEL aggregate — model-sized (|sources| rows), the same
+      // post-aggregation discipline as the centroid/model queries.
+      "q_token_budget" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySource = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(
+            sum(expr("n_chars div 4")).cast("long").as("avail"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("quality"))
+        val total = bySource.agg(sum(col("avail")).as("tot"))
+        val w = Window
+          .orderBy(col("quality").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bySource
+          .crossJoin(broadcast(total))
+          .withColumn("budget", expr("(tot * 6) div 10").cast("long"))
+          .withColumn("cum_before", coalesce(sum(col("avail")).over(w), lit(0L)))
+          .select(
+            col("source"),
+            col("avail"),
+            round(col("quality"), 4).as("quality"),
+            col("cum_before"),
+            greatest(lit(0L), least(col("avail"), col("budget") - col("cum_before")))
+              .as("alloc"))
+          .orderBy(col("quality").desc, col("source"))
+      }),
+
+      // Benford first-digit audit over order totals (fraud/synthetic-data
+      // signal): observed first-significant-digit frequencies vs Benford's
+      // log10(1+1/d), χ² contribution per digit. Digit extraction avoids
+      // both log10 and decimal-cast string formatting (DuckDB truncates
+      // where Spark rounds): floor to BIGINT — exact on doubles in every
+      // engine — then the first character of the integer's digits. The
+      // expected probabilities are shared 6 dp literals, so no libm log
+      // enters either side; one map-side-combined aggregate to 9 rows.
+      "q_benford" -> ((s, dir) => {
+        val expPct = Seq(
+          "1" -> 0.301030, "2" -> 0.176091, "3" -> 0.124939,
+          "4" -> 0.096910, "5" -> 0.079181, "6" -> 0.066947,
+          "7" -> 0.057992, "8" -> 0.051153, "9" -> 0.045757)
+        val expCol = expPct.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+          when(col("digit") === d, p).otherwise(acc)
+        }
+        val digits = Tables.orders(s, dir)
+          .select(
+            substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+              .as("digit"))
+          .groupBy("digit")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val tot = digits.agg(sum(col("n")).cast("long").as("total"))
+        digits
+          .crossJoin(broadcast(tot))
+          .withColumn("exp_pct", expCol)
+          .select(
+            col("digit"),
+            col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("obs_pct"),
+            col("exp_pct"),
+            round(
+              (col("n").cast("double") - col("total") * col("exp_pct")) *
+                (col("n").cast("double") - col("total") * col("exp_pct")) /
+                (col("total") * col("exp_pct")),
+              6).as("chi2_term"))
+          .orderBy("digit")
       })
     )
   }
@@ -4683,6 +4804,67 @@ object SparkEntry {
         |SELECT a, b, CAST(inter AS BIGINT) AS inter,
         |       round(CAST(inter AS DOUBLE) / (da.deg + db.deg - inter), 6) AS jac
         |FROM pr JOIN deg da ON pr.a = da.cust JOIN deg db ON pr.b = db.cust
-        |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin
+        |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin,
+    "q_interpolate" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |                      sum(CAST(value AS DECIMAL(12,2))) AS v
+        |               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM b),
+        |j AS (SELECT s.user_id, s.d, daily.v
+        |      FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d),
+        |f AS (SELECT user_id, d, v,
+        |             last_value(CAST(v AS DOUBLE) IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY d
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |             last_value(CASE WHEN v IS NOT NULL
+        |                             THEN datediff('day', DATE '1970-01-01', d) END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY d
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |             first_value(CAST(v AS DOUBLE) IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY d
+        |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |             first_value(CASE WHEN v IS NOT NULL
+        |                              THEN datediff('day', DATE '1970-01-01', d) END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY d
+        |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        |             datediff('day', DATE '1970-01-01', d) AS dn
+        |      FROM j)
+        |SELECT user_id, d,
+        |       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |                  ELSE pv + (nv - pv) * (dn - pd) / (nd - pd) END, 6) AS v_filled,
+        |       (v IS NULL) AS interpolated
+        |FROM f ORDER BY user_id, d""".stripMargin,
+    "q_token_budget" ->
+      """WITH s AS (SELECT source,
+        |                  CAST(sum(n_chars // 4) AS BIGINT) AS avail,
+        |                  CAST(sum(n_chars) AS DOUBLE) / count(*) AS quality
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot FROM s),
+        |c AS (SELECT s.source, s.avail, s.quality,
+        |             CAST((t.tot * 6) // 10 AS BIGINT) AS budget,
+        |             CAST(coalesce(sum(s.avail) OVER (ORDER BY s.quality DESC, s.source
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM s CROSS JOIN t)
+        |SELECT source, avail, round(quality, 4) AS quality, cum_before,
+        |       greatest(CAST(0 AS BIGINT), least(avail, budget - cum_before)) AS alloc
+        |FROM c ORDER BY quality DESC, source""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+        |e(digit, exp_pct) AS (VALUES
+        |  ('1', 0.301030), ('2', 0.176091), ('3', 0.124939), ('4', 0.096910),
+        |  ('5', 0.079181), ('6', 0.066947), ('7', 0.057992), ('8', 0.051153),
+        |  ('9', 0.045757))
+        |SELECT d.digit, d.n,
+        |       round(CAST(d.n AS DOUBLE) / t.total, 6) AS obs_pct,
+        |       CAST(e.exp_pct AS DOUBLE) AS exp_pct,
+        |       round((CAST(d.n AS DOUBLE) - t.total * CAST(e.exp_pct AS DOUBLE))
+        |             * (CAST(d.n AS DOUBLE) - t.total * CAST(e.exp_pct AS DOUBLE))
+        |             / (t.total * CAST(e.exp_pct AS DOUBLE)), 6) AS chi2_term
+        |FROM d CROSS JOIN t JOIN e USING (digit) ORDER BY d.digit""".stripMargin
   )
 }

@@ -472,4 +472,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
     assert(exchanges(p) === 1, s"expected the single final-agg exchange, plan:\n$p")
   }
+
+  test("q_interpolate: dense grid + both directional windows stay user-partitioned") {
+    val p = plan("q_interpolate")
+    assert(p.contains("hashpartitioning(user_id"), s"windows not user-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_token_budget: running sum is over the source-level aggregate, not rows") {
+    val p = plan("q_token_budget")
+    assert(p.contains("partial_sum"), s"source agg not map-side combined:\n$p")
+    // the only SinglePartition window input is the |sources|-row aggregate —
+    // the corpus itself must never funnel to one partition before reducing
+    assert(p.contains("SinglePartition"), s"model-sized window missing:\n$p")
+  }
+
+  test("q_benford: digit counts combine map-side; only 9 rows meet the total") {
+    val p = plan("q_benford")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }
