@@ -3373,6 +3373,44 @@ object SparkEntry {
                 (col("total") * col("exp_pct")),
               6).as("chi2_term"))
           .orderBy("digit")
+      }),
+
+      // Fixed-round multi-source BFS on the co-order graph: every part
+      // within 3 hops of the ~1% seed set (node % 97 == 0) gets its exact
+      // hop distance — reachability/radius analysis with the LPA/PageRank
+      // determinism contract (min relaxation, oracle replays the rounds as
+      // unrolled CTEs). One shared edge materialization feeds the seed
+      // filter and the peel loop (the kcoreGate pattern).
+      "q_bfs_dist" -> ((s, dir) => {
+        import graft.operators.Analytics
+        val edges = org.apache.spark.sql.graft.Bridge
+          .localCheckpointFreshStats(Analytics.coOrderEdges(Tables.lineitem(s, dir)))
+        val seeds = edges.select(col("a").as("node"))
+          .union(edges.select(col("b").as("node")))
+          .distinct()
+          .filter(col("node") % 97 === 0)
+        Analytics.bfsDistances(edges, seeds, 3).orderBy("node")
+      }),
+
+      // Degree distribution of the co-order graph, log2-binned: the
+      // power-law shape diagnostic (hub mass, skew-planning input for every
+      // pairing operator above). The bucket is floor(log2(deg)) computed
+      // WITHOUT libm — length(bin(deg)) − 1, exact integer arithmetic in
+      // both engines where a double log2 can land on either side of a power
+      // of two. Two map-side-combined aggregates, output O(log maxdeg).
+      "q_degree_dist" -> ((s, dir) => {
+        val edges = graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir))
+        edges.select(col("a").as("node"))
+          .union(edges.select(col("b").as("node")))
+          .groupBy("node")
+          .agg(count(lit(1)).cast("long").as("deg"))
+          .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+          .agg(
+            count(lit(1)).cast("long").as("n_nodes"),
+            min(col("deg")).as("min_deg"),
+            max(col("deg")).as("max_deg"),
+            sum(col("deg")).cast("long").as("deg_sum"))
+          .orderBy("bucket")
       })
     )
   }
@@ -4865,6 +4903,34 @@ object SparkEntry {
         |       round((CAST(d.n AS DOUBLE) - t.total * CAST(e.exp_pct AS DOUBLE))
         |             * (CAST(d.n AS DOUBLE) - t.total * CAST(e.exp_pct AS DOUBLE))
         |             / (t.total * CAST(e.exp_pct AS DOUBLE)), 6) AS chi2_term
-        |FROM d CROSS JOIN t JOIN e USING (digit) ORDER BY d.digit""".stripMargin
+        |FROM d CROSS JOIN t JOIN e USING (digit) ORDER BY d.digit""".stripMargin,
+    "q_bfs_dist" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE src % 97 = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + 1 AS dist FROM e JOIN d0 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d0) GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + 1 AS dist FROM e JOIN d1 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d1) GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT e.dst AS node, d.dist + 1 AS dist FROM e JOIN d2 d ON e.src = d.node
+        |         UNION ALL SELECT node, dist FROM d2) GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node""".stripMargin,
+    "q_degree_dist" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src FROM e0 UNION ALL SELECT b FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       min(deg) AS min_deg, max(deg) AS max_deg,
+        |       CAST(sum(deg) AS BIGINT) AS deg_sum
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

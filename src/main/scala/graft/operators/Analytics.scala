@@ -609,6 +609,49 @@ object Analytics {
     * stats ([[org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats]])
     * and superseded blocks free eagerly.
     */
+  /** Fixed-round synchronous multi-source BFS over an undirected edge set
+    * `(a, b)`: `seeds(node)` start at distance 0 and each round relaxes
+    * `dist(v) = min(dist(v), min over neighbors dist(u) + 1)` — after R
+    * rounds every node within R hops of a seed carries its exact hop
+    * distance (nodes beyond R hops are absent, the frontier contract).
+    * Fixed rounds + min relaxation are fully deterministic, so the oracle
+    * replays the rounds as unrolled CTEs (the integer-PageRank/LPA
+    * contract applied to reachability).
+    *
+    * Scale shape per round: one edges⋈distances shuffle join + one
+    * map-side-combined min aggregate; distances checkpoint per round with
+    * measured-size stats and superseded blocks free eagerly. State is
+    * O(reached nodes), never O(edges × rounds).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sym = edges
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .transform(Bridge.localCheckpointFreshStats)
+    var dist = seeds
+      .select(col("node"), lit(0L).as("dist"))
+      .transform(Bridge.localCheckpointFreshStats)
+    for (_ <- 1 to rounds) {
+      val relaxed = Bridge.localCheckpointFreshStats(bfsRound(sym, dist))
+      Bridge.freeLocalCheckpoint(dist)
+      dist = relaxed
+    }
+    Bridge.freeLocalCheckpoint(sym)
+    dist
+  }
+
+  /** One BFS relaxation round (exposed for plan-shape assertions, the
+    * [[pageRankRound]] pattern — the checkpointed loop's final plan is an
+    * RDD scan, so the per-round shape must be guarded on the round itself). */
+  private[graft] def bfsRound(sym: DataFrame, dist: DataFrame): DataFrame =
+    sym
+      .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      .union(dist)
+      .groupBy("node")
+      .agg(min(col("dist")).as("dist"))
+
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val sym = edges

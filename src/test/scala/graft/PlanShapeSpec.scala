@@ -492,4 +492,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("bfsRound: relaxation is an equi-join + map-side-combined min, never pairwise") {
+    // the checkpointed loop's final plan is an RDD scan; guard the round shape
+    import graft.operators.Analytics
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val edges = Analytics.coOrderEdges(Tables.lineitem(spark, dir))
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = edges.select(col("a").as("node")).distinct()
+      .filter(col("node") % 97 === 0)
+      .withColumn("dist", lit(0L))
+    val p = Analytics.bfsRound(sym, seeds).queryExecution.executedPlan.toString
+    assert(
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"relaxation fell back to a pairwise shape:\n$p")
+    assert(p.contains("partial_min"), s"min relaxation not map-side combined:\n$p")
+  }
+
+  test("q_degree_dist: both aggregates combine map-side; output is O(log maxdeg)") {
+    val p = plan("q_degree_dist")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }

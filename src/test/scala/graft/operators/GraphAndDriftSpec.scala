@@ -212,6 +212,39 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(out.values.toSet.size <= 2)
   }
 
+  test("bfsDistances: chain distances from one seed; past-frontier nodes absent") {
+    // chain 1-2-3-4-5, seed {1}, 3 rounds: node 5 is 4 hops away -> absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Analytics
+      .bfsDistances(edges, Seq(1L).toDF("node"), 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsDistances: matches brute-force BFS on a planted graph; multi-seed min wins") {
+    val es = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      if (a * 17 + b * 5) % 7 == 0
+    } yield (a, b)).toSeq
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var model = Map(3L -> 0L, 11L -> 0L)
+    for (_ <- 1 to 3) {
+      val relax = model.toSeq.flatMap { case (n, d) =>
+        adj.getOrElse(n, Set.empty[Long]).map(_ -> (d + 1))
+      }
+      model = (model.toSeq ++ relax).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val out = Analytics
+      .bfsDistances(es.toDF("a", "b"), Seq(3L, 11L).toDF("node"), 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === model)
+  }
+
   test("labelPropagation: deterministic across reruns and partitionings") {
     val es = (for {
       a <- 1L to 12L; b <- (a + 1) to 12L
