@@ -3172,26 +3172,10 @@ object SparkEntry {
       // the paragraph dedup so the two stay comparable. Shape: chunks carry
       // only (doc_id, md5) into the frequency join — never the text — and
       // both aggregates are map-side combined on the 16-byte hash.
-      "q_boilerplate_chunks" -> ((s, dir) => {
-        val chunks = Tables.documents(s, dir)
-          .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) > 0)
-          .withColumn("start", explode(sequence(lit(0), size(col("toks")) - 1, lit(12))))
-          .select(
-            col("doc_id"),
-            md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(12)))).as("ch"))
-        val freq = chunks.groupBy("ch").agg(countDistinct("doc_id").as("ndocs"))
-        chunks
-          .join(freq, Seq("ch"))
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).cast("long").as("n_chunks"),
-            sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).cast("long").as("n_boiler"))
-          .withColumn(
-            "keep_ratio",
-            round(lit(1.0) - col("n_boiler").cast("double") / col("n_chunks"), 4))
-          .orderBy("doc_id")
-      }),
+      "q_boilerplate_chunks" -> ((s, dir) =>
+        Dedup
+          .boilerplateChunkStats(Tables.documents(s, dir), 12, 3)
+          .orderBy("doc_id")),
 
       // Weighted sampling without replacement — Ohlsson's Sequential Poisson
       // Sampling: priority = u / w with u the Knuth-hash uniform and w the
@@ -3226,32 +3210,11 @@ object SparkEntry {
       // all-pairs of customers. Degrees are computed on the same capped
       // universe so the Jaccard is internally consistent.
       "q_node_similarity" -> ((s, dir) => {
-        val cp = Tables.lineitem(s, dir)
+        val membership = Tables.lineitem(s, dir)
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .select(col("o_custkey").as("node"), col("l_partkey").as("item"))
           .distinct()
-        val keep = cp.groupBy("part").agg(count(lit(1)).as("pf"))
-          .filter(col("pf") <= 25)
-          .select("part")
-        val cpf = cp.join(keep, Seq("part")).select("cust", "part")
-        val deg = cpf.groupBy("cust").agg(count(lit(1)).as("deg"))
-        val pairs = cpf.select(col("part"), col("cust").as("a"))
-          .join(cpf.select(col("part"), col("cust").as("b")), Seq("part"))
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b")
-          .agg(count(lit(1)).cast("long").as("inter"))
-        pairs
-          .join(deg.select(col("cust").as("a"), col("deg").as("da")), Seq("a"))
-          .join(deg.select(col("cust").as("b"), col("deg").as("db")), Seq("b"))
-          .select(
-            col("a"),
-            col("b"),
-            col("inter"),
-            round(
-              col("inter").cast("double") / (col("da") + col("db") - col("inter")),
-              6).as("jac"))
-          .orderBy(col("jac").desc, col("a"), col("b"))
-          .limit(20)
+        graft.operators.Analytics.neighborJaccard(membership, 25, 20)
       }),
 
       // Time-series gap-fill with linear interpolation: each user's sparse

@@ -609,6 +609,42 @@ object Analytics {
     * stats ([[org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats]])
     * and superseded blocks free eagerly.
     */
+  /** Neighbor-set Jaccard similarity over a bipartite membership table
+    * `(node, item)` (distinct): node pairs sharing an item, scored
+    * |A∩B| / |A∪B|, top-k by (jac desc, a, b). Hub control: items held by
+    * more than `maxItemFreq` nodes are dropped BEFORE pairing — the classic
+    * stop-node cut (a hub item contributes O(freq²) pairs and ~zero
+    * similarity signal), so the candidate space is Σ f² over capped f,
+    * linear-ish in items, never all-pairs of nodes. Degrees are computed on
+    * the same capped universe so the Jaccard is internally consistent.
+    */
+  def neighborJaccard(membership: DataFrame, maxItemFreq: Int, k: Int): DataFrame = {
+    val keep = membership
+      .groupBy("item")
+      .agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxItemFreq)
+      .select("item")
+    val capped = membership.join(keep, Seq("item")).select("node", "item")
+    val deg = capped.groupBy("node").agg(count(lit(1)).as("deg"))
+    val pairs = capped.select(col("item"), col("node").as("a"))
+      .join(capped.select(col("item"), col("node").as("b")), Seq("item"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("inter"))
+    pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        col("a"),
+        col("b"),
+        col("inter"),
+        round(
+          col("inter").cast("double") / (col("da") + col("db") - col("inter")),
+          6).as("jac"))
+      .orderBy(col("jac").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Fixed-round synchronous multi-source BFS over an undirected edge set
     * `(a, b)`: `seeds(node)` start at distance 0 and each round relaxes
     * `dist(v) = min(dist(v), min over neighbors dist(u) + 1)` — after R

@@ -715,6 +715,43 @@ object Dedup {
     * colliding would count as duplicates — at 10^9 distinct windows the
     * expected collision count is ~0.03 (birthday bound), which is noise at
     * corpus scale and absent at test scale. */
+  /** Boilerplate-chunk removal stats (C4-style): a `chunkTokens`-token chunk
+    * that appears in >= `minDocs` DISTINCT documents is boilerplate
+    * (headers, nav, legal footers) and counts as dropped EVERYWHERE — unlike
+    * the paragraph dedup's keep-first-owner rule, no copy survives. Returns
+    * `(doc_id, n_chunks, n_boiler, keep_ratio)`.
+    *
+    * Scale shape: chunks carry only `(doc_id, md5)` into the frequency join
+    * — never the text — and both aggregates combine map-side on the 16-byte
+    * hash. Same chunking contract as the paragraph dedup so the two stay
+    * comparable.
+    */
+  def boilerplateChunkStats(
+      documents: DataFrame,
+      chunkTokens: Int = 12,
+      minDocs: Int = 3): DataFrame = {
+    val chunks = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn(
+        "start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(chunkTokens))))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))))
+          .as("ch"))
+    val freq = chunks.groupBy("ch").agg(countDistinct("doc_id").as("ndocs"))
+    chunks
+      .join(freq, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).cast("long").as("n_boiler"))
+      .withColumn(
+        "keep_ratio",
+        round(lit(1.0) - col("n_boiler").cast("double") / col("n_chunks"), 4))
+  }
+
   def duplicatedSpanStats(documents: DataFrame, n: Int = 8): DataFrame = {
     val base = documents.select(
       col("doc_id"),

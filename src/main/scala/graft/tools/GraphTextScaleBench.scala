@@ -112,6 +112,42 @@ object GraphTextScaleBench {
     time(s"substring ${rep}x") {
       TextIndex.substringSearch(docs, "vector table").count()
     }
+
+    // BFS over disjoint graph copies: the reached set and the per-round
+    // join grow with the corpus, rounds stay fixed — expect ~linear.
+    def seedsOf(e: DataFrame) =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .distinct()
+        .filter(col("node") % 97 === 0)
+    time(s"bfs-3 1x") {
+      val e = Analytics.coOrderEdges(li1)
+      Analytics.bfsDistances(e, seedsOf(e), 3).count()
+    }
+    time(s"bfs-3 ${rep}x") {
+      val e = Analytics.coOrderEdges(li)
+      Analytics.bfsDistances(e, seedsOf(e), 3).count()
+    }
+
+    // Neighbor Jaccard on the order-part bipartite table: candidate space
+    // is Σ f² over the hub-capped item frequencies — disjoint copies keep
+    // per-item f constant, so pairs (and wall-clock) should scale ~linearly.
+    def membershipOf(l: DataFrame) =
+      l.select(col("l_orderkey").as("node"), col("l_partkey").as("item")).distinct()
+    time(s"neighbor-jaccard 1x") {
+      Analytics.neighborJaccard(membershipOf(li1), 25, 20).count()
+    }
+    time(s"neighbor-jaccard ${rep}x") {
+      Analytics.neighborJaccard(membershipOf(li), 25, 20).count()
+    }
+
+    // Boilerplate chunks: two map-side-combined hash aggregates — linear.
+    import graft.operators.Dedup
+    time(s"boilerplate 1x") {
+      Dedup.boilerplateChunkStats(docs1, 12, 3).count()
+    }
+    time(s"boilerplate ${rep}x") {
+      Dedup.boilerplateChunkStats(docs, 12, 3).count()
+    }
     spark.stop()
   }
 }
