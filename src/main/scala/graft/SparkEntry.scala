@@ -3374,6 +3374,118 @@ object SparkEntry {
             max(col("deg")).as("max_deg"),
             sum(col("deg")).cast("long").as("deg_sum"))
           .orderBy("bucket")
+      }),
+
+      // RFM customer scoring (recency / frequency / monetary quintiles) —
+      // the classic marketing segmentation, built on distributedNtile so no
+      // metric ever sorts in one partition: each quintile assignment is a
+      // broadcast offset table + a per-value-partition row_number (exact
+      // ties broken by cust id, oracle-replayable). Recency anchors on the
+      // corpus max date (broadcast single row); monetary stays exact
+      // DECIMAL until the output cast.
+      "q_rfm" -> ((s, dir) => {
+        import graft.operators.Analytics
+        val per = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(
+            max(to_date(col("o_orderdate"))).as("last_o"),
+            count(lit(1)).cast("long").as("freq"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).as("mon"))
+        val maxd = Tables.orders(s, dir)
+          .agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val base = per.crossJoin(broadcast(maxd))
+          .select(
+            col("cust"),
+            datediff(col("maxd"), col("last_o")).cast("long").as("recency"),
+            col("freq"),
+            col("mon"))
+        def ntile5(valueCol: String, out: String) =
+          Analytics
+            .distributedNtile(base.select("cust", valueCol), valueCol, "cust", 5)
+            .select(col("cust"), col("bucket").as(out))
+        base
+          .join(ntile5("recency", "r_b"), Seq("cust"))
+          .join(ntile5("freq", "f_b"), Seq("cust"))
+          .join(ntile5("mon", "m_b"), Seq("cust"))
+          .select(
+            col("cust"),
+            col("recency"),
+            col("freq"),
+            col("mon").cast("double").as("monetary"),
+            (lit(5L) - col("r_b")).as("r_score"),
+            (col("f_b") + 1L).as("f_score"),
+            (col("m_b") + 1L).as("m_score"),
+            ((lit(5L) - col("r_b")) * 100L + (col("f_b") + 1L) * 10L +
+              (col("m_b") + 1L)).as("rfm"))
+          .orderBy("cust")
+      }),
+
+      // Day-of-week seasonality profile: per (dow, event_type) volume, exact
+      // mean value, and a deviation index vs the type's overall mean. The
+      // weekday is ((days-since-epoch mod 7)+7) mod 7 — 0 = Thursday —
+      // pure integer arithmetic, because Spark's dayofweek and DuckDB's
+      // disagree on the week origin. Two map-side-combined aggregates;
+      // the O(types) overall table broadcasts.
+      "q_seasonality" -> ((s, dir) => {
+        val cells = Tables.events(s, dir)
+          .select(
+            pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7)).as("dow"),
+            col("event_type"),
+            col("value").cast("decimal(12,2)").as("v"))
+          .groupBy("dow", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sv"))
+        val overall = cells.groupBy("event_type")
+          .agg(sum(col("n")).cast("long").as("tn"), sum(col("sv")).as("tsv"))
+        cells
+          .join(broadcast(overall), Seq("event_type"))
+          .select(
+            col("dow"),
+            col("event_type"),
+            col("n"),
+            round(col("sv").cast("double") / col("n"), 6).as("mean_v"),
+            round(
+              (col("sv").cast("double") / col("n")) /
+                (col("tsv").cast("double") / col("tn")),
+              6).as("dev_idx"))
+          .orderBy("dow", "event_type")
+      }),
+
+      // Experiment sample-size (power analysis), the planning complement of
+      // q_ab_test: given the observed purchase share as baseline, the
+      // per-arm n needed to detect a +1pp absolute lift at alpha = 0.05,
+      // power = 0.8 (two-sided two-proportion formula). The z quantiles are
+      // shared 6 dp literals — no inverse-normal libm on either side — and
+      // everything downstream is one fixed IEEE tree from integer counts,
+      // so even the ceil lands identically.
+      "q_sample_size" -> ((s, dir) => {
+        val za = 1.959964
+        val zb = 0.841621
+        val mde = 0.01
+        Tables.events(s, dir)
+          .agg(
+            count(lit(1)).cast("long").as("n_events"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+          .select(
+            col("n_events"),
+            (col("x").cast("double") / col("n_events")).as("p0d"))
+          .select(
+            col("n_events"),
+            col("p0d"),
+            (lit(za) * sqrt(
+              lit(2.0) *
+                ((col("p0d") + lit(mde) / 2) *
+                  (lit(1.0) - (col("p0d") + lit(mde) / 2)))) +
+              lit(zb) * sqrt(
+                col("p0d") * (lit(1.0) - col("p0d")) +
+                  (col("p0d") + lit(mde)) * (lit(1.0) - (col("p0d") + lit(mde)))))
+              .as("sz"))
+          .select(
+            col("n_events"),
+            round(col("p0d"), 6).as("p0"),
+            lit(mde).as("mde"),
+            ceil(col("sz") * col("sz") / (lit(mde) * lit(mde)))
+              .cast("long")
+              .as("n_per_arm"))
       })
     )
   }
@@ -4894,6 +5006,57 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_nodes,
         |       min(deg) AS min_deg, max(deg) AS max_deg,
         |       CAST(sum(deg) AS BIGINT) AS deg_sum
-        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_rfm" ->
+      // Quintile assignment replays distributedNtile's (value, id) total
+      // order: bucket = (rank - 1) * 5 // n, exactly the decile oracle's
+      // spelling.
+      """WITH per AS (SELECT o_custkey AS cust,
+        |                    max(CAST(o_orderdate AS DATE)) AS last_o,
+        |                    CAST(count(*) AS BIGINT) AS freq,
+        |                    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS mon
+        |             FROM orders GROUP BY 1),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |base AS (SELECT cust, CAST(datediff('day', last_o, maxd) AS BIGINT) AS recency,
+        |                freq, mon
+        |         FROM per CROSS JOIN mx),
+        |rb AS (SELECT cust, CAST((row_number() OVER (ORDER BY recency, cust) - 1) * 5
+        |                         // count(*) OVER () AS BIGINT) AS r_b FROM base),
+        |fb AS (SELECT cust, CAST((row_number() OVER (ORDER BY freq, cust) - 1) * 5
+        |                         // count(*) OVER () AS BIGINT) AS f_b FROM base),
+        |mb AS (SELECT cust, CAST((row_number() OVER (ORDER BY mon, cust) - 1) * 5
+        |                         // count(*) OVER () AS BIGINT) AS m_b FROM base)
+        |SELECT b.cust, b.recency, b.freq, CAST(b.mon AS DOUBLE) AS monetary,
+        |       CAST(5 - r_b AS BIGINT) AS r_score,
+        |       CAST(f_b + 1 AS BIGINT) AS f_score,
+        |       CAST(m_b + 1 AS BIGINT) AS m_score,
+        |       CAST((5 - r_b) * 100 + (f_b + 1) * 10 + (m_b + 1) AS BIGINT) AS rfm
+        |FROM base b JOIN rb USING (cust) JOIN fb USING (cust) JOIN mb USING (cust)
+        |ORDER BY cust""".stripMargin,
+    "q_seasonality" ->
+      """WITH c AS (SELECT ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow,
+        |                  event_type,
+        |                  CAST(count(*) AS BIGINT) AS n,
+        |                  sum(CAST(value AS DECIMAL(12,2))) AS sv
+        |           FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn, sum(sv) AS tsv
+        |      FROM c GROUP BY 1)
+        |SELECT c.dow, c.event_type, c.n,
+        |       round(CAST(c.sv AS DOUBLE) / c.n, 6) AS mean_v,
+        |       round((CAST(c.sv AS DOUBLE) / c.n) / (CAST(o.tsv AS DOUBLE) / o.tn), 6) AS dev_idx
+        |FROM c JOIN o USING (event_type) ORDER BY dow, event_type""".stripMargin,
+    "q_sample_size" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |           FROM events),
+        |p AS (SELECT n_events, CAST(x AS DOUBLE) / n_events AS p0d FROM a),
+        |s AS (SELECT n_events, p0d,
+        |             1.959964 * sqrt(2.0 * ((p0d + 0.01 / 2) * (1.0 - (p0d + 0.01 / 2))))
+        |             + 0.841621 * sqrt(p0d * (1.0 - p0d)
+        |                               + (p0d + 0.01) * (1.0 - (p0d + 0.01))) AS sz
+        |      FROM p)
+        |SELECT n_events, round(p0d, 6) AS p0, 0.01 AS mde,
+        |       CAST(ceil(sz * sz / (0.01 * 0.01)) AS BIGINT) AS n_per_arm
+        |FROM s""".stripMargin
   )
 }

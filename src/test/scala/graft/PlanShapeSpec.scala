@@ -516,4 +516,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("q_rfm: quintiles assign via broadcast offsets, customers never globally sort") {
+    val p = plan("q_rfm")
+    assert(p.contains("BroadcastHashJoin"), s"offset table not broadcast:\n$p")
+    // per-metric windows partition by the metric value (distributedNtile);
+    // a global row_number over customers would show a SinglePartition sort
+    // of the full customer frame instead
+    assert(p.contains("hashpartitioning(recency") || p.contains("hashpartitioning(freq"),
+      s"ntile windows not value-partitioned:\n$p")
+  }
+
+  test("q_seasonality: cell and overall aggregates combine map-side; overall broadcasts") {
+    val p = plan("q_seasonality")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"O(types) overall table not broadcast:\n$p")
+  }
+
+  test("q_sample_size: one global aggregate feeds a scalar expression tree") {
+    val p = plan("q_sample_size")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(exchanges(p) === 1, s"expected the single final-agg exchange, plan:\n$p")
+  }
 }
