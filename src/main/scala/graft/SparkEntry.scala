@@ -3486,6 +3486,47 @@ object SparkEntry {
             ceil(col("sz") * col("sz") / (lit(mde) * lit(mde)))
               .cast("long")
               .as("n_per_arm"))
+      }),
+
+      // Positional phrase search: exact consecutive-token match over the
+      // word-positional index (TextIndex.phraseSearch) — term-filtered
+      // postings + adjacency equi-joins, never a corpus LIKE scan. The
+      // oracle replays the adjacency over token arrays with a list lambda.
+      "q_phrase_search" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .phraseSearch(Tables.documents(s, dir), "vector table")
+          .orderBy("doc_id")),
+
+      // Degree assortativity of the co-order graph: Pearson correlation of
+      // endpoint degrees over directed edge ends — do hubs attach to hubs?
+      // Symmetry collapses the five moment sums to three, all exact BIGINT
+      // summed map-side; the m·Σjk and (Σj)² cross terms exceed int64 at
+      // sf0.1-edge counts, so they multiply in DECIMAL(38,0) (exact,
+      // engine-identical) before the single IEEE division, rounded 6.
+      "q_assortativity" -> ((s, dir) => {
+        import graft.operators.Analytics
+        val edges = Analytics.coOrderEdges(Tables.lineitem(s, dir))
+        val sym = edges
+          .select(col("a").as("src"), col("b").as("dst"))
+          .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        val deg = sym.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).cast("long").as("deg"))
+        val moms = sym
+          .join(deg.select(col("node").as("src"), col("deg").as("dj")), Seq("src"))
+          .join(deg.select(col("node").as("dst"), col("deg").as("dk")), Seq("dst"))
+          .agg(
+            count(lit(1)).cast("long").as("m"),
+            sum(col("dj") * col("dk")).cast("long").as("sjk"),
+            sum(col("dj")).cast("long").as("sj"),
+            sum(col("dj") * col("dj")).cast("long").as("sj2"))
+        moms.select(
+          col("m"),
+          round(
+            (col("m").cast("decimal(38,0)") * col("sjk") -
+              col("sj").cast("decimal(38,0)") * col("sj")).cast("double") /
+              (col("m").cast("decimal(38,0)") * col("sj2") -
+                col("sj").cast("decimal(38,0)") * col("sj")).cast("double"),
+            6).as("assortativity"))
       })
     )
   }
@@ -5057,6 +5098,33 @@ object SparkEntry {
         |      FROM p)
         |SELECT n_events, round(p0d, 6) AS p0, 0.01 AS mde,
         |       CAST(ceil(sz * sz / (0.01 * 0.01)) AS BIGINT) AS n_per_arm
+        |FROM s""".stripMargin,
+    "q_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |             CAST(len(list_filter(range(1, len(toks)),
+         |                                  i -> toks[i] = 'vector' AND toks[i+1] = 'table'))
+         |                  AS BIGINT) AS n_matches
+         |      FROM w)
+         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |j AS (SELECT dj.deg AS dj, dk.deg AS dk
+        |      FROM e JOIN deg dj ON e.src = dj.node JOIN deg dk ON e.dst = dk.node),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |             CAST(sum(dj * dk) AS BIGINT) AS sjk,
+        |             CAST(sum(dj) AS BIGINT) AS sj,
+        |             CAST(sum(dj * dj) AS BIGINT) AS sj2
+        |      FROM j)
+        |SELECT m,
+        |       round(CAST(CAST(m AS DECIMAL(38,0)) * sjk
+        |                  - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE)
+        |             / CAST(CAST(m AS DECIMAL(38,0)) * sj2
+        |                    - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE), 6) AS assortativity
         |FROM s""".stripMargin
   )
 }

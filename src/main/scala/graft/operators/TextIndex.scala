@@ -364,6 +364,34 @@ object TextIndex {
     * by trigram); the per-query cost is then |postings(pattern grams)| +
     * |candidates|, independent of corpus size.
     */
+  /** Exact consecutive-token phrase search over a word-positional inverted
+    * index — the operator a character-trigram index cannot express
+    * boundary-safely (its candidates still need a substring verify; this
+    * matches on token positions directly). Postings are `(doc_id, pos,
+    * tok)`; each query term filters the postings FIRST, so every exchange
+    * carries O(term hits), never O(corpus tokens), then adjacency
+    * equi-joins align `pos_i = pos_0 + i`. Returns `(doc_id, n_matches)`
+    * for documents containing the phrase at least once.
+    *
+    * At 100 TB the postings table is the materialized piece (bucketed by
+    * token); per-query cost is then Σ|postings(term_i)| — corpus-size-
+    * independent, and the rarest term bounds the join's output.
+    */
+  def phraseSearch(documents: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.trim.split("\\s+").toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val postings = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    def hits(t: String) = postings.filter(col("tok") === t)
+    val aligned = terms.zipWithIndex.tail.foldLeft(
+      hits(terms.head).select(col("doc_id"), col("pos"))) { case (acc, (t, i)) =>
+      acc.join(
+        hits(t).select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    aligned.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_matches"))
+  }
+
   def substringSearch(documents: DataFrame, pattern: String): DataFrame = {
     require(pattern.length >= 3, "pattern must be at least one trigram long")
     val qGrams = pattern.sliding(3).toSeq.distinct

@@ -533,6 +533,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"O(types) overall table not broadcast:\n$p")
   }
 
+  test("q_phrase_search: term filters prune postings below the adjacency join") {
+    val p = plan("q_phrase_search")
+    // each side of the adjacency join must carry a tok-equality filter so
+    // the exchange ships O(term hits), not the whole positional index
+    assert(p.contains("vector") && p.contains("table"), s"term filters missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"adjacency fell back to a pairwise shape:\n$p")
+  }
+
+  test("q_assortativity: moment sums combine map-side; one row leaves the graph") {
+    val p = plan("q_assortativity")
+    assert(p.contains("partial_sum"), s"moments not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_sample_size: one global aggregate feeds a scalar expression tree") {
     val p = plan("q_sample_size")
     assert(p.contains("partial_count") || p.contains("partial_sum"), s"no map-side combine:\n$p")

@@ -169,4 +169,26 @@ class TextIndexSpec extends SparkSpec {
     val hits = TextIndex.substringSearch(docs, "vector table").collect().map(_.getLong(0))
     assert(hits.toSeq === Seq(0L))
   }
+
+  test("phraseSearch: positional adjacency with multiplicity; non-adjacent terms rejected") {
+    val docs = Seq(
+      (0L, "vector table scan vector table", "s0", 30L), // phrase twice
+      (1L, "vector index table", "s0", 18L), // both terms, not adjacent
+      (2L, "table vector", "s0", 12L), // reversed order
+      (3L, "x vector table y", "s0", 16L) // once, mid-document
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextIndex.phraseSearch(docs, "vector table")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 2L, 3L -> 1L))
+  }
+
+  test("phraseSearch: single-term phrase degenerates to term counting") {
+    val docs = Seq(
+      (0L, "table table table", "s0", 17L),
+      (1L, "no match here", "s0", 13L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextIndex.phraseSearch(docs, "table")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 3L))
+  }
 }
