@@ -3527,6 +3527,73 @@ object SparkEntry {
               (col("m").cast("decimal(38,0)") * col("sj2") -
                 col("sj").cast("decimal(38,0)") * col("sj")).cast("double"),
             6).as("assortativity"))
+      }),
+
+      // Gini coefficient of customer spend (Lorenz concentration): the
+      // revenue-inequality number every marketplace dashboard carries.
+      // G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over cents sorted ascending.
+      // The global rank comes from the distributedNtile machinery —
+      // broadcast per-value offsets + a within-value row_number — so the
+      // customer frame NEVER sorts in one partition (only the O(distinct
+      // values) offset table does). Σ(rank·x) overflows int64 at corpus
+      // scale, so it accumulates in DECIMAL(38,0); one IEEE tree at the
+      // end, rounded 6.
+      "q_gini" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(
+            sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .cast("long").as("cents"))
+        val byVal = spend.groupBy("cents").agg(count(lit(1)).as("_cnt"))
+        val wCum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = byVal
+          .withColumn("_off", coalesce(sum(col("_cnt")).over(wCum), lit(0L)))
+          .select("cents", "_off")
+        val wIn = Window.partitionBy("cents").orderBy("cust")
+        spend
+          .join(broadcast(offsets), Seq("cents"))
+          .withColumn("rk", (col("_off") + row_number().over(wIn)).cast("long"))
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("cents")).cast("long").as("tot"),
+            sum(col("rk").cast("decimal(38,0)") * col("cents")).as("srx"))
+          .select(
+            col("n"),
+            round(
+              lit(2.0) * col("srx").cast("double") /
+                (col("n") * col("tot").cast("double")) -
+                (col("n") + 1).cast("double") / col("n"),
+              6).as("gini"))
+      }),
+
+      // Inter-event gap histogram (burstiness diagnostic): per event type,
+      // the distribution of seconds between a user's consecutive events of
+      // that type, log2-bucketed with the same libm-free bin trick as
+      // q_degree_dist. Gap extraction is integer microsecond arithmetic
+      // (`div`, not `/` — Column division is double); one window shuffle on
+      // (type, user), one O(types × buckets) aggregate.
+      "q_gap_histogram" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type", "user_id").orderBy(col("us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(
+            col("event_type"),
+            col("user_id"),
+            expr("unix_micros(ts)").as("us"),
+            col("event_id"))
+          .withColumn("pus", lag(col("us"), 1).over(w))
+          .filter(col("pus").isNotNull)
+          .select(col("event_type"), expr("(us - pus) div 1000000").as("gap_s"))
+          .groupBy(
+            col("event_type"),
+            (length(bin(col("gap_s") + 1)) - 1).cast("long").as("bucket"))
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            min(col("gap_s")).as("min_gap"),
+            max(col("gap_s")).as("max_gap"),
+            sum(col("gap_s")).cast("long").as("gap_sum"))
+          .orderBy("event_type", "bucket")
       })
     )
   }
@@ -5125,6 +5192,33 @@ object SparkEntry {
         |                  - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE)
         |             / CAST(CAST(m AS DECIMAL(38,0)) * sj2
         |                    - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE), 6) AS assortativity
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey AS cust,
+        |                      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |               FROM orders GROUP BY 1),
+        |r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, cust) AS BIGINT) AS rk
+        |      FROM spend),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS tot,
+        |             sum(CAST(rk AS DECIMAL(38,0)) * cents) AS srx
+        |      FROM r)
+        |SELECT n,
+        |       round(2.0 * CAST(srx AS DOUBLE) / (n * CAST(tot AS DOUBLE))
+        |             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM s""".stripMargin,
+    "q_gap_histogram" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT event_type,
+        |             (us - lag(us) OVER (PARTITION BY event_type, user_id
+        |                                 ORDER BY us, event_id)) // 1000000 AS gap_s
+        |      FROM e),
+        |f AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type,
+        |       CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(gap_s) AS min_gap, max(gap_s) AS max_gap,
+        |       CAST(sum(gap_s) AS BIGINT) AS gap_sum
+        |FROM f GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
   )
 }

@@ -548,6 +548,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_gini: global rank via broadcast offsets — the customer frame never globally sorts") {
+    val p = plan("q_gini")
+    assert(p.contains("BroadcastHashJoin"), s"offset table not broadcast:\n$p")
+    assert(p.contains("hashpartitioning(cents"), s"rank window not value-partitioned:\n$p")
+  }
+
+  test("q_gap_histogram: one (type, user) window; bucket counts combine map-side") {
+    val p = plan("q_gap_histogram")
+    assert(p.contains("hashpartitioning(event_type"), s"window not keyed:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
   test("q_sample_size: one global aggregate feeds a scalar expression tree") {
     val p = plan("q_sample_size")
     assert(p.contains("partial_count") || p.contains("partial_sum"), s"no map-side combine:\n$p")
