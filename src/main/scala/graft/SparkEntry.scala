@@ -3594,7 +3594,60 @@ object SparkEntry {
             max(col("gap_s")).as("max_gap"),
             sum(col("gap_s")).cast("long").as("gap_sum"))
           .orderBy("event_type", "bucket")
-      })
+      }),
+
+      // Per-node local clustering coefficient: the per-node sibling of
+      // q_triangles on the same degree-oriented edge iterator; triangles
+      // explode to 3T corner cells (output-sized), never Σ outdeg² wedges.
+      "q_lcc" -> ((s, dir) =>
+        graft.operators.Analytics.localClusteringCoefficient(
+          graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)), 40)),
+
+      // Lag-1/lag-7 autocorrelation of the per-type daily count series —
+      // Pearson r assembled from exact DECIMAL sums (not the engine's
+      // order-sensitive corr), one double division per row.
+      "q_autocorr" -> ((s, dir) =>
+        graft.operators.Analytics.dailyAutocorrelation(Tables.events(s, dir), Seq(1, 7))),
+
+      // CUSUM changepoint per event type: argmax-|running deviation sum|
+      // day, exact integer CUSUM (deviations scaled by the day count so no
+      // float mean exists), struct-max argmax with earliest-day ties.
+      "q_cusum" -> ((s, dir) =>
+        graft.operators.Analytics.cusumChangepoint(Tables.events(s, dir))),
+
+      // k-anonymity release audit over (nation, segment, balance-bucket)
+      // quasi-identifiers: one map-side-combined class count, one summary
+      // row. The gate a record-level export must pass.
+      "q_k_anonymity" -> ((s, dir) =>
+        graft.operators.Privacy.kAnonymity(
+          Tables.customer(s, dir)
+            .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+          5L)),
+
+      // Keyed pseudonymization mapping for the event user population:
+      // deterministic md5 surrogates, one distinct exchange.
+      "q_pseudonymize" -> ((s, dir) =>
+        graft.operators.Privacy
+          .pseudonymMap(Tables.events(s, dir), "user_id", "pepper2024")
+          .orderBy("user_id")),
+
+      // Flesch reading-ease per document — three regex counts and one
+      // guarded IEEE formula, single codegen'd projection.
+      "q_readability" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+              .cast("long").as("words"),
+            round(graft.functions.TextFunctions.fleschScore(col("text")), 4).as("flesch"))
+          .orderBy("doc_id")),
+
+      // Inverted index: exact df for every term; posting lists only where
+      // df ≤ cap (collect buffers bounded by construction — stopword
+      // postings are O(corpus) and stay NULL).
+      "q_inverted_index" -> ((s, dir) =>
+        graft.operators.TextIndex.invertedIndex(Tables.documents(s, dir), 100, 40))
     )
   }
 
@@ -5219,6 +5272,110 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       min(gap_s) AS min_gap, max(gap_s) AS max_gap,
         |       CAST(sum(gap_s) AS BIGINT) AS gap_sum
-        |FROM f GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "q_lcc" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT a FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |t AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+        |      FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |            UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(t.t, 0) AS t,
+        |       2.0 * COALESCE(t.t, 0) / (d.degree * (d.degree - 1)) AS lcc
+        |FROM deg d LEFT JOIN t ON d.node = t.node
+        |WHERE d.degree >= 2
+        |ORDER BY lcc DESC, COALESCE(t.t, 0) DESC, d.node LIMIT 40""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |u AS (SELECT event_type, 1 AS lag_k,
+        |             lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS x, n AS y
+        |      FROM daily
+        |      UNION ALL
+        |      SELECT event_type, 7 AS lag_k,
+        |             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS x, n AS y
+        |      FROM daily),
+        |s AS (SELECT event_type, lag_k,
+        |             CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM u WHERE x IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, lag_k, n_pairs,
+        |       CASE WHEN n_pairs >= 2 AND n_pairs * sxx - sx * sx > 0
+        |                 AND n_pairs * syy - sy * sy > 0
+        |            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+        |            END AS r
+        |FROM s ORDER BY event_type, lag_k""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, n,
+        |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS dd,
+        |             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        |      FROM daily),
+        |c AS (SELECT event_type, d, nn,
+        |             sum(dd * n - nn) OVER (PARTITION BY event_type ORDER BY d) AS s
+        |      FROM w),
+        |r AS (SELECT event_type, d, nn, abs(s) AS a,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY abs(s) DESC, d) AS rk
+        |      FROM c)
+        |SELECT event_type, d AS cp_day, CAST(a AS DOUBLE) AS cusum_abs,
+        |       CAST(a AS DOUBLE) / CAST(nn AS DOUBLE) AS cusum_rel
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |                    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |                    CAST(count(*) AS BIGINT) AS sz
+        |             FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(min(sz) AS BIGINT) AS min_class_size,
+        |       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_classes,
+        |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       min(sz) >= 5 AS k_ok
+        |FROM cls""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT user_id, md5('pepper2024:' || CAST(user_id AS VARCHAR)) AS pseudonym
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |ORDER BY user_id""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |                  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |                    AS words,
+        |                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |                    AS sents,
+        |                  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+        |                    AS syls
+        |           FROM documents)
+        |SELECT doc_id, words,
+        |       round(206.835
+        |             - 1.015 * (CAST(greatest(words, 1) AS DOUBLE)
+        |                        / CAST(greatest(sents, 1) AS DOUBLE))
+        |             - 84.6 * (CAST(syls AS DOUBLE)
+        |                       / CAST(greatest(words, 1) AS DOUBLE)), 4) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok
+         |            FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |p AS (SELECT dt.tok, array_to_string(list_sort(list(dt.doc_id)), ',') AS posting
+         |      FROM dt JOIN df ON dt.tok = df.tok
+         |      WHERE df.df <= 100 GROUP BY 1)
+         |SELECT df.tok, df.df, p.posting
+         |FROM df LEFT JOIN p ON df.tok = p.tok
+         |ORDER BY df.df DESC, df.tok LIMIT 40""".stripMargin
   )
 }

@@ -63,6 +63,25 @@ object TextFunctions {
     when(length(text) >= 3, hits.cast("double") / (length(text) - 2))
   }
 
+  /** Flesch reading-ease score from three regex counts — the classic
+    * readability quality signal (cheap prose-vs-noise separator next to
+    * the Gopher rules). Proxies: words = letter runs, sentences =
+    * terminal-punctuation runs, syllables = vowel-group runs — the
+    * standard corpus-scale approximations. Patterns are RE2/Java-common
+    * so the DuckDB oracle recomputes them byte-for-byte; the formula
+    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` is evaluated on exact integer
+    * counts with `greatest(1, ·)` guards (punctuation-free or empty text
+    * degrades gracefully instead of dividing by zero), identical IEEE
+    * expression tree both engines. A single codegen'd projection. */
+  def fleschScore(text: Column): Column = {
+    val words = size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0)))
+    val sentences = size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+    val syllables = size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0)))
+    val w = greatest(words, lit(1)).cast("double")
+    val s = greatest(sentences, lit(1)).cast("double")
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syllables.cast("double") / w)
+  }
+
   /** PII patterns for corpus scrubbing — kept to constructs with identical
     * semantics in Java regex and RE2 (no lookaround, no backrefs) so the
     * DuckDB oracle matches byte-for-byte. */

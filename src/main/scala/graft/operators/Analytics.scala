@@ -906,4 +906,159 @@ object Analytics {
       .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
       .limit(k)
   }
+
+  /** Top-`k` nodes by LOCAL clustering coefficient over an undirected edge
+    * set `(a, b), a < b` — the per-node sibling of [[triangleStats]]:
+    * `lcc(v) = 2·t(v) / (d(v)·(d(v)−1))`, how close each node's
+    * neighborhood is to a clique (ego-community density; hub-vs-clique
+    * separation on a co-occurrence graph).
+    *
+    * Scale shape: the SAME degree-oriented edge-iterator as
+    * [[triangleStats]] — every triangle a<b<c (degree order) is discovered
+    * exactly once at its (a, b) edge — but per-node attribution needs the
+    * triangle's third corner, so instead of counting inside the aggregate
+    * the sorted-adjacency intersection EXPLODES to one row per triangle
+    * (`array_intersect` of two already-sorted, duplicate-free lists), and
+    * each triangle contributes its three corners row-locally
+    * (`explode(array(a, b, w))`). The exchange after that carries 3·T
+    * count cells, map-side combined — O(triangles), the output's own size,
+    * never Σ outdeg² wedges. Degree orientation still bounds every
+    * out-neighborhood by O(√|E|). The final degree join is on the O(V)
+    * degree table; the top-k cut compiles to TakeOrderedAndProject under
+    * the deterministic (lcc desc, t desc, node) order. Isolated-triangle
+    * corners score 1.0; degree-1 nodes are excluded (lcc undefined —
+    * the d·(d−1) denominator is zero). */
+  def localClusteringCoefficient(edges: DataFrame, k: Int): DataFrame = {
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).cast("long").as("dg"))
+    val oriented = sym
+      .join(deg.withColumnRenamed("a", "u").withColumnRenamed("dg", "du"), col("a") === col("u"))
+      .join(deg.withColumnRenamed("a", "v").withColumnRenamed("dg", "dv"), col("b") === col("v"))
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val adj = oriented.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val corners = oriented
+      .join(adj.toDF("src", "na"), Seq("src"))
+      .join(adj.toDF("dst", "nb"), Seq("dst"))
+      .select(col("src"), col("dst"), explode(array_intersect(col("na"), col("nb"))).as("w"))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
+    val triPerNode = corners.groupBy("node").agg(count(lit(1)).cast("long").as("t"))
+    deg
+      .filter(col("dg") >= 2)
+      .select(col("a").as("node"), col("dg").as("degree"))
+      .join(triPerNode, Seq("node"), "left_outer")
+      .select(
+        col("node"),
+        col("degree"),
+        coalesce(col("t"), lit(0L)).as("t"),
+        // exact longs, one IEEE division
+        (lit(2.0) * coalesce(col("t"), lit(0L)) / (col("degree") * (col("degree") - 1)))
+          .as("lcc"))
+      .orderBy(col("lcc").desc, col("t").desc, col("node"))
+      .limit(k)
+  }
+
+  /** Lag-`L` autocorrelation of the per-`keyCol` DAILY count series, one
+    * row per (key, lag) — the seasonality detector that turns "does
+    * Monday look like last Monday" into a number (lag 7 ≈ weekly rhythm,
+    * lag 1 ≈ day-to-day persistence).
+    *
+    * Numeric contract: Pearson r is assembled from EXACT integer sums
+    * (`n·Σxy − Σx·Σy` over DECIMAL(38,0) — corpus-scale daily counts
+    * square past BIGINT) with ONE final double division, not from the
+    * engine's `corr` (whose single-pass moment updates are
+    * summation-order-sensitive and differ between engines). Pairs are
+    * (day d, day d+L) where BOTH days exist — a `lag(L)` over the
+    * day-ordered series joined by position, which on a gap-free daily
+    * spine equals the calendar pairing.
+    *
+    * Scale shape: one map-side-combined (key, day) count — the only
+    * corpus-keyed exchange — then a per-key window over O(days) rows
+    * (bounded by the time range, never by data volume) and a per-key
+    * aggregate to one row per lag. Degenerate guard: a key with < 2
+    * pairs or zero variance on either margin yields r = NULL (not a
+    * division blow-up). */
+  def dailyAutocorrelation(events: DataFrame, lags: Seq[Int]): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val perLag = lags.map { l =>
+      daily
+        .withColumn("x", lag(col("n"), l).over(byType))
+        .filter(col("x").isNotNull)
+        .select(
+          col("event_type"),
+          lit(l).as("lag_k"),
+          col("x").cast("decimal(38,0)").as("x"),
+          col("n").cast("decimal(38,0)").as("y"))
+        .groupBy("event_type", "lag_k")
+        .agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+    }
+    perLag
+      .reduce(_.unionByName(_))
+      .select(
+        col("event_type"),
+        col("lag_k").cast("int").as("lag_k"),
+        col("n_pairs"),
+        // cov/var numerators are exact DECIMAL; one double division at the end
+        when(
+          col("n_pairs") >= 2 &&
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+  /** CUSUM changepoint probe per `event_type`: the day where the running
+    * sum of deviations from the series mean peaks in absolute value — the
+    * classic "when did the level shift" detector for daily volumes
+    * (deploys, outages, mix changes).
+    *
+    * Numeric contract: the mean is never materialized as a float.
+    * Deviations are scaled by the day count D — `s_t = Σ_{i≤t} (D·n_i − N)`
+    * (N = series total) — so the cumulative sum is EXACT integer
+    * (DECIMAL(38,0); D·n_i at corpus scale can pass BIGINT), the argmax
+    * is over exact values with a deterministic earliest-day tie-break,
+    * and the one reported double is `|s_peak| / (D·sqrt(D))`-free: we
+    * report `cusum_rel = |s_peak| / N` — peak deviation mass relative to
+    * the series total, one IEEE division of exact values.
+    *
+    * Scale shape: one map-side-combined (type, day) count; per-type
+    * windows over O(days) rows (time-bounded); struct-max argmax (the
+    * same 1:1 policy as last-touch attribution) so ties break on the
+    * EARLIEST day without a second window. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("dd", count(lit(1)).over(byType).cast("decimal(38,0)"))
+      .withColumn("nn", sum(col("n")).over(byType).cast("decimal(38,0)"))
+      .withColumn("s", sum(col("dd") * col("n") - col("nn")).over(cum))
+      // argmax by (|s| desc, d asc) via one struct max: negate the date so
+      // the lexicographic max prefers the earliest day among equal |s|
+      .groupBy("event_type")
+      .agg(
+        max(struct(abs(col("s")).as("a"), (unix_date(col("d")) * -1).as("negd"),
+          col("d").as("d"), col("nn").as("nn"))).as("m"))
+      .select(
+        col("event_type"),
+        col("m.d").as("cp_day"),
+        col("m.a").cast("double").as("cusum_abs"),
+        (col("m.a").cast("double") / col("m.nn").cast("double")).as("cusum_rel"))
+      .orderBy("event_type")
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy primitives a training-data pipeline needs BEFORE data leaves the
+  * boundary: prove a release is k-anonymous over its quasi-identifiers, and
+  * replace stable identifiers with keyed surrogates. Complements the PII
+  * scan/redaction in [[graft.functions.TextFunctions]] (content-level) with
+  * the record-level side.
+  */
+object Privacy {
+
+  /** k-anonymity audit over the `quasi` identifier columns: one summary row
+    * `(n_rows, n_classes, min_class_size, n_violating_classes,
+    * rows_at_risk, k_ok)` where a violating equivalence class has fewer
+    * than `k` rows and `rows_at_risk` counts the rows inside them — the
+    * release gate "no quasi-identifier combination isolates fewer than k
+    * people".
+    *
+    * Scale shape: ONE map-side-combined groupBy on the quasi columns
+    * (classes collapse before the exchange; the shuffle carries O(classes)
+    * cells, not rows), then one O(classes) aggregate to a single row.
+    * NULLs form their own class (groupBy semantics in both engines), which
+    * is the conservative reading — a null-quasi row set smaller than k is
+    * still isolating. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("sz"))
+      .agg(
+        sum(col("sz")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_classes"),
+        min(col("sz")).cast("long").as("min_class_size"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).cast("long").as("n_violating_classes"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).cast("long").as("rows_at_risk"))
+      .select(
+        col("n_rows"),
+        col("n_classes"),
+        col("min_class_size"),
+        col("n_violating_classes"),
+        col("rows_at_risk"),
+        (col("min_class_size") >= k).as("k_ok"))
+
+  /** Keyed surrogate for an identifier column: `md5(pepper || ':' || id)`
+    * as a Column — deterministic (joins on the surrogate still line up
+    * across tables and runs), non-reversible without the pepper, and
+    * engine-portable (md5 over the identical byte string in Spark and
+    * DuckDB). This is pseudonymization (GDPR art. 4(5)) not anonymization:
+    * the mapping exists, held by whoever holds the pepper. */
+  def surrogate(id: Column, pepper: String): Column =
+    md5(concat(lit(pepper), lit(":"), id.cast("string")))
+
+  /** Pseudonymization mapping for the distinct `idCol` population of `df`:
+    * `(idCol, pseudonym)` one row per distinct id. Injectivity holds up to
+    * md5 collisions (2^-64 birthday scale at any realistic population);
+    * the distinct is the only exchange, map-side combined on the id. The
+    * downstream pattern is `df.withColumn(id, surrogate(col(id), pepper))`
+    * row-locally — this table only exists for auditing/joining legacy
+    * keys, and is itself sensitive (it IS the re-identification table). */
+  def pseudonymMap(df: DataFrame, idCol: String, pepper: String): DataFrame =
+    df.select(col(idCol))
+      .distinct()
+      .select(col(idCol), surrogate(col(idCol), pepper).as("pseudonym"))
+}

@@ -92,6 +92,42 @@ object TextIndex {
       .select("vid", "tok", "n")
   }
 
+  /** Inverted index over the whitespace tokenizer: one row per term with
+    * its document frequency and — for terms rare enough to materialize —
+    * the full sorted posting list (comma-joined, so the row stays a flat
+    * scalar for export/oracle hashing). Returns the `k` highest-df terms
+    * as `(tok, df, posting)`, deterministic under (df desc, tok).
+    *
+    * Scale shape: df is exact for EVERY term (one map-side-combined
+    * count over the distinct (doc, tok) table), but posting lists are
+    * only collected where `df ≤ postingCap` — a stopword's posting is
+    * O(corpus) by definition and would otherwise sit in one aggregation
+    * buffer; the cap bounds every `collect_list` buffer by construction,
+    * which is the honest distributed contract for index building (real
+    * engines shard exactly these hot postings). High-df terms carry a
+    * NULL posting: the df survives as the ranking/statistics signal.
+    * The cap filter runs BEFORE the collect (semi-bounded second
+    * aggregate over the qualifying subset), so the hot keys never reach
+    * the buffering exchange. Same deliberate 2× on the tokenize stage as
+    * [[tfIdfTopK]] — the df and posting subtrees canonicalize
+    * differently; see that scaladoc for why the window alternative is
+    * worse. */
+  def invertedIndex(documents: DataFrame, postingCap: Int, k: Int): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val df = docTok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val rare = df.filter(col("df") <= postingCap)
+    val postings = docTok
+      .join(rare.select("tok"), Seq("tok")) // O(vocab) build side; AQE broadcasts
+      .groupBy("tok")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("posting"))
+    df.join(postings, Seq("tok"), "left_outer")
+      .select(col("tok"), col("df"), col("posting"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+  }
+
   /** BM25 top-`k` retrieval for a literal query-term set — the classic
     * corpus ranking function, shaped for scale: the exploded token stream
     * is filtered to the query terms BEFORE the tf aggregate, so the only

@@ -565,4 +565,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), s"no map-side combine:\n$p")
     assert(exchanges(p) === 1, s"expected the single final-agg exchange, plan:\n$p")
   }
+
+  test("q_lcc: corner attribution shuffles O(triangles) cells — never wedges, never pairwise") {
+    val p = plan("q_lcc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$p")
+    // corner cells combine map-side before the per-node count exchange
+    assert(p.contains("partial_count"), s"corner counts not map-side combined:\n$p")
+  }
+
+  test("q_k_anonymity: classes collapse map-side; one O(classes) exchange") {
+    val p = plan("q_k_anonymity")
+    assert(p.contains("partial_count"), s"class sizes not map-side combined:\n$p")
+    assert(exchanges(p) === 2, s"expected class agg + 1-row summary only, plan:\n$p")
+  }
+
+  test("q_pseudonymize: one distinct exchange; surrogate is a codegen'd projection") {
+    val p = plan("q_pseudonymize")
+    // distinct agg + output sort — the md5 never forces extra exchanges
+    // (the surrogate projection fuses into the final distinct aggregate)
+    assert(exchanges(p) === 2, s"expected distinct + output sort only, plan:\n$p")
+    assert(p.contains("pseudonym"), s"surrogate not in plan:\n$p")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), s"scan not pruned:\n$p")
+  }
+
+  test("q_readability: projection-only — regex counts never shuffle") {
+    val p = plan("q_readability")
+    // one output sort (orderBy doc_id); no aggregate/join exchange
+    assert(exchanges(p) === 1, s"expected the output-sort exchange only, plan:\n$p")
+  }
+
+  test("q_autocorr: daily counts combine map-side; windows stay type-partitioned") {
+    val p = plan("q_autocorr")
+    assert(p.contains("partial_count"), s"daily counts not map-side combined:\n$p")
+    assert(p.contains("hashpartitioning(event_type"), s"lag window not keyed:\n$p")
+  }
+
+  test("q_cusum: per-type windows keyed; argmax is one struct-max aggregate") {
+    val p = plan("q_cusum")
+    assert(p.contains("hashpartitioning(event_type"), s"CUSUM window not keyed:\n$p")
+    assert(p.contains("partial_max") || p.contains("max(m"), s"argmax not aggregated:\n$p")
+  }
+
+  test("q_inverted_index: posting collect runs only below the df cap filter") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("collect_list"), s"posting aggregate missing:\n$p")
+    assert(p.contains("(df"), s"cap filter not present:\n$p")
+  }
 }
