@@ -3647,7 +3647,48 @@ object SparkEntry {
       // df ≤ cap (collect buffers bounded by construction — stopword
       // postings are O(corpus) and stay NULL).
       "q_inverted_index" -> ((s, dir) =>
-        graft.operators.TextIndex.invertedIndex(Tables.documents(s, dir), 100, 40))
+        graft.operators.TextIndex.invertedIndex(Tables.documents(s, dir), 100, 40)),
+
+      // Merged-interval activity coverage per user (5-minute hold): the
+      // interval-union via one user-partitioned window pass — never an
+      // interval self-join; exact integer microseconds throughout.
+      "q_interval_coverage" -> ((s, dir) =>
+        graft.operators.Analytics.intervalCoverage(Tables.events(s, dir), 300000000L)),
+
+      // Catalog novelty curve over (ship-day, part): active vs first-seen
+      // parts per day, cumulative catalog size, novelty rate. Corpus
+      // collapses to distinct (day, key) once; the rest is O(days).
+      "q_first_seen" -> ((s, dir) =>
+        graft.operators.Analytics.firstSeenCurve(
+          Tables.lineitem(s, dir).select(
+            to_date(col("l_shipdate")).as("d"), col("l_partkey").as("p")),
+          "d", "p")),
+
+      // KWIC search snippets on top of the trigram index: fixed-width
+      // window around the first occurrence; row-local projection over the
+      // verified hits only.
+      "q_search_snippets" -> ((s, dir) =>
+        graft.operators.TextIndex.searchSnippets(Tables.documents(s, dir), "vector table", 30)),
+
+      // Does click activity lead purchases? Cross-correlation of the two
+      // daily series at lags 0/1/2 — exact-sum Pearson (never the engine's
+      // order-sensitive corr); zero-filled union day spine.
+      "q_crosscorr" -> ((s, dir) =>
+        graft.operators.Analytics
+          .dailyCrossCorrelation(Tables.events(s, dir), "click", "purchase", Seq(0, 1, 2))),
+
+      // Neyman label-budget allocation across market segments: n_h ∝
+      // N_h·S_h from exact DECIMAL moments in cents; weights 6 dp-rounded
+      // then DECIMAL-summed so the normalizing total is order-insensitive.
+      "q_neyman_alloc" -> ((s, dir) =>
+        graft.operators.Analytics.neymanAllocation(
+          Tables.customer(s, dir)
+            .withColumn(
+              "cents",
+              expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")),
+          "c_mktsegment",
+          "cents",
+          1000L))
     )
   }
 
@@ -5376,6 +5417,99 @@ object SparkEntry {
          |      WHERE df.df <= 100 GROUP BY 1)
          |SELECT df.tok, df.df, p.posting
          |FROM df LEFT JOIN p ON df.tok = p.tok
-         |ORDER BY df.df DESC, df.tok LIMIT 40""".stripMargin
+         |ORDER BY df.df DESC, df.tok LIMIT 40""".stripMargin,
+    "q_interval_coverage" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+        |                  epoch_us(ts) + 300000000 AS en
+        |           FROM events),
+        |w AS (SELECT user_id, event_id, st, en,
+        |             max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                    AND 1 PRECEDING) AS pm
+        |      FROM e),
+        |i AS (SELECT user_id, event_id, st, en,
+        |             CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS ni
+        |      FROM w),
+        |s AS (SELECT user_id, st, en,
+        |             sum(ni) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS isl
+        |      FROM i),
+        |g AS (SELECT user_id, isl, min(st) AS s0, max(en) AS e1,
+        |             CAST(count(*) AS BIGINT) AS nev
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(nev) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(e1 - s0) // 1000000 AS BIGINT) AS covered_s
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_first_seen" ->
+      """WITH dk AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d, l_partkey AS k
+        |            FROM lineitem),
+        |pd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_active FROM dk GROUP BY 1),
+        |nw AS (SELECT fd AS d, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM (SELECT k, min(d) AS fd FROM dk GROUP BY 1) GROUP BY 1)
+        |SELECT pd.d, pd.n_active,
+        |       COALESCE(nw.n_new, 0) AS n_new,
+        |       CAST(sum(COALESCE(nw.n_new, 0))
+        |              OVER (ORDER BY pd.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS catalog_size,
+        |       CAST(COALESCE(nw.n_new, 0) AS DOUBLE) / pd.n_active AS novelty_rate
+        |FROM pd LEFT JOIN nw ON pd.d = nw.d
+        |ORDER BY pd.d""".stripMargin,
+    "q_search_snippets" ->
+      """WITH h AS (SELECT doc_id, text, CAST(instr(text, 'vector table') AS BIGINT) AS pos
+        |           FROM documents WHERE contains(text, 'vector table'))
+        |SELECT doc_id, pos,
+        |       substr(text, CAST(greatest(1, pos - 30) AS INT), 72) AS snippet
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_crosscorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |                      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |                           AS BIGINT) AS na,
+        |                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                           AS BIGINT) AS nb
+        |               FROM events WHERE event_type IN ('click', 'purchase')
+        |               GROUP BY 1),
+        |u AS (SELECT 0 AS lag_k, na AS x, lead(nb, 0) OVER (ORDER BY d) AS y FROM daily
+        |      UNION ALL
+        |      SELECT 1 AS lag_k, na AS x, lead(nb, 1) OVER (ORDER BY d) AS y FROM daily
+        |      UNION ALL
+        |      SELECT 2 AS lag_k, na AS x, lead(nb, 2) OVER (ORDER BY d) AS y FROM daily),
+        |s AS (SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM u WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT lag_k, n_pairs,
+        |       CASE WHEN n_pairs >= 2 AND n_pairs * sxx - sx * sx > 0
+        |                 AND n_pairs * syy - sy * sy > 0
+        |            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+        |            END AS r
+        |FROM s ORDER BY lag_k""".stripMargin,
+    "q_neyman_alloc" ->
+      """WITH m AS (SELECT c_mktsegment AS stratum,
+        |                  CAST(count(*) AS BIGINT) AS n_h,
+        |                  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |                       AS BIGINT) AS sx,
+        |                  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |                           * CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |                       AS BIGINT) AS sxx
+        |           FROM customer GROUP BY 1),
+        |d AS (SELECT stratum, n_h,
+        |             sqrt(CAST(CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |                       AS DOUBLE)) / n_h AS sd
+        |      FROM m),
+        |w AS (SELECT stratum, n_h, sd,
+        |             CAST(round(n_h * sd, 6) AS DECIMAL(38,6)) AS w
+        |      FROM d),
+        |t AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS wtot FROM w)
+        |SELECT stratum, n_h, round(sd, 6) AS sd,
+        |       CASE WHEN wtot > 0
+        |            THEN CAST(floor(1000 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE))
+        |                      AS BIGINT)
+        |            ELSE 0 END AS alloc
+        |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin
   )
 }

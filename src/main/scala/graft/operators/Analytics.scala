@@ -1020,6 +1020,191 @@ object Analytics {
       .orderBy(col("event_type"), col("lag_k"))
   }
 
+  /** Per-user merged-interval activity coverage: each event opens a
+    * `holdUs`-microsecond activity interval; overlapping/abutting intervals
+    * union into islands and the user's covered time is the summed island
+    * length — the "actual time on site" quantity a naive
+    * `n_events × hold` overstates wherever activity clusters. Returns
+    * `(user_id, n_events, n_islands, covered_s)`.
+    *
+    * Scale shape: the classic interval-union via ONE user-partitioned
+    * window pass (running max of prior interval ends ⇒ island-start flags
+    * ⇒ running island id) — never an interval self-join. Both follow-up
+    * aggregates reuse the same user_id hash partitioning (exchange-reuse,
+    * cf. q_gaps_islands). All arithmetic is exact integer microseconds
+    * (`unix_micros` + `div`); tie rows (same user, same timestamp) carry
+    * identical intervals, so island assignment is order-invariant, and
+    * event_id makes the window order total anyway. */
+  def intervalCoverage(events: DataFrame, holdUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("st"))
+      .withColumn("en", col("st") + lit(holdUs))
+      .withColumn("pm", max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "ni",
+        when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "isl")
+      .agg(
+        min(col("st")).as("s0"),
+        max(col("en")).as("e1"),
+        count(lit(1)).as("nev"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("nev")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_islands"),
+        expr("CAST(sum(e1 - s0) div 1000000 AS BIGINT)").as("covered_s"))
+      .orderBy("user_id")
+  }
+
+  /** First-seen novelty curve over (`dayCol`, `keyCol`) observations: per
+    * day, how many distinct keys were active, how many appeared for the
+    * FIRST time ever, the cumulative catalog size, and the novelty rate —
+    * the "is this stream still showing me new things" diagnostic (catalog
+    * growth, crawl-frontier freshness, dedup upstream health).
+    *
+    * Scale shape: observations collapse to distinct (day, key) once (one
+    * map-side-combined exchange, the only corpus-keyed one); first-seen
+    * is a min-per-key aggregate on the SAME key partitioning; everything
+    * after is O(days) rows, including the cumulative window (single
+    * partition over the time-bounded day table — the documented bounded
+    * exception, cf. the daily-series operators). */
+  def firstSeenCurve(df: DataFrame, dayCol: String, keyCol: String): DataFrame = {
+    val dk = df.select(col(dayCol).as("d"), col(keyCol).as("k")).distinct()
+    val perDay = dk.groupBy("d").agg(count(lit(1)).cast("long").as("n_active"))
+    val newPerDay = dk
+      .groupBy("k")
+      .agg(min(col("d")).as("fd"))
+      .groupBy(col("fd").as("d"))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+    val wCum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    perDay
+      .join(newPerDay, Seq("d"), "left_outer")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("catalog_size", sum(col("n_new")).over(wCum).cast("long"))
+      .select(
+        col("d"),
+        col("n_active"),
+        col("n_new"),
+        col("catalog_size"),
+        (col("n_new").cast("double") / col("n_active")).as("novelty_rate"))
+      .orderBy("d")
+  }
+
+  /** Lead/lag cross-correlation between two event types' daily count
+    * series: Pearson r of `(count_A on day d, count_B on day d+L)` for each
+    * requested lag — positive r at positive L reads "A leads B by L days"
+    * (the does-signup-predict-purchase diagnostic). A day with events of
+    * only one type counts ZERO for the other (the spine is the union of
+    * active days), so missing days don't silently shrink the pairing.
+    *
+    * Numeric contract: same exact-sum Pearson assembly as
+    * [[dailyAutocorrelation]] — DECIMAL(38,0) sums, one double division,
+    * NULL on zero variance — never the engine's order-sensitive `corr`.
+    *
+    * Scale shape: ONE map-side-combined day aggregate builds both series
+    * as conditional counts (the only corpus-keyed exchange); the lead
+    * windows and the per-lag reductions run over the O(days) spine —
+    * single-partition but time-bounded, the documented exception. */
+  def dailyCrossCorrelation(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      lags: Seq[Int]): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("na"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("nb"))
+    val byDay = Window.orderBy(col("d"))
+    val perLag = lags.map { l =>
+      daily
+        .withColumn("y", lead(col("nb"), l).over(byDay))
+        .filter(col("y").isNotNull)
+        .select(lit(l).as("lag_k"), col("na").as("x"), col("y"))
+        .groupBy("lag_k")
+        .agg(
+          count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+    }
+    perLag
+      .reduce(_.unionByName(_))
+      .select(
+        col("lag_k").cast("int").as("lag_k"),
+        col("n_pairs"),
+        when(
+          col("n_pairs") >= 2 &&
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+      .orderBy("lag_k")
+  }
+
+  /** Neyman (variance-proportional) sample allocation: how a fixed survey /
+    * eval-labeling budget should split across strata — `n_h ∝ N_h·S_h`, so
+    * big AND volatile strata get the labels, near-constant strata almost
+    * none. The principled refinement of proportional stratified sampling
+    * ([[graft.operators.Curation.stratifiedSample]] covers the equal/
+    * proportional case).
+    *
+    * Numeric contract: per-stratum population variance from exact DECIMAL
+    * moments (`n·Σx² − (Σx)²`, integer `cents`); S_h enters through one
+    * correctly-rounded IEEE sqrt; the weight is rounded to 6 dp and summed
+    * as DECIMAL so the normalizing total is order-insensitive; allocation
+    * is `floor(budget·w/Σw)` on identically-derived doubles. Zero-variance
+    * strata weigh 0 (get no budget) — allocate a floor upstream if every
+    * stratum must be probed.
+    *
+    * Scale shape: one map-side-combined moment aggregate to O(strata)
+    * rows; the total is a 1-row broadcast. */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      centsCol: String,
+      budget: Long): DataFrame = {
+    val m = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        count(lit(1)).cast("long").as("n_h"),
+        sum(col(centsCol).cast("decimal(38,0)")).as("sx"),
+        sum(col(centsCol).cast("decimal(38,0)") * col(centsCol)).as("sxx"))
+      .select(
+        col("stratum"),
+        col("n_h"),
+        // population stddev: sqrt((n·Σx² − (Σx)²)) / n — exact args, two
+        // IEEE steps (sqrt, divide)
+        (sqrt((col("n_h") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          col("n_h")).as("sd"))
+      .withColumn(
+        "w",
+        round(col("n_h") * col("sd"), 6).cast("decimal(38,6)"))
+    val tot = m.agg(sum(col("w")).as("wtot"))
+    m.join(broadcast(tot))
+      .select(
+        col("stratum"),
+        col("n_h"),
+        round(col("sd"), 6).as("sd"),
+        when(
+          col("wtot") > 0,
+          floor(lit(budget) * col("w").cast("double") / col("wtot").cast("double"))
+            .cast("long"))
+          .otherwise(lit(0L))
+          .as("alloc"))
+      .orderBy("stratum")
+  }
+
   /** CUSUM changepoint probe per `event_type`: the day where the running
     * sum of deviations from the series mean peaks in absolute value — the
     * classic "when did the level shift" detector for daily volumes

@@ -454,6 +454,31 @@ object TextIndex {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** KWIC (keyword-in-context) snippets for a literal search: the matching
+    * documents with a fixed-width window around the FIRST occurrence —
+    * the result-presentation step on top of [[substringSearch]]. Returns
+    * `(doc_id, pos, snippet)` (pos 1-based, like both engines' `instr`).
+    *
+    * Plan shape: candidate doc ids come from the trigram index
+    * (corpus-LIKE-scan-free, same contract as [[substringSearch]]); only
+    * the verified hits' text rows feed the snippet projection, which is
+    * row-local (`instr` + dynamic `substring` — identical 1-based,
+    * clamped-start semantics in Spark and DuckDB; the window length is a
+    * folded literal so a near-start match yields the same fixed-width
+    * slice in both). */
+  def searchSnippets(documents: DataFrame, pattern: String, ctx: Int = 30): DataFrame = {
+    val hits = substringSearch(documents, pattern).select("doc_id")
+    val win = 2 * ctx + pattern.length
+    documents
+      .join(hits, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), instr(col("text"), pattern).cast("long").as("pos"))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        expr(s"substring(text, CAST(greatest(1, pos - $ctx) AS INT), $win)").as("snippet"))
+      .orderBy("doc_id")
+  }
+
   /** Top-`k` BPE merge candidates — the first step of byte-pair-encoding
     * tokenizer training: over the word-frequency table, count every
     * adjacent symbol pair (character bigram) weighted by word frequency;

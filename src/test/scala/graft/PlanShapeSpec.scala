@@ -607,6 +607,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("max(m"), s"argmax not aggregated:\n$p")
   }
 
+  test("q_interval_coverage: one user-keyed window pass; no interval self-join") {
+    val p = plan("q_interval_coverage")
+    assert(p.contains("hashpartitioning(user_id"), s"window not user-keyed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("SortMergeJoin"), s"interval self-join crept in:\n$p")
+  }
+
+  test("q_first_seen: one corpus distinct; day-table window only after O(days) collapse") {
+    val p = plan("q_first_seen")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"aggregates not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_search_snippets: snippet projection sits above the trigram-index semi-join") {
+    val p = plan("q_search_snippets")
+    assert(p.contains("LeftSemi"), s"candidate semi-join missing:\n$p")
+    assert(p.contains("Contains(text"), s"exact verify filter missing:\n$p")
+  }
+
+  test("q_crosscorr: both series from ONE conditional day aggregate; type filter pushed") {
+    val p = plan("q_crosscorr")
+    assert(p.contains("partial_sum"), s"day counts not map-side combined:\n$p")
+    assert(p.contains("PushedFilters: [In(event_type"), s"type filter not pushed:\n$p")
+  }
+
+  test("q_neyman_alloc: one moment aggregate; O(strata) rows past the exchange") {
+    val p = plan("q_neyman_alloc")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"moments not map-side combined:\n$p")
+    // the 1-row weight total joins via broadcast (BNLJ over one row is
+    // fine); a CartesianProduct would mean the broadcast hint was lost
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_inverted_index: posting collect runs only below the df cap filter") {
     val p = plan("q_inverted_index")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")

@@ -142,6 +142,120 @@ class PrivacyAndSeriesSpec extends SparkSpec {
     assert(r.getAs[java.sql.Date]("cp_day").toString === "2024-01-01")
   }
 
+  // ---- intervalCoverage --------------------------------------------------
+
+  test("intervalCoverage: overlapping intervals merge; disjoint ones add up") {
+    // hold = 10 s. user 1: events at t=0s and t=5s overlap → one island
+    // covering [0, 15] = 15 s; event at t=100s is its own 10 s island.
+    // user 2: single event → 10 s.
+    val df = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"),
+      (1L, 11L, "2024-01-01 00:00:05"),
+      (1L, 12L, "2024-01-01 00:01:40"),
+      (2L, 20L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "event_id", "s")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("s")).as("ts"))
+    val out = Analytics
+      .intervalCoverage(df, 10000000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, 25L)))
+    assert(out(2L) === ((1L, 1L, 10L)))
+  }
+
+  test("intervalCoverage: abutting intervals (start == prior end) still merge") {
+    // hold 10 s, second event exactly at the first's end: st == pm → not a
+    // new island (start > pm is strict), covered = 20 s in one island.
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"),
+      (1L, 2L, "2024-01-01 00:00:10"))
+      .toDF("user_id", "event_id", "s")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("s")).as("ts"))
+    val r = Analytics.intervalCoverage(df, 10000000L).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 20L)))
+  }
+
+  test("intervalCoverage: islands agree with Spark's native session_window on real data") {
+    // The island chain IS a gap-based session window (gap = hold): per
+    // user, island count and summed coverage must match
+    // groupBy(session_window(ts, gap)) exactly — session duration is
+    // last − first + gap, the same quantity e1 − s0 computes.
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val hold = 300000000L
+    val mine = Analytics
+      .intervalCoverage(ev, hold)
+      .select("user_id", "n_islands", "covered_s")
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "300 seconds").as("sw"))
+      .agg(lit(1).as("one"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_islands"),
+        expr("CAST(sum(unix_micros(sw.end) - unix_micros(sw.start)) div 1000000 AS BIGINT)")
+          .as("covered_s"))
+    assert(mine.exceptAll(native).isEmpty && native.exceptAll(mine).isEmpty)
+  }
+
+  // ---- dailyCrossCorrelation ---------------------------------------------
+
+  test("dailyCrossCorrelation: a 1-day-shifted copy correlates perfectly at lag 1") {
+    // type a daily counts [1,3,2,5]; type b is a shifted one day later:
+    // [0,1,3,2] (day 1 has no b events → zero-filled spine). lag-1 pairs
+    // (1,1),(3,3),(2,2) → r = 1.0 exactly; lag-0 is imperfect.
+    val rows =
+      evts("a", Seq(1, 3, 2, 5)) ++
+        Seq.empty ++ // b starts day 2
+        evts("b", Seq(0, 1, 3, 2))
+    val df = rows
+      .toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val out = Analytics
+      .dailyCrossCorrelation(df, "a", "b", Seq(0, 1))
+      .collect()
+      .map(r => r.getAs[Int]("lag_k") ->
+        ((r.getAs[Long]("n_pairs"), Option(r.getAs[java.lang.Double]("r")).map(_.doubleValue))))
+      .toMap
+    assert(out(1) === ((3L, Some(1.0))))
+    assert(out(0)._1 === 4L)
+    assert(out(0)._2.exists(_ < 1.0))
+  }
+
+  // ---- neymanAllocation --------------------------------------------------
+
+  test("neymanAllocation: volatile stratum takes the budget, constant stratum none") {
+    // A: cents {0, 1000} → pop sd 500; B: {700, 700} → sd 0.
+    // Weights (n·sd): A 1000, B 0 → the whole budget goes to A.
+    val df = Seq(("A", 0L), ("A", 1000L), ("B", 700L), ("B", 700L))
+      .toDF("seg", "cents")
+    val out = Analytics
+      .neymanAllocation(df, "seg", "cents", 100L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out("A") === ((2L, 500.0, 100L)))
+    assert(out("B") === ((2L, 0.0, 0L)))
+  }
+
+  // ---- firstSeenCurve ----------------------------------------------------
+
+  test("firstSeenCurve: novelty, repeats, and the cumulative catalog") {
+    // day1: keys a,b (both new). day2: a (repeat) + c (new). day3: a,b only.
+    val df = Seq(
+      ("d1", "a"), ("d1", "b"), ("d1", "a"), // dup observation collapses
+      ("d2", "a"), ("d2", "c"),
+      ("d3", "a"), ("d3", "b")).toDF("d", "k")
+    val out = Analytics
+      .firstSeenCurve(df, "d", "k")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("d1") === ((2L, 2L, 2L, 1.0)))
+    assert(out("d2") === ((2L, 1L, 3L, 0.5)))
+    assert(out("d3") === ((2L, 0L, 3L, 0.0)))
+  }
+
   // ---- fleschScore -------------------------------------------------------
 
   test("fleschScore: hand-computed value and degenerate-text guards") {

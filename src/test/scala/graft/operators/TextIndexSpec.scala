@@ -191,4 +191,23 @@ class TextIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(0L -> 3L))
   }
+
+  test("searchSnippets: fixed window around the first hit; near-start clamps to 1") {
+    val pad = "z" * 40
+    val docs = Seq(
+      (0L, s"$pad vector table $pad", "s0", 95L), // mid-document match
+      (1L, "vector table tail", "s0", 17L), // match at position 1: clamp
+      (2L, "no hits here at all", "s0", 19L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextIndex
+      .searchSnippets(docs, "vector table", ctx = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L))
+    // window = 2·5 + 12 = 22 chars starting 5 before the match
+    assert(out(0L) === ((42L, "zzzz vector table zzzz")))
+    // pos 1: start clamps to 1, still a 22-char slice from the doc head
+    assert(out(1L) === ((1L, "vector table tail")))
+  }
 }
