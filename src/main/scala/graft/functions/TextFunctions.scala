@@ -140,6 +140,13 @@ object TextFunctions {
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Common elements of two sorted distinct `array<bigint>` columns, sorted
+    * (linear merge; native kernel — `array_intersect` hashes per call). */
+  def sortedIntersect(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SortedIntersect}
+    Bridge.column(SortedIntersect(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** MinHash signature (`array<bigint>`, length `numPerm`) over a hashed
     * shingle set ([[shingleHashes]] output): native kernel
     * ([[org.apache.spark.sql.graft.MinHashSignature]]) — O(1) mixing per

@@ -916,18 +916,19 @@ object Analytics {
     * Scale shape: the SAME degree-oriented edge-iterator as
     * [[triangleStats]] — every triangle a<b<c (degree order) is discovered
     * exactly once at its (a, b) edge — but per-node attribution needs the
-    * triangle's third corner, so instead of counting inside the aggregate
-    * the sorted-adjacency intersection EXPLODES to one row per triangle
-    * (`array_intersect` of two already-sorted, duplicate-free lists), and
-    * each triangle contributes its three corners row-locally
-    * (`explode(array(a, b, w))`). The exchange after that carries 3·T
-    * count cells, map-side combined — O(triangles), the output's own size,
-    * never Σ outdeg² wedges. Degree orientation still bounds every
-    * out-neighborhood by O(√|E|). The final degree join is on the O(V)
-    * degree table; the top-k cut compiles to TakeOrderedAndProject under
-    * the deterministic (lcc desc, t desc, node) order. Isolated-triangle
-    * corners score 1.0; degree-1 nodes are excluded (lcc undefined —
-    * the d·(d−1) denominator is zero). */
+    * triangle's third corner, so the sorted-adjacency intersection W is
+    * materialized per edge (`array_intersect` of two already-sorted,
+    * duplicate-free lists) and credit is emitted row-locally from ONE
+    * generator projection: a and b each take |W| as a single count cell
+    * (no row per triangle for two of the three corners) and only the
+    * third corners w ∈ W expand to rows. The exchange carries T + 2|E|
+    * map-side-combined cells — O(triangles + edges), the output's own
+    * size class, never Σ outdeg² wedges. Degree orientation still bounds
+    * every out-neighborhood by O(√|E|). The final degree join is on the
+    * O(V) degree table; the top-k cut compiles to TakeOrderedAndProject
+    * under the deterministic (lcc desc, t desc, node) order.
+    * Isolated-triangle corners score 1.0; degree-1 nodes are excluded
+    * (lcc undefined — the d·(d−1) denominator is zero). */
   def localClusteringCoefficient(edges: DataFrame, k: Int): DataFrame = {
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy("a").agg(count(lit(1)).cast("long").as("dg"))
@@ -937,12 +938,30 @@ object Analytics {
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("a") < col("b")))
       .select(col("a").as("src"), col("b").as("dst"))
     val adj = oriented.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // Corner credit without a 3·T explode: the (a, b) edge's intersection W
+    // credits a and b with |W| each (two count cells — no row per triangle)
+    // and only the third corners w ∈ W expand to rows, all inside ONE
+    // generator projection so the intersection evaluates once per edge
+    // (codegen subexpression elimination). The exchange carries T + 2|E|
+    // map-side-combined cells instead of 3·T raw corner rows.
     val corners = oriented
       .join(adj.toDF("src", "na"), Seq("src"))
       .join(adj.toDF("dst", "nb"), Seq("dst"))
-      .select(col("src"), col("dst"), explode(array_intersect(col("na"), col("nb"))).as("w"))
-      .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
-    val triPerNode = corners.groupBy("node").agg(count(lit(1)).cast("long").as("t"))
+      // the kernel intersection materializes ONCE per edge in its own
+      // projection (referenced 3× below — CollapseProject keeps non-cheap
+      // multi-referenced aliases out of the consumer)
+      .select(
+        col("src"),
+        col("dst"),
+        graft.functions.TextFunctions.sortedIntersect(col("na"), col("nb")).as("c"))
+      .select(explode(expr(
+        """concat(
+          |  array(named_struct('node', src, 't_add', CAST(size(c) AS BIGINT)),
+          |        named_struct('node', dst, 't_add', CAST(size(c) AS BIGINT))),
+          |  transform(c, w -> named_struct('node', w, 't_add', CAST(1 AS BIGINT))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.node").as("node"), col("e.t_add").as("t_add"))
+    val triPerNode = corners.groupBy("node").agg(sum(col("t_add")).cast("long").as("t"))
     deg
       .filter(col("dg") >= 2)
       .select(col("a").as("node"), col("dg").as("degree"))

@@ -26,8 +26,13 @@ import graft.sources.Tables
   *   cusum               0.44 → 0.41 s   (flat)
   *   pseudonymize        0.23 → 0.25 s   (distinct-bound, flat)
   *   k-anonymity         0.18 → 0.16 s   (class-bound, flat)
-  *   lcc top-40          6.62 → 44.6 s   (6.7× — linear in triangles; the
-  *                                        3·T corner cells dominate)
+  *   lcc top-40          6.89 → 28.8 s   (4.2× — sublinear in rows; the
+  *                                        merge-kernel census dominates.
+  *                                        The earlier array_intersect +
+  *                                        3·T-explode shape measured
+  *                                        6.6 → 44.6 s before the
+  *                                        SortedIntersect kernel + 2-cell
+  *                                        src/dst credit rewrite)
   *   first-seen curve    0.42 → 0.77 s   (1.8×)
   *   inverted index      0.71 → 2.17 s   (3.1× — df agg linear, postings
   *                                        cap-bounded)

@@ -142,6 +142,52 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Common elements of two *sorted distinct* `array<bigint>` columns — the
+  * element-returning sibling of [[SortedIntersectCount]] for consumers
+  * that must attribute per-element credit (the per-node triangle census):
+  * the same linear merge scan, no per-call hash set, no boxing —
+  * interpreted `array_intersect` builds a hash map per invocation and was
+  * the profiled bottleneck at Σ outdeg² ≈ 1.5·10⁸ element comparisons on
+  * the sf0.1 co-order graph. Output preserves sorted order. */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect"
+
+  def compute(x: ArrayData, y: ArrayData): ArrayData = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val buf = new Array[Long](math.min(nx, ny))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, c))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = ${kernelRef(ctx)}.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature over an `array<bigint>` hashed-shingle set (the
   * [[NGramHashes]] output): `numPerm` virtual permutations derived from two
   * mixes per element (`h_p = h1 + p*h2`, h2 forced odd — the standard

@@ -172,6 +172,25 @@ class FunctionsSpec extends SparkSpec {
     assert(gt(3L).length === 3) // d(d+1)/2 for d=2
   }
 
+  test("sortedIntersect: merge equals array_intersect on sorted inputs; edges safe") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L)), // partial overlap
+      (Array(1L, 2L), Array(3L, 4L)), // disjoint
+      (Array.emptyLongArray, Array(1L, 2L)), // empty left
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)) // identical
+    ).toDF("a", "b")
+    val out = df
+      .select(
+        TextFunctions.sortedIntersect(col("a"), col("b")).as("m"),
+        array_intersect(col("a"), col("b")).as("ref"),
+        TextFunctions.sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)) // kernel ≡ builtin
+      assert(r.getSeq[Long](0).length === r.getInt(2)) // count kernel agrees
+    }
+  }
+
   test("srp buckets: identical vectors always share a bucket") {
     val planes = VectorFunctions.randomPlanes(8, 4)
     val df = Seq(
