@@ -3688,7 +3688,50 @@ object SparkEntry {
               expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")),
           "c_mktsegment",
           "cents",
-          1000L))
+          1000L)),
+
+      // kNN label-disagreement mislabel scan over a bounded suspect set:
+      // exact top-10 cosine neighbors (broadcast queries, no candidate
+      // shuffle), labels joined model-sized, one rate per query vector.
+      "q_label_noise" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.operators.SimilaritySearch
+          .labelNoiseScan(e.filter(col("vec_id") < 50), e, 10)
+      }),
+
+      // Split-balance QA: source composition of each train/val/test split
+      // vs the pooled corpus (a skewed split biases eval). One (split,
+      // source) cell aggregate; every marginal rolls up from the cells.
+      "q_split_balance" -> ((s, dir) => {
+        val cells = Tables.documents(s, dir)
+          .select(
+            col("source"),
+            when(Curation.hashBucket(col("doc_id")) < 3435973836L, "train")
+              .when(Curation.hashBucket(col("doc_id")) < 3865470566L, "val")
+              .otherwise("test")
+              .as("split"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val bySplit = cells.groupBy("split").agg(sum("n").cast("long").as("ns"))
+        val bySource = cells.groupBy("source").agg(sum("n").cast("long").as("nsrc"))
+        val total = cells.agg(sum("n").cast("long").as("nt"))
+        cells
+          .join(broadcast(bySplit), Seq("split"))
+          .join(broadcast(bySource), Seq("source"))
+          .join(broadcast(total))
+          .select(
+            col("split"),
+            col("source"),
+            col("n"),
+            round(col("n").cast("double") / col("ns"), 6).as("split_share"),
+            round(col("nsrc").cast("double") / col("nt"), 6).as("pooled_share"),
+            // exact DECIMAL cross-products, ONE double division, round 6
+            round(
+              (col("n").cast("decimal(38,0)") * col("nt")).cast("double") /
+                (col("ns").cast("decimal(38,0)") * col("nsrc")).cast("double"),
+              6).as("dev_idx"))
+          .orderBy("split", "source")
+      })
     )
   }
 
@@ -5510,6 +5553,44 @@ object SparkEntry {
         |            THEN CAST(floor(1000 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE))
         |                      AS BIGINT)
         |            ELSE 0 END AS alloc
-        |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin
+        |FROM w CROSS JOIN t ORDER BY stratum""".stripMargin,
+    "q_label_noise" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS n_id, label AS n_label,
+        |             CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, q_label, n_id, n_label,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv))
+        |                * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, q_label, n_label,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id AS vec_id, q_label AS label,
+        |       CAST(count(*) AS BIGINT) AS n_nbrs,
+        |       CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_diff,
+        |       CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS noise_rate
+        |FROM r WHERE rank <= 10 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "q_split_balance" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |              WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |sp AS (SELECT split, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1),
+        |so AS (SELECT source, CAST(sum(n) AS BIGINT) AS nsrc FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+        |SELECT c.split, c.source, c.n,
+        |       round(CAST(c.n AS DOUBLE) / sp.ns, 6) AS split_share,
+        |       round(CAST(so.nsrc AS DOUBLE) / t.nt, 6) AS pooled_share,
+        |       round(CAST(CAST(c.n AS HUGEINT) * t.nt AS DOUBLE)
+        |             / CAST(CAST(sp.ns AS HUGEINT) * so.nsrc AS DOUBLE), 6) AS dev_idx
+        |FROM cells c JOIN sp USING (split) JOIN so USING (source) CROSS JOIN t
+        |ORDER BY c.split, c.source""".stripMargin
   )
 }

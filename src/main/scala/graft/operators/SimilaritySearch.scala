@@ -101,6 +101,34 @@ object SimilaritySearch {
   // array_max over (dot, cid) structs — NOT a when(...)-reduce chain, which
   // references each partial struct twice per level and doubles the
   // expression tree per centroid (profiled 10× slower at nlist=8).
+  /** kNN label-disagreement scan (confident-learning-lite): for each query
+    * vector, the fraction of its exact top-`k` cosine neighbors whose label
+    * differs — high `noise_rate` rows are mislabel candidates, THE curation
+    * signal before training a classifier head on the corpus. Returns
+    * `(vec_id, label, n_nbrs, n_diff, noise_rate)` for the query set.
+    *
+    * Built on [[bruteForceTopK]], so it inherits that shape: query side
+    * broadcast, candidate corpus scanned once with no candidate shuffle,
+    * only per-query top-k heads exchange. Exact by construction — swap in
+    * [[ivfTopK]]/[[lshTopK]] as the scale path when the query set is the
+    * whole corpus (same composition, bucketed neighbor generation); the
+    * audit is usually run over a bounded suspect/sample set, which is
+    * exactly the broadcast-query contract. Labels join back on the
+    * model-sized id→label table (broadcast under AQE). */
+  def labelNoiseScan(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val labels = candidates.select(col("vec_id"), col("label"))
+    val nbrs = bruteForceTopK(queries, candidates, k)
+    nbrs
+      .join(labels.toDF("q_id", "q_label"), Seq("q_id"))
+      .join(labels.toDF("n_id", "n_label"), Seq("n_id"))
+      .groupBy(col("q_id").as("vec_id"), col("q_label").as("label"))
+      .agg(
+        count(lit(1)).cast("long").as("n_nbrs"),
+        count(when(col("n_label") =!= col("q_label"), 1)).cast("long").as("n_diff"))
+      .withColumn("noise_rate", col("n_diff").cast("double") / col("n_nbrs"))
+      .orderBy("vec_id")
+  }
+
   private def assign(cents: Array[(Int, Array[Double])], vecCol: String): Column =
     array_max(array(cents.map { case (cid, v) =>
       struct(dot(col(vecCol), lit(v)).as("d"), lit(cid).as("cid"))

@@ -95,4 +95,31 @@ object Validation {
       .join(parent.select(col(pkey).as("__k")).distinct(), Seq("__k"), "left_anti")
     orphans.agg(count(lit(1)).as("n_orphans")).withColumn("ok", col("n_orphans") === 0L)
   }
+
+  /** Schema drift between two table generations: one row per column whose
+    * presence or type changed — `(column, change, from_type, to_type)` with
+    * change ∈ added / removed / type_changed, columns sorted. The companion
+    * gate to `Ingest.parquetEvolving`: evolution-by-addition is silently
+    * mergeable, but THIS is the report a migration review reads before
+    * turning mergeSchema loose on a 100 TB table.
+    *
+    * Schemas are driver-side metadata by nature (parquet footers, catalog
+    * entries) — no data is scanned; the result is a literal frame. Empty
+    * output = schemas identical. */
+  def schemaDiff(from: DataFrame, to: DataFrame): DataFrame = {
+    val f = from.schema.fields.map(x => x.name -> x.dataType.sql).toMap
+    val t = to.schema.fields.map(x => x.name -> x.dataType.sql).toMap
+    val rows: Seq[(String, String, String, String)] =
+      (f.keySet ++ t.keySet).toSeq.sorted.flatMap { c =>
+        (f.get(c), t.get(c)) match {
+          case (Some(a), Some(b)) if a == b => None
+          case (Some(a), Some(b)) => Some((c, "type_changed", a, b))
+          case (Some(a), None) => Some((c, "removed", a, null))
+          case (None, Some(b)) => Some((c, "added", null, b))
+        }
+      }
+    val session = from.sparkSession
+    import session.implicits._
+    rows.toDF("column", "change", "from_type", "to_type")
+  }
 }

@@ -642,6 +642,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("q_label_noise: query side broadcasts; the candidate corpus never shuffles for pairing") {
+    val p = plan("q_label_noise")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_split_balance: one cell aggregate; marginals broadcast back onto the cells") {
+    val p = plan("q_split_balance")
+    assert(p.contains("partial_count"), s"cells not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"marginals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_inverted_index: posting collect runs only below the df cap filter") {
     val p = plan("q_inverted_index")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")

@@ -67,6 +67,28 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(lshRecall >= 0.25, s"LSH(4-plane multiprobe) recall@10 regressed: $lshRecall")
   }
 
+  test("labelNoiseScan: a planted mislabel scores 1.0, clean cluster members 0.0") {
+    // two tight clusters of 4; vector 3 sits in cluster A but carries
+    // cluster B's label → all its neighbors disagree; its clean cluster
+    // mates see exactly one dissenting neighbor among three.
+    val e = Seq(
+      (0L, Array(1.0f, 0.00f), 1), (1L, Array(1.0f, 0.01f), 1),
+      (2L, Array(1.0f, 0.02f), 1), (3L, Array(1.0f, 0.03f), 2), // mislabeled
+      (4L, Array(0.0f, 1.00f), 2), (5L, Array(0.01f, 1.0f), 2),
+      (6L, Array(0.02f, 1.0f), 2), (7L, Array(0.03f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch
+      .labelNoiseScan(e, e, 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(3L) === ((2, 3L, 1.0))) // every neighbor disagrees
+    for (i <- Seq(0L, 1L, 2L))
+      assert(out(i)._2 === 1L, s"vec $i should see exactly the one mislabel")
+    for (i <- Seq(4L, 5L, 6L, 7L))
+      assert(out(i) === ((2, 0L, 0.0)), s"clean cluster B member $i")
+  }
+
   test("multimodal resize: aspect preserved, box honored, deterministic") {
     val docs = Seq((1L, "x" * 5000), (2L, "y" * 10)).toDF("doc_id", "text")
     val out = Multimodal

@@ -56,4 +56,19 @@ class ValidationSpec extends SparkSpec {
       .head()
     assert(clean.getAs[Long]("n_orphans") === 0L && clean.getAs[Boolean]("ok"))
   }
+
+  test("schemaDiff: added, removed, and retyped columns; identical schemas are silent") {
+    val from = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val to = Seq((1L, 1, true)).toDF("id", "score", "flag") // name gone, score retyped
+    val out = Validation
+      .schemaDiff(from, to)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(out("flag") === (("added", null, "BOOLEAN")))
+    assert(out("name") === (("removed", "STRING", null)))
+    assert(out("score") === (("type_changed", "DOUBLE", "INT")))
+    assert(!out.contains("id")) // unchanged column stays silent
+    assert(Validation.schemaDiff(from, from).isEmpty)
+  }
 }
