@@ -3165,6 +3165,15 @@ object SparkEntry {
               6).as("z"))
       }),
 
+      // Poisson-bootstrap 95% CI for mean(value) per event_type: R=200
+      // resamples as ONE streaming pass — each (row, replicate) gets an
+      // inverse-CDF Poisson(1) weight from a Knuth hash, so the oracle
+      // replays every weight bit-for-bit; integer-cent sums keep the
+      // replicate means order-insensitive.
+      "q_bootstrap_ci" -> ((s, dir) =>
+        graft.operators.Analytics.poissonBootstrapCi(
+          Tables.events(s, dir), "event_type", "event_id", "value", 200)),
+
       // Boilerplate-chunk removal (C4-style): a 12-token chunk that appears
       // in >= 3 DISTINCT documents is boilerplate (headers, nav, legal
       // footers) and is dropped EVERYWHERE — unlike q_dedup_paragraphs'
@@ -3697,6 +3706,40 @@ object SparkEntry {
         val e = Tables.embeddings(s, dir)
         graft.operators.SimilaritySearch
           .labelNoiseScan(e.filter(col("vec_id") < 50), e, 10)
+      }),
+
+      // Funnel transition latency: exact p50/p90 of seconds between funnel
+      // stages (first view→first later click, first later purchase) —
+      // integer-seconds delays through the exact-percentile contract;
+      // same per-user min-joins as q_funnel, one O(stages) aggregate.
+      "q_funnel_latency" -> ((s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1b"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2.select("user_id", "t2"), "user_id")
+          .filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2b"))
+        val d1 = t2.select(
+          lit("view_to_click").as("stage"), expr("(t2 - t1b) div 1000000").as("delay_s"))
+        val d2 = t3.select(
+          lit("click_to_purchase").as("stage"), expr("(t3 - t2b) div 1000000").as("delay_s"))
+        d1.unionByName(d2)
+          .groupBy("stage")
+          .agg(
+            count(lit(1)).cast("long").as("n_users"),
+            expr("percentile(delay_s, array(0.5, 0.9))").as("ps"))
+          .select(
+            col("stage"),
+            col("n_users"),
+            element_at(col("ps"), 1).as("p50_s"),
+            element_at(col("ps"), 2).as("p90_s"))
+          .orderBy("stage")
       }),
 
       // Split-balance QA: source composition of each train/val/test split
@@ -5124,6 +5167,38 @@ object SparkEntry {
         |                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
         |                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
         |FROM c""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH rep AS (SELECT j FROM generate_series(0, 199) t(j)),
+        |base AS (SELECT event_type AS g, event_id AS id,
+        |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |         FROM events),
+        |x AS (SELECT g, j, vc,
+        |             ((id * 2654435761 + (j + 1) * 2246822519) % 4294967296)
+        |               / 4294967296.0 AS u
+        |      FROM base CROSS JOIN rep),
+        |w AS (SELECT g, j, vc,
+        |             CASE WHEN u < 0.36787944117144233 THEN 0
+        |                  WHEN u < 0.7357588823428847 THEN 1
+        |                  WHEN u < 0.9196986029286058 THEN 2
+        |                  WHEN u < 0.9810118431238462 THEN 3
+        |                  WHEN u < 0.9963401531726563 THEN 4
+        |                  WHEN u < 0.9994058151824183 THEN 5
+        |                  WHEN u < 0.9999167588507119 THEN 6
+        |                  ELSE 7 END AS w
+        |      FROM x),
+        |rm AS (SELECT g, j,
+        |              CAST(sum(w * vc) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0 AS m
+        |       FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        |ci AS (SELECT g,
+        |              round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 6) AS ci_lo,
+        |              round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 6) AS ci_hi
+        |       FROM rm GROUP BY 1),
+        |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+        |              round(CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
+        |                AS mean_value
+        |       FROM base GROUP BY 1)
+        |SELECT pt.g AS event_type, n_rows, mean_value, ci_lo, ci_hi
+        |FROM pt JOIN ci USING (g) ORDER BY event_type""".stripMargin,
     "q_boilerplate_chunks" ->
       s"""WITH w AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
@@ -5575,6 +5650,22 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) AS noise_rate
         |FROM r WHERE rank <= 10 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2, min(t1) AS t1b
+        |       FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(us) AS t3, min(t2) AS t2b
+        |       FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |d AS (SELECT 'view_to_click' AS stage, (t2 - t1b) // 1000000 AS delay_s FROM t2
+        |      UNION ALL
+        |      SELECT 'click_to_purchase', (t3 - t2b) // 1000000 FROM t3)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_s) AS p50_s,
+        |       percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_s) AS p90_s
+        |FROM d GROUP BY 1 ORDER BY stage""".stripMargin,
     "q_split_balance" ->
       """WITH cells AS (
         |  SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'

@@ -1265,4 +1265,73 @@ object Analytics {
         (col("m.a").cast("double") / col("m.nn").cast("double")).as("cusum_rel"))
       .orderBy("event_type")
   }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean — the
+    * scale-correct bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): classic resampling-with-replacement
+    * needs the whole dataset addressable per replicate, which is impossible
+    * at 100 TB; the Poisson approximation instead gives every (row,
+    * replicate) an independent Poisson(1) weight, turning R resamples into
+    * ONE streaming pass with a ×R row-local expansion and a map-side-combined
+    * integer aggregate. Nothing is stored, nothing re-shuffled per replicate;
+    * the only state is (groups × R) partial sums.
+    *
+    * Determinism/oracle contract: the Poisson draw is the inverse-CDF of a
+    * Knuth multiplicative hash of (id, replicate) — u = (h mod 2^32)/2^32 is
+    * an exactly-representable double, compared against literal Poisson(1)
+    * CDF thresholds, so DuckDB replays weights bit-for-bit. Values go
+    * through the repo's exact-arithmetic discipline (DECIMAL(12,2) → integer
+    * cents, BIGINT sums — order-insensitive), with ONE double division per
+    * replicate mean; the final percentiles are rounded to 6 so a 1-ULP
+    * interpolation difference between engines cannot flip the hash.
+    */
+  def poissonBootstrapCi(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 200): DataFrame = {
+    // Poisson(1) CDF thresholds; weights >= 7 are astronomically rare
+    // (P ~ 1e-5) and capped — identical literals appear in the oracle.
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119)
+    val base = df.select(
+      col(groupCol).as("g"),
+      col(idCol).as("id"),
+      expr(s"CAST(CAST($valueCol AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+    val rep = base
+      .select(col("g"), col("id"), col("vc"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
+      .withColumn(
+        "u",
+        pmod(col("id") * 2654435761L + (col("j") + 1) * 2246822519L,
+          lit(4294967296L)).cast("double") / 4294967296.0d)
+      .withColumn(
+        "w",
+        cdf.zipWithIndex.foldRight(lit(cdf.length): org.apache.spark.sql.Column) {
+          case ((t, i), acc) => when(col("u") < t, i).otherwise(acc)
+        }.cast("long"))
+    val repMeans = rep
+      .groupBy("g", "j")
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("vc")).as("sv"))
+      .filter(col("n") > 0)
+      .select(col("g"),
+        (col("sv").cast("double") / col("n").cast("double") / 100.0d).as("m"))
+    val ci = repMeans
+      .groupBy("g")
+      .agg(expr("percentile(m, array(0.025, 0.975))").as("ps"))
+      .select(col("g"), round(element_at(col("ps"), 1), 6).as("ci_lo"),
+        round(element_at(col("ps"), 2), 6).as("ci_hi"))
+    base
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_rows"), sum("vc").as("svc"))
+      .select(col("g"),
+        col("n_rows"),
+        round(col("svc").cast("double") / col("n_rows").cast("double") / 100.0d,
+          6).as("mean_value"))
+      .join(broadcast(ci), "g")
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol)
+  }
 }

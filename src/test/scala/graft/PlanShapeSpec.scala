@@ -662,4 +662,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("collect_list"), s"posting aggregate missing:\n$p")
     assert(p.contains("(df"), s"cap filter not present:\n$p")
   }
+
+  test("q_bootstrap_ci: replicate expansion is a row-local generator feeding a " +
+    "map-side-combined sum; the tiny CI table broadcasts back") {
+    val p = plan("q_bootstrap_ci")
+    // the ×R expansion must be a Generate (explode) on the scan side, never
+    // a join against a replicate table
+    assert(p.contains("Generate explode"), s"replicate explode missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$p")
+    // integer partial sums combine before the (g, j) exchange
+    assert(p.contains("partial_sum"), s"replicate sums not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"CI table not broadcast:\n$p")
+  }
 }

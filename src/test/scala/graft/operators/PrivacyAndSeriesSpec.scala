@@ -291,4 +291,39 @@ class PrivacyAndSeriesSpec extends SparkSpec {
     assert(out("x") === ((2L, Some("1,2")))) // sorted, comma-joined
     assert(out("y") === ((1L, Some("1"))))
   }
+
+  // ---- poissonBootstrapCi ------------------------------------------------
+
+  test("poissonBootstrapCi: constant column collapses the CI to the mean") {
+    // Every replicate mean of a constant-5.0 column is exactly 5.0 no
+    // matter which rows the Poisson weights pick, so lo = mean = hi.
+    val df = (1L to 300L).map(i => ("a", i, 5.0)).toDF("g", "id", "v")
+    val r = Analytics.poissonBootstrapCi(df, "g", "id", "v", 50).collect().head
+    assert(r.getAs[Long]("n_rows") === 300L)
+    assert(r.getAs[Double]("mean_value") === 5.0)
+    assert(r.getAs[Double]("ci_lo") === 5.0)
+    assert(r.getAs[Double]("ci_hi") === 5.0)
+  }
+
+  test("poissonBootstrapCi: CI brackets the mean, shrinks with n, reruns identically") {
+    // values 0..9 cycling → true mean 4.5; 400 rows give a tight interval.
+    val big = (1L to 400L).map(i => ("a", i, (i % 10).toDouble)) ++
+      (1L to 40L).map(i => ("b", i + 1000L, (i % 10).toDouble))
+    val df = big.toDF("g", "id", "v")
+    val out = Analytics.poissonBootstrapCi(df, "g", "id", "v", 100)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Double]("ci_lo") < a.getAs[Double]("mean_value"))
+    assert(a.getAs[Double]("ci_hi") > a.getAs[Double]("mean_value"))
+    // small group's interval is wider than the big group's
+    val b = rows("b")
+    val widthA = a.getAs[Double]("ci_hi") - a.getAs[Double]("ci_lo")
+    val widthB = b.getAs[Double]("ci_hi") - b.getAs[Double]("ci_lo")
+    assert(widthB > widthA)
+    // hash-seeded weights: a second run reproduces every bound bit-for-bit
+    val again = Analytics.poissonBootstrapCi(df, "g", "id", "v", 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b"); c <- Seq("ci_lo", "ci_hi", "mean_value"))
+      assert(rows(g).getAs[Double](c) === again(g).getAs[Double](c))
+  }
 }
