@@ -1706,6 +1706,18 @@ object SparkEntry {
             length(col("text")).cast("long").as("n_chars_m"))
           .orderBy("doc_id")),
 
+      // Unicode-canonical normalization (native NFC+casefold+collapse
+      // kernel, one compiled pass, no shuffle beyond the output sort). The
+      // oracle replays the full contract — nfc_normalize, lower, collapse
+      // of the identical [\x00-\x20\x7f] run class, trim.
+      "q_normalize_unicode" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            T.normalizeUnicode(col("text")).as("norm_text"))
+          .withColumn("n_norm", length(col("norm_text")).cast("long"))
+          .orderBy("doc_id")),
+
       // PII scan + redaction (training-pipeline extension): per-doc email/
       // URL hit counts and the redacted length — one codegen'd regexp
       // projection, no shuffle beyond the output sort.
@@ -4172,6 +4184,13 @@ object SparkEntry {
         |       md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_normalize_unicode" ->
+      """WITH n AS (SELECT doc_id,
+        |                  trim(regexp_replace(lower(nfc_normalize(text)),
+        |                                      '[\x00-\x20\x7f]+', ' ', 'g')) AS norm_text
+        |           FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n

@@ -97,6 +97,18 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode-canonical normal form (native single-pass kernel): NFC
+    * composition, root-locale lowercase, whitespace/control runs collapsed
+    * to one space, edge-trimmed — the canonical form under which composed
+    * ("é") and decomposed ("e"+U+0301) spellings of the same text dedup
+    * together, which [[normalize]]'s byte-level contract cannot give.
+    * NFC runs BEFORE lowercasing (fixed, oracle-replayable order); see
+    * [[org.apache.spark.sql.graft.NormalizeText]]. */
+  def normalizeUnicode(text: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, NormalizeText}
+    Bridge.column(NormalizeText(Bridge.expression(text)))
+  }
+
   /** Deterministic document fingerprint = md5 of the normalized text
     * (the rolling-hash fingerprint of the survey, done with a hash both
     * engines implement identically). */

@@ -62,6 +62,9 @@ object GraftFunctions {
     }),
     ("graft_deflate_len", classOf[DeflateLength].getName, { args =>
       arity("graft_deflate_len", 1, args); DeflateLength(args.head)
+    }),
+    ("graft_normalize_unicode", classOf[NormalizeText].getName, { args =>
+      arity("graft_normalize_unicode", 1, args); NormalizeText(args.head)
     }))
 
   /** Extension-injection path (analysis-time, all sessions). */

@@ -385,3 +385,82 @@ case class SimHash64(child: Expression) extends UnaryExpression with KernelCodeg
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Canonical corpus text normalization — the first stage of every LLM data
+  * pipeline, as ONE compiled pass: Unicode NFC composition, lowercase
+  * (root locale — no per-machine locale surprises), and collapse of every
+  * whitespace/control run (`\s`, Cc) to a single space, edge-trimmed.
+  * Fixed, engine-replayable contract: NFC BEFORE lowercasing, so composed
+  * and decomposed inputs normalize identically; the DuckDB oracle replays
+  * it as `trim(regexp_replace(lower(nfc_normalize(s)), ...))`.
+  *
+  * ASCII fast path: the common corpus row (no NFC work, no surrogate
+  * handling) runs byte-at-a-time with no String materialization beyond the
+  * output; `Normalizer.isNormalized` short-circuits the NFC pass for
+  * already-composed non-ASCII text.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression
+    with KernelCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_unicode"
+
+  @inline private def isAsciiWsOrCtl(b: Byte): Boolean =
+    (b >= 0 && b < 0x21) || b == 0x7f
+
+  def compute(input: UTF8String): UTF8String = {
+    val bytes = input.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      // byte-level: lower A-Z, collapse WS/control runs, trim
+      val out = new Array[Byte](bytes.length)
+      var o = 0
+      var pendingSpace = false
+      i = 0
+      while (i < bytes.length) {
+        val b = bytes(i)
+        if (isAsciiWsOrCtl(b)) { if (o > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { out(o) = 0x20; o += 1; pendingSpace = false }
+          out(o) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          o += 1
+        }
+        i += 1
+      }
+      UTF8String.fromBytes(out, 0, o)
+    } else {
+      import java.text.Normalizer
+      val s0 = input.toString
+      val nfc =
+        if (Normalizer.isNormalized(s0, Normalizer.Form.NFC)) s0
+        else Normalizer.normalize(s0, Normalizer.Form.NFC)
+      val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+      val sb = new java.lang.StringBuilder(lower.length)
+      var pendingSpace = false
+      var j = 0
+      while (j < lower.length) {
+        val cp = lower.codePointAt(j)
+        if (Character.isWhitespace(cp) || Character.getType(cp) == Character.CONTROL) {
+          if (sb.length > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.appendCodePoint(cp)
+        }
+        j += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -41,12 +41,16 @@ class PlanShapeSpec extends SparkSpec {
     // span on every text path. The kernels codegen as compiled-kernel calls.
     val df = graft.sources.Tables
       .documents(spark, dir)
-      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+      .select(
+        graft.functions.TextFunctions.tokenCount(col("text")).as("nt"),
+        graft.functions.TextFunctions.normalizeUnicode(col("text")).as("norm"))
     val p = df.queryExecution.executedPlan.toString
-    val projLine = p.linesIterator
-      .find(_.contains("graft_tokens"))
-      .getOrElse(fail(s"no kernel in plan:\n$p"))
-    assert(projLine.trim.startsWith("*"), s"kernel Project not codegen'd:\n$p")
+    for (kernel <- Seq("graft_tokens", "graft_normalize_unicode")) {
+      val projLine = p.linesIterator
+        .find(_.contains(kernel))
+        .getOrElse(fail(s"no $kernel in plan:\n$p"))
+      assert(projLine.trim.startsWith("*"), s"$kernel Project not codegen'd:\n$p")
+    }
   }
 
   test("q_dedup_incremental: bloom probe guards the exact stage; drop sets broadcast") {

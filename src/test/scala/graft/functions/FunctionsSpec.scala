@@ -203,4 +203,29 @@ class FunctionsSpec extends SparkSpec {
     assert(buckets(0) === buckets(1))
     assert(buckets(0) !== buckets(2)) // antipodal vector flips every sign bit
   }
+
+  test("normalizeUnicode: NFC unifies composed/decomposed; case, controls, runs") {
+    val df = Seq(
+      "Caf\u00e9  du   Parc", // composed e-acute
+      "Cafe\u0301 du\tParc", // decomposed e + COMBINING ACUTE ACCENT
+      "\u0000ctl\u001fchars\u007f here", // Cc runs collapse like whitespace
+      "  edge \n\n trim  ",
+      "").toDF("text")
+    val out =
+      df.select(TextFunctions.normalizeUnicode(col("text"))).as[String].collect().toSeq
+    assert(out(0) === "caf\u00e9 du parc")
+    assert(out(1) === out(0)) // the decomposed spelling normalizes identically
+    assert(out(2) === "ctl chars here")
+    assert(out(3) === "edge trim")
+    assert(out(4) === "")
+    // SQL surface serves the same kernel
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nrm_t")
+    val viaSql = spark
+      .sql("SELECT graft_normalize_unicode(text) FROM nrm_t")
+      .as[String]
+      .collect()
+      .toSeq
+    assert(viaSql === out)
+  }
 }
