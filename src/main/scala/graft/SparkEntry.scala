@@ -591,6 +591,24 @@ object SparkEntry {
         .orderBy("event_type", "rank")
     }),
 
+    // Same answer as q_topk_window via the bounded-heap AGGREGATE kernel:
+    // the window form shuffles every row to rank-and-discard; this one
+    // combines k-element heaps map-side, so the exchange carries at most
+    // k × groups × partitions entries. The shared oracle is the contract
+    // that the two formulations are value-identical.
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.AggFunctions
+          .topK(col("value"), col("event_id"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(
+          col("event_type"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"),
+          col("col.score").as("value"))
+        .orderBy("event_type", "rank")),
+
     // R2 — wide→long unpivot, re-aggregated (reference RdlETL2.java:83-93)
     "q_unpivot" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1234,6 +1252,12 @@ object SparkEntry {
         |SELECT node, pr AS pr_micro FROM r5
         |ORDER BY pr_micro DESC, node LIMIT 20""".stripMargin,
     "q_topk_window" ->
+      """SELECT event_type, rank, event_id, value FROM
+        |  (SELECT event_type, event_id, value,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+        |   FROM events)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "q_topk_agg" ->
       """SELECT event_type, rank, event_id, value FROM
         |  (SELECT event_type, event_id, value,
         |          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank

@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{Bridge, GroupTopK}
+
+/** Column builders for the custom aggregate kernels. */
+object AggFunctions {
+
+  /** Exact per-group top-k `(score, id)` pairs, best-first (`score` DESC,
+    * `id` ASC) — a map-side-combining bounded-heap aggregate; see
+    * [[org.apache.spark.sql.graft.GroupTopK]] for why this replaces the
+    * window-rank idiom at scale. `score` must be DOUBLE, `id` BIGINT. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      GroupTopK(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}

@@ -65,6 +65,12 @@ object GraftFunctions {
     }),
     ("graft_normalize_unicode", classOf[NormalizeText].getName, { args =>
       arity("graft_normalize_unicode", 1, args); NormalizeText(args.head)
+    }),
+    // aggregate: the analyzer wraps a bare AggregateFunction from a
+    // registry builder in its AggregateExpression automatically.
+    ("graft_top_k", classOf[GroupTopK].getName, { args =>
+      arity("graft_top_k", 3, args)
+      GroupTopK(args(0), args(1), intLit(args(2), "graft_top_k"))
     }))
 
   /** Extension-injection path (analysis-time, all sessions). */

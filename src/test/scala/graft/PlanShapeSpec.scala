@@ -667,6 +667,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("(df"), s"cap filter not present:\n$p")
   }
 
+  test("q_topk_agg: bounded-heap aggregate combines map-side — no Window, no full-data rank") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), s"typed-imperative agg missing:\n$p")
+    assert(p.contains("partial_graft_top_k"), s"heap not map-side combined:\n$p")
+    assert(!p.contains("Window"), s"window rank crept back in:\n$p")
+  }
+
   test("q_bootstrap_ci: replicate expansion is a row-local generator feeding a " +
     "map-side-combined sum; the tiny CI table broadcasts back") {
     val p = plan("q_bootstrap_ci")

@@ -228,4 +228,60 @@ class FunctionsSpec extends SparkSpec {
       .toSeq
     assert(viaSql === out)
   }
+
+  test("topK aggregate: best-first with id-asc ties, bounded, null-safe, = window form") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("a", 5L, 7.0), ("b", 6L, 2.0)).toDF("g", "id", "v")
+    val top = df
+      .groupBy("g")
+      .agg(AggFunctions.topK(col("v"), col("id"), 3).as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+        (e.getDouble(0), e.getLong(1))))
+      .toMap
+    // score desc, ties id asc; trimmed to k
+    assert(top("a") === Seq((9.0, 2L), (9.0, 3L), (7.0, 5L)))
+    // group smaller than k keeps all members
+    assert(top("b") === Seq((2.0, 6L)))
+    // null scores are ignored, not ranked
+    val withNull = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(4.0)))
+      .toDF("g", "id", "v")
+      .groupBy("g")
+      .agg(AggFunctions.topK(col("v"), col("id"), 5).as("top"))
+      .collect()
+      .head
+      .getSeq[org.apache.spark.sql.Row](1)
+    assert(withNull.map(_.getLong(1)) === Seq(3L, 1L))
+    // the aggregate and the window-rank idiom agree on a bigger input
+    import org.apache.spark.sql.expressions.Window
+    val big = (1L to 500L)
+      .map(i => (s"g${i % 7}", i, ((i * 2654435761L) % 1000).toDouble))
+      .toDF("g", "id", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val viaWindow = big
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select("g", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    val viaAgg = big
+      .groupBy("g")
+      .agg(AggFunctions.topK(col("v"), col("id"), 4).as("top"))
+      .select(col("g"), explode(col("top.id")).as("id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(viaAgg === viaWindow)
+    // SQL surface serves the same aggregate kernel
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    big.createOrReplaceTempView("topk_t")
+    val viaSqlAgg = spark
+      .sql("SELECT g, explode(graft_top_k(v, id, 4).id) AS id FROM topk_t GROUP BY g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(viaSqlAgg === viaWindow)
+  }
 }
