@@ -88,10 +88,14 @@ case class GroupTopK(
   }
 
   override def eval(q: PriorityQueue[(Double, Long)]): Any = {
-    val n = q.size
-    val sorted = new Array[(Double, Long)](n)
-    var i = n - 1
-    while (i >= 0) { sorted(i) = q.poll(); i -= 1 } // heap drains worst-first
+    // NON-destructive: eval must not mutate the buffer — the registered SQL
+    // function can land in contexts that evaluate a buffer more than once
+    // (e.g. a window frame), where draining the heap would corrupt state.
+    val sorted = new Array[(Double, Long)](q.size)
+    val it = q.iterator()
+    var i = 0
+    while (it.hasNext) { sorted(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(sorted, cmp.reversed()) // best-first
     new GenericArrayData(sorted.map { case (s, d) =>
       InternalRow(s, d): Any
     })
