@@ -2012,6 +2012,58 @@ object SparkEntry {
           .orderBy(col("n").desc, col("tok"))
           .limit(20)),
 
+      // Misra-Gries heavy hitters over the token stream — q_term_freq's
+      // one-pass bounded-memory sibling: <= 50 counters per map task, no
+      // vocabulary-sized exchange. Counter VALUES depend on merge order,
+      // so this surface is rows-only; the oracled gate below pins the
+      // order-independent guarantees instead.
+      "q_heavy_hitters" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(T.tokens(col("text"))).as("tok"))
+          .agg(graft.functions.AggFunctions.heavyHitters(col("tok"), 50).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("token"), col("e.est").as("est"))
+          .orderBy(col("est").desc, col("token"))),
+
+      // One-row Misra-Gries contract gate (order-independent, so it IS
+      // oracled): every true heavy hitter (count > n/(k+1)) is reported;
+      // every estimate is <= its true count and undercounts by <= n/(k+1).
+      // DuckDB replays n_tokens / n_true_heavy exactly and emits TRUE for
+      // the guarantees. Shape: the sketch runs once; exact counts feed
+      // both checks; the 1-row total broadcasts.
+      "q_heavy_hitters_gate" -> ((s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(T.tokens(col("text"))).as("tok"))
+        val mg = toks
+          .agg(graft.functions.AggFunctions.heavyHitters(col("tok"), 50).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("tok"), col("e.est").as("est"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).cast("long").as("c"))
+        val tot = exact.agg(sum("c").cast("long").as("n"))
+        val mgChecks = mg
+          .join(exact, "tok")
+          .crossJoin(broadcast(tot))
+          .agg(
+            sum(when(col("est") <= col("c") &&
+              (col("c") - col("est")) * 51 <= col("n"), 0L).otherwise(1L))
+              .as("bound_viol"))
+        val heavyChecks = exact
+          .crossJoin(broadcast(tot))
+          .filter(col("c") * 51 > col("n"))
+          .join(mg.select(col("tok"), lit(1).as("hit")), Seq("tok"), "left_outer")
+          .agg(
+            count(lit(1)).cast("long").as("n_true_heavy"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("miss"))
+        broadcast(tot)
+          .crossJoin(heavyChecks)
+          .crossJoin(mgChecks)
+          .select(
+            col("n").as("n_tokens"),
+            col("n_true_heavy"),
+            (coalesce(col("miss"), lit(0L)) === 0).as("all_heavy_found"),
+            (coalesce(col("bound_viol"), lit(0L)) === 0).as("bounds_ok"))
+      }),
+
       // Deterministic stratified downsample (training-pipeline extension):
       // cap each event_type stratum at an expected 500 rows by integer hash
       // threshold; verified per stratum by kept-count and id checksum.
@@ -4340,6 +4392,19 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          |FROM (SELECT unnest($ToksSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_heavy_hitters_gate" ->
+      // n_tokens / n_true_heavy replayed exactly; the two booleans are the
+      // Misra-Gries guarantees (every count > n/51 item reported; estimates
+      // in [c - n/51, c]), which hold for ANY merge order — the sketch side
+      // asserts them, the oracle emits the TRUE they must equal.
+      s"""WITH toks AS (SELECT unnest($ToksSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+         |SELECT t.n AS n_tokens,
+         |       CAST((SELECT count(*) FROM c, t WHERE c.c * 51 > t.n) AS BIGINT)
+         |         AS n_true_heavy,
+         |       TRUE AS all_heavy_found, TRUE AS bounds_ok
+         |FROM t""".stripMargin,
     "q_importance_resample" ->
       // Weight, rate, and lottery replayed in the same exact integer
       // arithmetic: thr_full = min(2^32, n_stop·(2^32·25/2) // nt),

@@ -71,6 +71,10 @@ object GraftFunctions {
     ("graft_top_k", classOf[GroupTopK].getName, { args =>
       arity("graft_top_k", 3, args)
       GroupTopK(args(0), args(1), intLit(args(2), "graft_top_k"))
+    }),
+    ("graft_heavy_hitters", classOf[MisraGries].getName, { args =>
+      arity("graft_heavy_hitters", 2, args)
+      MisraGries(args(0), intLit(args(1), "graft_heavy_hitters"))
     }))
 
   /** Extension-injection path (analysis-time, all sessions). */

@@ -674,6 +674,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window rank crept back in:\n$p")
   }
 
+  test("q_heavy_hitters_gate: sketch combines map-side; totals broadcast; no cartesian blowup") {
+    val p = plan("q_heavy_hitters_gate")
+    assert(p.contains("partial_graft_heavy_hitters"), s"MG not map-side combined:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row total not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_bootstrap_ci: replicate expansion is a row-local generator feeding a " +
     "map-side-combined sum; the tiny CI table broadcasts back") {
     val p = plan("q_bootstrap_ci")

@@ -284,4 +284,37 @@ class FunctionsSpec extends SparkSpec {
       .toSet
     assert(viaSqlAgg === viaWindow)
   }
+
+  test("misra-gries: exact when distinct <= k; heavy-hitter guarantee under eviction") {
+    // distinct items <= k: no decrement ever fires, counts are exact
+    val small = Seq("a", "b", "a", "c", "a", "b").toDF("tok")
+    val exactRes = small
+      .agg(AggFunctions.heavyHitters(col("tok"), 10).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exactRes.toSeq === Seq("a" -> 3L, "b" -> 2L, "c" -> 1L)) // est desc, item asc
+    // skewed stream, k far below the distinct count: the planted heavy
+    // hitter must be reported with an estimate in [c - n/(k+1), c]
+    val k = 10
+    val heavy = Seq.fill(400)("HOT") ++ (1 to 600).map(i => s"u$i")
+    val n = heavy.size.toLong
+    val df = heavy.toDF("tok").repartition(4) // exercises partial-buffer merges
+    val got = df
+      .agg(AggFunctions.heavyHitters(col("tok"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got.contains("HOT"), s"heavy hitter missing from $got")
+    assert(got("HOT") <= 400L && 400L - got("HOT") <= n / (k + 1))
+    assert(got.size <= k)
+    // every reported estimate is a lower bound on the true count
+    got.foreach { case (item, est) =>
+      val truth = heavy.count(_ == item).toLong
+      assert(est <= truth, s"$item overcounted: $est > $truth")
+    }
+  }
 }
