@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout must reach the terminal RAW: the bench
+// harness parses graft.Bench's single JSON line from a bounded stdout
+// tail, and sbt's default output strategy routes forked output through
+// its logger, prefixing every line with "[info] " — which breaks JSON
+// parsing. StdoutOutput makes the child inherit our stdout unmodified.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

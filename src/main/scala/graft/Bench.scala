@@ -59,6 +59,43 @@ object Bench {
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((name, t1), (_, t2)) => name -> math.min(t1, t2) }
     val total = results.map(_._2).sum
+    // Per-query drift vs the PREVIOUS round's committed full record: the
+    // ratio of this run's total to the previous one over the SHARED query
+    // subset (suite growth otherwise makes raw totals incomparable), so a
+    // regression is flagged by the bench itself rather than by judge
+    // archaeology. jackson ships on the Spark classpath.
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    val prev: Map[String, Double] =
+      if (java.nio.file.Files.exists(fullPath)) {
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = mapper.readTree(java.nio.file.Files.readString(fullPath))
+          // Drift only against a SAME-SCALE previous record — a local
+          // smoke run at another sf must not poison the comparison.
+          if (root.get("sf") == null || root.get("sf").asText() != sfDir) Map.empty
+          else {
+            val qs = root.get("queries")
+            val it = qs.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            b.result()
+          }
+        } catch { case _: Throwable => Map.empty }
+      } else Map.empty
+    val shared = results.filter { case (k, _) => prev.contains(k) }
+    val drift: Option[(Double, Int, Seq[(String, Double)])] =
+      if (shared.isEmpty) None
+      else {
+        val prevSum = shared.map { case (k, _) => prev(k) }.sum
+        val nowSum = shared.map(_._2).sum
+        // per-query ratios, worst first, only where both sides are big
+        // enough (>0.2 s) that the ratio is signal rather than timer noise
+        val ratios = shared
+          .collect { case (k, v) if prev(k) > 0.2 && v > 0.2 => k -> v / prev(k) }
+          .filter(_._2 > 1.5)
+          .sortBy(-_._2)
+        Some((if (prevSum > 0) nowSum / prevSum else 1.0, shared.size, ratios))
+      }
     // The harness that records this output keeps only a bounded tail of
     // stdout (observed: 2000 chars, with a ~75-char sbt epilogue after our
     // line). Full-precision doubles over 70+ queries push the line past
@@ -69,22 +106,35 @@ object Bench {
     // Locale.ROOT: a comma decimal separator from the platform locale would
     // break the JSON.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val driftFields = drift
+      .map { case (r, n, _) => s""","drift":${fmt(r)},"drift_n":$n""" }
+      .getOrElse("")
     def line(qs: Seq[(String, Double)]): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"$driftFields,"full":"$fullPath"}"""
     }
-    val budget = 1800
+    // ≤1200 chars: survives any plausible stdout-tail budget with room for
+    // sbt's epilogue lines after it (the r4 line fit 2000 chars exactly
+    // and still lost the parse race to the surrounding sbt output).
+    val budget = 1200
     var kept = results
     while (line(kept).length > budget && kept.nonEmpty)
       kept = kept.sortBy(-_._2).dropRight(1).sortBy(_._1)
     // Full-precision, no-query-dropped record alongside the bounded stdout
-    // line, so per-query numbers for the fast (dropped) queries survive.
+    // line, so per-query numbers for the fast (dropped) queries survive —
+    // written BEFORE the stdout line so the printed path always exists.
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val regress = drift
+      .map { case (_, _, rs) =>
+        val m = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+        s""","regressions":$m"""
+      }
+      .getOrElse("")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+      fullPath,
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"$driftFields$regress}""")
     println(line(kept))
     spark.stop()
   }

@@ -1910,10 +1910,34 @@ object SparkEntry {
       // floor regression-pinned in SimilarityAndMultimodalSpec (floors hold
       // on the worst-case random test embeddings at both verify SFs;
       // clustered real-world embeddings sit far above them).
+      // Query-directed multiprobe (7 lowest-cost flip-masks of 16): recall
+      // 0.60/0.61 measured on the worst-case random embeddings at both
+      // verify SFs (tools/AnnRecallProbe) — floor 0.5 with margin, vs 0.40
+      // for blind Hamming-1 probing at the r4 floor of 0.25.
       "q_ann_lsh_recall" -> ((s, dir) =>
-        annRecallGate(s, dir, SimilaritySearch.lshTopK(_, _, 10), 0.25)),
+        annRecallGate(s, dir, SimilaritySearch.lshTopK(_, _, 10, numPlanes = 4, probes = 7), 0.5)),
       "q_ann_ivf_recall" -> ((s, dir) =>
         annRecallGate(s, dir, SimilaritySearch.ivfTopK(_, _, 10), 0.6)),
+
+      // Persisted-IVF-index gate: build the on-disk index (frozen centroid
+      // model + cell-partitioned assignments), search it, and assert (a)
+      // the same recall floor as the in-memory path and (b) EXACT result
+      // agreement with ivfTopK under the same model — plus the DuckDB
+      // n_exact cross-check shared by every ANN gate. The search's corpus
+      // scan is partition-pruned to the probed cells (PlanShapeSpec).
+      "q_ann_ivf_index_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+        SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
+        val q = e.filter(col("vec_id") < 8)
+        val viaIndex = SimilaritySearch.ivfIndexSearch(s, idx, q, 10, nprobe = 2)
+        val inMem = SimilaritySearch.ivfTopK(q, e, 10, nlist = 8, nprobe = 2)
+        val pairs = (df: org.apache.spark.sql.DataFrame) => df.select("q_id", "n_id")
+        val diff = pairs(viaIndex).exceptAll(pairs(inMem)).count() +
+          pairs(inMem).exceptAll(pairs(viaIndex)).count()
+        annRecallGate(s, dir, (qq, _) => SimilaritySearch.ivfIndexSearch(s, idx, qq, 10, 2), 0.6)
+          .withColumn("matches_inmem", lit(diff == 0L))
+      }),
 
       // Embedding stats: dimensionality + L2 norm
       "q_embed_stats" -> ((s, dir) => {
@@ -2681,8 +2705,11 @@ object SparkEntry {
           .select(
             lit(dim).as("d"),
             col("n_entries"),
-            col("diag_sum"),
-            col("tri_sum"),
+            // Sums of 10⁻¹²-quantized products land near 5×10¹⁴ at sf0.01
+            // — comfortably int64; emit BIGINT, never DECIMAL (decimal
+            // output columns hash-diverge across engines).
+            col("diag_sum").cast("long").as("diag_sum"),
+            col("tri_sum").cast("long").as("tri_sum"),
             lit(dominantOk).as("dominant_ok"),
             lit(unitOk).as("unit_ok"))
       }),
@@ -3094,6 +3121,15 @@ object SparkEntry {
       // word-frequency table first; bigrams expand from vocab, not corpus.
       "q_bpe_pairs" -> ((s, dir) =>
         graft.operators.TextIndex.bpeMergeCandidates(Tables.documents(s, dir), 30)),
+
+      // Full BPE tokenizer training, 6 greedy merge rounds (the iterative
+      // completion of q_bpe_pairs): vocab-bounded pair aggregate + 1-row
+      // argmax + row-local re-segmentation per round, per-round state
+      // localCheckpointed (the PageRank/LPA iterative contract). The
+      // oracle unrolls all 6 rounds as CTEs — `replace` shares the
+      // scan-left/skip-matched greedy-merge semantics in both engines.
+      "q_bpe_train" -> ((s, dir) =>
+        graft.operators.TextIndex.bpeTrain(Tables.documents(s, dir), 6).orderBy("round")),
 
       // Substring grep via the inverted trigram index: ALL-grams candidate
       // intersection, exact contains-verify only on candidates. The oracle
@@ -3962,6 +3998,38 @@ object SparkEntry {
 
   private val StopListSql = "('the','a','of','and','to','in','is','on','for','it')"
 
+  /** 6-round unrolled BPE-training replay (the PageRank unrolled-CTE
+    * contract for iterative operators): per round, pair counts from the
+    * space-delimited segmentation strings, 1-row argmax (ties by binary
+    * string order), then greedy non-overlapping merge via `replace` —
+    * DuckDB's replace and Java's share the scan-left/skip-matched
+    * contract, so the re-segmentation replays bit-for-bit. An empty b_k
+    * empties every later round's CTE, matching the Spark side's early
+    * stop. */
+  private lazy val BpeTrainOracleSql: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""x$k AS (SELECT wf, t, unnest(range(1, len(t))) AS i
+         |       FROM (SELECT wf, string_split(trim(seg), ' ') AS t FROM g${k - 1})
+         |       WHERE len(t) >= 2),
+         |p$k AS (SELECT t[i] AS l, t[i+1] AS r, CAST(sum(wf) AS BIGINT) AS n
+         |       FROM x$k GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |g$k AS (SELECT wf, replace(seg, ' ' || l || ' ' || r || ' ',
+         |                          ' ' || l || r || ' ') AS seg
+         |       FROM g${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 6)
+      .map(k => s"SELECT CAST($k AS INT) AS round, l, r, l || r AS merged, n FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
+       |           FROM (SELECT unnest($ToksSql) AS word FROM documents)
+       |           GROUP BY 1 HAVING length(word) >= 2),
+       |g0 AS (SELECT wf, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM w),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
     * query's oracles. */
@@ -4341,6 +4409,9 @@ object SparkEntry {
     // assertion (TRUE expected — a recall regression hash-mismatches here).
     "q_ann_lsh_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_recall" -> AnnRecallOracleSql,
+    "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
+      "TRUE AS recall_ok",
+      "TRUE AS recall_ok, TRUE AS matches_inmem"),
     "q_embed_stats" ->
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
         |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2
@@ -4788,8 +4859,8 @@ object SparkEntry {
         |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i),
         |g AS (SELECT i, j, CAST(sum(pl) AS DECIMAL(38,0)) AS g FROM p GROUP BY 1, 2)
         |SELECT CAST(64 AS INT) AS d, CAST(count(*) AS BIGINT) AS n_entries,
-        |       sum(CASE WHEN i = j THEN g END) AS diag_sum,
-        |       sum(g) AS tri_sum,
+        |       CAST(sum(CASE WHEN i = j THEN g END) AS BIGINT) AS diag_sum,
+        |       CAST(sum(g) AS BIGINT) AS tri_sum,
         |       TRUE AS dominant_ok, TRUE AS unit_ok
         |FROM g""".stripMargin,
     "q_outliers" ->
@@ -4833,7 +4904,8 @@ object SparkEntry {
         |                (CAST(0.99 AS DECIMAL(5,4)))),
         |s AS (SELECT p, n_range, CAST(ceil(p * n_range) AS BIGINT) AS k, bin, cum, cnt
         |      FROM p CROSS JOIN c)
-        |SELECT p, n_range, k, bin, CAST(bin AS DOUBLE) AS lo, CAST(bin + 1 AS DOUBLE) AS hi
+        |SELECT CAST(p AS DOUBLE) AS p, n_range, k, bin,
+        |       CAST(bin AS DOUBLE) AS lo, CAST(bin + 1 AS DOUBLE) AS hi
         |FROM s WHERE cum >= k AND cum - cnt < k ORDER BY p""".stripMargin,
     "q_quantile_rollup_gate" ->
       // Exact k-th order statistic by global rank; within_ok is TRUE by the
@@ -4845,7 +4917,8 @@ object SparkEntry {
         |p(p) AS (VALUES (CAST(0.5 AS DECIMAL(5,4))), (CAST(0.9 AS DECIMAL(5,4))),
         |                (CAST(0.99 AS DECIMAL(5,4)))),
         |s AS (SELECT p, n_range, CAST(ceil(p * n_range) AS BIGINT) AS k FROM p CROSS JOIN g)
-        |SELECT s.p, s.n_range, s.k, o.value AS exact_q, TRUE AS within_ok
+        |SELECT CAST(s.p AS DOUBLE) AS p, s.n_range, s.k, o.value AS exact_q,
+        |       TRUE AS within_ok
         |FROM s JOIN o ON o.rn = s.k ORDER BY p""".stripMargin,
     "q_cms_gate" ->
       s"""WITH toks AS (SELECT unnest($ToksSql) AS tok FROM documents)
@@ -5098,6 +5171,7 @@ object SparkEntry {
          |          FROM wfr)
          |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
          |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "q_bpe_train" -> BpeTrainOracleSql,
     "q_substring_search" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE contains(text, 'vector table') ORDER BY doc_id""".stripMargin,
@@ -5280,10 +5354,12 @@ object SparkEntry {
         |base AS (SELECT event_type AS g, event_id AS id,
         |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
         |         FROM events),
-        |x AS (SELECT g, j, vc,
-        |             ((id * 2654435761 + (j + 1) * 2246822519) % 4294967296)
-        |               / 4294967296.0 AS u
-        |      FROM base CROSS JOIN rep),
+        |x0 AS (SELECT g, j, vc,
+        |              (id * 2654435761 + (j + 1) * 2246822519) % 4294967296 AS h0
+        |       FROM base CROSS JOIN rep),
+        |x1 AS (SELECT g, j, vc, (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS h1 FROM x0),
+        |x2 AS (SELECT g, j, vc, (xor(h1, h1 >> 16) * 73244475) % 4294967296 AS h2 FROM x1),
+        |x AS (SELECT g, j, vc, xor(h2, h2 >> 16) / 4294967296.0 AS u FROM x2),
         |w AS (SELECT g, j, vc,
         |             CASE WHEN u < 0.36787944117144233 THEN 0
         |                  WHEN u < 0.7357588823428847 THEN 1

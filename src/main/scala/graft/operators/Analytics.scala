@@ -1300,13 +1300,28 @@ object Analytics {
       col(groupCol).as("g"),
       col(idCol).as("id"),
       expr(s"CAST(CAST($valueCol AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+    // The affine map (id·a + j·b) mod 2^32 alone makes consecutive
+    // replicates' u values deterministic shifts of one another (u(j+1) =
+    // u(j) + const), collapsing the 200 weight vectors onto one line and
+    // distorting CI coverage. A nonlinear xor-shift-multiply finalizer
+    // (lowbias32-style, two rounds) breaks the affinity. The multiplier
+    // 0x45d9f3b keeps every intermediate < 2^32·0x45d9f3b ≈ 3.1·10¹⁷ —
+    // inside int64 on BOTH engines (DuckDB BIGINT multiplication errors
+    // on overflow rather than wrapping, so Murmur3's 32-bit constants
+    // would not replay there). Identical literals appear in the oracle.
+    val M = 73244475L // 0x45d9f3b
     val rep = base
       .select(col("g"), col("id"), col("vc"),
         explode(sequence(lit(0), lit(replicates - 1))).as("j"))
       .withColumn(
-        "u",
+        "h0",
         pmod(col("id") * 2654435761L + (col("j") + 1) * 2246822519L,
-          lit(4294967296L)).cast("double") / 4294967296.0d)
+          lit(4294967296L)))
+      .withColumn("h1", pmod(col("h0").bitwiseXOR(shiftright(col("h0"), 16)) * M, lit(4294967296L)))
+      .withColumn("h2", pmod(col("h1").bitwiseXOR(shiftright(col("h1"), 16)) * M, lit(4294967296L)))
+      .withColumn(
+        "u",
+        col("h2").bitwiseXOR(shiftright(col("h2"), 16)).cast("double") / 4294967296.0d)
       .withColumn(
         "w",
         cdf.zipWithIndex.foldRight(lit(cdf.length): org.apache.spark.sql.Column) {

@@ -111,7 +111,10 @@ object IncrementalRollup {
       .withColumn("k", ceil(col("p") * col("n_range")).cast("long"))
       .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(
-        col("p"),
+        // k was derived from the DECIMAL p (exact ceil(p·n) in both
+        // engines); the OUTPUT column is double — decimal columns are
+        // hash-canonicalization-fragile across engines (round-4 lesson).
+        col("p").cast("double").as("p"),
         col("n_range"),
         col("k"),
         col("bin"),

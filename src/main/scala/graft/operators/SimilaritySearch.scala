@@ -41,41 +41,68 @@ object SimilaritySearch {
   }
 
   /** SRP-LSH bucketed ANN: candidates restricted to the query's bucket
-    * (plus optional single-bit multiprobe), exact cosine re-rank, top-k.
+    * (plus QUERY-DIRECTED multiprobe), exact cosine re-rank, top-k.
     *
-    * Recall/cost is governed by `numPlanes`: each plane halves the probed
-    * fraction and multiplies the per-neighbor miss probability by
-    * `θ(q,n)/π`. Measured on the (near-orthogonal, worst-case) random test
-    * embeddings at sf0.01: planes=3 → recall@10 0.68, 4 → 0.40, 6 → 0.16.
-    * Clustered real-world embeddings sit far above this floor; when recall
-    * must be tunable independently of bucket width, prefer [[ivfTopK]]
-    * (measured recall@10 0.89 at nlist=8, nprobe=2 on the sf0.01 8-query
-    * set; 0.69 on the sf0.001 20-query set — recall on unclustered random
-    * vectors is query-set-sensitive, and both floors are regression-pinned
-    * in SimilarityAndMultimodalSpec). */
+    * Recall/cost is governed by `numPlanes` (each plane halves the probed
+    * fraction) and by which extra buckets a query probes. Multiprobe here
+    * is query-directed (Lv et al., VLDB 2007): a neighbor lands in a
+    * different bucket only by disagreeing on some plane, and the
+    * disagreement probability of plane `i` scales with how CLOSE the
+    * query's projection `q·p_i` is to zero — so the probe sequence is the
+    * `numPlanes+1` flip-masks cheapest by summed |projection| over flipped
+    * bits (enumerated over all 2^numPlanes masks as one codegen'd
+    * sort/slice on the broadcast-sized query side; mask 0 = own bucket is
+    * always cost-0 first). `probes` sets the sequence length (default
+    * numPlanes+1 = the blind-Hamming-1 candidate budget); probes chase
+    * the planes actually likely to be wrong, including multi-bit flips
+    * when two margins are tiny. Measured recall@10 on the
+    * (near-orthogonal, worst-case) random test embeddings
+    * (tools/AnnRecallProbe; sf0.001 20-query / sf0.01 8-query sets),
+    * planes=4: blind Hamming-1 0.40 → query-directed 0.46/0.41 at the
+    * same 5-probe budget, 0.60/0.61 at probes=7 — the q_ann_lsh_recall
+    * gate config, floor 0.5. Clustered real-world embeddings sit far
+    * above these floors; when recall must be tunable independently of
+    * bucket width, prefer [[ivfTopK]] (0.69/0.89 measured on the same
+    * sets; both families regression-pinned in
+    * SimilarityAndMultimodalSpec). */
   def lshTopK(
       queries: DataFrame,
       candidates: DataFrame,
       k: Int,
       numPlanes: Int = 4,
       dim: Int = 64,
-      multiprobe: Boolean = true): DataFrame = {
+      multiprobe: Boolean = true,
+      probes: Int = 0): DataFrame = {
     val planes = randomPlanes(numPlanes, dim)
     val c = withNorm(candidates, "n_id", "nv", "nn")
       .withColumn("bucket", srpBucket(col("nv"), planes))
+    // Projections computed ONCE per query; bucket bits and probe costs both
+    // derive from them. Query side is broadcast-small, so the 2^numPlanes
+    // mask enumeration is driver-negligible and executor-trivial.
     val qBase = withNorm(queries, "q_id", "qv", "qn")
-      .withColumn("b0", srpBucket(col("qv"), planes))
-    // Multiprobe: query probes its own bucket and every Hamming-1 neighbor —
-    // cheap recall without touching the candidate side again.
+      .withColumn("projs", array(planes.map(p => dot(col("qv"), lit(p.toArray))): _*))
+      .withColumn(
+        "b0",
+        (0 until numPlanes)
+          .map(i => when(element_at(col("projs"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)))
     val q =
       if (!multiprobe) qBase.withColumn("bucket", col("b0"))
-      else
+      else {
+        val nProbes = if (probes > 0) probes else numPlanes + 1
+        val maskCosts = (0 until (1 << numPlanes)).map { mask =>
+          val cost = (0 until numPlanes)
+            .filter(i => (mask & (1 << i)) != 0)
+            .map(i => abs(element_at(col("projs"), i + 1)))
+            .foldLeft(lit(0.0))(_ + _)
+          struct(cost.as("cost"), lit(mask.toLong).as("mask"))
+        }
         qBase
           .withColumn(
-            "bucket",
-            explode(array(
-              (col("b0") +: (0 until numPlanes).map(i => col("b0").bitwiseXOR(lit(1L << i)))): _*)))
-          .dropDuplicates("q_id", "bucket")
+            "mask",
+            explode(slice(sort_array(array(maskCosts: _*)), 1, nProbes).getField("mask")))
+          .withColumn("bucket", col("mask").bitwiseXOR(col("b0")))
+      }
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -116,11 +143,16 @@ object SimilaritySearch {
     * exactly the broadcast-query contract. Labels join back on the
     * model-sized id→label table (broadcast under AQE). */
   def labelNoiseScan(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val labels = candidates.select(col("vec_id"), col("label"))
+    // The query's own label comes from the QUERIES frame — joining q_id
+    // against the candidate label table instead would silently drop any
+    // query vector absent from the candidate corpus (the operator must not
+    // require queries ⊆ candidates).
+    val qLabels = queries.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val nLabels = candidates.select(col("vec_id").as("n_id"), col("label").as("n_label"))
     val nbrs = bruteForceTopK(queries, candidates, k)
     nbrs
-      .join(labels.toDF("q_id", "q_label"), Seq("q_id"))
-      .join(labels.toDF("n_id", "n_label"), Seq("n_id"))
+      .join(qLabels, Seq("q_id"))
+      .join(nLabels, Seq("n_id"))
       .groupBy(col("q_id").as("vec_id"), col("q_label").as("label"))
       .agg(
         count(lit(1)).cast("long").as("n_nbrs"),
@@ -205,6 +237,99 @@ object SimilaritySearch {
       .withColumn("rk", row_number().over(byCell).cast("long"))
       .filter(col("rk") <= cap)
       .select(col("n_id").as("vec_id"), col("cell"), col("rk"))
+  }
+
+  /** Persisted IVF index — the build/search split of [[ivfTopK]] for a
+    * corpus that outlives one job (the ANN sibling of the persisted
+    * MinHash index, [[Dedup.minhashIndex]]). Layout under `dir`:
+    *
+    *  - `centroids/`: the nlist × dim Lloyd model, (cid, vec) — KB-sized;
+    *  - `vectors/`: (n_id, nv, nn) assignments partitioned BY CELL, so a
+    *    search's `cell IN (probed)` filter is partition-pruning — only
+    *    nprobe/nlist of the corpus bytes are ever read, which is the
+    *    disk-level win over re-assigning in memory each run.
+    *
+    * [[ivfIndexAppend]] assigns new vectors with the SAME frozen centroid
+    * model and appends their cell partitions — arriving data never
+    * triggers retraining or a corpus rescan (the incremental-dedup
+    * contract). Searches replay [[ivfTopK]]'s exact probe/re-rank plan, so
+    * build+search equals the in-memory operator bit-for-bit on the same
+    * model. */
+  def ivfIndexBuild(
+      candidates: DataFrame,
+      dir: String,
+      nlist: Int = 8,
+      iters: Int = 2): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = withNorm(candidates, "n_id", "nv", "nn")
+    val centroids = trainCentroids(c, nlist, iters)
+    centroids.toSeq
+      .toDF("cid", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val assigned =
+      if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0) // empty corpus → empty index
+      else c.withColumn("cell", assign(centroids, "nv"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Assign a new batch under the index's frozen centroid model and append
+    * its rows (partition-append; existing cells' files are untouched). */
+  def ivfIndexAppend(newVectors: DataFrame, dir: String): Unit = {
+    val centroids = readCentroids(newVectors.sparkSession, dir)
+    require(centroids.nonEmpty, s"ivf index at $dir has an empty centroid model")
+    withNorm(newVectors, "n_id", "nv", "nn")
+      .withColumn("cell", assign(centroids, "nv"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
+  /** Search the persisted index: nprobe nearest cells per query, exact
+    * cosine re-rank inside them — [[ivfTopK]]'s plan with the scan side
+    * PARTITION-PRUNED to the union of probed cells (a model-sized `IN`
+    * list: ≤ nlist values, collected from the KB centroid table, never
+    * from the corpus). */
+  def ivfIndexSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = readCentroids(spark, dir)
+    if (centroids.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+    val q = withNorm(queries, "q_id", "qv", "qn")
+    val probed = q.withColumn(
+      "cell",
+      explode(slice(
+        sort_array(
+          array(centroids.map { case (cid, v) =>
+            struct((-dot(col("qv"), lit(v))).as("negd"), lit(cid).as("cid"))
+          }: _*)),
+        1,
+        nprobe).getField("cid")))
+    // Distinct probed cells: bounded by nlist regardless of query count —
+    // a driver-side model-sized collect that buys partition pruning on the
+    // vectors scan.
+    val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+    val indexed = spark.read.parquet(s"$dir/vectors").filter(col("cell").isin(cells: _*))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    indexed
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
   }
 
   def ivfTopK(

@@ -510,4 +510,70 @@ object TextIndex {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** Full BPE tokenizer training, `rounds` greedy merges — the iterative
+    * completion of [[bpeMergeCandidates]]. Per round: count every adjacent
+    * symbol pair weighted by word frequency (a vocab-bounded map-side-
+    * combined aggregate — the corpus collapsed to the distinct
+    * word-frequency table ONCE, up front), pick the argmax pair (ties:
+    * smallest left then right symbol — engine-replayable binary string
+    * order), and re-segment every word by merging that pair's
+    * non-overlapping occurrences left-to-right (a row-local `replace` on
+    * the space-delimited symbol string — Java and DuckDB `replace` share
+    * the scan-left/skip-matched contract, so greedy BPE merge semantics
+    * replay exactly). Stops early when no pairs remain.
+    *
+    * Scale shape (the PageRank/LPA iterative contract): per-round state is
+    * the vocab-sized segmentation table, re-localCheckpointed with
+    * measured stats each round so lineage and driver plan state stay
+    * O(1); only the 1-row argmax ever reaches the driver. Returns the
+    * merge table `(round, l, r, merged, n)` — the trained tokenizer model,
+    * model-sized by construction.
+    */
+  def bpeTrain(documents: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var seg = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).cast("long").as("wf"))
+      .filter(length(col("word")) >= 2)
+      // " a b c " — every symbol space-delimited with sentinel spaces at
+      // both edges, so a merge pattern " l r " can only match at symbol
+      // boundaries.
+      .select(col("wf"), concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seg"))
+      .transform(Bridge.localCheckpointFreshStats)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val top = seg
+        .select(col("wf"), split(trim(col("seg")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(
+          col("wf"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
+            .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wf").cast("long").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, n))
+        seg = seg
+          .withColumn(
+            "seg",
+            org.apache.spark.sql.functions
+              .replace(col("seg"), lit(" " + l + " " + r + " "), lit(" " + l + r + " ")))
+          .transform(Bridge.localCheckpointFreshStats)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "l", "r", "merged", "n")
+  }
 }

@@ -24,24 +24,40 @@ import org.apache.spark.sql.streaming.Trigger
 object DailyIngest {
 
   /** Streaming source over an events parquet directory, same nanos handling
-    * as the batch path (Tables.events). `dir` must contain ONLY events
-    * files: the file source globs every parquet in the directory under the
-    * events schema (other tables' files surface as nulls that violate the
-    * downstream non-null encoders). */
+    * and same pinned-column discipline as the batch path (Tables.events).
+    *
+    * The file source globs every parquet in the directory under the
+    * declared events schema, so a foreign table's file would otherwise
+    * surface as silent nulls that violate downstream non-null encoders.
+    * Guard: a mergeSchema footer pass over the directory at stream
+    * CONSTRUCTION (one distributed footer-read job — no data scan, scale
+    * is #files not bytes) must yield exactly the documented events columns
+    * (TESTDATA.md); an alien file fails loudly here — extra/missing
+    * columns via the require, a same-name/different-type conflict via the
+    * merge itself. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    val expected = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = merged.fields.map(_.name).toSet
+    require(
+      got == expected.toSet,
+      s"events stream dir $dir is not events-only: " +
+        s"unexpected columns [${(got -- expected).toSeq.sorted.mkString(",")}], " +
+        s"missing [${(expected.toSet -- got).toSeq.sorted.mkString(",")}]")
     // Same two-generation ts handling as the batch path (Tables.events):
-    // sniff the on-disk type with a one-footer batch read — streaming
-    // sources need the schema declared up front, and declaring the wrong
-    // one is a hard "Parquet column cannot be converted" at drain time.
-    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    // streaming sources need the schema declared up front, and declaring
+    // the wrong one is a hard "Parquet column cannot be converted" at
+    // drain time.
+    val tsIsLong = merged("ts").dataType == org.apache.spark.sql.types.LongType
     val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
     val schema =
       s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val converted =
+      if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    converted.select(expected.map(col): _*)
   }
 
   /** Deduplicated per-meter-per-day readings as an incremental stream:

@@ -6,7 +6,7 @@ import java.nio.ByteBuffer
 import java.util.{Comparator, PriorityQueue}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -38,11 +38,17 @@ case class GroupTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[PriorityQueue[(Double, Long)]] {
+    extends TypedImperativeAggregate[PriorityQueue[(Double, Long)]]
+    with ImplicitCastInputTypes {
 
   require(k > 0, s"graft_top_k: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  // The registered SQL surface (graft_top_k) otherwise accepts ANY argument
+  // types at analysis time and ClassCastExceptions at execution (e.g. an
+  // INT score); declaring them makes wrong types an analysis error or a
+  // free implicit cast.
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

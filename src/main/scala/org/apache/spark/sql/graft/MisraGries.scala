@@ -6,7 +6,7 @@ import java.nio.ByteBuffer
 import java.util.{HashMap => JHashMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -36,11 +36,16 @@ case class MisraGries(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[JHashMap[UTF8String, Long]] {
+    extends TypedImperativeAggregate[JHashMap[UTF8String, Long]]
+    with ImplicitCastInputTypes {
 
   require(k > 0, s"graft_heavy_hitters: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(item)
+  // Analysis-time typing for the registered graft_heavy_hitters SQL
+  // function — a non-STRING item would otherwise ClassCastException at
+  // execution instead of failing (or casting) at analysis.
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

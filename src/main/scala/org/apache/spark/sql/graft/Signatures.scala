@@ -387,12 +387,15 @@ case class SimHash64(child: Expression) extends UnaryExpression with KernelCodeg
 }
 
 /** Canonical corpus text normalization — the first stage of every LLM data
-  * pipeline, as ONE compiled pass: Unicode NFC composition, lowercase
-  * (root locale — no per-machine locale surprises), and collapse of every
-  * whitespace/control run (`\s`, Cc) to a single space, edge-trimmed.
-  * Fixed, engine-replayable contract: NFC BEFORE lowercasing, so composed
-  * and decomposed inputs normalize identically; the DuckDB oracle replays
-  * it as `trim(regexp_replace(lower(nfc_normalize(s)), ...))`.
+  * pipeline, as ONE compiled pass: Unicode NFC composition, per-codepoint
+  * SIMPLE lowercase (no locale, no 1:N expansions, no final-sigma context
+  * rule — the mapping DuckDB's utf8proc lower() uses), and collapse of
+  * every `[\x00-\x20\x7f]` run (ASCII whitespace + controls + DEL — and
+  * ONLY those; U+00A0/U+2000-200A/U+2028 survive) to a single space,
+  * edge-trimmed. Fixed, engine-replayable contract: NFC BEFORE
+  * lowercasing, so composed and decomposed inputs normalize identically;
+  * the DuckDB oracle replays it as
+  * `trim(regexp_replace(lower(nfc_normalize(s)), '[\x00-\x20\x7f]+', ' ', 'g'))`.
   *
   * ASCII fast path: the common corpus row (no NFC work, no surrogate
   * handling) runs byte-at-a-time with no String materialization beyond the
@@ -437,17 +440,24 @@ case class NormalizeText(child: Expression)
       val nfc =
         if (Normalizer.isNormalized(s0, Normalizer.Form.NFC)) s0
         else Normalizer.normalize(s0, Normalizer.Form.NFC)
-      val lower = nfc.toLowerCase(java.util.Locale.ROOT)
-      val sb = new java.lang.StringBuilder(lower.length)
+      // Oracle-contract parity on the slow path too: the collapse class is
+      // EXACTLY [\x00-\x20\x7f] (the documented DuckDB regex — NOT Java's
+      // wider isWhitespace ∪ Cc, which would also eat U+00A0/U+2000-200A/
+      // U+2028 etc. that the oracle preserves), and lowercase is the
+      // per-codepoint SIMPLE mapping (Character.toLowerCase(int)) — full
+      // String.toLowerCase would 1:N-expand U+0130 and apply the
+      // context-sensitive final-sigma rule, both absent from utf8proc's
+      // simple mapping in DuckDB's lower().
+      val sb = new java.lang.StringBuilder(nfc.length)
       var pendingSpace = false
       var j = 0
-      while (j < lower.length) {
-        val cp = lower.codePointAt(j)
-        if (Character.isWhitespace(cp) || Character.getType(cp) == Character.CONTROL) {
+      while (j < nfc.length) {
+        val cp = nfc.codePointAt(j)
+        if (cp <= 0x20 || cp == 0x7f) {
           if (sb.length > 0) pendingSpace = true
         } else {
           if (pendingSpace) { sb.append(' '); pendingSpace = false }
-          sb.appendCodePoint(cp)
+          sb.appendCodePoint(Character.toLowerCase(cp))
         }
         j += Character.charCount(cp)
       }

@@ -210,7 +210,15 @@ class FunctionsSpec extends SparkSpec {
       "Cafe\u0301 du\tParc", // decomposed e + COMBINING ACUTE ACCENT
       "\u0000ctl\u001fchars\u007f here", // Cc runs collapse like whitespace
       "  edge \n\n trim  ",
-      "").toDF("text")
+      "",
+      // Oracle-contract edges (the [\x00-\x20\x7f]-only collapse class +
+      // per-codepoint SIMPLE lowercase): NBSP/EM-SPACE/LINE-SEP are NOT in
+      // the collapse class and must survive; U+0130 must simple-lower to a
+      // bare 'i' (full case mapping would expand to i + U+0307); final
+      // sigma must take the context-free \u03c3 mapping, never \u03c2.
+      "A\u00a0B\u2003C\u2028D",
+      "\u0130STANBUL",
+      "\u039f\u03a3 \u03a3O").toDF("text")
     val out =
       df.select(TextFunctions.normalizeUnicode(col("text"))).as[String].collect().toSeq
     assert(out(0) === "caf\u00e9 du parc")
@@ -218,6 +226,9 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2) === "ctl chars here")
     assert(out(3) === "edge trim")
     assert(out(4) === "")
+    assert(out(5) === "a\u00a0b\u2003c\u2028d") // non-ASCII whitespace preserved
+    assert(out(6) === "istanbul") // U+0130 -> i, length 8
+    assert(out(7) === "\u03bf\u03c3 \u03c3o") // no word-final sigma form anywhere
     // SQL surface serves the same kernel
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     df.createOrReplaceTempView("nrm_t")

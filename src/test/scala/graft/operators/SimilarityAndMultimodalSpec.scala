@@ -60,11 +60,13 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = resultSet(SimilaritySearch.bruteForceTopK(queries, emb, 10))
     val ivf = resultSet(SimilaritySearch.ivfTopK(queries, emb, 10, nlist = 8, nprobe = 2))
-    val lsh = resultSet(SimilaritySearch.lshTopK(queries, emb, 10, numPlanes = 4))
+    // the q_ann_lsh_recall gate config: query-directed multiprobe, 7
+    // lowest-cost flip-masks of 16 (measured 0.60 here / 0.61 at sf0.01)
+    val lsh = resultSet(SimilaritySearch.lshTopK(queries, emb, 10, numPlanes = 4, probes = 7))
     val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
     val lshRecall = lsh.intersect(exact).size.toDouble / exact.size
     assert(ivfRecall >= 0.6, s"IVF recall@10 regressed: $ivfRecall")
-    assert(lshRecall >= 0.25, s"LSH(4-plane multiprobe) recall@10 regressed: $lshRecall")
+    assert(lshRecall >= 0.5, s"LSH(4-plane query-directed multiprobe) recall@10 regressed: $lshRecall")
   }
 
   test("labelNoiseScan: a planted mislabel scores 1.0, clean cluster members 0.0") {
@@ -87,6 +89,63 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       assert(out(i)._2 === 1L, s"vec $i should see exactly the one mislabel")
     for (i <- Seq(4L, 5L, 6L, 7L))
       assert(out(i) === ((2, 0L, 0.0)), s"clean cluster B member $i")
+  }
+
+  test("persisted IVF index: search equals in-memory ivfTopK; append is findable; model frozen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    SimilaritySearch.ivfIndexBuild(emb, idx, nlist = 4, iters = 2)
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical model + identical probe plan → identical results
+    assert(
+      pairs(SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 2)) ===
+        pairs(SimilaritySearch.ivfTopK(q, emb, 5, nlist = 4, nprobe = 2)))
+    // append: a clone of query 0's vector lands in its cell and surfaces at rank 1
+    val centroidsBefore = spark.read.parquet(s"$idx/centroids").collect().toSeq
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    SimilaritySearch.ivfIndexAppend(clone, idx)
+    assert(spark.read.parquet(s"$idx/centroids").collect().toSeq === centroidsBefore)
+    val after = SimilaritySearch
+      .ivfIndexSearch(spark, idx, emb.filter(col("vec_id") === 0L), 3, nprobe = 2)
+      .collect()
+    assert(after.head.getAs[Long]("n_id") === 999999L) // cos=1 clone at rank 1
+  }
+
+  test("persisted IVF search: corpus scan is partition-pruned to the probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    SimilaritySearch.ivfIndexBuild(emb, idx, nlist = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 0L)
+    val p = SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // one query probing 2 of 8 cells: the vectors FileScan must carry a
+    // cell partition filter — reading all 8 partitions for a 2-cell probe
+    // is the bug this index exists to prevent.
+    assert(
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no cell partition filter in plan:\n$p")
+  }
+
+  test("labelNoiseScan: audits query vectors absent from the candidate corpus") {
+    // the query id (100) does not exist among candidates — its label must
+    // come from the queries frame, not be silently dropped by a join
+    // against the candidate label table.
+    val cands = Seq(
+      (0L, Array(1.0f, 0.00f), 1), (1L, Array(1.0f, 0.01f), 1),
+      (2L, Array(1.0f, 0.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1.0f, 0.015f), 2)).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.labelNoiseScan(q, cands, 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 100L)
+    assert(r.getInt(1) === 2)
+    assert(r.getLong(2) === 3L) // all three candidates are neighbors
+    assert(r.getDouble(4) === 1.0) // every neighbor disagrees with label 2
   }
 
   test("multimodal resize: aspect preserved, box honored, deterministic") {

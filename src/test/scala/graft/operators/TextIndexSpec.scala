@@ -210,4 +210,26 @@ class TextIndexSpec extends SparkSpec {
     // pos 1: start clamps to 1, still a 22-char slice from the doc head
     assert(out(1L) === ((1L, "vector table tail")))
   }
+
+  test("bpeTrain: greedy weighted merges, overlap handled left-to-right, early stop") {
+    // words: aaab×2, ab×1. Round 1: (a,a) weight 4 beats (a,b) weight 3;
+    // the merge inside "a a a b" is greedy-left → "aa a b" (NOT "a aa b").
+    // Round 2: (a,b) weight 3 beats (aa,a) weight 2. Round 3: (aa,ab)
+    // weight 2 is the only pair left. Round 4: no pairs → early stop, so
+    // rounds=6 still yields exactly 3 merges.
+    val d = Seq((0L, "aaab aaab ab", "s0")).toDF("doc_id", "text", "source")
+    val out = TextIndex.bpeTrain(d, 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+    // empty corpus → zero merges, schema intact
+    val empty = TextIndex.bpeTrain(Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source"), 6)
+    assert(empty.columns.toSeq === Seq("round", "l", "r", "merged", "n"))
+    assert(empty.count() === 0)
+  }
 }

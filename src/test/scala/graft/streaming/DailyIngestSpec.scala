@@ -32,6 +32,25 @@ class DailyIngestSpec extends SparkSpec {
     assert(out.toSet === Set((7L, "2024-01-01"), (7L, "2024-01-02"), (8L, "2024-01-02")))
   }
 
+  test("readEvents fails loudly on a planted alien file in the events directory") {
+    // The batch reader pins its column list; the streaming reader must hold
+    // the same discipline — a foreign table's parquet in the globbed
+    // directory previously surfaced as silent nulls under the declared
+    // events schema. The construction-time mergeSchema footer check turns
+    // that into an immediate, named failure.
+    val dir = java.nio.file.Files.createTempDirectory("graft-alien").toString + "/events"
+    writeEvents(dir)
+    Seq((1L, "some doc text", "web"))
+      .toDF("doc_id", "text", "source") // an alien documents-shaped file
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      DailyIngest.readEvents(spark, dir)
+    }
+    assert(e.getMessage.contains("not events-only"))
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("stateful incremental W1: adjacent-day deltas with guards, state across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
     Seq(
