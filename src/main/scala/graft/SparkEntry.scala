@@ -3131,6 +3131,13 @@ object SparkEntry {
       "q_bpe_train" -> ((s, dir) =>
         graft.operators.TextIndex.bpeTrain(Tables.documents(s, dir), 6).orderBy("round")),
 
+      // Apply the trained tokenizer: tokens-per-doc under the 6-merge BPE
+      // vocab (the token-budget number a packed training corpus is sized
+      // by). Corpus joins the vocab-sized segmentation table — broadcast
+      // under AQE, no corpus reshuffle.
+      "q_bpe_encode" -> ((s, dir) =>
+        graft.operators.TextIndex.bpeEncode(Tables.documents(s, dir), 6).orderBy("doc_id")),
+
       // Substring grep via the inverted trigram index: ALL-grams candidate
       // intersection, exact contains-verify only on candidates. The oracle
       // is the ground truth the index must reproduce: a full LIKE scan.
@@ -4006,7 +4013,13 @@ object SparkEntry {
     * contract, so the re-segmentation replays bit-for-bit. An empty b_k
     * empties every later round's CTE, matching the Spark side's early
     * stop. */
-  private lazy val BpeTrainOracleSql: String = {
+  /** Shared CTE prologue: word-frequency table + 6 unrolled merge rounds,
+    * each round = pair counts → 1-row argmax (b_k) → greedy re-segment
+    * (g_k). The re-segment is a LEFT JOIN ON TRUE against the argmax so an
+    * EMPTY b_k (training exhausted) passes g_{k-1} through unchanged —
+    * matching the Spark side's early stop for both the merge-table output
+    * and the final segmentation. */
+  private lazy val BpeCtesSql: String = {
     val rounds = (1 to 6).map { k =>
       s"""x$k AS (SELECT wf, t, unnest(range(1, len(t))) AS i
          |       FROM (SELECT wf, string_split(trim(seg), ' ') AS t FROM g${k - 1})
@@ -4014,21 +4027,40 @@ object SparkEntry {
          |p$k AS (SELECT t[i] AS l, t[i+1] AS r, CAST(sum(wf) AS BIGINT) AS n
          |       FROM x$k GROUP BY 1, 2),
          |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-         |g$k AS (SELECT wf, replace(seg, ' ' || l || ' ' || r || ' ',
-         |                          ' ' || l || r || ' ') AS seg
-         |       FROM g${k - 1} CROSS JOIN b$k)""".stripMargin
+         |g$k AS (SELECT word, wf,
+         |               CASE WHEN b.l IS NULL THEN seg
+         |                    ELSE replace(seg, ' ' || b.l || ' ' || b.r || ' ',
+         |                                 ' ' || b.l || b.r || ' ') END AS seg
+         |       FROM g${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }.mkString(",\n")
+    s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
+       |      FROM (SELECT unnest($ToksSql) AS word FROM documents)
+       |      GROUP BY 1 HAVING length(word) >= 2),
+       |g0 AS (SELECT word, wf,
+       |              ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM w),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val BpeTrainOracleSql: String = {
     val union = (1 to 6)
       .map(k => s"SELECT CAST($k AS INT) AS round, l, r, l || r AS merged, n FROM b$k")
       .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
-       |           FROM (SELECT unnest($ToksSql) AS word FROM documents)
-       |           GROUP BY 1 HAVING length(word) >= 2),
-       |g0 AS (SELECT wf, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg FROM w),
-       |$rounds
+    s"""WITH $BpeCtesSql
        |$union
        |ORDER BY round""".stripMargin
   }
+
+  private lazy val BpeEncodeOracleSql: String =
+    s"""WITH $BpeCtesSql,
+       |seg AS (SELECT word, CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym
+       |        FROM g6),
+       |dw AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |              CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+       |       FROM dw LEFT JOIN seg USING (word) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
@@ -5172,6 +5204,7 @@ object SparkEntry {
          |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
          |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "q_bpe_train" -> BpeTrainOracleSql,
+    "q_bpe_encode" -> BpeEncodeOracleSql,
     "q_substring_search" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE contains(text, 'vector table') ORDER BY doc_id""".stripMargin,

@@ -531,9 +531,50 @@ object TextIndex {
     * model-sized by construction.
     */
   def bpeTrain(documents: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
     val spark = documents.sparkSession
     import spark.implicits._
+    bpeCore(documents, rounds)._1.toDF("round", "l", "r", "merged", "n")
+  }
+
+  /** The trained segmentation itself: every distinct (multi-char) corpus
+    * word with its symbol count AFTER the `rounds` greedy merges — the
+    * vocab-sized lookup table [[bpeEncode]] joins against. */
+  def bpeSegment(documents: DataFrame, rounds: Int): DataFrame =
+    bpeCore(documents, rounds)._2
+      .select(col("word"), size(split(trim(col("seg")), " ")).cast("long").as("n_sym"))
+
+  /** Tokens-per-document under the trained BPE vocabulary — the "apply the
+    * tokenizer" half of the training story (token-budget accounting for a
+    * packed training corpus uses exactly this number). Per doc:
+    * whitespace words joined against the vocab-sized [[bpeSegment]] table
+    * (broadcast under AQE — the corpus never reshuffles), single-char
+    * words (excluded from training by construction) count 1 symbol.
+    * Returns `(doc_id, n_words, n_bpe_tokens)`, empty docs included with
+    * zero counts. */
+  def bpeEncode(documents: DataFrame, rounds: Int): DataFrame = {
+    val segTable = bpeSegment(documents, rounds)
+    val words = documents.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val perDoc = words
+      .join(segTable, Seq("word"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).cast("long").as("n_bpe_tokens"))
+    documents
+      .select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Shared BPE driver loop: returns (merge table rows, final segmentation
+    * frame `(word, wf, seg)`). See [[bpeTrain]] for the contract. */
+  private def bpeCore(
+      documents: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.graft.Bridge
     var seg = documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word")
@@ -542,7 +583,10 @@ object TextIndex {
       // " a b c " — every symbol space-delimited with sentinel spaces at
       // both edges, so a merge pattern " l r " can only match at symbol
       // boundaries.
-      .select(col("wf"), concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seg"))
+      .select(
+        col("word"),
+        col("wf"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seg"))
       .transform(Bridge.localCheckpointFreshStats)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var round = 1
@@ -574,6 +618,6 @@ object TextIndex {
         round += 1
       }
     }
-    merges.toSeq.toDF("round", "l", "r", "merged", "n")
+    (merges.toSeq, seg)
   }
 }

@@ -232,4 +232,22 @@ class TextIndexSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("round", "l", "r", "merged", "n"))
     assert(empty.count() === 0)
   }
+
+  test("bpeEncode: per-doc token counts under the trained vocab; 1-char words; empty docs") {
+    // training on THIS corpus runs 4 merges then exhausts: (a,a) n=6,
+    // (a,b) n=4, (aa,ab) n=3, (b,a) n=1 — so "aaab"/"ab"/"ba" each
+    // collapse to 1 symbol; "x" (single char, excluded from training)
+    // counts 1 via the encode-side fallback; rounds=6 > 4 exercises the
+    // early-stop path end to end.
+    val d = Seq(
+      (0L, "aaab aaab ab", "s0"), // 3 words → 1+1+1 = 3 tokens
+      (1L, "ba x aaab", "s0"), // 1+1+1 = 3 tokens
+      (2L, "", "s0") // empty doc → (0, 0), not dropped
+    ).toDF("doc_id", "text", "source")
+    val out = TextIndex.bpeEncode(d, 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(0L -> ((3L, 3L)), 1L -> ((3L, 3L)), 2L -> ((0L, 0L))))
+  }
 }
