@@ -53,6 +53,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bpe: per-round state is the checkpointed vocab table, not a corpus re-derivation") {
+    import graft.operators.TextIndex
+    import graft.sources.Tables
+    // After training, the segmentation frame must read the (vocab-sized)
+    // localCheckpoint — a FileScan here would mean every round re-reads
+    // and re-tokenizes the corpus, turning R rounds into R corpus scans.
+    val p = TextIndex.bpeSegment(Tables.documents(spark, dir), 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    assert(!p.contains("FileScan"), s"corpus re-scan in post-training plan:\n$p")
+  }
+
+  test("q_bpe_encode: corpus joins the vocab segmentation table by broadcast") {
+    val p = plan("q_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q_dedup_incremental: bloom probe guards the exact stage; drop sets broadcast") {
     val p = plan("q_dedup_incremental")
     assert(p.contains("graft_bloom_might_contain"), s"bloom prune missing:\n$p")
