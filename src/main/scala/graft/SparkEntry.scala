@@ -1939,6 +1939,16 @@ object SparkEntry {
           .withColumn("matches_inmem", lit(diff == 0L))
       }),
 
+      // Hard-negative mining: per query, the top-5 most-similar
+      // DIFFERENT-label vectors — the contrastive-training pair source.
+      // Same broadcast-query/one-corpus-scan shape as q_ann_bruteforce.
+      "q_hard_negatives" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch
+          .hardNegatives(e.filter(col("vec_id") < 8), e, 5)
+          .orderBy("q_id", "rank")
+      }),
+
       // Embedding stats: dimensionality + L2 norm
       "q_embed_stats" -> ((s, dir) => {
         import graft.functions.VectorFunctions
@@ -4444,6 +4454,20 @@ object SparkEntry {
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",
       "TRUE AS recall_ok, TRUE AS matches_inmem"),
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv, label AS n_label
+        |      FROM embeddings),
+        |s AS (SELECT q_id, q_label, n_id, n_label,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id AND q_label <> n_label),
+        |r AS (SELECT q_id, q_label, n_id, n_label, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, q_label, rank, n_id, n_label, sim
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_embed_stats" ->
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
         |       sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2

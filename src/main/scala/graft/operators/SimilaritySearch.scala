@@ -161,6 +161,35 @@ object SimilaritySearch {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining for contrastive/classifier training: for each
+    * query vector, the `k` most-similar candidates with a DIFFERENT label
+    * — the examples a margin loss learns most from. Same scan shape as
+    * [[bruteForceTopK]] (queries broadcast, corpus scanned once with no
+    * candidate-side shuffle, per-query top-k heads exchange under the
+    * window); the label-mismatch predicate rides the same join, so
+    * same-label rows never reach the ranking. Returns
+    * `(q_id, q_label, rank, n_id, n_label, sim)`. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        col("label").as("q_label"))
+      .withColumn("qn", norm(col("qv")))
+    val c = candidates
+      .select(
+        col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("nv"),
+        col("label").as("n_label"))
+      .withColumn("nn", norm(col("nv")))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "q_label", "rank", "n_id", "n_label", "sim")
+  }
+
   private def assign(cents: Array[(Int, Array[Double])], vecCol: String): Column =
     array_max(array(cents.map { case (cid, v) =>
       struct(dot(col(vecCol), lit(v)).as("d"), lit(cid).as("cid"))

@@ -91,6 +91,24 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       assert(out(i) === ((2, 0L, 0.0)), s"clean cluster B member $i")
   }
 
+  test("hardNegatives: nearest different-label vectors only, same-label never ranked") {
+    // cluster A (label 1) + cluster B (label 2), with vector 3 sitting in
+    // cluster A but labeled 2: for query 0 (label 1) the hardest negative
+    // is exactly that embedded-in-A label-2 vector, then cluster B.
+    val e = Seq(
+      (0L, Array(1.0f, 0.00f), 1), (1L, Array(1.0f, 0.01f), 1),
+      (2L, Array(1.0f, 0.02f), 1), (3L, Array(1.0f, 0.03f), 2),
+      (4L, Array(0.0f, 1.00f), 2), (5L, Array(0.01f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch
+      .hardNegatives(e.filter(col("vec_id") === 0L), e, 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_id")).toSeq === Seq(3L, 5L, 4L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(_.getAs[Int]("n_label") === 2)) // never a same-label row
+    assert(out.forall(_.getAs[Int]("q_label") === 1))
+  }
+
   test("persisted IVF index: search equals in-memory ivfTopK; append is findable; model frozen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
