@@ -1949,6 +1949,24 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
+      // Matryoshka truncation audit: per query, how many of the full-64-dim
+      // cosine top-10 survive when ranking under the leading 32 dims only —
+      // the retrievability check before shipping truncated embeddings
+      // (storage/bandwidth 2×). Both rankings share the one-corpus-scan
+      // broadcast shape; the prefix slice happens once per vector.
+      "q_matryoshka_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val full = SimilaritySearch.bruteForceTopK(q, e, 10).select("q_id", "n_id")
+        val half = SimilaritySearch.bruteForceTopK(q, e, 10, dims = 32)
+          .select(col("q_id"), col("n_id").as("h_id"))
+        full
+          .join(half, full("q_id") === half("q_id") && col("n_id") === col("h_id"), "left_outer")
+          .groupBy(full("q_id"))
+          .agg(count(col("h_id")).cast("long").as("n_overlap"))
+          .orderBy("q_id")
+      }),
+
       // Embedding stats: dimensionality + L2 norm
       "q_embed_stats" -> ((s, dir) => {
         import graft.functions.VectorFunctions
@@ -4454,6 +4472,30 @@ object SparkEntry {
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",
       "TRUE AS recall_ok, TRUE AS matches_inmem"),
+    "q_matryoshka_gate" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |sf AS (SELECT q_id, n_id,
+        |              list_inner_product(qv, nv) /
+        |                (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |       FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |f AS (SELECT q_id, n_id FROM
+        |        (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY sim DESC, n_id) AS rank
+        |         FROM sf) WHERE rank <= 10),
+        |sh AS (SELECT q_id, n_id,
+        |              list_inner_product(list_slice(qv, 1, 32), list_slice(nv, 1, 32)) /
+        |                (sqrt(list_inner_product(list_slice(qv, 1, 32), list_slice(qv, 1, 32)))
+        |                 * sqrt(list_inner_product(list_slice(nv, 1, 32), list_slice(nv, 1, 32)))) AS sim
+        |       FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |h AS (SELECT q_id, n_id FROM
+        |        (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY sim DESC, n_id) AS rank
+        |         FROM sh) WHERE rank <= 10)
+        |SELECT f.q_id, CAST(count(h.n_id) AS BIGINT) AS n_overlap
+        |FROM f LEFT JOIN h ON f.q_id = h.q_id AND f.n_id = h.n_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
         |           FROM embeddings WHERE vec_id < 8),

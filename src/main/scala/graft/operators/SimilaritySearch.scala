@@ -24,14 +24,29 @@ object SimilaritySearch {
 
   // array<double> materialized per vector BEFORE any pairwise join — keeps
   // DotProduct's implicit float→double cast out of the quadratic stage.
-  private def withNorm(df: DataFrame, idAs: String, vecAs: String, nrmAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs), col("embedding").cast("array<double>").as(vecAs))
+  // dims > 0 truncates to the leading prefix (Matryoshka-style) — the
+  // slice happens once per vector here, never per pair.
+  private def withNorm(
+      df: DataFrame,
+      idAs: String,
+      vecAs: String,
+      nrmAs: String,
+      dims: Int = 0): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    df.select(col("vec_id").as(idAs), (if (dims > 0) slice(v, 1, dims) else v).as(vecAs))
       .withColumn(nrmAs, norm(col(vecAs)))
+  }
 
-  /** Exact cosine top-k neighbors for each query vector (self excluded). */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = withNorm(queries, "q_id", "qv", "qn")
-    val c = withNorm(candidates, "n_id", "nv", "nn")
+  /** Exact cosine top-k neighbors for each query vector (self excluded).
+    * `dims` > 0 ranks under the leading-`dims` prefix of every embedding
+    * (Matryoshka truncation) instead of the full vector. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      dims: Int = 0): DataFrame = {
+    val q = withNorm(queries, "q_id", "qv", "qn", dims)
+    val c = withNorm(candidates, "n_id", "nv", "nn", dims)
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))

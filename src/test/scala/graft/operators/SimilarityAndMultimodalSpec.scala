@@ -91,6 +91,19 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       assert(out(i) === ((2, 0L, 0.0)), s"clean cluster B member $i")
   }
 
+  test("bruteForceTopK dims: prefix-truncated ranking diverges exactly where tails matter") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.0f, 0.6f, 0.0f)), // prefix-aligned, tail off-axis
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)) // slightly off in-prefix, no tail
+    ).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 0L)
+    val full = SimilaritySearch.bruteForceTopK(q, e, 1).collect().head.getAs[Long]("n_id")
+    val half = SimilaritySearch.bruteForceTopK(q, e, 1, dims = 2).collect().head.getAs[Long]("n_id")
+    assert(full === 2L) // full cos: 0.994 beats 0.8
+    assert(half === 1L) // first-2-dims cos: 1.0 beats 0.994
+  }
+
   test("hardNegatives: nearest different-label vectors only, same-label never ranked") {
     // cluster A (label 1) + cluster B (label 2), with vector 3 sitting in
     // cluster A but labeled 2: for query 0 (label 1) the hardest negative
