@@ -580,6 +580,30 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Personalized PageRank over the same trade graph: teleport
+    // concentrated on every 50th customer node — random-walk-with-restart
+    // proximity to the seed set (seed-anchored corpus selection). Same
+    // integer contract and unrolled-CTE oracle as q_pagerank.
+    "q_ppr" -> ((s, dir) => {
+      val pairs = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges
+        .select(col("src").as("node"))
+        .filter(col("node").startsWith("c") && expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0"))
+        .distinct()
+      graft.operators.Analytics.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy(col("pr_micro").desc, col("node"))
+        .limit(20)
+    }),
+
     // Window ranking — top-5 events per type (sort/limit per group)
     "q_topk_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1250,6 +1274,50 @@ object SparkEntry {
         |         FROM e JOIN r4 r ON e.src = r.node JOIN deg g ON e.src = g.node
         |         GROUP BY 1) s ON d.node = s.node)
         |SELECT node, pr AS pr_micro FROM r5
+        |ORDER BY pr_micro DESC, node LIMIT 20""".stripMargin,
+    "q_ppr" ->
+      // q_pagerank's unrolled-round replay with the teleport term gated on
+      // the seed flag: pr' = t + (Σ_in(pr // deg) * 85) // 100, t = 150000
+      // for seeds else 0, seeds start at 10^6 and non-seeds at 0.
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |d AS (SELECT deg.node, deg.deg,
+        |             CASE WHEN deg.node LIKE 'c%'
+        |                       AND CAST(substr(deg.node, 2) AS BIGINT) % 50 = 0
+        |                  THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS t
+        |      FROM deg),
+        |r0 AS (SELECT node, CASE WHEN t > 0 THEN CAST(1000000 AS BIGINT)
+        |                         ELSE CAST(0 AS BIGINT) END AS pr FROM d),
+        |r1 AS (SELECT d.node, CAST(d.t + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r0 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r2 AS (SELECT d.node, CAST(d.t + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r1 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r3 AS (SELECT d.node, CAST(d.t + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r2 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r4 AS (SELECT d.node, CAST(d.t + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r3 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node),
+        |r5 AS (SELECT d.node, CAST(d.t + (COALESCE(s.m, 0) * 85) // 100 AS BIGINT) AS pr
+        |       FROM d LEFT JOIN (
+        |         SELECT e.dst AS node, CAST(sum(r.pr // g.deg) AS BIGINT) AS m
+        |         FROM e JOIN r4 r ON e.src = r.node JOIN deg g ON e.src = g.node
+        |         GROUP BY 1) s ON d.node = s.node)
+        |SELECT node, pr AS pr_micro FROM r5 WHERE pr > 0
         |ORDER BY pr_micro DESC, node LIMIT 20""".stripMargin,
     "q_topk_window" ->
       """SELECT event_type, rank, event_id, value FROM

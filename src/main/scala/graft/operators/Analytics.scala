@@ -274,6 +274,70 @@ object Analytics {
 
   private val prScale = 1000000L
 
+  /** Personalized PageRank: [[pageRank]]'s integer-exact contract with the
+    * teleport term concentrated on a SEED set — random-walk-with-restart
+    * proximity to the seeds, the graph-native "more like these" ranking
+    * (crawl-frontier prioritization, seed-anchored corpus selection).
+    *
+    * Contract (unnormalized PPR, engine-replayable): seeds start at
+    * `prScale` micro-units and every round receive a flat 150000 teleport;
+    * non-seeds start at 0 and receive none:
+    * `pr'(v) = (seed(v) ? 150000 : 0) + (Σ_in (pr div out_deg) · 85) div 100`.
+    * All BIGINT with truncating division, so the DuckDB oracle replays the
+    * rounds as unrolled CTEs bit-for-bit. Same caller contract (out-degree
+    * ≥ 1) and same two-shuffles-per-round + checkpoint-every-`ckptEvery`
+    * scale shape as [[pageRank]].
+    *
+    * Output: `(node, pr_micro)` for nodes with pr > 0 — proximity mass
+    * only; far-from-seed nodes stay exactly zero and are dropped. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 5,
+      ckptEvery: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val e = edges.select(col("src"), col("dst")).transform(Bridge.localCheckpointFreshStats)
+    val deg = e
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .join(
+        seeds.select(col("node")).distinct().withColumn("t", lit(prScale * 15L / 100L)),
+        Seq("node"),
+        "left")
+      .select(col("node"), col("deg"), coalesce(col("t"), lit(0L)).as("t"))
+      .transform(Bridge.localCheckpointFreshStats)
+    var ranks = deg.select(
+      col("node"),
+      when(col("t") > 0, lit(prScale)).otherwise(lit(0L)).as("pr"),
+      col("deg"),
+      col("t"))
+    var prevCkpt: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+      val inSum = contrib.groupBy("node").agg(sum(col("c")).cast("long").as("m"))
+      val round = deg
+        .join(inSum, Seq("node"), "left")
+        .select(
+          col("node"),
+          (col("t") + expr("(coalesce(m, CAST(0 AS BIGINT)) * 85) div 100")).as("pr"),
+          col("deg"),
+          col("t"))
+      if (i % ckptEvery == 0 || i == iters) {
+        val next = round.transform(Bridge.localCheckpointFreshStats)
+        if (prevCkpt != null) Bridge.freeLocalCheckpoint(prevCkpt)
+        prevCkpt = next
+        ranks = next
+      } else {
+        ranks = round
+      }
+    }
+    Bridge.freeLocalCheckpoint(e)
+    Bridge.freeLocalCheckpoint(deg)
+    ranks.filter(col("pr") > 0).select(col("node"), col("pr").as("pr_micro"))
+  }
+
   /** K-core decomposition by synchronous peeling: repeatedly delete every
     * node of degree < k (all at once — a "round"), until the remainder (the
     * k-core) has minimum degree ≥ k. The graph-curation primitive behind

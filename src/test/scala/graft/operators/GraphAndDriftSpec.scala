@@ -212,6 +212,29 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(out.values.toSet.size <= 2)
   }
 
+  test("personalizedPageRank: matches a scalar replay of the integer recurrence; " +
+    "disconnected component stays exactly zero") {
+    // a–b–c chain (symmetrized) + disconnected d–e pair; seed {a}.
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("d", "e"), ("e", "d")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val out = Analytics.personalizedPageRank(edges, seeds, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scalar replay of the exact contract
+    val adjIn = Map("a" -> Seq("b"), "b" -> Seq("a", "c"), "c" -> Seq("b"),
+      "d" -> Seq("e"), "e" -> Seq("d"))
+    val deg = Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 1L)
+    val t = Map("a" -> 150000L).withDefaultValue(0L)
+    var pr = Map("a" -> 1000000L).withDefaultValue(0L)
+    for (_ <- 1 to 5)
+      pr = deg.keys.map { v =>
+        v -> (t(v) + adjIn(v).map(u => pr(u) / deg(u)).sum * 85L / 100L)
+      }.toMap
+    assert(out === pr.filter(_._2 > 0L))
+    assert(!out.contains("d") && !out.contains("e")) // zero mass dropped
+  }
+
   test("bfsDistances: chain distances from one seed; past-frontier nodes absent") {
     // chain 1-2-3-4-5, seed {1}, 3 rounds: node 5 is 4 hops away -> absent
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
