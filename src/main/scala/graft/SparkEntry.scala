@@ -3861,6 +3861,17 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
           5L)),
 
+      // l-diversity over the same quasi-identifier grid, with the account-
+      // balance bucket as the sensitive attribute — the homogeneity-attack
+      // audit k-anonymity alone misses.
+      "q_l_diversity" -> ((s, dir) =>
+        graft.operators.Privacy.lDiversity(
+          Tables.customer(s, dir)
+            .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"),
+          "bal_bucket",
+          3L)),
+
       // Keyed pseudonymization mapping for the event user population:
       // deterministic md5 surrogates, one distinct exchange.
       "q_pseudonymize" -> ((s, dir) =>
@@ -5856,6 +5867,19 @@ object SparkEntry {
         |         AS n_violating_classes,
         |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |       min(sz) >= 5 AS k_ok
+        |FROM cls""".stripMargin,
+    "q_l_diversity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |                    CAST(count(*) AS BIGINT) AS sz,
+        |                    CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |                         AS BIGINT) AS nd
+        |             FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(min(nd) AS BIGINT) AS min_distinct_sensitive,
+        |       CAST(sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_classes,
+        |       CAST(sum(CASE WHEN nd < 3 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       min(nd) >= 3 AS l_ok
         |FROM cls""".stripMargin,
     "q_pseudonymize" ->
       """SELECT user_id, md5('pepper2024:' || CAST(user_id AS VARCHAR)) AS pseudonym

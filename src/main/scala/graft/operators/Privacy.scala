@@ -41,6 +41,32 @@ object Privacy {
         col("rows_at_risk"),
         (col("min_class_size") >= k).as("k_ok"))
 
+  /** l-diversity audit — k-anonymity's sensitive-value complement: a
+    * k-anonymous class is still re-identifying if everyone in it shares
+    * the same SENSITIVE value (homogeneity attack), so each
+    * quasi-identifier class must also contain at least `l` DISTINCT
+    * sensitive values. One aggregate over the class grid (count +
+    * count-distinct per class — map-side combined, bounded by the class
+    * grid not the table), one scalar roll-up. Output mirrors
+    * [[kAnonymity]]: `(n_classes, min_distinct_sensitive,
+    * n_violating_classes, rows_at_risk, l_ok)`. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String, l: Long): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("sz"),
+        countDistinct(col(sensitive)).cast("long").as("nd"))
+      .agg(
+        count(lit(1)).cast("long").as("n_classes"),
+        min(col("nd")).cast("long").as("min_distinct_sensitive"),
+        sum(when(col("nd") < l, 1L).otherwise(0L)).cast("long").as("n_violating_classes"),
+        sum(when(col("nd") < l, col("sz")).otherwise(0L)).cast("long").as("rows_at_risk"))
+      .select(
+        col("n_classes"),
+        col("min_distinct_sensitive"),
+        col("n_violating_classes"),
+        col("rows_at_risk"),
+        (col("min_distinct_sensitive") >= l).as("l_ok"))
+
   /** Keyed surrogate for an identifier column: `md5(pepper || ':' || id)`
     * as a Column — deterministic (joins on the surrogate still line up
     * across tables and runs), non-reversible without the pepper, and

@@ -24,6 +24,23 @@ class PrivacyAndSeriesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("k_ok") === false)
   }
 
+  test("lDiversity: homogeneous class flagged even where k-anonymity passes") {
+    // class (a): 3 rows but ONE sensitive value -> violates l=2 with all 3
+    // rows at risk; class (b): 2 rows, 2 distinct values -> ok. Note the
+    // k=2 gate PASSES on this data — the homogeneity attack is exactly
+    // what l-diversity adds.
+    val df = Seq(
+      ("a", 10), ("a", 10), ("a", 10),
+      ("b", 10), ("b", 20)).toDF("q1", "s")
+    assert(Privacy.kAnonymity(df, Seq("q1"), 2L).collect().head.getAs[Boolean]("k_ok"))
+    val r = Privacy.lDiversity(df, Seq("q1"), "s", 2L).collect().head
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("min_distinct_sensitive") === 1L)
+    assert(r.getAs[Long]("n_violating_classes") === 1L)
+    assert(r.getAs[Long]("rows_at_risk") === 3L)
+    assert(r.getAs[Boolean]("l_ok") === false)
+  }
+
   test("kAnonymity: passes when every class reaches k; nulls form a class") {
     val df = Seq(
       (Some("a"), 1), (Some("a"), 1),
