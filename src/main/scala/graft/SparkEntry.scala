@@ -3234,6 +3234,12 @@ object SparkEntry {
       "q_bpe_encode" -> ((s, dir) =>
         graft.operators.TextIndex.bpeEncode(Tables.documents(s, dir), 6).orderBy("doc_id")),
 
+      // Sparse TF-IDF pair similarity: top-30 doc pairs by integer-exact
+      // quantized-idf shared-term score through the term-keyed index join
+      // (2 ≤ df ≤ 100 cap bounds the fan-out; stopwords never join).
+      "q_docsim_sparse" -> ((s, dir) =>
+        graft.operators.TextIndex.sparseTfidfPairs(Tables.documents(s, dir), 100L, 30)),
+
       // Substring grep via the inverted trigram index: ALL-grams candidate
       // intersection, exact contains-verify only on candidates. The oracle
       // is the ground truth the index must reproduce: a full LIKE scan.
@@ -5350,6 +5356,21 @@ object SparkEntry {
          |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     "q_bpe_train" -> BpeTrainOracleSql,
     "q_bpe_encode" -> BpeEncodeOracleSql,
+    "q_docsim_sparse" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+         |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |        HAVING count(*) BETWEEN 2 AND 100),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (SELECT tok, doc_id, (tf * n_docs * 10) // df AS wq
+         |      FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |             CAST(count(*) AS BIGINT) AS n_shared,
+         |             CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+         |      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_shared, dot FROM p
+         |ORDER BY dot DESC, a_id, b_id LIMIT 30""".stripMargin,
     "q_substring_search" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE contains(text, 'vector table') ORDER BY doc_id""".stripMargin,

@@ -511,6 +511,46 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Sparse TF-IDF document-pair similarity — the SPARSE complement to the
+    * dense embedding ANN family: top-`k` document pairs by TF-IDF-weighted
+    * shared-term score, computed through the inverted term index (a join
+    * keyed on token), never an all-pairs product.
+    *
+    * Cost bound: only terms with `2 ≤ df ≤ dfCap` generate pairs — a
+    * stopword's posting is O(corpus) by definition and its idf ≈ 0, so the
+    * cap drops exactly the terms that would explode the join while
+    * contributing least; each surviving term fans out ≤ dfCap²/2 pairs.
+    *
+    * Numeric contract (cross-engine exact): per-posting weight is the
+    * INTEGER-quantized linear-idf `wq = (tf · N · 10) div df` and the pair
+    * score is `Σ wq_a·wq_b` summed as BIGINT — pure integer arithmetic,
+    * bit-identical in any engine (headroom: wq ≤ 10·tf·N, products ≤
+    * ~10¹⁴ at the test scales; a 10⁹-doc corpus needs the internal sum
+    * widened to DECIMAL and re-quantized at the edge). Ties break
+    * (a_id, b_id) ascending. Returns `(a_id, b_id, n_shared, dot)`. */
+  def sparseTfidfPairs(documents: DataFrame, dfCap: Long, k: Int): DataFrame = {
+    val tf = termFrequency(documents)
+    val dfT = tf
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") >= 2)
+    val n = documents.agg(count(lit(1)).cast("long").as("n_docs"))
+    val w = tf
+      .join(dfT, "tok")
+      .join(broadcast(n)) // 1 row
+      .select(col("tok"), col("doc_id"), expr("(tf * n_docs * 10) div df").as("wq"))
+    val a = w.toDF("tok", "a_id", "a_w")
+    val b = w.toDF("tok", "b_id", "b_w")
+    a.join(b, Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_shared"),
+        sum(col("a_w") * col("b_w")).cast("long").as("dot"))
+      .orderBy(col("dot").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
   /** Full BPE tokenizer training, `rounds` greedy merges — the iterative
     * completion of [[bpeMergeCandidates]]. Per round: count every adjacent
     * symbol pair weighted by word frequency (a vocab-bounded map-side-

@@ -233,6 +233,24 @@ class TextIndexSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("sparseTfidfPairs: hand-computed quantized weights; capped/singleton terms never join") {
+    // N=4. df: x=2, y=2, z=2 kept; q (df=1) dropped. wq = (tf·4·10) div df:
+    // x@d0=40, x@d1=20, y@d0=20, y@d2=20, z@d1=20, z@d2=20.
+    // dots: (0,1)=40·20=800 via x; (0,2)=400 via y; (1,2)=400 via z.
+    val d = Seq(
+      (0L, "x x y", "s"), (1L, "x z", "s"), (2L, "y z", "s"), (3L, "q", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = TextIndex.sparseTfidfPairs(d, 100L, 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 1L, 1L, 800L), (0L, 2L, 1L, 400L), (1L, 2L, 1L, 400L)))
+    // a df-cap of 1 excludes every shared term -> no pairs at all
+    assert(TextIndex.sparseTfidfPairs(d, 1L, 30).count() === 0L)
+    val p = TextIndex.sparseTfidfPairs(d, 100L, 30)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p") // term-keyed join, never all-pairs
+  }
+
   test("bpeEncode: per-doc token counts under the trained vocab; 1-char words; empty docs") {
     // training on THIS corpus runs 4 merges then exhausts: (a,a) n=6,
     // (a,b) n=4, (aa,ab) n=3, (b,a) n=1 — so "aaab"/"ab"/"ba" each
