@@ -336,6 +336,62 @@ object SimilaritySearch {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
+  /** Continuous-ingest version of [[ivfIndexAppend]]: drain a parquet
+    * directory of arriving vectors into the index as a Structured
+    * Streaming job (Trigger.AvailableNow + checkpoint — the
+    * [[graft.streaming.DailyIngest.runIncremental]] exactly-once
+    * contract: re-invoking with the same checkpoint assigns and appends
+    * ONLY files that arrived since the last run). Assignment under the
+    * frozen centroid model is a pure projection, so it runs inside the
+    * stream — no foreachBatch, no retraining, no corpus rescan.
+    *
+    * Layout: streamed rows land in their own `vectors-stream` segment
+    * (cell-partitioned like the base) because a streaming parquet sink
+    * owns its directory through a `_spark_metadata` commit log — a reader
+    * of a MIXED directory would silently see only sink-committed files
+    * and lose the batch-built base. [[ivfIndexSearch]] unions base +
+    * stream segments (the [[graft.kv.LogStructuredTable]] base+log
+    * shape); cell pruning pushes into both branches. */
+  def ivfIndexAppendStream(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      arrivalsDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val centroids = readCentroids(spark, indexDir)
+    require(centroids.nonEmpty, s"ivf index at $indexDir has an empty centroid model")
+    val raw = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .parquet(arrivalsDir)
+    val assigned = raw
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .withColumn("cell", assign(centroids, "nv"))
+    val q = assigned.writeStream
+      .format("parquet")
+      .partitionBy("cell")
+      .option("path", s"$indexDir/vectors-stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Base + streamed segments of the index, unioned (either may not exist
+    * yet on a freshly-built or stream-only index). */
+  private def indexVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    def readIf(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (path.getFileSystem(conf).exists(path)) Some(spark.read.parquet(p)) else None
+    }
+    (readIf(s"$dir/vectors") ++ readIf(s"$dir/vectors-stream"))
+      .reduceLeft(_ unionByName _)
+  }
+
   /** Search the persisted index: nprobe nearest cells per query, exact
     * cosine re-rank inside them — [[ivfTopK]]'s plan with the scan side
     * PARTITION-PRUNED to the union of probed cells (a model-sized `IN`
@@ -365,7 +421,7 @@ object SimilaritySearch {
     // a driver-side model-sized collect that buys partition pruning on the
     // vectors scan.
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
-    val indexed = spark.read.parquet(s"$dir/vectors").filter(col("cell").isin(cells: _*))
+    val indexed = indexVectors(spark, dir).filter(col("cell").isin(cells: _*))
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     indexed
       .join(broadcast(probed), Seq("cell"))

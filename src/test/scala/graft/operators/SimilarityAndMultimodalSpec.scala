@@ -146,6 +146,32 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(after.head.getAs[Long]("n_id") === 999999L) // cos=1 clone at rank 1
   }
 
+  test("streaming IVF ingest: streamed appends equal the batch append; checkpoint " +
+    "resume skips processed files") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val (idxA, idxB, arrivals, ckpt) = (s"$base/a", s"$base/b", s"$base/in", s"$base/ckpt")
+    val old = emb.filter(col("vec_id") < 150)
+    val fresh = emb.filter(col("vec_id") >= 150)
+    SimilaritySearch.ivfIndexBuild(old, idxA, nlist = 4, iters = 2)
+    SimilaritySearch.ivfIndexBuild(old, idxB, nlist = 4, iters = 2)
+    // batch path on A, streamed path on B — same frozen model
+    SimilaritySearch.ivfIndexAppend(fresh, idxA)
+    fresh.coalesce(1).write.mode("append").parquet(arrivals)
+    SimilaritySearch.ivfIndexAppendStream(spark, idxB, arrivals, ckpt)
+    val q = emb.filter(col("vec_id") < 10)
+    def res(idx: String): Set[(Long, Long, Long)] =
+      SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 2)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(idxB) === res(idxA))
+    assert(res(idxB).nonEmpty)
+    // same checkpoint, no new files -> nothing appended twice
+    val nBefore = spark.read.parquet(s"$idxB/vectors").count()
+    SimilaritySearch.ivfIndexAppendStream(spark, idxB, arrivals, ckpt)
+    assert(spark.read.parquet(s"$idxB/vectors").count() === nBefore)
+  }
+
   test("persisted IVF search: corpus scan is partition-pruned to the probed cells") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
