@@ -378,6 +378,29 @@ object SimilaritySearch {
     q.awaitTermination()
   }
 
+  /** Major compaction: fold the streamed segment back into the base (the
+    * LSM lifecycle close — after enough stream epochs the union's
+    * two-branch scan and the stream segment's small files are worth one
+    * rewrite). Write-ahead to a temp dir then swap, so a crash leaves
+    * either the old segments or the new base, never a half state (the
+    * swap window itself is the same non-atomic-rename caveat as
+    * [[graft.kv.LogStructuredTable]]'s compaction, documented there). The
+    * source CHECKPOINT is untouched — a later [[ivfIndexAppendStream]]
+    * with the same checkpoint still skips already-ingested files. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/vectors-stream")
+    val fs = streamPath.getFileSystem(conf)
+    if (!fs.exists(streamPath)) return
+    val tmp = s"$dir/vectors-compacting"
+    indexVectors(spark, dir)
+      .select("n_id", "nv", "nn", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+    fs.delete(streamPath, true)
+  }
+
   /** Base + streamed segments of the index, unioned (either may not exist
     * yet on a freshly-built or stream-only index). */
   private def indexVectors(
@@ -386,7 +409,14 @@ object SimilaritySearch {
     val conf = spark.sessionState.newHadoopConf()
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
-      if (path.getFileSystem(conf).exists(path)) Some(spark.read.parquet(p)) else None
+      if (!path.getFileSystem(conf).exists(path)) None
+      else
+        // A stream run that committed zero batches (checkpoint already
+        // covers every arrival) leaves a segment holding only an empty
+        // _spark_metadata sink log — schema inference fails on it, and
+        // "no rows here yet" is the correct reading.
+        try Some(spark.read.parquet(p))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
     (readIf(s"$dir/vectors") ++ readIf(s"$dir/vectors-stream"))
       .reduceLeft(_ unionByName _)

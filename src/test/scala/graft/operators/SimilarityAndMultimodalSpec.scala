@@ -170,6 +170,14 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     val nBefore = spark.read.parquet(s"$idxB/vectors").count()
     SimilaritySearch.ivfIndexAppendStream(spark, idxB, arrivals, ckpt)
     assert(spark.read.parquet(s"$idxB/vectors").count() === nBefore)
+    // compaction folds the stream segment into the base: answers unchanged,
+    // segment gone, and the untouched checkpoint still skips old files
+    val before = res(idxB)
+    SimilaritySearch.ivfIndexCompact(spark, idxB)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxB/vectors-stream")))
+    assert(res(idxB) === before)
+    SimilaritySearch.ivfIndexAppendStream(spark, idxB, arrivals, ckpt) // no-op again
+    assert(res(idxB) === before)
   }
 
   test("persisted IVF search: corpus scan is partition-pruned to the probed cells") {
