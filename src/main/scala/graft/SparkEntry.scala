@@ -320,6 +320,60 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape — six-way join with the co-location predicate
+    // (customer and supplier in the SAME nation): the classic join-order
+    // stress test. region→nation is a broadcast chain; the c_nationkey =
+    // s_nationkey equality rides the fact joins. Exact decimal-cents
+    // revenue, one edge cast.
+    "q5_local_volume" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01"))
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double")
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape — returned-item revenue per customer over a quarter,
+    // top 20: the "who should we call" report. Customer/nation broadcast;
+    // the R-flag filter rides the lineitem scan.
+    "q10_returned" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) < lit("1996-04-01"))
+      val n = Tables.load(s, dir, "nation")
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(
+          broadcast(Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double")
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Broadcast dimension join (J1 at TPC-H volume)
     "q_broadcast_join" -> ((s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_size") < 20)
@@ -1104,6 +1158,35 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
         |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_broadcast_join" ->
       """SELECT p_brand, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
