@@ -53,6 +53,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q5_local_volume: dims broadcast, facts hash-join, no cartesian/nested-loop") {
+    val p = plan("q5_local_volume")
+    assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("q10_returned: R-flag filter pushed to the lineitem scan; dims broadcast") {
+    val p = plan("q10_returned")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    // the return-flag equality must reach the parquet scan as a pushed filter
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag not pushed:\n$p")
+  }
+
   test("bpe: per-round state is the checkpointed vocab table, not a corpus re-derivation") {
     import graft.operators.TextIndex
     import graft.sources.Tables
