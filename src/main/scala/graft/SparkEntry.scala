@@ -2054,6 +2054,14 @@ object SparkEntry {
         SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
       }),
 
+      // ANN: product quantization + ADC re-rank — 8 one-byte codes stand
+      // in for the 256-byte vector on the ranking scan (rows-only check;
+      // recall gate below)
+      "q_ann_pq" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.pqTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
+      }),
+
       // ANN scale-path recall gates: one row (n_exact, recall_ok). n_exact
       // is genuinely cross-checked — DuckDB recomputes the exact top-k count
       // from the same brute-force SQL the oracled q_ann_bruteforce uses —
@@ -2069,6 +2077,10 @@ object SparkEntry {
         annRecallGate(s, dir, SimilaritySearch.lshTopK(_, _, 10, numPlanes = 4, probes = 7), 0.5)),
       "q_ann_ivf_recall" -> ((s, dir) =>
         annRecallGate(s, dir, SimilaritySearch.ivfTopK(_, _, 10), 0.6)),
+      // PQ measured 0.87/0.91 at m=8/nlist=16/rerank=100 on the worst-case
+      // random sets (tools/AnnRecallProbe); 0.7 floor with margin.
+      "q_ann_pq_recall" -> ((s, dir) =>
+        annRecallGate(s, dir, SimilaritySearch.pqTopK(_, _, 10), 0.7)),
 
       // Persisted-IVF-index gate: build the on-disk index (frozen centroid
       // model + cell-partitioned assignments), search it, and assert (a)
@@ -4637,6 +4649,7 @@ object SparkEntry {
     // assertion (TRUE expected — a recall regression hash-mismatches here).
     "q_ann_lsh_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_recall" -> AnnRecallOracleSql,
+    "q_ann_pq_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",
       "TRUE AS recall_ok, TRUE AS matches_inmem"),

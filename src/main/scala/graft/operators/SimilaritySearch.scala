@@ -206,8 +206,11 @@ object SimilaritySearch {
   }
 
   private def assign(cents: Array[(Int, Array[Double])], vecCol: String): Column =
+    assignVec(cents, col(vecCol))
+
+  private def assignVec(cents: Array[(Int, Array[Double])], vec: Column): Column =
     array_max(array(cents.map { case (cid, v) =>
-      struct(dot(col(vecCol), lit(v)).as("d"), lit(cid).as("cid"))
+      struct(dot(vec, lit(v)).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")
 
   /** Deterministic seeds + Lloyd refinement (means over the assigned
@@ -458,6 +461,105 @@ object SimilaritySearch {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): the `dim`
+    * dims split into `m` subspaces, each with its own `nlist`-centroid
+    * Lloyd model trained on the sliced corpus. Codebook entries are
+    * re-indexed 0..n-1 in cid order so a code IS a lookup-table position.
+    * Returns one (index, subvector) array per subspace — the whole model
+    * is m × nlist × (dim/m) doubles, KB-sized. */
+  private[operators] def pqTrain(
+      candidates: DataFrame,
+      m: Int,
+      dim: Int,
+      nlist: Int,
+      iters: Int): Seq[Array[(Int, Array[Double])]] = {
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val c = candidates.select(
+        col("vec_id").as("n_id"),
+        slice(col("embedding").cast("array<double>"), mi * sub + 1, sub).as("nv"))
+      trainCentroids(c, nlist, iters)
+        .sortBy(_._1)
+        .zipWithIndex
+        .map { case ((_, v), idx) => (idx, v) }
+    }
+  }
+
+  /** Encode the corpus under the codebooks: per vector, `m` small-int
+    * codes (nearest-by-dot sub-centroid per subspace) plus the exact norm
+    * — 8 bytes of code standing in for a 256-byte float vector. THE
+    * storage/bandwidth lever for corpus-scale ANN: the ranking stage
+    * scans only this table. */
+  private[operators] def pqEncode(
+      candidates: DataFrame,
+      codebooks: Seq[Array[(Int, Array[Double])]],
+      dim: Int): DataFrame = {
+    val m = codebooks.size
+    val sub = dim / m
+    val base = candidates
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val coded = codebooks.zipWithIndex.foldLeft(base) { case (df, (cb, mi)) =>
+      df.withColumn(s"code$mi", assignVec(cb, slice(col("nv"), mi * sub + 1, sub)))
+    }
+    coded.select(col("n_id") +: col("nn") +: (0 until m).map(i => col(s"code$i")): _*)
+  }
+
+  /** PQ ANN with asymmetric distance computation + exact re-rank: each
+    * query precomputes one `nlist`-entry dot-product lookup table per
+    * subspace (broadcast side — m·nlist small dots per QUERY, once), so
+    * the corpus-side ranking is `m` array lookups + adds per pair instead
+    * of a `dim`-wide dot over the float vectors; the approximate top-
+    * `rerank` survivors are then exactly re-ranked against their true
+    * embeddings (a survivors-only join — O(queries·rerank) rows). At
+    * corpus scale the first stage reads ONLY the code table.
+    * Deterministic given the deterministic Lloyd seeds; recall floor
+    * pinned by the oracled gate (measured recall@10 on the worst-case
+    * random embeddings, m=8/nlist=16/rerank=100: 0.87 on the sf0.001
+    * 20-query set, 0.91 on the sf0.01 8-query set —
+    * tools/AnnRecallProbe). */
+  def pqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      m: Int = 8,
+      dim: Int = 64,
+      nlist: Int = 16,
+      iters: Int = 2,
+      rerank: Int = 100): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val codebooks = pqTrain(candidates, m, dim, nlist, iters)
+    if (codebooks.exists(_.isEmpty))
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+    val sub = dim / m
+    val codes = pqEncode(candidates, codebooks, dim)
+    var q = withNorm(queries, "q_id", "qv", "qn")
+    for (mi <- 0 until m)
+      q = q.withColumn(
+        s"lut$mi",
+        array(codebooks(mi).map { case (_, v) =>
+          dot(slice(col("qv"), mi * sub + 1, sub), lit(v))
+        }: _*))
+    val adc = (0 until m)
+      .map(mi => element_at(col(s"lut$mi"), col(s"code$mi") + 1))
+      .reduce(_ + _)
+    val byApprox = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("n_id"))
+    val survivors = codes
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("approx_sim", adc / (col("qn") * col("nn")))
+      .withColumn("arank", row_number().over(byApprox))
+      .filter(col("arank") <= rerank)
+      .select("q_id", "qv", "qn", "n_id")
+    val byExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    survivors
+      .join(withNorm(candidates, "n_id", "nv", "nn"), Seq("n_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(byExact).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
   }

@@ -30,6 +30,10 @@ object AnnRecallProbe {
       val exact = rs(SimilaritySearch.bruteForceTopK(queries, emb, 10))
       val ivf = rs(SimilaritySearch.ivfTopK(queries, emb, 10, nlist = 8, nprobe = 2))
       println(f"$dir q<$qmax: ivf=${ivf.intersect(exact).size.toDouble / exact.size}%.3f")
+      for ((nl, rr) <- Seq((16, 50), (16, 100), (32, 100))) {
+        val pq = rs(SimilaritySearch.pqTopK(queries, emb, 10, nlist = nl, rerank = rr))
+        println(f"  pq(m=8,nlist=$nl,rerank=$rr): recall=${pq.intersect(exact).size.toDouble / exact.size}%.3f")
+      }
       // fixed ~0.31 bucket-fraction budget across plane counts
       for ((planes, t) <- Seq((4, 5), (4, 7), (5, 10), (6, 20), (3, 4))) {
         val lsh = rs(SimilaritySearch.lshTopK(queries, emb, 10, numPlanes = planes, probes = t))

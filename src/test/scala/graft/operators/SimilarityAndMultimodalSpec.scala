@@ -91,6 +91,29 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       assert(out(i) === ((2, 0L, 0.0)), s"clean cluster B member $i")
   }
 
+  test("pqTopK: near-identical vector survives quantization to rank 1; codes are m small ints") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(clone)
+    val out = SimilaritySearch
+      .pqTopK(corpus.filter(col("vec_id") === 0L), corpus, 3)
+      .collect()
+    // cos(v, v) = 1 survives any quantizer whose ADC stage keeps the clone
+    // in the rerank set (identical codes → identical ADC score)
+    assert(out.head.getAs[Long]("n_id") === 999999L)
+    assert(out.head.getAs[Double]("sim") > 0.9999)
+    // the code table: per vector m=8 int codes + the exact norm
+    val codes = SimilaritySearch.pqEncode(
+      corpus, SimilaritySearch.pqTrain(corpus, 8, 64, 16, 2), 64)
+    assert(codes.columns.toSeq === Seq("n_id", "nn") ++ (0 until 8).map(i => s"code$i"))
+    val row = codes.filter(col("n_id") === 0L).collect().head
+    for (i <- 0 until 8) {
+      val c = row.getAs[Int](s"code$i")
+      assert(c >= 0 && c < 16)
+    }
+  }
+
   test("bruteForceTopK dims: prefix-truncated ranking diverges exactly where tails matter") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
