@@ -374,6 +374,312 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q4 shape — order-priority checking as a LEFT SEMI join: the
+    // EXISTS(correlated lineitem) spelling. The order-date window prunes the
+    // build side before the semi join; the probe side carries only
+    // (l_orderkey, l_shipdate), so the shuffle is two narrow columns.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) < lit("1996-07-01"))
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(
+          l,
+          col("l_orderkey") === col("o_orderkey") &&
+            to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape — the pure scan-side aggregate: every predicate reaches
+    // the parquet scan, no join, no shuffle beyond the 1-row final agg.
+    // Discount compared in exact integer cents (double BETWEEN would hinge
+    // on a 0.05 ULP).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01") &&
+          expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * col("l_discount").cast("decimal(12,2)"))
+            .cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q7 shape — volume shipping between a nation pair. The
+    // disjunctive pair predicate is pre-narrowed per side (each side must be
+    // one of the two nations), so supplier and customer shrink behind
+    // broadcast joins BEFORE touching the fact; only the cross-pair
+    // disjunction remains as a residual filter.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_19", "NATION_11")
+      val n1 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) <= lit("1998-12-31"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_11") ||
+            (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_19"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(to_date(col("l_shipdate"))).cast("long").as("l_year"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double")
+            .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape — national market share: conditional-sum ratio over an
+    // 8-table join. Region→nation→customer collapses behind broadcasts; the
+    // promo-part filter prunes the fact first (most selective). Exact
+    // decimal sums, one final double division.
+    "q8_market_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val custNations = Tables.load(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val suppNation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
+      val o = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) <= lit("1997-12-31"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+            / sum(vol).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q12 shape — late-shipment priority audit: conditional counts
+    // after an order⋈lineitem join whose residual predicate correlates the
+    // two sides (ship > order + 60d).
+    "q12_late_lines" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_linestatus"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01") &&
+          to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 60))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0).otherwise(1))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // TPC-H Q14 shape — promo revenue percentage by ship month: the
+    // conditional-aggregate ratio over a broadcast part join.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy((year(to_date(col("l_shipdate"))) * 100 +
+          month(to_date(col("l_shipdate")))).cast("long").as("ship_month"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast("decimal(12,2)")))
+              .cast("double")
+            / sum(vol).cast("double")).as("promo_revenue_pct"))
+        .orderBy("ship_month")
+    }),
+
+    // TPC-H Q15 shape — top supplier by quarterly revenue: per-key exact
+    // integer-cent revenue, a 1-row broadcast max, and the tie-exact
+    // equality join back. No window over the whole table; the argmax rides
+    // a 100-row aggregate.
+    "q15_top_supplier" -> ((s, dir) => {
+      // floor, not a DECIMAL(…,0) cast: the 4dp price×(1−disc) product hits
+      // exact .xx50 ties, where Spark rounds HALF_UP and DuckDB HALF_EVEN.
+      val lineCents = expr(
+        "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * 100) AS BIGINT)")
+      val rev = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(lineCents).as("rev_cents"))
+      val mx = rev.agg(max(col("rev_cents")).as("mx"))
+      Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .join(broadcast(rev.crossJoin(broadcast(mx)).filter(col("rev_cents") === col("mx"))),
+          col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_cents").cast("double") / 100).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape — small-quantity revenue: the correlated per-part
+    // average rewritten as an aggregate join. The threshold compare is kept
+    // in exact integers (2·qty·n < Σqty, all in cents) so no engine ever
+    // rounds an average.
+    "q17_small_quantity" -> ((s, dir) => {
+      val qtyCents =
+        expr("CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0)) AS BIGINT)")
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(qtyCents).as("qsum_cents"), count(lit(1)).as("n"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(agg, col("a_partkey") === col("l_partkey"))
+        .filter(lit(2) * qtyCents * col("n") < col("qsum_cents"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: HAVING over a fact-side
+    // aggregate, then the join back to orders/customer. The heavy side is
+    // reduced to (orderkey, Σqty) before any dimension join.
+    "q18_large_orders" -> ((s, dir) => {
+      val qtyCents =
+        expr("CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0)) AS BIGINT)")
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(qtyCents).as("qty_cents"))
+        .filter(col("qty_cents") > 30000)
+      big
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("b_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("c_custkey") === col("o_custkey"))
+        .select(
+          col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          (expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0)) AS BIGINT)")
+            .cast("double") / 100).as("o_totalprice"),
+          (col("qty_cents").cast("double") / 100).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // TPC-H Q19 shape — disjunctive brand/size/quantity predicate as a
+    // broadcast join residual. The part side is pre-filtered to the hull of
+    // the disjunction (3 brands, size ≤ 15) so the broadcast ships only
+    // candidate parts; the OR block stays a join condition Catalyst keeps
+    // inside the codegen'd hash probe.
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, dir)
+        .join(
+          broadcast(p),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30))))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape — suppliers who kept an order waiting: the classic
+    // SEMI+ANTI self-join pair on the fact. Both l2/l3 probes carry only
+    // (orderkey, suppkey); the R-flag filter prunes l1 and l3 scan-side.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l1 = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+      val oF = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val l2 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+      l1.join(oF, col("l_orderkey") === col("o_orderkey"))
+        .join(l2,
+          col("l2_orderkey") === col("l_orderkey") && col("l2_suppkey") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3,
+          col("l3_orderkey") === col("l_orderkey") && col("l3_suppkey") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape — dormant high-balance customers: scalar-subquery
+    // threshold (kept as an exact cents×count cross-multiplication — no
+    // engine computes an average) plus an ANTI join against recent orders.
+    "q22_dormant_customers" -> ((s, dir) => {
+      val pool = Tables.customer(s, dir)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0)) AS BIGINT)")
+            .as("bal_cents"))
+      val avgPos = pool.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("s_sum"), count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+        .select("o_custkey")
+      pool
+        .crossJoin(broadcast(avgPos))
+        .filter(col("bal_cents") * col("n_pos") > col("s_sum"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("numcust"),
+          (sum("bal_cents").cast("double") / 100).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Broadcast dimension join (J1 at TPC-H volume)
     "q_broadcast_join" -> ((s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_size") < 20)
@@ -1193,6 +1499,174 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 20
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |              * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """WITH v AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |         CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS vol
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_11')
+        |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19'))
+        |    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1998-12-31')
+        |SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DOUBLE) AS revenue
+        |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS vol,
+        |         n2.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+        |SELECT o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |         / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(year(CAST(l_shipdate AS DATE)) * 100
+        |            + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_month,
+        |       CAST(100.0 AS DOUBLE)
+        |         * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |                              * (CAST(1 AS DECIMAL(12,2))
+        |                                 - CAST(l_discount AS DECIMAL(12,2)))
+        |                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                    * (CAST(1 AS DECIMAL(12,2))
+        |                       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |         AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |                 * 100) AS BIGINT)) AS rev_cents
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT max(rev_cents) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev_cents AS DOUBLE) / 100 AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no, m
+        |WHERE rev_cents = mx ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH agg AS (
+        |  SELECT l_partkey AS a_partkey,
+        |         sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |                  AS DECIMAL(20,0)) AS BIGINT)) AS qsum_cents,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN agg ON a_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND 2 * CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |               AS DECIMAL(20,0)) AS BIGINT) * n < qsum_cents""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS b_orderkey,
+        |         sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |                  AS DECIMAL(20,0)) AS BIGINT)) AS qty_cents
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |                  AS DECIMAL(20,0)) AS BIGINT)) > 30000)
+        |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |       CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |                 AS DECIMAL(20,0)) AS BIGINT) AS DOUBLE) / 100 AS o_totalprice,
+        |       CAST(qty_cents AS DOUBLE) / 100 AS sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = b_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |              * (CAST(1 AS DECIMAL(12,2))
+        |                 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+        |              AS DECIMAL(20,0)) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')),
+        |avg_pos AS (
+        |  SELECT sum(bal_cents) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM pool WHERE bal_cents > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS DOUBLE) / 100 AS totacctbal
+        |FROM pool, avg_pos
+        |WHERE bal_cents * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // plain-join spelling: salting must be invisible in the result
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n

@@ -67,6 +67,59 @@ class PlanShapeSpec extends SparkSpec {
       s"l_returnflag not pushed:\n$p")
   }
 
+  test("q4_order_priority: EXISTS spelled as a semi join, never a full join+distinct") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("q6_forecast_revenue: no join, and the date window reaches the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(!p.contains("Join"), s"scan-side aggregate grew a join:\n$p")
+    // at least the shipdate bounds must be pushed (cents/quantity are exprs)
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"l_shipdate bounds not pushed:\n$p")
+  }
+
+  test("q7/q8: nation chains collapse to broadcasts; no cartesian anywhere") {
+    for (q <- Seq("q7_volume_shipping", "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dims not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan:\n$p")
+    }
+  }
+
+  test("q18_large_orders: fact reduced before the dimension joins; top-k not a global sort") {
+    val p = plan("q18_large_orders")
+    // TakeOrderedAndProject = limit fused into the sort, never a full sort
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT not fused:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer not broadcast:\n$p")
+  }
+
+  test("q19_disjunctive: part hull broadcast; the OR block stays a hash-join residual") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("q21_waiting_supplier: the EXISTS/NOT-EXISTS pair is a semi+anti join pair") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
+  test("q22_dormant_customers: 1-row scalar broadcast + anti join, no nested loop over pool") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    // the scalar (s_sum, n_pos) rides a broadcast — the only nested-loop
+    // allowed is that 1-row cross join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"unexpected nested-loop joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("bpe: per-round state is the checkpointed vocab table, not a corpus re-derivation") {
     import graft.operators.TextIndex
     import graft.sources.Tables
