@@ -2508,6 +2508,14 @@ object SparkEntry {
               .as("recall_ok"))
       }),
 
+      // SemDeDup: fixed-round k-means cells, then the quadratic cosine test
+      // only inside each cell. Fully oracled — the k-means is replayed by
+      // the DuckDB oracle as unrolled CTEs (the PageRank contract): integer
+      // quantized centroid sums, one double division per component,
+      // left-to-right distance folds, argmin ties toward the smaller cell.
+      "q_dedup_semantic" -> ((s, dir) =>
+        Dedup.semanticDedup(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
       // ANN: exact brute-force cosine top-10 (correctness baseline)
       "q_ann_bruteforce" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -5106,6 +5114,61 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    // The k-means rounds unrolled as CTEs: c0 = k smallest ids, a_r =
+    // argmin assignment (row_number ties toward the smaller cell), s_r/c_r =
+    // exact BIGINT per-dim sums → one double division. Mirrors
+    // Dedup.semanticDedup op for op.
+    "q_dedup_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ed AS (SELECT vec_id, v, list_transform(q, x -> CAST(x AS DOUBLE)) AS x FROM e),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, x AS cv
+        |       FROM ed ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c0.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c0.cv)
+        |                  + list_inner_product(c0.cv, c0.cv), c0.cl) AS rn
+        |         FROM ed CROSS JOIN c0) WHERE rn = 1),
+        |s1 AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT a1.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+        |             FROM e JOIN a1 USING (vec_id))
+        |       GROUP BY cl, i),
+        |c1 AS (SELECT cl, list(CAST(sx AS DOUBLE) / n ORDER BY i) AS cv FROM s1 GROUP BY cl),
+        |a2 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c1.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c1.cv)
+        |                  + list_inner_product(c1.cv, c1.cv), c1.cl) AS rn
+        |         FROM ed CROSS JOIN c1) WHERE rn = 1),
+        |s2 AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT a2.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+        |             FROM e JOIN a2 USING (vec_id))
+        |       GROUP BY cl, i),
+        |c2 AS (SELECT cl, list(CAST(sx AS DOUBLE) / n ORDER BY i) AS cv FROM s2 GROUP BY cl),
+        |a3 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c2.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c2.cv)
+        |                  + list_inner_product(c2.cv, c2.cv), c2.cl) AS rn
+        |         FROM ed CROSS JOIN c2) WHERE rn = 1),
+        |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ed),
+        |dup AS (SELECT DISTINCT b.vec_id AS b_id
+        |        FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |        JOIN ed ea ON ea.vec_id = a.vec_id
+        |        JOIN ed eb ON eb.vec_id = b.vec_id
+        |        JOIN nm na ON na.vec_id = a.vec_id
+        |        JOIN nm nb ON nb.vec_id = b.vec_id
+        |        WHERE list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) >= 0.4)
+        |SELECT vec_id, cl AS cluster FROM a3
+        |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE b_id = vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

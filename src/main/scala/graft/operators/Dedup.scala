@@ -554,6 +554,113 @@ object Dedup {
       .select("a_id", "b_id", "sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): a fixed-round k-means over the embeddings partitions
+    * the corpus into k cells, and the quadratic cosine test runs only INSIDE
+    * each cell — the all-pairs cost drops from O(N²) to O(Σ|cell|²). Keeps
+    * the smallest vec_id of every near-dup pair; returns survivors as
+    * `(vec_id, cluster)`.
+    *
+    * Determinism/oracle-parity design (the same discipline as PageRank's
+    * unrolled-CTE oracle):
+    *  - components quantized `⌊v_i·scale⌋` into BIGINT, so centroid sums are
+    *    ORDER-FREE integer arithmetic — double summation order across
+    *    partitions could never be replayed by another engine;
+    *  - each centroid converts to double exactly once (`sum/n`, one IEEE
+    *    division), and distances `x·x − 2·x·c + c·c` use the left-to-right
+    *    native [[graft.functions.VectorFunctions.dot]] fold both engines
+    *    share;
+    *  - argmin ties break toward the smaller cluster id; clusters that
+    *    empty out drop from the candidate set (never resurrected);
+    *  - init = the k smallest vec_ids, matching a `row_number() OVER
+    *    (ORDER BY vec_id) LIMIT k` CTE.
+    *
+    * Scale shape: per round one map-side-combined `(cluster, dim)` integer
+    * aggregate; only k·d BIGINT sums ever reach the driver (model-sized, the
+    * PCA-gram contract). The corpus is scanned rounds+2 times with fixed
+    * `rounds` — no data-dependent iteration. At 100 TB pick k ≈ N/10⁵ so
+    * cells stay bounded; the pairwise stage shuffles ids+vectors once on the
+    * cluster key. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      k: Int = 8,
+      rounds: Int = 2,
+      threshold: Double = 0.4,
+      quantScale: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions._
+
+    val ed = embeddings.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      transform(col("embedding").cast("array<double>"),
+        e => floor(e * quantScale).cast("long")).as("qv"))
+      .withColumn("x", col("qv").cast("array<double>"))
+
+    // k-smallest-id init (TakeOrdered, never a full sort); driver re-sorts
+    // defensively so centroid j is ALWAYS the j-th smallest vec_id.
+    var centroids: Seq[(Long, Array[Double])] = ed
+      .select("vec_id", "x").orderBy("vec_id").limit(k).collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, j) => (j.toLong, r.getSeq[Double](1).toArray) }
+      .toSeq
+
+    // Empty corpus: no centroids to seed — an untyped array() would not even
+    // analyze. Same (vec_id, cluster) schema, zero rows.
+    if (centroids.isEmpty)
+      return ed.select(col("vec_id"), lit(0L).as("cluster")).limit(0)
+
+    // Sequential self-dot — the SAME left-to-right accumulation DotProduct
+    // codegens and DuckDB's list_inner_product replays.
+    def selfDot(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+    def assignCol(cents: Seq[(Long, Array[Double])]) = {
+      val xx = dot(col("x"), col("x"))
+      val candidates = cents.map { case (j, c) =>
+        struct(
+          (xx - lit(2.0) * dot(col("x"), lit(c)) + lit(selfDot(c))).as("d"),
+          lit(j).as("cl"))
+      }
+      array_min(array(candidates: _*)).getField("cl")
+    }
+
+    for (_ <- 1 to rounds) {
+      val sums = ed
+        .withColumn("cl", assignCol(centroids))
+        .select(col("cl"), posexplode(col("qv")).as(Seq("i", "qx")))
+        .groupBy("cl", "i")
+        .agg(sum("qx").as("sx"), count(lit(1)).as("n"))
+        .collect() // k·d rows of (cl, i, Σq, n) — model-sized by contract
+      val dim = centroids.head._2.length
+      centroids = sums
+        .groupBy(_.getLong(0))
+        .toSeq
+        .map { case (cl, rows) =>
+          val c = new Array[Double](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3))
+          (cl, c)
+        }
+        .sortBy(_._1)
+    }
+
+    val assigned = ed.withColumn("cluster", assignCol(centroids))
+    val keyed = assigned.withColumn("nrm", norm(col("v")))
+    val a = keyed.select(col("vec_id").as("a_id"), col("cluster").as("a_cl"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dupIds = a
+      .join(b, col("a_cl") === col("b_cl") && col("a_id") < col("b_id"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "cluster").join(dupIds, Seq("vec_id"), "left_anti")
+  }
+
   /** Semantic benchmark decontamination: every (benchmark, corpus) vector
     * pair with cosine ≥ threshold — the embedding-space analog of the
     * trigram [[contaminationPairs]], catching paraphrased eval leakage that

@@ -67,6 +67,13 @@ class PlanShapeSpec extends SparkSpec {
       s"l_returnflag not pushed:\n$p")
   }
 
+  test("q_dedup_semantic: the pairwise stage is cell-keyed, never a cartesian; anti join broadcast") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs leak outside the k-means cells:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor filter not an anti join:\n$p")
+  }
+
   test("q4_order_priority: EXISTS spelled as a semi join, never a full join+distinct") {
     val p = plan("q4_order_priority")
     assert(p.contains("LeftSemi"), s"no semi join:\n$p")

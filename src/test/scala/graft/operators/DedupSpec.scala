@@ -93,6 +93,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
   }
 
+  test("semanticDedup: near-dup in the same cell drops the higher id; distinct cells both survive") {
+    // Two tight groups on orthogonal axes + one lone vector. k=2, so the
+    // groups separate; within each group the near-identical pair collapses
+    // to the smaller id.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.002f, 0.0f)), // near-dup of 2
+      (4L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, k = 2, rounds = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = out.map(_._1).toSet
+    assert(survivors.contains(0L) && survivors.contains(2L), s"keepers dropped: $out")
+    assert(!survivors.contains(1L) && !survivors.contains(3L), s"dups kept: $out")
+    assert(survivors.contains(4L), s"singleton dropped: $out")
+  }
+
+  test("semanticDedup: cross-cell near-dups are NOT dropped (the SemDeDup recall trade)") {
+    // Force k = number of vectors so every vector sits alone: nothing can
+    // pair, everything survives — the operator's cell boundary is real.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f)) // distinct after quantization, cosine ~1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, k = 2, rounds = 1, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(0L, 1L), s"got $out")
+  }
+
   test("embedding LSH: recall vs exact >= 0.8 on clustered vectors, precision exact") {
     // 20 cluster centers in dim 16, three small-noise copies each: every
     // within-cluster pair has cosine near 1, cross-cluster pairs are far.
