@@ -2516,6 +2516,13 @@ object SparkEntry {
       "q_dedup_semantic" -> ((s, dir) =>
         Dedup.semanticDedup(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
+      // MMR diversity re-rank over the brute-force pool: k fixed greedy
+      // rounds, oracled as unrolled CTEs (relevance − λ·max-sim-to-selected)
+      "q_mmr_rerank" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.mmrRerank(e.filter(col("vec_id") < 8), e).orderBy("q_id", "rank")
+      }),
+
       // ANN: exact brute-force cosine top-10 (correctness baseline)
       "q_ann_bruteforce" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -5169,6 +5176,79 @@ object SparkEntry {
         |SELECT vec_id, cl AS cluster FROM a3
         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE b_id = vec_id)
         |ORDER BY vec_id""".stripMargin,
+    "q_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, nv,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |p AS (SELECT q_id, n_id, sim, nv, sqrt(list_inner_product(nv, nv)) AS nn FROM (
+        |        SELECT s.*, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk
+        |        FROM s) WHERE rk <= 20),
+        |sel1 AS (SELECT q_id, n_id, CAST(1 AS BIGINT) AS rank, sim AS score FROM (
+        |           SELECT p.*, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |           FROM p) WHERE rn = 1),
+        |selall2 AS (SELECT * FROM sel1),
+        |pen2 AS (SELECT r.q_id, r.n_id, max(list_inner_product(r.nv, p2.nv) / (r.nn * p2.nn)) AS mp
+        |          FROM p r
+        |          JOIN selall2 sa ON sa.q_id = r.q_id
+        |          JOIN p p2 ON p2.q_id = sa.q_id AND p2.n_id = sa.n_id
+        |          WHERE NOT EXISTS (SELECT 1 FROM selall2 x
+        |                            WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+        |          GROUP BY r.q_id, r.n_id),
+        |cand2 AS (SELECT r.q_id, r.n_id, r.sim - 0.5 * coalesce(mp, 0.0) AS score
+        |           FROM p r JOIN pen2 USING (q_id, n_id)),
+        |sel2 AS (SELECT q_id, n_id, CAST(2 AS BIGINT) AS rank, score FROM (
+        |            SELECT cand2.*, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY score DESC, n_id) AS rn
+        |            FROM cand2) WHERE rn = 1),
+        |selall3 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+        |pen3 AS (SELECT r.q_id, r.n_id, max(list_inner_product(r.nv, p2.nv) / (r.nn * p2.nn)) AS mp
+        |          FROM p r
+        |          JOIN selall3 sa ON sa.q_id = r.q_id
+        |          JOIN p p2 ON p2.q_id = sa.q_id AND p2.n_id = sa.n_id
+        |          WHERE NOT EXISTS (SELECT 1 FROM selall3 x
+        |                            WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+        |          GROUP BY r.q_id, r.n_id),
+        |cand3 AS (SELECT r.q_id, r.n_id, r.sim - 0.5 * coalesce(mp, 0.0) AS score
+        |           FROM p r JOIN pen3 USING (q_id, n_id)),
+        |sel3 AS (SELECT q_id, n_id, CAST(3 AS BIGINT) AS rank, score FROM (
+        |            SELECT cand3.*, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY score DESC, n_id) AS rn
+        |            FROM cand3) WHERE rn = 1),
+        |selall4 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3),
+        |pen4 AS (SELECT r.q_id, r.n_id, max(list_inner_product(r.nv, p2.nv) / (r.nn * p2.nn)) AS mp
+        |          FROM p r
+        |          JOIN selall4 sa ON sa.q_id = r.q_id
+        |          JOIN p p2 ON p2.q_id = sa.q_id AND p2.n_id = sa.n_id
+        |          WHERE NOT EXISTS (SELECT 1 FROM selall4 x
+        |                            WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+        |          GROUP BY r.q_id, r.n_id),
+        |cand4 AS (SELECT r.q_id, r.n_id, r.sim - 0.5 * coalesce(mp, 0.0) AS score
+        |           FROM p r JOIN pen4 USING (q_id, n_id)),
+        |sel4 AS (SELECT q_id, n_id, CAST(4 AS BIGINT) AS rank, score FROM (
+        |            SELECT cand4.*, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY score DESC, n_id) AS rn
+        |            FROM cand4) WHERE rn = 1),
+        |selall5 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4),
+        |pen5 AS (SELECT r.q_id, r.n_id, max(list_inner_product(r.nv, p2.nv) / (r.nn * p2.nn)) AS mp
+        |          FROM p r
+        |          JOIN selall5 sa ON sa.q_id = r.q_id
+        |          JOIN p p2 ON p2.q_id = sa.q_id AND p2.n_id = sa.n_id
+        |          WHERE NOT EXISTS (SELECT 1 FROM selall5 x
+        |                            WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+        |          GROUP BY r.q_id, r.n_id),
+        |cand5 AS (SELECT r.q_id, r.n_id, r.sim - 0.5 * coalesce(mp, 0.0) AS score
+        |           FROM p r JOIN pen5 USING (q_id, n_id)),
+        |sel5 AS (SELECT q_id, n_id, CAST(5 AS BIGINT) AS rank, score FROM (
+        |            SELECT cand5.*, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY score DESC, n_id) AS rn
+        |            FROM cand5) WHERE rn = 1)
+        |SELECT q_id, rank, n_id, score FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+        |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4 UNION ALL SELECT * FROM sel5)
+        |ORDER BY q_id, rank""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -603,4 +603,62 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): from each query's cosine top-`poolSize` pool, greedily select
+    * `k` results maximizing `sim(q,c) − λ·max_{s∈selected} sim(c,s)` —
+    * relevance traded against redundancy, the standard diversity pass after
+    * any ANN stage. Returns `(q_id, rank, n_id, score)`; rank 1 is the plain
+    * argmax (no penalty), ties break toward the smaller n_id.
+    *
+    * Scale/parity shape: the greedy loop is `k` FIXED dataframe-wide rounds
+    * (every query advances in the same round — no per-query driver loop), so
+    * the oracle unrolls them as CTEs (the PageRank contract). Each round is
+    * one bounded join (pool × selected, ≤ poolSize·k rows per query) and one
+    * map-side-combined argmax; the pool is localCheckpointed once so rounds
+    * never re-scan the corpus. All scores are IEEE-deterministic
+    * left-to-right dot folds — replayable by the DuckDB oracle. */
+  def mmrRerank(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int = 5,
+      poolSize: Int = 20,
+      lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val q = withNorm(queries, "q_id", "qv", "qn")
+    val c = withNorm(candidates, "n_id", "nv", "nn")
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val pool = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rk", row_number().over(byQuery))
+      .filter(col("rk") <= poolSize)
+      .select("q_id", "n_id", "sim", "nv", "nn")
+      .transform(Bridge.localCheckpointFreshStats)
+
+    // argmax with deterministic ties: max(struct(score, −n_id)) picks the
+    // highest score, then the SMALLER id.
+    def pickBest(cand: DataFrame, rank: Int): DataFrame =
+      cand.groupBy("q_id")
+        .agg(max(struct(col("score"), (-col("n_id")).as("neg_id"))).as("m"))
+        .select(col("q_id"), (-col("m.neg_id")).as("n_id"), col("m.score").as("score"))
+        .join(pool.select("q_id", "n_id", "nv", "nn"), Seq("q_id", "n_id"))
+        .withColumn("rank", lit(rank.toLong))
+
+    var selected = pickBest(pool.withColumn("score", col("sim")), 1)
+      .transform(Bridge.localCheckpointFreshStats)
+    for (t <- 2 to k) {
+      val rem = pool.join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+      val selV = selected.select(col("q_id"), col("nv").as("sv"), col("nn").as("sn"))
+      val pen = rem.join(selV, Seq("q_id"))
+        .withColumn("ps", dot(col("nv"), col("sv")) / (col("nn") * col("sn")))
+        .groupBy("q_id", "n_id")
+        .agg(max("ps").as("mp"))
+      val cand = rem.join(pen, Seq("q_id", "n_id"), "left")
+        .withColumn("score", col("sim") - lit(lambda) * coalesce(col("mp"), lit(0.0)))
+      selected = selected
+        .unionByName(pickBest(cand, t))
+        .transform(Bridge.localCheckpointFreshStats)
+    }
+    selected.select("q_id", "rank", "n_id", "score")
+  }
 }

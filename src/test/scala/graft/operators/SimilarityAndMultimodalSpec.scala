@@ -25,6 +25,26 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_id") != 0L))
   }
 
+  test("mmrRerank: rank 1 is the plain argmax; the penalty then promotes diversity") {
+    // Query = axis x. Pool: 4 and 1 are both near-duplicates of axis x
+    // (plain top-2); 2 and 3 are orthogonal to the query. Rank 1 must be the
+    // brute-force top-1 (4); with λ=1 the near-dup 1 is annihilated by its
+    // ~1.0 similarity to 4, and 2 is slightly penalized by its 0.05 overlap
+    // with 4 — so 3 (orthogonal to BOTH query and 4, score exactly 0) takes
+    // rank 2, a pick plain top-k cannot make.
+    val q = vecs.filter(col("vec_id") === 0L)
+    val plain = SimilaritySearch.bruteForceTopK(q, vecs, 2)
+      .collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(plain === Seq(4L, 1L))
+    val mmr = SimilaritySearch.mmrRerank(q, vecs, k = 2, poolSize = 4, lambda = 1.0)
+      .orderBy("rank").collect()
+    assert(mmr.map(_.getAs[Long]("n_id")).toSeq === Seq(4L, 3L), mmr.mkString(","))
+    assert(mmr.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    // rank-1 score is the raw cosine; rank-2 is fully orthogonal → exact 0
+    assert(mmr(0).getAs[Double]("score") > 0.99)
+    assert(math.abs(mmr(1).getAs[Double]("score")) < 1e-12)
+  }
+
   test("LSH top-k: identical-direction vector is always found at rank 1") {
     val out = SimilaritySearch
       .lshTopK(vecs.filter(col("vec_id") === 0L), vecs, 3, numPlanes = 6, dim = 3)
