@@ -4462,6 +4462,16 @@ object SparkEntry {
           "bal_bucket",
           3L)),
 
+      // t-closeness over the same quasi-identifier grid: distribution skew
+      // of the sensitive attribute per class vs the corpus, exact-integer
+      // total-variation arithmetic (t = 1/4).
+      "q_t_closeness" -> ((s, dir) =>
+        graft.operators.Privacy.tCloseness(
+          Tables.customer(s, dir)
+            .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"),
+          "bal_bucket")),
+
       // Keyed pseudonymization mapping for the event user population:
       // deterministic md5 surrogates, one distinct exchange.
       "q_pseudonymize" -> ((s, dir) =>
@@ -6615,6 +6625,35 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN nd < 3 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |       min(nd) >= 3 AS l_ok
         |FROM cls""".stripMargin,
+    // Exact-integer TVD: tvd_num = Σ_present |cnt_cv·n − cnt_v·sz| +
+    // sz·(n − Σ_present cnt_v); violation test is the integer
+    // cross-multiplication (t = 1/4), one double division at the edge.
+    "q_t_closeness" ->
+      """WITH cv AS (SELECT c_nationkey, c_mktsegment,
+        |                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS v,
+        |                   CAST(count(*) AS BIGINT) AS cnt_cv
+        |            FROM customer GROUP BY 1, 2, 3),
+        |gl AS (SELECT v, CAST(sum(cnt_cv) AS BIGINT) AS cnt_v FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_v) AS BIGINT) AS n FROM gl),
+        |cls AS (SELECT c_nationkey, c_mktsegment, CAST(sum(cnt_cv) AS BIGINT) AS sz
+        |        FROM cv GROUP BY 1, 2),
+        |pc AS (SELECT cv.c_nationkey, cv.c_mktsegment, sz, n,
+        |              CAST(sum(abs(cnt_cv * n - cnt_v * sz)) AS BIGINT) AS dev_present,
+        |              CAST(sum(cnt_v) AS BIGINT) AS present_glob
+        |       FROM cv JOIN gl USING (v) JOIN cls USING (c_nationkey, c_mktsegment), tot
+        |       GROUP BY 1, 2, 3, 4),
+        |tv AS (SELECT c_nationkey, c_mktsegment, sz, n,
+        |              dev_present + sz * (n - present_glob) AS tvd_num
+        |       FROM pc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |       max(CAST(tvd_num AS DOUBLE) / CAST(2 * sz * n AS DOUBLE)) AS max_tvd,
+        |       CAST(sum(CASE WHEN tvd_num * 4 > 2 * sz * n THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violating_classes,
+        |       CAST(sum(CASE WHEN tvd_num * 4 > 2 * sz * n THEN sz ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk,
+        |       CAST(sum(CASE WHEN tvd_num * 4 > 2 * sz * n THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |         AS t_ok
+        |FROM tv""".stripMargin,
     "q_pseudonymize" ->
       """SELECT user_id, md5('pepper2024:' || CAST(user_id AS VARCHAR)) AS pseudonym
         |FROM (SELECT DISTINCT user_id FROM events)

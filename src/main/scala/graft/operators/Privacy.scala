@@ -67,6 +67,53 @@ object Privacy {
         col("rows_at_risk"),
         (col("min_distinct_sensitive") >= l).as("l_ok"))
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * distribution-skew complement to [[lDiversity]]: a class with l distinct
+    * sensitive values still leaks if its value DISTRIBUTION diverges from
+    * the corpus-wide one. Distance is total variation
+    * `TVD = ½·Σ_v |p_class(v) − p_global(v)|`, kept EXACT until the edge:
+    * with class size `sz`, corpus size `n`, class-value counts `cnt_cv` and
+    * global counts `cnt_v`,
+    * `TVD·2·sz·n = Σ_{v∈class} |cnt_cv·n − cnt_v·sz| + sz·(n − Σ_{v∈class} cnt_v)`
+    * is pure BIGINT arithmetic (the second term folds every value ABSENT
+    * from the class), and the threshold test `TVD > tNum/tDen` is the exact
+    * integer cross-multiplication `tvd_num·tDen > 2·sz·n·tNum` — no engine
+    * ever compares rounded frequencies.
+    *
+    * Scale shape: everything aggregates off the sparse (class × value) grid
+    * — three map-side-combined aggregates and two broadcast joins (global
+    * value counts; class sizes); the corpus is scanned once. */
+  def tCloseness(
+      df: DataFrame,
+      quasi: Seq[String],
+      sensitive: String,
+      tNum: Long = 1L,
+      tDen: Long = 4L): DataFrame = {
+    val cv = df
+      .groupBy((quasi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).cast("long").as("cnt_cv"))
+    val gl = cv.groupBy(col(sensitive)).agg(sum("cnt_cv").cast("long").as("cnt_v"))
+    val tot = gl.agg(sum("cnt_v").cast("long").as("n"))
+    val cls = cv.groupBy(quasi.map(col): _*).agg(sum("cnt_cv").cast("long").as("sz"))
+    val violates = col("tvd_num") * tDen > lit(2L) * col("sz") * col("n") * tNum
+    cv.join(broadcast(gl), Seq(sensitive))
+      .join(broadcast(cls), quasi)
+      .crossJoin(broadcast(tot))
+      .groupBy((quasi.map(col) :+ col("sz") :+ col("n")): _*)
+      .agg(
+        sum(abs(col("cnt_cv") * col("n") - col("cnt_v") * col("sz"))).cast("long")
+          .as("dev_present"),
+        sum("cnt_v").cast("long").as("present_glob"))
+      .withColumn("tvd_num", col("dev_present") + col("sz") * (col("n") - col("present_glob")))
+      .agg(
+        count(lit(1)).cast("long").as("n_classes"),
+        max(col("tvd_num").cast("double") / (lit(2L) * col("sz") * col("n")).cast("double"))
+          .as("max_tvd"),
+        sum(when(violates, 1L).otherwise(0L)).cast("long").as("n_violating_classes"),
+        sum(when(violates, col("sz")).otherwise(0L)).cast("long").as("rows_at_risk"))
+      .withColumn("t_ok", col("n_violating_classes") === 0L)
+  }
+
   /** Keyed surrogate for an identifier column: `md5(pepper || ':' || id)`
     * as a Column — deterministic (joins on the surrogate still line up
     * across tables and runs), non-reversible without the pepper, and

@@ -41,6 +41,39 @@ class PrivacyAndSeriesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("l_ok") === false)
   }
 
+  test("tCloseness: skewed class flagged even where l-diversity passes; mirrored classes pass") {
+    // Global s-distribution: 10×4, 20×4 (uniform). Classes a and b are each
+    // 3:1 skews in opposite directions → per-class TVD = |3/4−1/2| = 1/4
+    // exactly; with t=1/4 the STRICT test passes (tvd == t is not a
+    // violation), with t=1/5 both classes violate. l=2 passes throughout —
+    // distribution skew is exactly what t-closeness adds.
+    val df = Seq(
+      ("a", 10), ("a", 10), ("a", 10), ("a", 20),
+      ("b", 20), ("b", 20), ("b", 20), ("b", 10)).toDF("q1", "s")
+    assert(Privacy.lDiversity(df, Seq("q1"), "s", 2L).collect().head.getAs[Boolean]("l_ok"))
+    val at4 = Privacy.tCloseness(df, Seq("q1"), "s", 1L, 4L).collect().head
+    assert(at4.getAs[Long]("n_classes") === 2L)
+    assert(at4.getAs[Double]("max_tvd") === 0.25)
+    assert(at4.getAs[Long]("n_violating_classes") === 0L)
+    assert(at4.getAs[Boolean]("t_ok"))
+    val at5 = Privacy.tCloseness(df, Seq("q1"), "s", 1L, 5L).collect().head
+    assert(at5.getAs[Long]("n_violating_classes") === 2L)
+    assert(at5.getAs[Long]("rows_at_risk") === 8L)
+    assert(at5.getAs[Boolean]("t_ok") === false)
+  }
+
+  test("tCloseness: a value absent from the class contributes its full global mass") {
+    // Class a holds only value 10; value 20 is absent from a. p_a = (1, 0),
+    // p_global = (1/2, 1/2) → TVD = 1/2. The absent-value fold (sz·(n −
+    // Σ_present cnt_v)) must supply the |0 − 1/2| half.
+    val df = Seq(
+      ("a", 10), ("a", 10),
+      ("b", 20), ("b", 20)).toDF("q1", "s")
+    val r = Privacy.tCloseness(df, Seq("q1"), "s", 1L, 4L).collect().head
+    assert(r.getAs[Double]("max_tvd") === 0.5)
+    assert(r.getAs[Long]("n_violating_classes") === 2L)
+  }
+
   test("kAnonymity: passes when every class reaches k; nulls form a class") {
     val df = Seq(
       (Some("a"), 1), (Some("a"), 1),
