@@ -487,6 +487,32 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // TPC-H Q9 shape (partsupp-free): profit per supplier-nation and order
+    // year for parts matching a name pattern, with `p_retailprice·qty·0.05`
+    // standing in for ps_supplycost (the table doesn't exist in this star).
+    // Part and supplier⋈nation broadcast; exact decimal profit to the edge.
+    "q9_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val supNation = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")) -
+        col("p_retailprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(12,2)") * lit(0.05).cast("decimal(12,2)")
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("profit"), count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // TPC-H Q12 shape — late-shipment priority audit: conditional counts
     // after an order⋈lineitem join whose residual predicate correlates the
     // two sides (ship > order + 60d).
@@ -1556,6 +1582,22 @@ object SparkEntry {
         |         / CAST(sum(vol) AS DOUBLE) AS mkt_share,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |                - CAST(p_retailprice AS DECIMAL(12,2))
+        |                  * CAST(l_quantity AS DECIMAL(12,2))
+        |                  * CAST(0.05 AS DECIMAL(12,2))) AS DOUBLE) AS profit,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q12_late_lines" ->
       """SELECT l_linestatus,
         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
