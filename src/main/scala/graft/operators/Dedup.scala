@@ -588,14 +588,49 @@ object Dedup {
       threshold: Double = 0.4,
       quantScale: Int = 4096): DataFrame = {
     import graft.functions.VectorFunctions._
+    val ed = semanticQuantized(embeddings, quantScale)
+    val centroids = semanticModel(embeddings, k, rounds, quantScale)
 
-    val ed = embeddings.select(
+    // Empty corpus: no centroids to seed — an untyped array() would not even
+    // analyze. Same (vec_id, cluster) schema, zero rows.
+    if (centroids.isEmpty)
+      return ed.select(col("vec_id"), lit(0L).as("cluster")).limit(0)
+
+    val assigned = ed.withColumn("cluster", semanticAssignCol(centroids))
+    val keyed = assigned.withColumn("nrm", norm(col("v")))
+    val a = keyed.select(col("vec_id").as("a_id"), col("cluster").as("a_cl"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dupIds = a
+      .join(b, col("a_cl") === col("b_cl") && col("a_id") < col("b_id"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assigned.select("vec_id", "cluster").join(dupIds, Seq("vec_id"), "left_anti")
+  }
+
+  /** `(vec_id, v: double[], qv: ⌊v·scale⌋ bigint[], x: qv as double[])` —
+    * the shared projection every semantic-dedup stage reads. */
+  private def semanticQuantized(embeddings: DataFrame, quantScale: Int): DataFrame =
+    embeddings.select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("v"),
       transform(col("embedding").cast("array<double>"),
         e => floor(e * quantScale).cast("long")).as("qv"))
       .withColumn("x", col("qv").cast("array<double>"))
 
+  /** The frozen k-means model [[semanticDedup]] trains: `rounds` Lloyd
+    * iterations from the k-smallest-id seeds, centroid sums in exact
+    * BIGINT. Driver-side and model-sized (k·d doubles) — persist it
+    * alongside the survivors to run [[semanticDedupAppend]] on arrivals
+    * without ever rescanning the trained corpus. */
+  def semanticModel(
+      embeddings: DataFrame,
+      k: Int = 8,
+      rounds: Int = 2,
+      quantScale: Int = 4096): Seq[(Long, Array[Double])] = {
+    val ed = semanticQuantized(embeddings, quantScale)
     // k-smallest-id init (TakeOrdered, never a full sort); driver re-sorts
     // defensively so centroid j is ALWAYS the j-th smallest vec_id.
     var centroids: Seq[(Long, Array[Double])] = ed
@@ -604,33 +639,11 @@ object Dedup {
       .zipWithIndex
       .map { case (r, j) => (j.toLong, r.getSeq[Double](1).toArray) }
       .toSeq
-
-    // Empty corpus: no centroids to seed — an untyped array() would not even
-    // analyze. Same (vec_id, cluster) schema, zero rows.
-    if (centroids.isEmpty)
-      return ed.select(col("vec_id"), lit(0L).as("cluster")).limit(0)
-
-    // Sequential self-dot — the SAME left-to-right accumulation DotProduct
-    // codegens and DuckDB's list_inner_product replays.
-    def selfDot(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      s
-    }
-
-    def assignCol(cents: Seq[(Long, Array[Double])]) = {
-      val xx = dot(col("x"), col("x"))
-      val candidates = cents.map { case (j, c) =>
-        struct(
-          (xx - lit(2.0) * dot(col("x"), lit(c)) + lit(selfDot(c))).as("d"),
-          lit(j).as("cl"))
-      }
-      array_min(array(candidates: _*)).getField("cl")
-    }
+    if (centroids.isEmpty) return centroids
 
     for (_ <- 1 to rounds) {
       val sums = ed
-        .withColumn("cl", assignCol(centroids))
+        .withColumn("cl", semanticAssignCol(centroids))
         .select(col("cl"), posexplode(col("qv")).as(Seq("i", "qx")))
         .groupBy("cl", "i")
         .agg(sum("qx").as("sx"), count(lit(1)).as("n"))
@@ -646,19 +659,76 @@ object Dedup {
         }
         .sortBy(_._1)
     }
+    centroids
+  }
 
-    val assigned = ed.withColumn("cluster", assignCol(centroids))
-    val keyed = assigned.withColumn("nrm", norm(col("v")))
-    val a = keyed.select(col("vec_id").as("a_id"), col("cluster").as("a_cl"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = keyed.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),
+  /** Argmin-cell assignment under a frozen model, as one codegen'd
+    * expression over the quantized-double column `x`: distances
+    * `x·x − 2·x·c + c·c` in left-to-right folds, ties toward the smaller
+    * cell id (struct-min). */
+  private def semanticAssignCol(cents: Seq[(Long, Array[Double])]): org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions._
+    // Sequential self-dot — the SAME left-to-right accumulation DotProduct
+    // codegens and DuckDB's list_inner_product replays.
+    def selfDot(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    val xx = dot(col("x"), col("x"))
+    val candidates = cents.map { case (j, c) =>
+      struct(
+        (xx - lit(2.0) * dot(col("x"), lit(c)) + lit(selfDot(c))).as("d"),
+        lit(j).as("cl"))
+    }
+    array_min(array(candidates: _*)).getField("cl")
+  }
+
+  /** Arrival-time semantic dedup under a FROZEN model — the scale path for
+    * a growing corpus: the trained base is never rescanned or re-clustered.
+    * `keptBase` is the prior survivor set WITH vectors and cells
+    * (`(vec_id, embedding, cluster)` — [[semanticDedup]] output joined back
+    * to its vectors); `batch` is the new arrivals. A batch vector is
+    * dropped iff it is within `threshold` cosine of a same-cell BASE
+    * survivor, or of a smaller-id same-cell batch member — the identical
+    * greedy rule [[semanticDedup]] applies, extended over the id order
+    * (base before batch). Returns batch survivors `(vec_id, cluster)`.
+    *
+    * Scale shape: assignment is a pure projection under the driver-side
+    * model; the two pair stages join only on the cell key (batch×survivors
+    * and batch×batch) — cost O(|batch|·|cell|), independent of corpus
+    * history size. The same Bloom-prune idea as [[incrementalDedup]]
+    * applies if survivor cells grow hot. */
+  def semanticDedupAppend(
+      keptBase: DataFrame,
+      batch: DataFrame,
+      model: Seq[(Long, Array[Double])],
+      threshold: Double = 0.4,
+      quantScale: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bq = semanticQuantized(batch, quantScale)
+    if (model.isEmpty)
+      return bq.select(col("vec_id"), lit(0L).as("cluster")).limit(0)
+    val b = bq
+      .withColumn("cluster", semanticAssignCol(model))
+      .withColumn("nrm", norm(col("v")))
+      .select("vec_id", "cluster", "v", "nrm")
+    val s = keptBase
+      .select(col("cluster").as("s_cl"),
+        col("embedding").cast("array<double>").as("sv"))
+      .withColumn("sn", norm(col("sv")))
+    val dupVsBase = b
+      .join(s, col("cluster") === col("s_cl"))
+      .filter(dot(col("v"), col("sv")) / (col("nrm") * col("sn")) >= threshold)
+      .select("vec_id")
+    val b2 = b.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val dupIds = a
-      .join(b, col("a_cl") === col("b_cl") && col("a_id") < col("b_id"))
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+    val dupVsBatch = b
+      .join(b2, col("b_cl") === col("cluster") && col("b_id") > col("vec_id"))
+      .filter(dot(col("v"), col("vb")) / (col("nrm") * col("nb")) >= threshold)
       .select(col("b_id").as("vec_id"))
-      .distinct()
-    assigned.select("vec_id", "cluster").join(dupIds, Seq("vec_id"), "left_anti")
+    b.select("vec_id", "cluster")
+      .join(dupVsBase.unionByName(dupVsBatch).distinct(), Seq("vec_id"), "left_anti")
   }
 
   /** Semantic benchmark decontamination: every (benchmark, corpus) vector

@@ -112,6 +112,34 @@ class DedupSpec extends SparkSpec {
     assert(survivors.contains(4L), s"singleton dropped: $out")
   }
 
+  test("semanticDedupAppend: arrivals drop vs same-cell survivors and smaller-id batchmates") {
+    // Base: two orthogonal groups; survivor set keeps 0 and 2. Batch: 10 is
+    // a near-dup of survivor 0 (dropped vs base), 11 is orthogonal to
+    // everything (kept), 12 is a near-dup of 11 (dropped vs its smaller-id
+    // batchmate), 13 is near survivor 2's axis but in a genuinely new
+    // direction (kept).
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.002f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val model = Dedup.semanticModel(base, k = 2, rounds = 2)
+    val kept = Dedup.semanticDedup(base, k = 2, rounds = 2, threshold = 0.99)
+      .join(base, Seq("vec_id"))
+      .select("vec_id", "embedding", "cluster")
+    assert(kept.collect().map(_.getLong(0)).toSet === Set(0L, 2L))
+    val batch = Seq(
+      (10L, Array(1.0f, 0.002f, 0.0f, 0.0f)), // near-dup of base survivor 0
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // novel direction
+      (12L, Array(0.0f, 0.001f, 1.0f, 0.0f)), // near-dup of batchmate 11
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f))    // novel direction
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupAppend(kept, batch, model, threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(11L, 13L), s"got $out")
+  }
+
   test("semanticDedup: cross-cell near-dups are NOT dropped (the SemDeDup recall trade)") {
     // Force k = number of vectors so every vector sits alone: nothing can
     // pair, everything survives — the operator's cell boundary is real.
