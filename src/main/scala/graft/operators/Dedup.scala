@@ -684,6 +684,17 @@ object Dedup {
     array_min(array(candidates: _*)).getField("cl")
   }
 
+  /** Cell assignment under a frozen model: `(vec_id, v: double[], cluster)`
+    * — a PURE PROJECTION (no shuffle, no state), so it runs identically in
+    * a batch plan or inside a streaming micro-batch. */
+  def semanticAssign(
+      vectors: DataFrame,
+      model: Seq[(Long, Array[Double])],
+      quantScale: Int = 4096): DataFrame =
+    semanticQuantized(vectors, quantScale)
+      .withColumn("cluster", semanticAssignCol(model))
+      .select("vec_id", "v", "cluster")
+
   /** Arrival-time semantic dedup under a FROZEN model — the scale path for
     * a growing corpus: the trained base is never rescanned or re-clustered.
     * `keptBase` is the prior survivor set WITH vectors and cells
@@ -706,11 +717,10 @@ object Dedup {
       threshold: Double = 0.4,
       quantScale: Int = 4096): DataFrame = {
     import graft.functions.VectorFunctions._
-    val bq = semanticQuantized(batch, quantScale)
     if (model.isEmpty)
-      return bq.select(col("vec_id"), lit(0L).as("cluster")).limit(0)
-    val b = bq
-      .withColumn("cluster", semanticAssignCol(model))
+      return semanticQuantized(batch, quantScale)
+        .select(col("vec_id"), lit(0L).as("cluster")).limit(0)
+    val b = semanticAssign(batch, model, quantScale)
       .withColumn("nrm", norm(col("v")))
       .select("vec_id", "cluster", "v", "nrm")
     val s = keptBase

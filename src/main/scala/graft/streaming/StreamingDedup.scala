@@ -96,6 +96,65 @@ object StreamingDedup {
       .toDF()
   }
 
+  /** One semantic classification: best cosine against any same-cell base
+    * survivor (−1.0 when the vector's cell holds no survivors). */
+  case class SemanticVerdict(vec_id: Long, cluster: Long, status: String, best_sim: Double)
+
+  /** Streaming source over an embeddings parquet directory. */
+  def readVectors(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .parquet(dir)
+
+  /** Streaming SEMANTIC dedup against a static survivor set under a frozen
+    * k-means model — the continuous version of [[graft.operators.Dedup
+    * .semanticDedupAppend]]'s vs-base stage. Each arriving vector is
+    * assigned its cell by [[graft.operators.Dedup.semanticAssign]] (a pure
+    * projection — the model rides the plan as literals, so it runs inside
+    * the stream with no extra source), stream-static joins the survivors on
+    * the CELL key, and is flagged `near_dup` iff its best same-cell cosine
+    * reaches `threshold`.
+    *
+    * Scale shape: the join probes only the vector's own cell (O(|cell|)
+    * candidates per arrival, corpus-history independent); the per-vector
+    * collapse runs through flatMapGroupsWithState with state never updated
+    * (the [[classifyNear]] contract), so the state store stays empty.
+    * Boundary, same as [[classifyNear]]: near-dups of OTHER STREAMED
+    * vectors are not caught here — fold survivors back periodically with
+    * the batch [[graft.operators.Dedup.semanticDedupAppend]]. */
+  def classifySemantic(
+      vectors: DataFrame,
+      keptBase: DataFrame,
+      model: Seq[(Long, Array[Double])],
+      threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val a = graft.operators.Dedup.semanticAssign(vectors, model)
+      .withColumn("nrm", norm(col("v")))
+    val s = keptBase
+      .select(col("cluster"), col("embedding").cast("array<double>").as("sv"))
+      .withColumn("sn", norm(col("sv")))
+    val est = a
+      .join(s, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        (dot(col("v"), col("sv")) / (col("nrm") * col("sn"))).as("sim"))
+    val base = a.select(col("vec_id"), col("cluster"), lit(-1.0).as("sim"))
+    est
+      .unionByName(base)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, SemanticVerdict](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())( (id, rows, _) => {
+        val rs = rows.toArray
+        val best = rs.map(_._3).max
+        Iterator.single(SemanticVerdict(
+          id, rs.head._2, if (best >= threshold) "near_dup" else "kept", best))
+      })
+      .toDF()
+  }
+
   /** Classify each streamed document against all content ever seen:
     * first occurrence of a normalized content hash → `kept`, every later
     * one → `exact_dup`. */

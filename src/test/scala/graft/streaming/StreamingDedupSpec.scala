@@ -93,4 +93,53 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got(33L)._1 === "kept")
     assert(got(34L) === (("kept", -1.0)))
   }
+
+  test("classifySemantic: streamed vectors judged against frozen cells, across checkpointed runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssem").toString
+    val (src, out, ckpt) = (s"$tmp/vecs", s"$tmp/out", s"$tmp/ckpt")
+    // Base: two orthogonal groups; model freezes cells x and y, survivors
+    // {0, 2} (the semanticDedupAppend fixture).
+    val baseVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.002f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val model = graft.operators.Dedup.semanticModel(baseVecs, k = 2, rounds = 2)
+    val kept = graft.operators.Dedup.semanticDedup(baseVecs, k = 2, rounds = 2, threshold = 0.99)
+      .join(baseVecs, Seq("vec_id"))
+      .select("vec_id", "embedding", "cluster")
+
+    def writeVecs(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("append").parquet(src)
+    def drainSem(): Unit =
+      DailyIngest.runIncremental(
+        StreamingDedup.classifySemantic(
+          StreamingDedup.readVectors(spark, src), kept, model, threshold = 0.99),
+        out, ckpt)
+
+    writeVecs(Seq(
+      10L -> Array(1.0f, 0.002f, 0.0f, 0.0f), // near-dup of survivor 0
+      11L -> Array(0.0f, 0.0f, 1.0f, 0.0f))) // novel direction
+    drainSem()
+    // Second run resumed from the checkpoint: only the new file is read.
+    writeVecs(Seq(
+      12L -> Array(0.0f, 1.0f, 0.004f, 0.0f), // near-dup of survivor 2
+      13L -> Array(0.0f, 0.0f, 0.0f, 1.0f))) // novel direction
+    drainSem()
+
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got.keySet === Set(10L, 11L, 12L, 13L))
+    assert(got(10L)._1 === "near_dup" && got(10L)._2 > 0.99)
+    assert(got(11L)._1 === "kept")
+    assert(got(12L)._1 === "near_dup" && got(12L)._2 > 0.99)
+    assert(got(13L)._1 === "kept")
+    // exactly-once: re-running with no new input adds nothing
+    drainSem()
+    assert(spark.read.parquet(out).count() === 4)
+  }
 }
