@@ -2317,6 +2317,12 @@ object SparkEntry {
           .vocabulary(Tables.documents(s, dir), 100)
           .orderBy("vid")),
 
+      // Zipf power-law fit over the top-100 vocabulary: regression moments
+      // as rank-ordered list folds (the embedding-dot determinism contract
+      // applied to a statistics op — no unordered double summation).
+      "q_zipf_fit" -> ((s, dir) =>
+        graft.operators.TextIndex.zipfFit(Tables.documents(s, dir), 100)),
+
       // Distribution-aware quality gate: keep each doc at/above the median
       // stopword-ratio percentile WITHIN its source (a fixed threshold
       // tuned on a clean corpus would keep all of a junk crawl).
@@ -5072,6 +5078,38 @@ object SparkEntry {
          |           GROUP BY tok ORDER BY n DESC, tok LIMIT 100)
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS vid, tok, n
          |FROM c ORDER BY vid""".stripMargin,
+    "q_zipf_fit" ->
+      s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM (SELECT unnest($ToksSql) AS tok FROM documents)
+         |           GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS vid,
+         |             round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)), 9) AS x,
+         |             round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+         |      FROM c),
+         |p AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |             list(x ORDER BY vid) AS xs, list(y ORDER BY vid) AS ys
+         |      FROM r),
+         |m AS (SELECT n,
+         |             list_inner_product(xs, list_transform(xs, v -> 1.0)) AS sx,
+         |             list_inner_product(ys, list_transform(ys, v -> 1.0)) AS sy,
+         |             list_inner_product(xs, xs) AS sxx,
+         |             list_inner_product(xs, ys) AS sxy,
+         |             list_inner_product(ys, ys) AS syy
+         |      FROM p),
+         |d AS (SELECT n, sx, sy,
+         |             n * sxy - sx * sy AS cov,
+         |             n * sxx - sx * sx AS varx,
+         |             n * syy - sy * sy AS vary
+         |      FROM m),
+         |g AS (SELECT n, sx, sy, cov, varx, vary,
+         |             CASE WHEN varx <> 0.0 THEN cov / varx ELSE 0.0 END AS slope0
+         |      FROM d)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |       round(slope0, 6) AS slope,
+         |       round((sy - slope0 * sx) / n, 6) AS intercept,
+         |       round(CASE WHEN varx <> 0.0 AND vary <> 0.0
+         |                  THEN cov * cov / (varx * vary) ELSE 0.0 END, 6) AS r2
+         |FROM g""".stripMargin,
     "q_quality_percentile" ->
       s"""WITH f AS (SELECT doc_id, source, len($ToksSql) AS nt,
          |                  len(list_filter($ToksSql, tk -> tk IN $StopListSql)) AS n_stop

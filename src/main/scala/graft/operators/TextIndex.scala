@@ -92,6 +92,58 @@ object TextIndex {
       .select("vid", "tok", "n")
   }
 
+  /** Zipf power-law fit of the term-frequency distribution: least-squares
+    * regression of `ln(count)` on `ln(rank)` over the top-`k` vocabulary —
+    * the corpus-health fingerprint (natural text sits near slope −1;
+    * boilerplate-heavy or template-generated corpora flatten or steepen
+    * it). Returns one row `(n_terms, slope, intercept, r2)`.
+    *
+    * Determinism: the regression moments are double sums of logarithms —
+    * unordered SQL aggregation could never replay across engines, so the
+    * top-k rows (bounded by construction) are packed into RANK-ORDERED
+    * arrays and every moment is a left-to-right
+    * [[graft.functions.VectorFunctions.dot]] fold, the same contract the
+    * embedding operators share with DuckDB's `list_inner_product`. The
+    * ln inputs are rounded to 9dp first so a libm ULP difference between
+    * engines cannot leak into the folds. */
+  def zipfFit(documents: DataFrame, k: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val ranked = vocabulary(documents, k)
+      .select(
+        col("vid"),
+        round(log(col("vid").cast("double")), 9).as("x"),
+        round(log(col("n").cast("double")), 9).as("y"))
+    ranked
+      .agg(sort_array(collect_list(struct(col("vid"), col("x"), col("y")))).as("a"))
+      .select(
+        size(col("a")).cast("double").as("n"),
+        transform(col("a"), s => s.getField("x")).as("xs"),
+        transform(col("a"), s => s.getField("y")).as("ys"),
+        transform(col("a"), _ => lit(1.0)).as("ones"))
+      .select(
+        col("n"),
+        dot(col("xs"), col("ones")).as("sx"),
+        dot(col("ys"), col("ones")).as("sy"),
+        dot(col("xs"), col("xs")).as("sxx"),
+        dot(col("xs"), col("ys")).as("sxy"),
+        dot(col("ys"), col("ys")).as("syy"))
+      .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n") * col("syy") - col("sy") * col("sy"))
+      // degenerate guards (constant x or y — e.g. every count 1): slope 0,
+      // r² 0, never a divide-by-zero (ANSI) or NaN (DuckDB)
+      .withColumn("slope0",
+        when(col("varx") =!= 0.0, col("cov") / col("varx")).otherwise(lit(0.0)))
+      .select(
+        col("n").cast("long").as("n_terms"),
+        round(col("slope0"), 6).as("slope"),
+        round((col("sy") - col("slope0") * col("sx")) / col("n"), 6).as("intercept"),
+        round(
+          when(col("varx") =!= 0.0 && col("vary") =!= 0.0,
+            col("cov") * col("cov") / (col("varx") * col("vary"))).otherwise(lit(0.0)),
+          6).as("r2"))
+  }
+
   /** Inverted index over the whitespace tokenizer: one row per term with
     * its document frequency and — for terms rare enough to materialize —
     * the full sorted posting list (comma-joined, so the row stays a flat

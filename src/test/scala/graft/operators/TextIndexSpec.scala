@@ -35,6 +35,28 @@ class TextIndexSpec extends SparkSpec {
     assert(v.map(_.getAs[Long]("n")).toSeq === Seq(3L, 3L, 1L))
   }
 
+  test("zipfFit: an exact power-law corpus recovers slope -1 with r2 ~ 1") {
+    // term r appears ceil(1024/r) times for r in 1..32 — counts follow
+    // 1/rank exactly (up to ceil), so the log-log fit must sit near
+    // slope −1 with high r².
+    val zipfDocs = (1 to 32).map { r =>
+      val reps = math.ceil(1024.0 / r).toInt
+      (r.toLong, Array.fill(reps)(f"term$r%02d").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val fit = TextIndex.zipfFit(zipfDocs, 32).collect().head
+    assert(fit.getAs[Long]("n_terms") === 32L)
+    assert(math.abs(fit.getAs[Double]("slope") + 1.0) < 0.02, fit.toString)
+    assert(fit.getAs[Double]("r2") > 0.999, fit.toString)
+  }
+
+  test("zipfFit: a uniform corpus is flat (slope 0) and degenerate fits don't blow up") {
+    val flat = Seq((0L, (1 to 20).map(i => f"w$i%02d").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val fit = TextIndex.zipfFit(flat, 20).collect().head
+    // every count is 1 → y is constant 0 → slope exactly 0
+    assert(fit.getAs[Double]("slope") === 0.0, fit.toString)
+  }
+
   test("qualityPercentile: per-source median gate, tokenless doc scores 0") {
     val scored = Seq(
       (0L, "the of and to in", "s0"), // all stopwords -> score 1.0
