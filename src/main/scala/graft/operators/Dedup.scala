@@ -586,7 +586,8 @@ object Dedup {
       k: Int = 8,
       rounds: Int = 2,
       threshold: Double = 0.4,
-      quantScale: Int = 4096): DataFrame = {
+      quantScale: Int = 4096,
+      maxCell: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
     val ed = semanticQuantized(embeddings, quantScale)
     val centroids = semanticModel(embeddings, k, rounds, quantScale)
@@ -597,7 +598,14 @@ object Dedup {
       return ed.select(col("vec_id"), lit(0L).as("cluster")).limit(0)
 
     val assigned = ed.withColumn("cluster", semanticAssignCol(centroids))
-    val keyed = assigned.withColumn("nrm", norm(col("v")))
+    // Skew kill-switch (the capBuckets contract): cells past `maxCell`
+    // skip the quadratic stage entirely — their members are all KEPT
+    // (conservative; a pathological mega-cell means k was sized wrong for
+    // the corpus, and dropping docs on a broken clustering would be data
+    // loss). 0 = uncapped, no window in the plan.
+    val paired =
+      if (maxCell > 0) capBuckets(assigned, Seq("cluster"), maxCell) else assigned
+    val keyed = paired.withColumn("nrm", norm(col("v")))
     val a = keyed.select(col("vec_id").as("a_id"), col("cluster").as("a_cl"),
       col("v").as("va"), col("nrm").as("na"))
     val b = keyed.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),

@@ -112,6 +112,23 @@ class DedupSpec extends SparkSpec {
     assert(survivors.contains(4L), s"singleton dropped: $out")
   }
 
+  test("semanticDedup maxCell: an over-cap cell skips the pair stage, members all kept") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // near-dup of 0 (same cell)
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.002f, 0.0f)) // near-dup of 2 (same cell)
+    ).toDF("vec_id", "embedding")
+    // uncapped: 1 and 3 drop
+    val full = Dedup.semanticDedup(vecs, k = 2, rounds = 2, threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === Set(0L, 2L))
+    // cap of 1: every 2-member cell is over cap → nothing pairs, all kept
+    val capped = Dedup.semanticDedup(vecs, k = 2, rounds = 2, threshold = 0.99, maxCell = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped === Set(0L, 1L, 2L, 3L))
+  }
+
   test("semanticDedupAppend: arrivals drop vs same-cell survivors and smaller-id batchmates") {
     // Base: two orthogonal groups; survivor set keeps 0 and 2. Batch: 10 is
     // a near-dup of survivor 0 (dropped vs base), 11 is orthogonal to
