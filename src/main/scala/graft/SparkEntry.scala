@@ -2725,6 +2725,14 @@ object SparkEntry {
           .orderBy("split")
       }),
 
+      // Filter-cascade funnel: first-failing-stage attribution per
+      // (source, stage) — the drop report of the whole quality cascade in
+      // one projection + one aggregate.
+      "q_filter_funnel" -> ((s, dir) =>
+        graft.operators.Curation
+          .filterFunnel(Tables.documents(s, dir))
+          .orderBy("source", "stage")),
+
       // JSON metadata extraction (training-pipeline extension): typed
       // from_json with an explicit schema — no schema-inference pass, stays
       // a narrow codegen'd projection ahead of the aggregate at any scale.
@@ -6380,6 +6388,28 @@ object SparkEntry {
          |       (n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 3.0 AND 10.0
          |        AND symbol_ratio < 0.1 AND n_stop_distinct >= 2) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_filter_funnel" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, $ToksSql AS ts FROM documents),
+         |m AS (SELECT doc_id, source, lang,
+         |             CAST(len(ts) AS BIGINT) AS n_words,
+         |             CAST(coalesce(list_sum(list_transform(ts, w -> length(w))), 0) AS BIGINT) AS char_sum,
+         |             CAST(len(list_intersect(ts, ['the','a','of','and','to','in','is','on','for','it'])) AS BIGINT) AS n_stop_distinct,
+         |             CAST(len(list_filter(ts, w -> regexp_matches(w, '^[^a-zA-Z0-9]+$$'))) AS BIGINT) AS n_symbol_words
+         |      FROM t),
+         |r AS (SELECT source, lang, n_words, n_stop_distinct,
+         |             CASE WHEN n_words > 0 THEN CAST(char_sum AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen,
+         |             CASE WHEN n_words > 0 THEN CAST(n_symbol_words AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio
+         |      FROM m),
+         |s AS (SELECT source,
+         |             CASE WHEN lang NOT IN ('en','de','fr','es') THEN '1_lang'
+         |                  WHEN n_words NOT BETWEEN 20 AND 80 THEN '2_word_count'
+         |                  WHEN mean_wlen NOT BETWEEN 3.0 AND 10.0 THEN '3_mean_wlen'
+         |                  WHEN symbol_ratio >= 0.1 THEN '4_symbol'
+         |                  WHEN n_stop_distinct < 2 THEN '5_stopword'
+         |                  ELSE 'kept' END AS stage
+         |      FROM r)
+         |SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s GROUP BY 1, 2 ORDER BY source, stage""".stripMargin,
     "q_communities" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |            FROM lineitem a JOIN lineitem b

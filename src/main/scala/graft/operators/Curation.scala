@@ -257,6 +257,60 @@ object Curation {
         "n_stop_distinct", "keep")
   }
 
+  /** Filter-cascade funnel report: the quality cascade applied in one
+    * row-local projection, every dropped document attributed to its FIRST
+    * failing stage — the report a curation run reads before touching any
+    * threshold (drop counts by rule AND source, so a rule that guts one
+    * crawl is visible immediately). Stages in cascade order: language
+    * allow-list, Gopher word-count bounds, mean-word-length bounds,
+    * symbol-word-ratio cap, distinct-stopword floor; survivors land in
+    * stage `kept`. Returns `(source, stage, n_docs)`.
+    *
+    * Scale shape: one tokenizing projection + ONE map-side-combined
+    * aggregate of O(sources × stages) rows — attribution is a when-chain,
+    * never a per-rule pass. */
+  def filterFunnel(
+      documents: DataFrame,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es"),
+      minWords: Long = 20L,
+      maxWords: Long = 80L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopDistinct: Long = 2L): DataFrame = {
+    val stopArr = graft.functions.TextFunctions.Stopwords
+      .map(s => s"'$s'")
+      .mkString("array(", ", ", ")")
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), tokens(col("text")).as("ts"))
+      .select(
+        col("source"),
+        col("lang"),
+        size(col("ts")).cast("long").as("n_words"),
+        expr("aggregate(ts, 0L, (acc, w) -> acc + length(w))").as("char_sum"),
+        expr(s"size(array_intersect(ts, $stopArr))").cast("long").as("n_stop_distinct"),
+        expr("size(filter(ts, w -> w rlike '^[^a-zA-Z0-9]+$'))").cast("long")
+          .as("n_symbol_words"))
+      .withColumn(
+        "mean_wlen",
+        when(col("n_words") > 0, col("char_sum").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "symbol_ratio",
+        when(col("n_words") > 0, col("n_symbol_words").cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "stage",
+        when(!col("lang").isin(allowedLangs: _*), lit("1_lang"))
+          .when(!col("n_words").between(minWords, maxWords), lit("2_word_count"))
+          .when(!col("mean_wlen").between(minMeanLen, maxMeanLen), lit("3_mean_wlen"))
+          .when(col("symbol_ratio") >= maxSymbolRatio, lit("4_symbol"))
+          .when(col("n_stop_distinct") < minStopDistinct, lit("5_stopword"))
+          .otherwise(lit("kept")))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Deterministic corpus shuffle + shard manifest: every document gets a
     * pseudo-random but rerun-stable shard via [[hashBucket]] (the training-
     * order shuffle a dataloader needs — adjacent source documents land in

@@ -16,6 +16,29 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(3L)) // 3 < 10 wins the fingerprint group; 4 and 5 gated out
   }
 
+  test("filterFunnel: each doc attributed to its FIRST failing stage, survivors to kept") {
+    val good = "the view of and to in is on for it " +
+      ("alpha beta gamma delta " * 5) // 30 words, sane lengths, stopwords
+    val docs = Seq(
+      // fails lang (would also fail word count — attribution must pick lang)
+      (0L, "zh", "web", "short"),
+      (1L, "en", "web", "too few words"), // word count
+      (2L, "en", "web", ("supercalifragilisticexpialidocious " * 25).trim), // mean wlen
+      (3L, "en", "web", ("the of and to " + "#### @@@@ $$$$ %%%% " * 5).trim), // symbol ratio
+      (4L, "en", "books", ("alpha beta gamma delta " * 6).trim), // no stopwords
+      (5L, "en", "books", good) // kept
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = Curation.filterFunnel(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("web", "1_lang") -> 1L,
+      ("web", "2_word_count") -> 1L,
+      ("web", "3_mean_wlen") -> 1L,
+      ("web", "4_symbol") -> 1L,
+      ("books", "5_stopword") -> 1L,
+      ("books", "kept") -> 1L), got.toString)
+  }
+
   test("stratifiedSample: small strata pass whole, large strata shrink to ~target, rerun-stable") {
     val rows = (0L until 2000L).map(i => (i, "big")) ++ (10000L until 10020L).map(i => (i, "rare"))
     val df = rows.toDF("event_id", "event_type")
