@@ -2580,6 +2580,16 @@ object SparkEntry {
         Dedup.semanticDedupAppend(kept, batch, model).orderBy("vec_id")
       }),
 
+      // Graded retrieval metrics for the Matryoshka-truncated ranking:
+      // nDCG@10 + MRR against full-precision relevance, decimal-exact
+      // position-weight sums (the entropy-oracle pattern).
+      "q_ndcg_truncation" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch
+          .truncationRankingMetrics(e.filter(col("vec_id") < 8), e)
+          .orderBy("q_id")
+      }),
+
       // MMR diversity re-rank over the brute-force pool: k fixed greedy
       // rounds, oracled as unrolled CTEs (relevance − λ·max-sim-to-selected)
       "q_mmr_rerank" -> ((s, dir) => {
@@ -5483,6 +5493,43 @@ object SparkEntry {
         |SELECT f.q_id, CAST(count(h.n_id) AS BIGINT) AS n_overlap
         |FROM f LEFT JOIN h ON f.q_id = h.q_id AND f.n_id = h.n_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ndcg_truncation" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |sf AS (SELECT q_id, n_id,
+        |              list_inner_product(qv, nv) /
+        |                (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |       FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |f AS (SELECT q_id, n_id, rank FROM
+        |        (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY sim DESC, n_id) AS rank
+        |         FROM sf) WHERE rank <= 10),
+        |sh AS (SELECT q_id, n_id,
+        |              list_inner_product(list_slice(qv, 1, 32), list_slice(nv, 1, 32)) /
+        |                (sqrt(list_inner_product(list_slice(qv, 1, 32), list_slice(qv, 1, 32)))
+        |                 * sqrt(list_inner_product(list_slice(nv, 1, 32), list_slice(nv, 1, 32)))) AS sim
+        |       FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |h AS (SELECT q_id, n_id, rank FROM
+        |        (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |                                               ORDER BY sim DESC, n_id) AS rank
+        |         FROM sh) WHERE rank <= 10),
+        |j AS (SELECT h.q_id, h.rank,
+        |             CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |      FROM h LEFT JOIN f ON f.q_id = h.q_id AND f.n_id = h.n_id),
+        |s AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |             CAST(sum(CASE WHEN rel = 1
+        |                           THEN CAST(round(1.0 / log2(rank + 1), 9) AS DECIMAL(12,9))
+        |                           ELSE CAST(0 AS DECIMAL(12,9)) END) AS DOUBLE) AS dcg,
+        |             min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        |      FROM j GROUP BY 1),
+        |i AS (SELECT q_id,
+        |             CAST(sum(CAST(round(1.0 / log2(rank + 1), 9) AS DECIMAL(12,9)))
+        |                  AS DOUBLE) AS idcg
+        |      FROM f GROUP BY 1)
+        |SELECT s.q_id, n_rel, round(dcg / idcg, 6) AS ndcg,
+        |       round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr
+        |FROM s JOIN i USING (q_id) ORDER BY q_id""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS q_label
         |           FROM embeddings WHERE vec_id < 8),

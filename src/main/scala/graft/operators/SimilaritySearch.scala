@@ -604,6 +604,53 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Ranking-quality metrics for a degraded retrieval path vs the exact
+    * one: per query, binary relevance = membership in the full-precision
+    * cosine top-`k`, scored against the leading-`dims` (Matryoshka-
+    * truncated) ranking — `(q_id, n_rel, ndcg, mrr)`. This is the graded
+    * complement to the overlap-count gate: nDCG@k sees WHERE in the
+    * truncated list the true neighbors sit, MRR how fast the first one
+    * appears.
+    *
+    * Numeric contract: each position weight `1/log2(i+1)` is rounded to
+    * 9dp and summed as DECIMAL(12,9) — exact, order-free summation of
+    * transcendental terms (the entropy-oracle pattern), so the scores
+    * replay bit-identically in any engine; one double division per metric
+    * at the edge. IDCG is the weight sum over the EXACT ranking's k rows —
+    * computed by the same in-engine expression, never a driver constant. */
+  def truncationRankingMetrics(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int = 10,
+      dims: Int = 32): DataFrame = {
+    val w = round(lit(1.0) / log2(col("rank") + 1), 9).cast("decimal(12,9)")
+    val full = bruteForceTopK(queries, candidates, k)
+      .select(col("q_id"), col("n_id"), col("rank").as("f_rank"))
+    val trunc = bruteForceTopK(queries, candidates, k, dims)
+      .select(col("q_id"), col("n_id"), col("rank"))
+    val scored = trunc
+      .join(full.select(col("q_id"), col("n_id"), lit(1L).as("rel")),
+        Seq("q_id", "n_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy("q_id")
+      .agg(
+        sum("rel").cast("long").as("n_rel"),
+        sum(when(col("rel") === 1L, w).otherwise(lit(0).cast("decimal(12,9)")))
+          .cast("double").as("dcg"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+    val ideal = full
+      .withColumn("rank", col("f_rank"))
+      .groupBy("q_id")
+      .agg(sum(w).cast("double").as("idcg"))
+    scored
+      .join(ideal, Seq("q_id"))
+      .select(
+        col("q_id"),
+        col("n_rel"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
     * 1998): from each query's cosine top-`poolSize` pool, greedily select
     * `k` results maximizing `sim(q,c) − λ·max_{s∈selected} sim(c,s)` —

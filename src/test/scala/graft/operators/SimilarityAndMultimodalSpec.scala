@@ -25,6 +25,33 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_id") != 0L))
   }
 
+  test("truncationRankingMetrics: identical ranking scores perfect; a demoted top-1 halves MRR") {
+    // dims = full width → truncated ranking IS the exact ranking
+    val q = vecs.filter(col("vec_id") === 0L)
+    val perfect = SimilaritySearch.truncationRankingMetrics(q, vecs, k = 3, dims = 3)
+      .collect().head
+    assert(perfect.getAs[Long]("n_rel") === 3L)
+    assert(perfect.getAs[Double]("ndcg") === 1.0)
+    assert(perfect.getAs[Double]("mrr") === 1.0)
+
+    // 4-dim set where the TAIL decides the true top-1 and the prefix
+    // inverts it: query (1,0,0,1); 10 = (0.5,0.5,0,1) has full cos 0.866
+    // (true top-1) but prefix cos 0.707; 11 = (1,0,0,0) has full cos 0.707
+    // but prefix cos 1.0. Truncating to 2 dims picks 11 at k=1 — a true
+    // miss, so every metric must read zero.
+    val crafted = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // query
+      (10L, Array(0.5f, 0.5f, 0.0f, 1.0f)),
+      (11L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val m = SimilaritySearch
+      .truncationRankingMetrics(crafted.filter(col("vec_id") === 0L), crafted, k = 1, dims = 2)
+      .collect().head
+    assert(m.getAs[Long]("n_rel") === 0L)
+    assert(m.getAs[Double]("ndcg") === 0.0)
+    assert(m.getAs[Double]("mrr") === 0.0)
+  }
+
   test("mmrRerank: rank 1 is the plain argmax; the penalty then promotes diversity") {
     // Query = axis x. Pool: 4 and 1 are both near-duplicates of axis x
     // (plain top-2); 2 and 3 are orthogonal to the query. Rank 1 must be the
