@@ -681,6 +681,30 @@ object SimilaritySearch {
       .filter(col("rk") <= poolSize)
       .select("q_id", "n_id", "sim", "nv", "nn")
       .transform(Bridge.localCheckpointFreshStats)
+    mmrGreedy(pool, k, lambda)
+  }
+
+  /** [[mmrRerank]] over a caller-supplied candidate pool `(q_id, n_id,
+    * sim)` — compose the diversity pass onto ANY retrieval stage
+    * ([[ivfTopK]], [[lshTopK]], [[pqTopK]], [[ivfIndexSearch]]) instead of
+    * the brute-force pool. Vectors and norms are joined back from
+    * `candidates` once (per pool row, not per greedy round). */
+  def mmrRerankFrom(
+      pool: DataFrame,
+      candidates: DataFrame,
+      k: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val cv = withNorm(candidates, "n_id", "nv", "nn")
+    val keyed = pool.select("q_id", "n_id", "sim")
+      .join(cv, Seq("n_id"))
+      .select("q_id", "n_id", "sim", "nv", "nn")
+      .transform(Bridge.localCheckpointFreshStats)
+    mmrGreedy(keyed, k, lambda)
+  }
+
+  private def mmrGreedy(pool: DataFrame, k: Int, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
 
     // argmax with deterministic ties: max(struct(score, −n_id)) picks the
     // highest score, then the SMALLER id.

@@ -72,6 +72,18 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(math.abs(mmr(1).getAs[Double]("score")) < 1e-12)
   }
 
+  test("mmrRerankFrom: feeding the brute-force pool reproduces mmrRerank exactly") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val pool = SimilaritySearch.bruteForceTopK(q, vecs, 4)
+    val fromPool = SimilaritySearch.mmrRerankFrom(pool, vecs, k = 2, lambda = 1.0)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("score")))
+    val direct = SimilaritySearch.mmrRerank(q, vecs, k = 2, poolSize = 4, lambda = 1.0)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("score")))
+    assert(fromPool.toSeq === direct.toSeq)
+  }
+
   test("LSH top-k: identical-direction vector is always found at rank 1") {
     val out = SimilaritySearch
       .lshTopK(vecs.filter(col("vec_id") === 0L), vecs, 3, numPlanes = 6, dim = 3)
