@@ -4358,6 +4358,30 @@ object SparkEntry {
           .orderBy("dow", "event_type")
       }),
 
+      // Seasonal-naive forecast backtest: ŷ(d) = y(d−7) per user series,
+      // scored only where both days exist (sparse series need no gap
+      // filling) — MAE and signed bias in exact cents, one double division
+      // per metric. The honest baseline every fancier forecaster must beat.
+      "q_forecast_backtest" -> ((s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+          .groupBy("user_id", "d")
+          .agg(sum("cents").as("y"))
+        val lagged = daily.select(col("user_id"), date_add(col("d"), 7).as("d"),
+          col("y").as("y_hat"))
+        daily
+          .join(lagged, Seq("user_id", "d"))
+          .withColumn("err", col("y") - col("y_hat"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_eval"),
+            (sum(abs(col("err"))).cast("double") / count(lit(1)) / 100).as("mae"),
+            (sum(col("err")).cast("double") / count(lit(1)) / 100).as("bias"))
+          .filter(col("n_eval") >= 3)
+          .orderBy("user_id")
+      }),
+
       // Experiment sample-size (power analysis), the planning complement of
       // q_ab_test: given the observed purchase share as baseline, the
       // per-arm n needed to detect a +1pp absolute lift at alpha = 0.05,
@@ -6707,6 +6731,17 @@ object SparkEntry {
         |       CAST((5 - r_b) * 100 + (f_b + 1) * 10 + (m_b + 1) AS BIGINT) AS rfm
         |FROM base b JOIN rb USING (cust) JOIN fb USING (cust) JOIN mb USING (cust)
         |ORDER BY cust""".stripMargin,
+    "q_forecast_backtest" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |                      sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS y
+        |               FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.user_id, a.y - b.y AS err
+        |      FROM daily a JOIN daily b
+        |        ON a.user_id = b.user_id AND b.d = a.d - INTERVAL 7 DAY)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(sum(abs(err)) AS DOUBLE) / count(*) / 100 AS mae,
+        |       CAST(sum(err) AS DOUBLE) / count(*) / 100 AS bias
+        |FROM j GROUP BY 1 HAVING count(*) >= 3 ORDER BY user_id""".stripMargin,
     "q_seasonality" ->
       """WITH c AS (SELECT ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS dow,
         |                  event_type,
