@@ -3859,6 +3859,13 @@ object SparkEntry {
           .withColumnRenamed("g", "source")
           .orderBy("source")),
 
+      // Binning-free drift: exact two-sample KS distance between the view
+      // and purchase value distributions — integer-cent CDF gaps, the max
+      // found in BIGINT, one double division at the edge.
+      "q_drift_ks" -> ((s, dir) =>
+        graft.operators.Analytics
+          .ksDistance(Tables.events(s, dir), "event_type", "value", "view", "purchase")),
+
       // Per-(user, day) event-rate z-score anomalies vs the user's own
       // across-days moments: one (user, day) count, one user-partitioned
       // window carrying all three moment aggregates.
@@ -6263,6 +6270,22 @@ object SparkEntry {
         |d1 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau1 FROM ud GROUP BY 1),
         |d7 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau7 FROM w GROUP BY 1)
         |SELECT d, dau1, dau7 FROM d1 JOIN d7 USING (d) ORDER BY d""".stripMargin,
+    "q_drift_ks" ->
+      """WITH c AS (SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |k AS (SELECT v,
+        |             CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |             CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM c GROUP BY v),
+        |f AS (SELECT v, sum(ca) OVER (ORDER BY v) AS fa, sum(cb) OVER (ORDER BY v) AS fb
+        |      FROM k),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM k)
+        |SELECT na AS n_a, nb AS n_b,
+        |       CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS ks_num,
+        |       CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+        |         / CAST(na * nb AS DOUBLE) AS ks
+        |FROM f, t GROUP BY na, nb""".stripMargin,
     "q_drift" ->
       """WITH cells AS (
         |  SELECT source AS g, least(CAST(floor(n_chars / 60.0) AS BIGINT), 9) AS b,

@@ -499,6 +499,54 @@ object Analytics {
         (col("n").cast("double") / col("total")).as("p"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of groups `a` and `b` — the binning-free drift test
+    * (the [[distributionDrift]] histogram fixes a bucket grid; KS is the
+    * sup-norm over EVERY observed threshold, so a shift smaller than a
+    * bucket still registers). One summary row
+    * `(n_a, n_b, ks_num, ks)` where `ks = ks_num / (n_a·n_b)`.
+    *
+    * Numeric contract: values quantize to integer cents; the empirical-CDF
+    * gap at threshold v is the EXACT integer `|F_a(v)·n_a·n_b − F_b(v)·
+    * n_a·n_b| = |cum_a(v)·n_b − cum_b(v)·n_a|`, so the max is found in
+    * BIGINT and only the final ratio is one double division.
+    *
+    * Scale shape: one map-side-combined count per distinct VALUE, then a
+    * cumulative window over the value axis — single-partition but
+    * domain-bounded (distinct 2dp readings of a bounded metric, the same
+    * O(bins) exemption as the histogram/quantile windows), never
+    * corpus-row-bounded. */
+  def ksDistance(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    val cents = expr(s"CAST(CAST($valueCol AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val counts = df
+      .filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"), cents.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
+    val byV = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum("ca").cast("long").as("na"), sum("cb").cast("long").as("nb"))
+    counts
+      .withColumn("fa", sum("ca").over(byV))
+      .withColumn("fb", sum("cb").over(byV))
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("fa") * col("nb") - col("fb") * col("na")).as("dev"))
+      .groupBy("na", "nb")
+      .agg(max("dev").cast("long").as("ks_num"))
+      .select(
+        col("na").as("n_a"),
+        col("nb").as("n_b"),
+        col("ks_num"),
+        (col("ks_num").cast("double") / (col("na") * col("nb")).cast("double")).as("ks"))
+  }
+
   /** Per-group distribution drift vs the pooled corpus — the data-quality
     * monitor for a multi-source training pipeline: which source's length
     * (or score) distribution has wandered from the corpus at large. Emits

@@ -49,6 +49,24 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(out("a") === out("b"))
   }
 
+  test("ksDistance: hand-computed sup-norm on overlapping samples; identical samples read 0") {
+    // A = {1,2,3}, B = {3,4,5}: the CDF gap peaks at 2/3 (thresholds 2 and
+    // 3) → ks_num = max|fa·nb − fb·na| = 6 over na·nb = 9.
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0)).toDF("g", "value")
+    val r = Analytics.ksDistance(df, "g", "value", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("ks_num") === 6L)
+    assert(math.abs(r.getAs[Double]("ks") - 2.0 / 3.0) < 1e-15)
+
+    val same = Seq(("a", 1.0), ("a", 2.5), ("b", 1.0), ("b", 2.5)).toDF("g", "value")
+    val r2 = Analytics.ksDistance(same, "g", "value", "a", "b").collect().head
+    assert(r2.getAs[Long]("ks_num") === 0L)
+    assert(r2.getAs[Double]("ks") === 0.0)
+  }
+
   test("driftTimeline: hand-computed per-day drift from histogram cells") {
     // day1 all mass in bin 0, day2 all in bin 1; smoothed ps=(0.75,0.25)
     // vs pooled pr=(0.5,0.5): tvd=0.25, chi2=0.125/0.5*2=0.25 — symmetric.
