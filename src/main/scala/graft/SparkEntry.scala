@@ -2574,7 +2574,7 @@ object SparkEntry {
         val base = e.filter(col("vec_id") < 400)
         val batch = e.filter(col("vec_id") >= 400)
         val model = Dedup.semanticModel(base)
-        val kept = Dedup.semanticDedup(base)
+        val kept = Dedup.semanticDedupWithModel(base, model)
           .join(base, Seq("vec_id"))
           .select("vec_id", "embedding", "cluster")
         Dedup.semanticDedupAppend(kept, batch, model).orderBy("vec_id")

@@ -587,10 +587,22 @@ object Dedup {
       rounds: Int = 2,
       threshold: Double = 0.4,
       quantScale: Int = 4096,
+      maxCell: Int = 0): DataFrame =
+    semanticDedupWithModel(
+      embeddings, semanticModel(embeddings, k, rounds, quantScale),
+      threshold, quantScale, maxCell)
+
+  /** [[semanticDedup]] under a caller-supplied frozen model — reuse a
+    * trained model across the survivor pass and later [[semanticDedupAppend]]
+    * calls instead of re-running the Lloyd rounds. */
+  def semanticDedupWithModel(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Array[Double])],
+      threshold: Double = 0.4,
+      quantScale: Int = 4096,
       maxCell: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
     val ed = semanticQuantized(embeddings, quantScale)
-    val centroids = semanticModel(embeddings, k, rounds, quantScale)
 
     // Empty corpus: no centroids to seed — an untyped array() would not even
     // analyze. Same (vec_id, cluster) schema, zero rows.
