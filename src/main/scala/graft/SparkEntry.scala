@@ -2735,6 +2735,14 @@ object SparkEntry {
           .orderBy("split")
       }),
 
+      // IPF raking: per-cell weights pulling the source×lang table toward
+      // uniform marginals (row pass exact-integer, column pass row-ordered
+      // list folds).
+      "q_ipf_rake" -> ((s, dir) =>
+        graft.operators.Curation
+          .ipfRake(Tables.documents(s, dir))
+          .orderBy("source", "lang")),
+
       // Filter-cascade funnel: first-failing-stage attribution per
       // (source, stage) — the drop report of the whole quality cascade in
       // one projection + one aggregate.
@@ -6482,6 +6490,32 @@ object SparkEntry {
          |       (n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 3.0 AND 10.0
          |        AND symbol_ratio < 0.1 AND n_stop_distinct >= 2) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_ipf_rake" ->
+      """WITH n AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |               CAST(count(DISTINCT source) AS BIGINT) AS ns,
+        |               CAST(count(DISTINCT lang) AS BIGINT) AS nl
+        |        FROM n),
+        |r1 AS (SELECT source, CAST(sum(c) AS BIGINT) AS rs FROM n GROUP BY 1),
+        |w1 AS (SELECT n.source, n.lang, n.c,
+        |              (CAST(nn AS DOUBLE) / ns) / rs AS w
+        |       FROM n JOIN r1 USING (source), tot),
+        |c1s AS (SELECT lang, list(w * c ORDER BY source) AS xs FROM w1 GROUP BY 1),
+        |c1 AS (SELECT c1s.lang,
+        |              (CAST(nn AS DOUBLE) / nl) /
+        |                list_inner_product(xs, list_transform(xs, v -> 1.0)) AS cs
+        |       FROM c1s, tot),
+        |w2 AS (SELECT w1.source, w1.lang, w1.c, w1.w * cs AS w
+        |       FROM w1 JOIN c1 USING (lang)),
+        |m AS (SELECT source, list(w * c ORDER BY lang) AS xs FROM w2 GROUP BY 1),
+        |ach AS (SELECT source,
+        |               list_inner_product(xs, list_transform(xs, v -> 1.0)) AS row_mass
+        |        FROM m)
+        |SELECT w2.source, w2.lang, c AS n_docs, round(w, 6) AS weight,
+        |       round(row_mass, 4) AS source_mass_after
+        |FROM w2 JOIN ach USING (source)
+        |ORDER BY source, lang""".stripMargin,
     "q_filter_funnel" ->
       s"""WITH t AS (SELECT doc_id, source, lang, $ToksSql AS ts FROM documents),
          |m AS (SELECT doc_id, source, lang,

@@ -311,6 +311,60 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** IPF raking (iterative proportional fitting, Deming & Stephan 1940):
+    * per-cell sampling weights that pull the corpus's `rowCol`×`colCol`
+    * contingency table toward UNIFORM target marginals on both axes — the
+    * classic mixture-rebalancing step before sampling a training corpus
+    * (one round of row scaling + one of column scaling; the reported
+    * `source_mass_after` shows the residual row-marginal perturbation the
+    * column pass reintroduced — the quantity further rounds would shrink).
+    * Returns `(rowCol, colCol, n_docs, weight, source_mass_after)`.
+    *
+    * Determinism: the row pass divides by EXACT integer row sums; the
+    * column pass needs sums of double weights, so each column's terms are
+    * packed row-ordered and folded left-to-right
+    * ([[graft.functions.VectorFunctions.dot]] ↔ `list_inner_product`) —
+    * no unordered double aggregation anywhere.
+    *
+    * Scale shape: one corpus-scan count into the (rows × cols) grid;
+    * everything after is grid-sized and broadcast. */
+  def ipfRake(df: DataFrame, rowCol: String = "source", colCol: String = "lang"): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    def ones(xs: org.apache.spark.sql.Column) = transform(xs, _ => lit(1.0))
+    val n = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).cast("long").as("c"))
+    val tot = n.agg(
+      sum("c").cast("long").as("nn"),
+      countDistinct(col(rowCol)).cast("long").as("ns"),
+      countDistinct(col(colCol)).cast("long").as("nl"))
+    val rowSums = n.groupBy(col(rowCol)).agg(sum("c").cast("long").as("rs"))
+    val w1 = n
+      .join(broadcast(rowSums), Seq(rowCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("w", (col("nn").cast("double") / col("ns")) / col("rs"))
+    val colScale = w1
+      .groupBy(col(colCol))
+      .agg(sort_array(collect_list(struct(col(rowCol).as("r"), (col("w") * col("c")).as("x"))))
+        .as("a"))
+      .select(col(colCol), transform(col("a"), s => s.getField("x")).as("xs"))
+      .crossJoin(broadcast(tot))
+      .select(col(colCol),
+        ((col("nn").cast("double") / col("nl")) / dot(col("xs"), ones(col("xs")))).as("cs"))
+    val w2 = w1
+      .join(broadcast(colScale), Seq(colCol))
+      .withColumn("w2", col("w") * col("cs"))
+    val rowMass = w2
+      .groupBy(col(rowCol))
+      .agg(sort_array(collect_list(struct(col(colCol).as("l"), (col("w2") * col("c")).as("x"))))
+        .as("a"))
+      .select(col(rowCol), transform(col("a"), s => s.getField("x")).as("xs"))
+      .select(col(rowCol), dot(col("xs"), ones(col("xs"))).as("row_mass"))
+    w2.join(broadcast(rowMass), Seq(rowCol))
+      .select(
+        col(rowCol), col(colCol), col("c").as("n_docs"),
+        round(col("w2"), 6).as("weight"),
+        round(col("row_mass"), 4).as("source_mass_after"))
+  }
+
   /** Deterministic corpus shuffle + shard manifest: every document gets a
     * pseudo-random but rerun-stable shard via [[hashBucket]] (the training-
     * order shuffle a dataloader needs — adjacent source documents land in

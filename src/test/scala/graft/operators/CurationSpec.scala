@@ -16,6 +16,29 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(3L)) // 3 < 10 wins the fingerprint group; 4 and 5 gated out
   }
 
+  test("ipfRake: column marginals hit target exactly after the column pass; weights positive") {
+    // 2×2 skewed table: sources a (30+10) and b (10+10); uniform targets =
+    // 30 mass per axis value. After row+column passes every LANG's weighted
+    // mass equals 60/2 = 30 exactly (the column pass divides by its own
+    // achieved sum); the row masses show the residual drift.
+    val docs = (
+      Seq.fill(30)(("a", "en")) ++ Seq.fill(10)(("a", "de")) ++
+        Seq.fill(10)(("b", "en")) ++ Seq.fill(10)(("b", "de"))
+    ).zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val out = Curation.ipfRake(docs).collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getAs[Double]("weight") > 0.0))
+    val colMass = out
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(r => r.getAs[Double]("weight") * r.getAs[Long]("n_docs")).sum)
+      .toMap
+    for ((_, m) <- colMass) assert(math.abs(m - 30.0) < 1e-4, colMass.toString)
+    // the skewed source a keeps more mass than b after the column pass
+    val rowMass = out.map(r => r.getString(0) -> r.getAs[Double]("source_mass_after")).toMap
+    assert(rowMass("a") !== rowMass("b"))
+  }
+
   test("filterFunnel: each doc attributed to its FIRST failing stage, survivors to kept") {
     val good = "the view of and to in is on for it " +
       ("alpha beta gamma delta " * 5) // 30 words, sane lengths, stopwords
