@@ -2590,6 +2590,36 @@ object SparkEntry {
           .orderBy("q_id")
       }),
 
+      // Persisted semantic-dedup index lifecycle gate: build on the base,
+      // append the batch under the frozen on-disk model, and assert the
+      // persisted survivor set EQUALS the in-memory recompute (counts
+      // cross-checked by the oracle's shared CTE prologue).
+      "q_dedup_semantic_index_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val base = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400)
+        val model = Dedup.semanticModel(base)
+        if (model.isEmpty) {
+          // empty corpus: nothing to index or append — gate vacuously true
+          s.range(1).select(lit(0L).as("n_base"), lit(0L).as("n_total"),
+            lit(true).as("matches_inmem"))
+        } else {
+          val idx = java.nio.file.Files.createTempDirectory("graft-sem-idx").toString
+          Dedup.semanticIndexBuild(base, idx)
+          Dedup.semanticIndexAppend(batch, idx)
+          val persisted = Dedup.semanticIndexSurvivors(s, idx).select("vec_id", "cluster")
+          val keptMem = Dedup.semanticDedupWithModel(base, model)
+          val incMem = Dedup.semanticDedupAppend(
+            keptMem.join(base, Seq("vec_id")).select("vec_id", "embedding", "cluster"),
+            batch, model)
+          val inMem = keptMem.unionByName(incMem)
+          val diff = persisted.exceptAll(inMem).count() + inMem.exceptAll(persisted).count()
+          keptMem.agg(count(lit(1)).cast("long").as("n_base"))
+            .crossJoin(persisted.agg(count(lit(1)).cast("long").as("n_total")))
+            .withColumn("matches_inmem", lit(diff == 0L))
+        }
+      }),
+
       // MMR diversity re-rank over the brute-force pool: k fixed greedy
       // rounds, oracled as unrolled CTEs (relevance − λ·max-sim-to-selected)
       "q_mmr_rerank" -> ((s, dir) => {
@@ -5339,6 +5369,83 @@ object SparkEntry {
         |SELECT vec_id, cl AS cluster FROM a3
         |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE b_id = vec_id)
         |ORDER BY vec_id""".stripMargin,
+    "q_dedup_semantic_index_gate" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id < 400),
+        |ed AS (SELECT vec_id, v, list_transform(q, x -> CAST(x AS DOUBLE)) AS x FROM e),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, x AS cv
+        |       FROM ed ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c0.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c0.cv)
+        |                  + list_inner_product(c0.cv, c0.cv), c0.cl) AS rn
+        |         FROM ed CROSS JOIN c0) WHERE rn = 1),
+        |s1 AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT a1.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+        |             FROM e JOIN a1 USING (vec_id))
+        |       GROUP BY cl, i),
+        |c1 AS (SELECT cl, list(CAST(sx AS DOUBLE) / n ORDER BY i) AS cv FROM s1 GROUP BY cl),
+        |a2 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c1.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c1.cv)
+        |                  + list_inner_product(c1.cv, c1.cv), c1.cl) AS rn
+        |         FROM ed CROSS JOIN c1) WHERE rn = 1),
+        |s2 AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT a2.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+        |             FROM e JOIN a2 USING (vec_id))
+        |       GROUP BY cl, i),
+        |c2 AS (SELECT cl, list(CAST(sx AS DOUBLE) / n ORDER BY i) AS cv FROM s2 GROUP BY cl),
+        |a3 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c2.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c2.cv)
+        |                  + list_inner_product(c2.cv, c2.cv), c2.cl) AS rn
+        |         FROM ed CROSS JOIN c2) WHERE rn = 1),
+        |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ed),
+        |dup AS (SELECT DISTINCT b.vec_id AS b_id
+        |        FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |        JOIN ed ea ON ea.vec_id = a.vec_id
+        |        JOIN ed eb ON eb.vec_id = b.vec_id
+        |        JOIN nm na ON na.vec_id = a.vec_id
+        |        JOIN nm nb ON nb.vec_id = b.vec_id
+        |        WHERE list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) >= 0.4),
+        |kept AS (SELECT a3.vec_id, cl, v, nrm FROM a3
+        |         JOIN ed USING (vec_id) JOIN nm USING (vec_id)
+        |         WHERE NOT EXISTS (SELECT 1 FROM dup WHERE b_id = a3.vec_id)),
+        |be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |              list_transform(CAST(embedding AS DOUBLE[]),
+        |                             x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+        |       FROM embeddings WHERE vec_id >= 400),
+        |bd AS (SELECT vec_id, v, list_transform(q, x -> CAST(x AS DOUBLE)) AS x,
+        |              sqrt(list_inner_product(v, v)) AS nrm
+        |       FROM be),
+        |ba AS (SELECT vec_id, cl, v, nrm FROM (
+        |         SELECT bd.vec_id, c2.cl, bd.v, bd.nrm,
+        |                row_number() OVER (PARTITION BY bd.vec_id ORDER BY
+        |                  list_inner_product(bd.x, bd.x)
+        |                  - 2 * list_inner_product(bd.x, c2.cv)
+        |                  + list_inner_product(c2.cv, c2.cv), c2.cl) AS rn
+        |         FROM bd CROSS JOIN c2) WHERE rn = 1),
+        |bdup AS (SELECT DISTINCT b.vec_id AS b_id FROM ba b
+        |         JOIN kept s ON s.cl = b.cl
+        |         WHERE list_inner_product(b.v, s.v) / (b.nrm * s.nrm) >= 0.4
+        |         UNION
+        |         SELECT DISTINCT hi.vec_id AS b_id FROM ba lo
+        |         JOIN ba hi ON hi.cl = lo.cl AND hi.vec_id > lo.vec_id
+        |         WHERE list_inner_product(lo.v, hi.v) / (lo.nrm * hi.nrm) >= 0.4)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_base,
+        |       CAST((SELECT count(*) FROM kept) +
+        |            (SELECT count(*) FROM ba WHERE NOT EXISTS
+        |               (SELECT 1 FROM bdup WHERE b_id = ba.vec_id)) AS BIGINT) AS n_total,
+        |       TRUE AS matches_inmem""".stripMargin,
     "q_dedup_semantic_inc" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -761,6 +761,63 @@ object Dedup {
       .join(dupVsBase.unionByName(dupVsBatch).distinct(), Seq("vec_id"), "left_anti")
   }
 
+  /** Persist the semantic-dedup state (the [[graft.operators
+    * .SimilaritySearch.ivfIndexBuild]] lifecycle applied to dedup): train
+    * the frozen model on the corpus, write it as a KB-sized parquet
+    * (`dir/model`), and write the survivor set CELL-PARTITIONED
+    * (`dir/survivors`) — arrivals then dedup against genuine partition
+    * reads of their own cell, and the trained corpus is never rescanned. */
+  def semanticIndexBuild(
+      embeddings: DataFrame,
+      dir: String,
+      k: Int = 8,
+      rounds: Int = 2,
+      threshold: Double = 0.4,
+      quantScale: Int = 4096): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val model = semanticModel(embeddings, k, rounds, quantScale)
+    model.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    semanticDedupWithModel(embeddings, model, threshold, quantScale)
+      .join(embeddings.select("vec_id", "embedding"), Seq("vec_id"))
+      .select("vec_id", "embedding", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/survivors")
+  }
+
+  /** The index's frozen model (model-sized collect). */
+  def semanticIndexModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(s"$dir/model")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** The persisted survivor set `(vec_id, embedding, cluster)`. */
+  def semanticIndexSurvivors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/survivors")
+
+  /** Dedup a batch of arrivals against the persisted index under its
+    * FROZEN model and append the batch's survivors (partition-append —
+    * existing cells' files untouched). Cumulative: a later batch sees this
+    * batch's survivors as part of the base. */
+  def semanticIndexAppend(
+      batch: DataFrame,
+      dir: String,
+      threshold: Double = 0.4,
+      quantScale: Int = 4096): Unit = {
+    val spark = batch.sparkSession
+    val model = semanticIndexModel(spark, dir)
+    require(model.nonEmpty, s"semantic index at $dir has an empty model")
+    semanticDedupAppend(semanticIndexSurvivors(spark, dir), batch, model, threshold, quantScale)
+      .join(batch.select("vec_id", "embedding"), Seq("vec_id"))
+      .select("vec_id", "embedding", "cluster")
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/survivors")
+  }
+
   /** Semantic benchmark decontamination: every (benchmark, corpus) vector
     * pair with cosine ≥ threshold — the embedding-space analog of the
     * trigram [[contaminationPairs]], catching paraphrased eval leakage that

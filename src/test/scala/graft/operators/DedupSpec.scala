@@ -157,6 +157,34 @@ class DedupSpec extends SparkSpec {
     assert(out === Set(11L, 13L), s"got $out")
   }
 
+  test("semantic index: build/append lifecycle is cumulative — batch 2 drops vs batch 1's survivor") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.002f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    Dedup.semanticIndexBuild(base, idx, k = 2, rounds = 2, threshold = 0.99)
+    def ids() = Dedup.semanticIndexSurvivors(spark, idx)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids() === Set(0L, 2L))
+
+    // batch 1: 11 is a novel direction → appended as a survivor
+    val b1 = Seq((11L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Dedup.semanticIndexAppend(b1, idx, threshold = 0.99)
+    assert(ids() === Set(0L, 2L, 11L))
+
+    // batch 2: 12 duplicates batch-1's survivor 11 — only the PERSISTED
+    // cumulative state can know that; 13 is novel
+    val b2 = Seq(
+      (12L, Array(0.0f, 0.001f, 1.0f, 0.0f)),
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    Dedup.semanticIndexAppend(b2, idx, threshold = 0.99)
+    assert(ids() === Set(0L, 2L, 11L, 13L))
+  }
+
   test("semanticDedup: cross-cell near-dups are NOT dropped (the SemDeDup recall trade)") {
     // Force k = number of vectors so every vector sits alone: nothing can
     // pair, everything survives — the operator's cell boundary is real.
