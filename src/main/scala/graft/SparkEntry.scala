@@ -2765,6 +2765,13 @@ object SparkEntry {
           .orderBy("split")
       }),
 
+      // Temperature-scaled source mixing (α = 1/2): √n-damped target
+      // shares, quantized-integer denominator.
+      "q_source_temperature" -> ((s, dir) =>
+        graft.operators.Curation
+          .sourceTemperatureShares(Tables.documents(s, dir))
+          .orderBy("source")),
+
       // IPF raking: per-cell weights pulling the source×lang table toward
       // uniform marginals (row pass exact-integer, column pass row-ordered
       // list folds).
@@ -6597,6 +6604,20 @@ object SparkEntry {
          |       (n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 3.0 AND 10.0
          |        AND symbol_ratio < 0.1 AND n_stop_distinct >= 2) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    "q_source_temperature" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |x AS (SELECT source, n_docs,
+        |             CAST(floor(sqrt(n_docs) * 1e9 + 0.5) AS BIGINT) AS x
+        |      FROM n),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS sx
+        |      FROM x)
+        |SELECT source, n_docs,
+        |       round(CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS share_raw,
+        |       round(CAST(x AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS share_temp,
+        |       round((CAST(x AS DOUBLE) / CAST(sx AS DOUBLE)) /
+        |             (CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS boost
+        |FROM x, t ORDER BY source""".stripMargin,
     "q_ipf_rake" ->
       """WITH n AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
         |           FROM documents GROUP BY 1, 2),

@@ -311,6 +311,29 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * α-sampling rule, α = 1/2): target share of source s is
+    * `√n_s / Σ √n_s` — big sources are damped, small ones boosted, the
+    * standard compromise between proportional (α=1) and uniform (α=0)
+    * mixing. Returns per source `(n_docs, share_raw, share_temp, boost)`.
+    *
+    * Determinism: √n is IEEE-correctly-rounded (no libm variance), then
+    * quantized `⌊√n·10⁹ + ½⌋` into BIGINT so the denominator is an exact
+    * order-free integer sum; the shares are one double division each. */
+  def sourceTemperatureShares(df: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val n = df.groupBy(col(sourceCol)).agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("x", floor(sqrt(col("n_docs")) * 1e9 + 0.5).cast("long"))
+    val tot = n.agg(sum("n_docs").cast("long").as("nn"), sum("x").cast("long").as("sx"))
+    n.crossJoin(broadcast(tot))
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("nn").cast("double"), 6).as("share_raw"),
+        round(col("x").cast("double") / col("sx").cast("double"), 6).as("share_temp"),
+        round((col("x").cast("double") / col("sx").cast("double")) /
+          (col("n_docs").cast("double") / col("nn").cast("double")), 6).as("boost"))
+  }
+
   /** IPF raking (iterative proportional fitting, Deming & Stephan 1940):
     * per-cell sampling weights that pull the corpus's `rowCol`×`colCol`
     * contingency table toward UNIFORM target marginals on both axes — the

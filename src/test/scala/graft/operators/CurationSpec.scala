@@ -16,6 +16,22 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(3L)) // 3 < 10 wins the fingerprint group; 4 and 5 gated out
   }
 
+  test("sourceTemperatureShares: big sources damped below raw share, small boosted above") {
+    // n = {a: 100, b: 1}: raw shares 100/101 vs 1/101; α=1/2 shares
+    // 10/11 vs 1/11 — a damped (boost < 1), b boosted (> 1); temp shares
+    // sum to 1.
+    val docs = (Seq.fill(100)("a") ++ Seq("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val out = Curation.sourceTemperatureShares(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("a").getAs[Double]("share_temp") - 10.0 / 11) < 1e-5)
+    assert(math.abs(out("b").getAs[Double]("share_temp") - 1.0 / 11) < 1e-5)
+    assert(out("a").getAs[Double]("boost") < 1.0)
+    assert(out("b").getAs[Double]("boost") > 1.0)
+    val sumT = out.values.map(_.getAs[Double]("share_temp")).sum
+    assert(math.abs(sumT - 1.0) < 1e-5)
+  }
+
   test("ipfRake: column marginals hit target exactly after the column pass; weights positive") {
     // 2×2 skewed table: sources a (30+10) and b (10+10); uniform targets =
     // 30 mass per axis value. After row+column passes every LANG's weighted
