@@ -3904,6 +3904,14 @@ object SparkEntry {
           .withColumnRenamed("g", "source")
           .orderBy("source")),
 
+      // χ² independence of event mix vs weekday (+ Cramér's V effect
+      // size): exact-integer cell deviations, decimal-exact term sums.
+      "q_chi2_independence" -> ((s, dir) =>
+        graft.operators.Analytics.chiSquareIndependence(
+          Tables.events(s, dir)
+            .withColumn("dow", pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))),
+          "event_type", "dow")),
+
       // Binning-free drift: exact two-sample KS distance between the view
       // and purchase value distributions — integer-cent CDF gaps, the max
       // found in BIGINT, one double division at the edge.
@@ -6392,6 +6400,32 @@ object SparkEntry {
         |d1 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau1 FROM ud GROUP BY 1),
         |d7 AS (SELECT d, CAST(count(*) AS BIGINT) AS dau7 FROM w GROUP BY 1)
         |SELECT d, dau1, dau7 FROM d1 JOIN d7 USING (d) ORDER BY d""".stripMargin,
+    "q_chi2_independence" ->
+      """WITH o AS (SELECT event_type AS a,
+        |                  ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS b,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(c) AS BIGINT) AS rc FROM o GROUP BY 1),
+        |cl AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT a) AS BIGINT) AS na,
+        |             CAST(count(DISTINCT b) AS BIGINT) AS nb
+        |      FROM o),
+        |terms AS (SELECT na, nb, n,
+        |                 CAST(round((CAST(o.c * n - rc * cc AS DOUBLE)
+        |                             * CAST(o.c * n - rc * cc AS DOUBLE))
+        |                            / (CAST(n AS DOUBLE) * rc * cc), 6)
+        |                      AS DECIMAL(20,6)) AS term
+        |          FROM o JOIN r USING (a) JOIN cl USING (b), t),
+        |agg AS (SELECT max(na) AS mna, max(nb) AS mnb, max(n) AS mn,
+        |               CAST(CAST(sum(term) AS DECIMAL(20,6)) AS DOUBLE) AS chi2
+        |        FROM terms)
+        |SELECT CAST(mna * mnb AS BIGINT) AS n_cells,
+        |       CAST((mna - 1) * (mnb - 1) AS BIGINT) AS dof,
+        |       chi2,
+        |       round(sqrt(chi2 / (CAST(mn AS DOUBLE) * least(mna - 1, mnb - 1))), 6)
+        |         AS cramers_v
+        |FROM agg""".stripMargin,
     "q_drift_ks" ->
       """WITH c AS (SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
         |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v

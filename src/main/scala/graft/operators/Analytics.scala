@@ -499,6 +499,45 @@ object Analytics {
         (col("n").cast("double") / col("total")).as("p"))
   }
 
+  /** χ² independence audit between two categorical columns, with
+    * Cramér's V as the normalized effect size — "is event mix actually a
+    * function of weekday / is label a function of source", the
+    * contingency-table complement to [[ksDistance]]'s two-sample test.
+    * One summary row `(n_cells, dof, chi2, cramers_v)`.
+    *
+    * Numeric contract: each cell's deviation `o·N − r·c` is an EXACT
+    * BIGINT; its χ² term is one fixed IEEE tree from exact integers,
+    * rounded 6dp and summed as DECIMAL (order-free — the entropy-oracle
+    * pattern); V is one sqrt at the edge. Scale shape: one corpus-scan
+    * count into the (a × b) grid; everything after is grid-sized. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val r = o.groupBy("a").agg(sum("c").cast("long").as("rc"))
+    val cl = o.groupBy("b").agg(sum("c").cast("long").as("cc"))
+    val t = o.agg(
+      sum("c").cast("long").as("n"),
+      countDistinct(col("a")).cast("long").as("na"),
+      countDistinct(col("b")).cast("long").as("nb"))
+    o.join(broadcast(r), Seq("a"))
+      .join(broadcast(cl), Seq("b"))
+      .crossJoin(broadcast(t))
+      .withColumn("num", (col("c") * col("n") - col("rc") * col("cc")).cast("long"))
+      .withColumn("term",
+        round((col("num").cast("double") * col("num").cast("double")) /
+          (col("n").cast("double") * col("rc") * col("cc")), 6).cast("decimal(20,6)"))
+      .agg(
+        max("na").as("mna"), max("nb").as("mnb"), max("n").as("mn"),
+        sum("term").cast("decimal(20,6)").cast("double").as("chi2"))
+      .select(
+        (col("mna") * col("mnb")).cast("long").as("n_cells"),
+        ((col("mna") - 1) * (col("mnb") - 1)).cast("long").as("dof"),
+        col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("mn").cast("double") * least(col("mna") - 1, col("mnb") - 1))), 6)
+          .as("cramers_v"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of groups `a` and `b` — the binning-free drift test
     * (the [[distributionDrift]] histogram fixes a bucket grid; KS is the

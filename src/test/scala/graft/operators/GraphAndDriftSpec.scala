@@ -67,6 +67,21 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(r2.getAs[Double]("ks") === 0.0)
   }
 
+  test("chiSquareIndependence: a perfectly dependent table maxes V at 1; independent reads 0") {
+    // dependent: a determines b exactly → chi2 = N·min(r−1, c−1), V = 1
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val rd = Analytics.chiSquareIndependence(dep, "a", "b").collect().head
+    assert(rd.getAs[Long]("n_cells") === 4L)
+    assert(rd.getAs[Long]("dof") === 1L)
+    assert(math.abs(rd.getAs[Double]("chi2") - 4.0) < 1e-6)
+    assert(math.abs(rd.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+    // independent: uniform product table → chi2 exactly 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val ri = Analytics.chiSquareIndependence(ind, "a", "b").collect().head
+    assert(ri.getAs[Double]("chi2") === 0.0)
+    assert(ri.getAs[Double]("cramers_v") === 0.0)
+  }
+
   test("driftTimeline: hand-computed per-day drift from histogram cells") {
     // day1 all mass in bin 0, day2 all in bin 1; smoothed ps=(0.75,0.25)
     // vs pooled pr=(0.5,0.5): tvd=0.25, chi2=0.125/0.5*2=0.25 — symmetric.
