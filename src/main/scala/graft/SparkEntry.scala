@@ -6411,21 +6411,25 @@ object SparkEntry {
         |             CAST(count(DISTINCT a) AS BIGINT) AS na,
         |             CAST(count(DISTINCT b) AS BIGINT) AS nb
         |      FROM o),
-        |terms AS (SELECT na, nb, n,
+        |terms AS (SELECT na, nb, n, CAST(rc * cc AS BIGINT) AS pc,
         |                 CAST(round((CAST(o.c * n - rc * cc AS DOUBLE)
         |                             * CAST(o.c * n - rc * cc AS DOUBLE))
         |                            / (CAST(n AS DOUBLE) * rc * cc), 6)
         |                      AS DECIMAL(20,6)) AS term
         |          FROM o JOIN r USING (a) JOIN cl USING (b), t),
         |agg AS (SELECT max(na) AS mna, max(nb) AS mnb, max(n) AS mn,
-        |               CAST(CAST(sum(term) AS DECIMAL(20,6)) AS DOUBLE) AS chi2
-        |        FROM terms)
+        |               CAST(CAST(sum(term) AS DECIMAL(20,6)) AS DOUBLE) AS chi2p,
+        |               CAST(sum(pc) AS BIGINT) AS spc
+        |        FROM terms),
+        |agg2 AS (SELECT mna, mnb, mn,
+        |                chi2p + CAST(mn * mn - spc AS DOUBLE) / CAST(mn AS DOUBLE) AS chi2
+        |         FROM agg)
         |SELECT CAST(mna * mnb AS BIGINT) AS n_cells,
         |       CAST((mna - 1) * (mnb - 1) AS BIGINT) AS dof,
         |       chi2,
         |       round(sqrt(chi2 / (CAST(mn AS DOUBLE) * least(mna - 1, mnb - 1))), 6)
         |         AS cramers_v
-        |FROM agg""".stripMargin,
+        |FROM agg2""".stripMargin,
     "q_drift_ks" ->
       """WITH c AS (SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
         |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v

@@ -528,7 +528,14 @@ object Analytics {
           (col("n").cast("double") * col("rc") * col("cc")), 6).cast("decimal(20,6)"))
       .agg(
         max("na").as("mna"), max("nb").as("mnb"), max("n").as("mn"),
-        sum("term").cast("decimal(20,6)").cast("double").as("chi2"))
+        sum("term").cast("decimal(20,6)").cast("double").as("chi2p"),
+        // Σ_present r·c — the sparse grid holds only OBSERVED cells, but an
+        // EMPTY cell still contributes (r·c)²/(N·r·c) = r·c/N; in closed
+        // form Σ_absent r·c = N² − Σ_present r·c, all exact BIGINT.
+        sum((col("rc") * col("cc")).cast("long")).cast("long").as("spc"))
+      .withColumn("chi2",
+        col("chi2p") +
+          (col("mn") * col("mn") - col("spc")).cast("double") / col("mn").cast("double"))
       .select(
         (col("mna") * col("mnb")).cast("long").as("n_cells"),
         ((col("mna") - 1) * (col("mnb") - 1)).cast("long").as("dof"),
