@@ -2317,6 +2317,13 @@ object SparkEntry {
           .vocabulary(Tables.documents(s, dir), 100)
           .orderBy("vid")),
 
+      // c-TF-IDF distinctive terms per source: what each crawl talks about
+      // that the others don't (ln input rational-exact, rounded 9dp).
+      "q_distinctive_terms" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .distinctiveTerms(Tables.documents(s, dir), 5)
+          .orderBy("source", "rk")),
+
       // Zipf power-law fit over the top-100 vocabulary: regression moments
       // as rank-ordered list folds (the embedding-dot determinism contract
       // applied to a statistics op — no unordered double summation).
@@ -5180,6 +5187,23 @@ object SparkEntry {
          |           GROUP BY tok ORDER BY n DESC, tok LIMIT 100)
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS vid, tok, n
          |FROM c ORDER BY vid""".stripMargin,
+    "q_distinctive_terms" ->
+      s"""WITH tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+         |            FROM (SELECT source, unnest($ToksSql) AS tok FROM documents)
+         |            GROUP BY 1, 2),
+         |ps AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+         |pt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS f_t FROM tf GROUP BY 1),
+         |a AS (SELECT CAST(sum(n_s) AS DOUBLE) / count(DISTINCT source) AS a_tok FROM ps),
+         |sc AS (SELECT tf.source, tf.tok, tf.tf,
+         |              (CAST(tf.tf AS DOUBLE) / n_s)
+         |                * round(ln(1.0 + a_tok / f_t), 9) AS score
+         |       FROM tf JOIN ps USING (source) JOIN pt USING (tok), a),
+         |r AS (SELECT source, tok, tf, score,
+         |             CAST(row_number() OVER (PARTITION BY source
+         |                                     ORDER BY score DESC, tok) AS BIGINT) AS rk
+         |      FROM sc)
+         |SELECT source, rk, tok, tf, round(score, 9) AS score
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "q_zipf_fit" ->
       s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
          |           FROM (SELECT unnest($ToksSql) AS tok FROM documents)

@@ -92,6 +92,43 @@ object TextIndex {
       .select("vid", "tok", "n")
   }
 
+  /** Distinctive terms per source — class-based TF-IDF (the c-TF-IDF of
+    * Grootendorst's BERTopic, arXiv:2203.05794): treat each SOURCE as one
+    * meta-document, score term t in source s as
+    * `(tf_{t,s}/n_s) · ln(1 + A/f_t)` with `f_t` the corpus frequency and
+    * `A` the mean tokens per source, and keep the top-`k` per source —
+    * "what does this crawl talk about that the others don't", the
+    * first corpus-composition question a curation run asks.
+    *
+    * Determinism: every input to the ln is a ratio of exact integers, and
+    * the ln itself is rounded 9dp before entering the score product, so
+    * rankings replay bit-identically cross-engine; ties break on the term.
+    * Scale shape: one exploded-token shuffle into the (source × term)
+    * grid; marginals roll up FROM the grid (no second corpus pass); the
+    * rank window partitions by source over vocabulary-sized rows. */
+  def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val perSource = tf.groupBy("source").agg(sum("tf").cast("long").as("n_s"))
+    val perTerm = tf.groupBy("tok").agg(sum("tf").cast("long").as("f_t"))
+    val avg = perSource.agg(
+      (sum("n_s").cast("double") / countDistinct(col("source"))).as("a_tok"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(perSource), Seq("source"))
+      .join(perTerm, Seq("tok"))
+      .crossJoin(broadcast(avg))
+      .withColumn("score",
+        (col("tf").cast("double") / col("n_s")) *
+          round(log(lit(1.0) + col("a_tok") / col("f_t")), 9))
+      .withColumn("rk", row_number().over(bySource).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("tok"), col("tf"),
+        round(col("score"), 9).as("score"))
+  }
+
   /** Zipf power-law fit of the term-frequency distribution: least-squares
     * regression of `ln(count)` on `ln(rank)` over the top-`k` vocabulary —
     * the corpus-health fingerprint (natural text sits near slope −1;

@@ -35,6 +35,20 @@ class TextIndexSpec extends SparkSpec {
     assert(v.map(_.getAs[Long]("n")).toSeq === Seq(3L, 3L, 1L))
   }
 
+  test("distinctiveTerms: a source-exclusive term outranks shared vocabulary") {
+    // 'quantum' appears only in srcA, 'the' everywhere — c-TF-IDF must put
+    // the exclusive term first for srcA despite equal in-source counts.
+    val d = Seq(
+      (0L, "the quantum the quantum", "srcA"),
+      (1L, "the common the common", "srcB"),
+      (2L, "the common the common", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val top = TextIndex.distinctiveTerms(d, 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rk")) -> r.getAs[String]("tok")).toMap
+    assert(top(("srcA", 1L)) === "quantum", top.toString)
+    assert(top(("srcB", 1L)) === "common")
+  }
+
   test("zipfFit: an exact power-law corpus recovers slope -1 with r2 ~ 1") {
     // term r appears ceil(1024/r) times for r in 1..32 — counts follow
     // 1/rank exactly (up to ceil), so the log-log fit must sit near
