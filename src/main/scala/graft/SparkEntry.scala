@@ -3919,6 +3919,12 @@ object SparkEntry {
             .withColumn("dow", pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))),
           "event_type", "dow")),
 
+      // Effect-size panel (Cohen's d + Mann-Whitney AUC) for the same pair
+      // the KS test compares: magnitude and direction, not just presence.
+      "q_effect_size" -> ((s, dir) =>
+        graft.operators.Analytics
+          .effectSize(Tables.events(s, dir), "event_type", "value", "view", "purchase")),
+
       // Binning-free drift: exact two-sample KS distance between the view
       // and purchase value distributions — integer-cent CDF gaps, the max
       // found in BIGINT, one double division at the edge.
@@ -6454,6 +6460,33 @@ object SparkEntry {
         |       round(sqrt(chi2 / (CAST(mn AS DOUBLE) * least(mna - 1, mnb - 1))), 6)
         |         AS cramers_v
         |FROM agg2""".stripMargin,
+    "q_effect_size" ->
+      """WITH c AS (SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
+        |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |           FROM events WHERE event_type IN ('view', 'purchase')),
+        |k AS (SELECT v,
+        |             CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |             CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM c GROUP BY v),
+        |mom AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |               CAST(sum(ca * v) AS BIGINT) AS sa, CAST(sum(cb * v) AS BIGINT) AS sb,
+        |               CAST(sum(ca * v * v) AS BIGINT) AS qa,
+        |               CAST(sum(cb * v * v) AS BIGINT) AS qb
+        |        FROM k),
+        |w AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cumb FROM k),
+        |u AS (SELECT CAST(sum(ca * (2 * (cumb - cb) + cb)) AS BIGINT) AS u2 FROM w),
+        |d AS (SELECT na, nb,
+        |             CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |             sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+        |                   + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb))
+        |                  / (na + nb - 2)) AS sd,
+        |             u2
+        |      FROM mom, u)
+        |SELECT na AS n_a, nb AS n_b,
+        |       round(ma / 100, 6) AS mean_a, round(mb / 100, 6) AS mean_b,
+        |       round((ma - mb) / sd, 6) AS cohens_d,
+        |       round(CAST(u2 AS DOUBLE) / (2.0 * na * nb), 6) AS auc
+        |FROM d""".stripMargin,
     "q_drift_ks" ->
       """WITH c AS (SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
         |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v

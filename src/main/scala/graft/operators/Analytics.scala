@@ -499,6 +499,64 @@ object Analytics {
         (col("n").cast("double") / col("total")).as("p"))
   }
 
+  /** Effect-size panel between two groups' value distributions: Cohen's d
+    * (standardized mean difference, pooled SD) and the Mann–Whitney AUC
+    * (P(a > b) + ½P(a = b) — the rank-based, outlier-robust companion;
+    * 0.5 = stochastically equal). The KS statistic says WHETHER the
+    * distributions differ; this panel says HOW MUCH and IN WHICH
+    * DIRECTION. One row `(n_a, n_b, mean_a, mean_b, cohens_d, auc)`.
+    *
+    * Numeric contract: moments are exact integer-cent sums (Σx, Σx² in
+    * BIGINT); d is one fixed IEEE tree from them. The doubled U statistic
+    * `2U = Σ_v ca_v·(2·cum_cb(<v) + cb_v)` is EXACT BIGINT (midrank ties
+    * fold in as halves ×2), so AUC = 2U/(2·n_a·n_b) rounds from an exact
+    * rational. Value-axis window is domain-bounded (the KS exemption). */
+  def effectSize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      a: String,
+      b: String): DataFrame = {
+    val cents = expr(s"CAST(CAST($valueCol AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val counts = df
+      .filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"), cents.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
+    val byV = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mom = counts.agg(
+      sum("ca").cast("long").as("na"),
+      sum("cb").cast("long").as("nb"),
+      sum(col("ca") * col("v")).cast("long").as("sa"),
+      sum(col("cb") * col("v")).cast("long").as("sb"),
+      sum(col("ca") * col("v") * col("v")).cast("long").as("qa"),
+      sum(col("cb") * col("v") * col("v")).cast("long").as("qb"))
+    val u2 = counts
+      .withColumn("cumb", sum("cb").over(byV))
+      .select(sum(col("ca") * (lit(2L) * (col("cumb") - col("cb")) + col("cb")))
+        .cast("long").as("u2"))
+    mom
+      .crossJoin(broadcast(u2))
+      .withColumn("ma", col("sa").cast("double") / col("na"))
+      .withColumn("mb", col("sb").cast("double") / col("nb"))
+      .withColumn("sd",
+        sqrt(((col("qa").cast("double") -
+          col("sa").cast("double") * col("sa").cast("double") / col("na")) +
+          (col("qb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double") / col("nb"))) /
+          (col("na") + col("nb") - 2)))
+      .select(
+        col("na").as("n_a"),
+        col("nb").as("n_b"),
+        round(col("ma") / 100, 6).as("mean_a"),
+        round(col("mb") / 100, 6).as("mean_b"),
+        round((col("ma") - col("mb")) / col("sd"), 6).as("cohens_d"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("na") * col("nb")), 6).as("auc"))
+  }
+
   /** χ² independence audit between two categorical columns, with
     * Cramér's V as the normalized effect size — "is event mix actually a
     * function of weekday / is label a function of source", the

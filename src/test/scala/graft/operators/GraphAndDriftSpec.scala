@@ -67,6 +67,20 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(r2.getAs[Double]("ks") === 0.0)
   }
 
+  test("effectSize: separated samples give AUC 1 and positive d; ties land AUC at 0.5") {
+    // a = {3, 4}, b = {1, 2}: every a beats every b → AUC 1, d > 0.
+    val sep = Seq(("a", 3.0), ("a", 4.0), ("b", 1.0), ("b", 2.0)).toDF("g", "value")
+    val r = Analytics.effectSize(sep, "g", "value", "a", "b").collect().head
+    assert(r.getAs[Double]("auc") === 1.0)
+    assert(r.getAs[Double]("cohens_d") > 0.0)
+    assert(math.abs(r.getAs[Double]("mean_a") - 3.5) < 1e-9)
+    // identical samples: every comparison a tie → AUC exactly 0.5, d = 0
+    val same = Seq(("a", 2.0), ("a", 5.0), ("b", 2.0), ("b", 5.0)).toDF("g", "value")
+    val r2 = Analytics.effectSize(same, "g", "value", "a", "b").collect().head
+    assert(r2.getAs[Double]("auc") === 0.5)
+    assert(r2.getAs[Double]("cohens_d") === 0.0)
+  }
+
   test("chiSquareIndependence: a perfectly dependent table maxes V at 1; independent reads 0") {
     // dependent: a determines b exactly → chi2 = N·min(r−1, c−1), V = 1
     val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
