@@ -67,6 +67,26 @@ class PlanShapeSpec extends SparkSpec {
       s"l_returnflag not pushed:\n$p")
   }
 
+  test("stats family: value-grid aggregate feeds the bounded window; scalars broadcast; no cartesian") {
+    for (q <- Seq("q_drift_ks", "q_effect_size", "q_chi2_independence", "q_ipf_rake",
+        "q_source_temperature")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+      // the only nested-loop joins allowed are the 1-row scalar broadcasts
+      val hashAgg = p.contains("HashAggregate")
+      assert(hashAgg, s"$q lost its map-side-combined grid aggregate:\n$p")
+    }
+    // the KS/U windows must consume the (value-grid) AGGREGATE, not raw
+    // rows: a Window directly over a FileScan would be corpus-sized.
+    for (q <- Seq("q_drift_ks", "q_effect_size")) {
+      val p = plan(q)
+      val winIdx = p.indexOf("Window")
+      assert(winIdx >= 0, s"$q has no window:\n$p")
+      assert(p.substring(winIdx).contains("HashAggregate"),
+        s"$q window not fed by the grid aggregate:\n$p")
+    }
+  }
+
   test("q_dedup_semantic: the pairwise stage is cell-keyed, never a cartesian; anti join broadcast") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
