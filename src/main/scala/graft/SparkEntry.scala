@@ -3919,6 +3919,14 @@ object SparkEntry {
             .withColumn("dow", pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))),
           "event_type", "dow")),
 
+      // Exact token-weighted length percentiles: the budget-relevant
+      // median/tails (integer cross-multiplied quantile tests).
+      "q_weighted_percentiles" -> ((s, dir) =>
+        graft.operators.Analytics.weightedPercentiles(
+          Tables.documents(s, dir)
+            .withColumn("nt", graft.functions.TextFunctions.tokenCount(col("text"))),
+          "n_chars", "nt")),
+
       // Effect-size panel (Cohen's d + Mann-Whitney AUC) for the same pair
       // the KS test compares: magnitude and direction, not just presence.
       "q_effect_size" -> ((s, dir) =>
@@ -6460,6 +6468,17 @@ object SparkEntry {
         |       round(sqrt(chi2 / (CAST(mn AS DOUBLE) * least(mna - 1, mnb - 1))), 6)
         |         AS cramers_v
         |FROM agg2""".stripMargin,
+    "q_weighted_percentiles" ->
+      s"""WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+         |                  CAST(sum(len($ToksSql)) AS BIGINT) AS wv
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(wv) AS BIGINT) AS totw FROM g),
+         |cw AS (SELECT v, sum(wv) OVER (ORDER BY v) AS cumw FROM g)
+         |SELECT max(totw) AS tot_weight,
+         |       CAST(min(CASE WHEN cumw * 2 >= totw THEN v END) AS BIGINT) AS p50,
+         |       CAST(min(CASE WHEN cumw * 10 >= totw * 9 THEN v END) AS BIGINT) AS p90,
+         |       CAST(min(CASE WHEN cumw * 100 >= totw * 99 THEN v END) AS BIGINT) AS p99
+         |FROM cw, t""".stripMargin,
     "q_effect_size" ->
       """WITH c AS (SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS g,
         |                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v

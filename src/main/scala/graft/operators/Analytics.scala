@@ -499,6 +499,33 @@ object Analytics {
         (col("n").cast("double") / col("total")).as("p"))
   }
 
+  /** Weighted percentiles, exact: the smallest value whose cumulative
+    * WEIGHT reaches the quantile — "median document length weighted by
+    * token count" is a different (and for a token-budgeted corpus, the
+    * right) number than the row-weighted median. Returns one row
+    * `(tot_weight, p50, p90, p99)`.
+    *
+    * Numeric contract: the quantile test is the integer
+    * cross-multiplication `den·cumw ≥ num·totw` — no fractional quantile
+    * position is ever materialized. Value-axis cumulative window is
+    * domain-bounded (the KS exemption). */
+  def weightedPercentiles(df: DataFrame, valueCol: String, weightCol: String): DataFrame = {
+    val grid = df
+      .select(col(valueCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
+      .groupBy("v")
+      .agg(sum("w").cast("long").as("wv"))
+    val byV = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("wv").cast("long").as("totw"))
+    grid
+      .withColumn("cumw", sum("wv").over(byV))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max("totw").cast("long").as("tot_weight"),
+        min(when(col("cumw") * 2 >= col("totw"), col("v"))).cast("long").as("p50"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("v"))).cast("long").as("p90"),
+        min(when(col("cumw") * 100 >= col("totw") * 99, col("v"))).cast("long").as("p99"))
+  }
+
   /** Effect-size panel between two groups' value distributions: Cohen's d
     * (standardized mean difference, pooled SD) and the Mann–Whitney AUC
     * (P(a > b) + ½P(a = b) — the rank-based, outlier-robust companion;

@@ -67,6 +67,23 @@ class GraphAndDriftSpec extends SparkSpec {
     assert(r2.getAs[Double]("ks") === 0.0)
   }
 
+  test("weightedPercentiles: heavy weight drags the median where row-count cannot") {
+    // values 1..4, weight 97 on value 4 and 1 elsewhere: row median is
+    // 2-ish, but 97% of the WEIGHT sits at 4 → every weighted percentile
+    // reads 4 except none below.
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 97L)).toDF("v", "w")
+    val r = Analytics.weightedPercentiles(df, "v", "w").collect().head
+    assert(r.getAs[Long]("tot_weight") === 100L)
+    assert(r.getAs[Long]("p50") === 4L)
+    assert(r.getAs[Long]("p90") === 4L)
+    assert(r.getAs[Long]("p99") === 4L)
+    // uniform weights reduce to the plain percentile
+    val u = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("v", "w")
+    val ru = Analytics.weightedPercentiles(u, "v", "w").collect().head
+    assert(ru.getAs[Long]("p50") === 2L)
+    assert(ru.getAs[Long]("p99") === 4L)
+  }
+
   test("effectSize: separated samples give AUC 1 and positive d; ties land AUC at 0.5") {
     // a = {3, 4}, b = {1, 2}: every a beats every b → AUC 1, d > 0.
     val sep = Seq(("a", 3.0), ("a", 4.0), ("b", 1.0), ("b", 2.0)).toDF("g", "value")
