@@ -470,7 +470,30 @@ object SimilaritySearch {
     * Lloyd model trained on the sliced corpus. Codebook entries are
     * re-indexed 0..n-1 in cid order so a code IS a lookup-table position.
     * Returns one (index, subvector) array per subspace — the whole model
-    * is m × nlist × (dim/m) doubles, KB-sized. */
+    * is m × nlist × (dim/m) doubles, KB-sized.
+    *
+    * Training is SINGLE-PASS across subspaces: one seed collect (the first
+    * nlist vectors, sliced into all m subspaces) and then ONE corpus
+    * aggregate per Lloyd iteration — each row emits its m (subspace, cell,
+    * subvector) assignments, exploded and mean-aggregated grouped by
+    * (subspace, cell). The exploded volume is exactly one corpus worth of
+    * doubles (each of the m rows carries dim/m of the dim values) and
+    * map-side combine reduces the shuffle to m·nlist partials per
+    * partition. The earlier per-subspace formulation called
+    * [[trainCentroids]] m times — m·(iters+1) ≈ 24 corpus scans for the
+    * default m=8/iters=2, an 8× index-build cost multiplier that matters
+    * at corpus scale; this form is scan-count-identical to training ONE
+    * codebook. Per-subspace assignment/update math is unchanged
+    * (independent subspaces), so the codebooks are bit-identical to the
+    * old formulation's up to Lloyd-irrelevant cell relabeling.
+    * PqTrainScanSpec pins the job count.
+    *
+    * Assignment runs through the native [[org.apache.spark.sql.graft.PqAssign]]
+    * kernel — ONE expression node carrying the whole flattened model —
+    * rather than m·nlist per-centroid `dot(slice, lit)` subtrees, whose
+    * Catalyst analysis + codegen compilation dominated wall time at test
+    * SFs (tools/PqProfile) and whose per-centroid expression dispatch is
+    * pure overhead on a corpus-scale scan. */
   private[operators] def pqTrain(
       candidates: DataFrame,
       m: Int,
@@ -478,15 +501,48 @@ object SimilaritySearch {
       nlist: Int,
       iters: Int): Seq[Array[(Int, Array[Double])]] = {
     val sub = dim / m
-    (0 until m).map { mi =>
-      val c = candidates.select(
-        col("vec_id").as("n_id"),
-        slice(col("embedding").cast("array<double>"), mi * sub + 1, sub).as("nv"))
-      trainCentroids(c, nlist, iters)
-        .sortBy(_._1)
-        .zipWithIndex
-        .map { case ((_, v), idx) => (idx, v) }
+    val base = candidates.select(col("embedding").cast("array<double>").as("nv"))
+    val seedRows = candidates
+      .orderBy("vec_id")
+      .limit(nlist)
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+    if (seedRows.isEmpty) return Seq.fill(m)(Array.empty[(Int, Array[Double])])
+    // books(mi) = position-ordered centroid subvectors (codes ARE positions)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      seedRows.map(r => r.getSeq[Double](0).slice(mi * sub, mi * sub + sub).toArray)
     }
+    for (_ <- 0 until iters) {
+      val entries = explode(array((0 until m).map { mi =>
+        struct(
+          lit(mi).as("mi"),
+          element_at(col("codes"), mi + 1).as("cell"),
+          slice(col("nv"), mi * sub + 1, sub).as("sv"))
+      }: _*)).as("e")
+      val means = base
+        .withColumn("codes", pqAssignCol(books, col("nv")))
+        .select(entries)
+        .groupBy(col("e.mi").as("mi"), col("e.cell").as("cell"))
+        .agg(array((0 until sub).map(i => avg(element_at(col("e.sv"), i + 1))): _*).as("mv"))
+        .collect()
+      val bySubspace = means.groupBy(_.getInt(0))
+      books = Array.tabulate(m) { mi =>
+        bySubspace.get(mi) match {
+          // position order; cells that lost every member drop and positions
+          // compact (relabeling — next iteration's assignment uses the new
+          // positions consistently)
+          case Some(rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+          case None => books(mi) // can't happen on a non-empty corpus; keep model
+        }
+      }
+    }
+    books.map(_.zipWithIndex.map { case (v, idx) => (idx, v) }).toSeq
+  }
+
+  private def pqAssignCol(books: Array[Array[Array[Double]]], vec: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, PqAssign}
+    Bridge.column(
+      PqAssign(Bridge.expression(vec), books.map(_.map(_.toSeq).toSeq).toSeq))
   }
 
   /** Encode the corpus under the codebooks: per vector, `m` small-int
@@ -499,14 +555,14 @@ object SimilaritySearch {
       codebooks: Seq[Array[(Int, Array[Double])]],
       dim: Int): DataFrame = {
     val m = codebooks.size
-    val sub = dim / m
-    val base = candidates
+    val books = codebooks.map(_.sortBy(_._1).map(_._2)).toArray
+    candidates
       .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("nv"))
       .withColumn("nn", norm(col("nv")))
-    val coded = codebooks.zipWithIndex.foldLeft(base) { case (df, (cb, mi)) =>
-      df.withColumn(s"code$mi", assignVec(cb, slice(col("nv"), mi * sub + 1, sub)))
-    }
-    coded.select(col("n_id") +: col("nn") +: (0 until m).map(i => col(s"code$i")): _*)
+      .withColumn("codes", pqAssignCol(books, col("nv")))
+      .select(
+        col("n_id") +: col("nn") +:
+          (0 until m).map(i => element_at(col("codes"), i + 1).as(s"code$i")): _*)
   }
 
   /** PQ ANN with asymmetric distance computation + exact re-rank: each
@@ -536,17 +592,20 @@ object SimilaritySearch {
     val codebooks = pqTrain(candidates, m, dim, nlist, iters)
     if (codebooks.exists(_.isEmpty))
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
-    val sub = dim / m
+    val books = codebooks.map(_.sortBy(_._1).map(_._2)).toArray
     val codes = pqEncode(candidates, codebooks, dim)
-    var q = withNorm(queries, "q_id", "qv", "qn")
-    for (mi <- 0 until m)
-      q = q.withColumn(
-        s"lut$mi",
-        array(codebooks(mi).map { case (_, v) =>
-          dot(slice(col("qv"), mi * sub + 1, sub), lit(v))
-        }: _*))
+    // One flattened LUT per query (native kernel — m·nlist dots in one
+    // node, computed once per broadcast row); ADC is then m element_at
+    // adds per pair, offsets driver-side constants.
+    val offsets = books.scanLeft(0)((acc, cb) => acc + cb.length)
+    val q = withNorm(queries, "q_id", "qv", "qn")
+      .withColumn("lut", {
+        import org.apache.spark.sql.graft.{Bridge, PqLuts}
+        Bridge.column(
+          PqLuts(Bridge.expression(col("qv")), books.map(_.map(_.toSeq).toSeq).toSeq))
+      })
     val adc = (0 until m)
-      .map(mi => element_at(col(s"lut$mi"), col(s"code$mi") + 1))
+      .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
       .reduce(_ + _)
     val byApprox = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("n_id"))
     val survivors = codes
