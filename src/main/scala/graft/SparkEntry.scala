@@ -706,6 +706,116 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q2 shape — minimum-cost supplier per part in a region, over the
+    // synthesized partsupp bridge (Tables.partsupp — the star's missing
+    // table, hash-derived identically in the oracle CTE). The correlated
+    // scalar min-subquery is rewritten as a regional per-part min aggregate
+    // joined back on exact integer-cents equality; all true dims broadcast,
+    // the per-part min table joins by shuffle (it is #parts-sized — NOT
+    // broadcastable at 100 TB).
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val regionalSupp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val ps = Tables.partsupp(s, dir)
+        .join(broadcast(regionalSupp), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = ps.groupBy(col("ps_partkey").as("m_partkey"))
+        .agg(min("ps_cost_cents").as("min_cents"))
+      ps
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+            .select("p_partkey", "p_brand")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(minCost,
+          col("m_partkey") === col("ps_partkey") && col("ps_cost_cents") === col("min_cents"))
+        .select(
+          (expr("CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0)) AS BIGINT)")
+            .cast("double") / 100).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+          (col("ps_cost_cents").cast("double") / 100).as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape — important stock: per-part inventory value within one
+    // region vs a fraction of the regional total (region, not single-nation,
+    // scope: the sf0.001 star has ~10 suppliers total and single nations are
+    // often empty there — the bridge/aggregate shape is identical). Exact BIGINT value cents
+    // (cost_cents × availqty ≤ 1e9 per row; the ×10000 fraction compare
+    // stays under int64 until a single part holds ~9e14 in value — beyond
+    // any plausible SF); the total is a 1-row broadcast scalar.
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val ps = Tables.partsupp(s, dir)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("value_cents", col("ps_cost_cents") * col("ps_availqty"))
+      val total = ps.agg(sum("value_cents").as("total_cents"))
+      ps.groupBy("ps_partkey")
+        .agg(sum("value_cents").as("part_cents"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_cents") * 10000 > col("total_cents"))
+        .select(col("ps_partkey"), (col("part_cents").cast("double") / 100).as("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 shape — supplier count by brand/type/size, excluding
+    // "complaint" suppliers (stood in by s_acctbal < 0 — the star's
+    // supplier has no comment column): the NOT IN subquery as a broadcast
+    // anti-join, count(DISTINCT) per small group.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val complaints =
+        Tables.load(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.partsupp(s, dir)
+        .join(broadcast(complaints), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("ps_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 shape — promotable-part suppliers: the nested EXISTS over a
+    // correlated availability-vs-shipped-volume subquery, as an aggregate
+    // join (2·availqty·100 > Σqty_cents — exact integers, no halves) and a
+    // semi-join into supplier. The fact-side aggregate reduces lineitem to
+    // (part, supp) granularity before any bridge join.
+    "q20_promotable_parts" -> ((s, dir) => {
+      val qtyCents =
+        expr("CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0)) AS BIGINT)")
+      val shipped = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01"))
+        .groupBy(col("l_partkey").as("sh_partkey"), col("l_suppkey").as("sh_suppkey"))
+        .agg(sum(qtyCents).as("qty_cents"))
+      val redParts =
+        Tables.part(s, dir).filter(col("p_name").startsWith("red")).select("p_partkey")
+      val eligible = Tables.partsupp(s, dir)
+        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"))
+        .join(shipped,
+          col("sh_partkey") === col("ps_partkey") && col("sh_suppkey") === col("ps_suppkey"))
+        .filter(col("ps_availqty").cast("bigint") * 200 > col("qty_cents"))
+        .select("ps_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(eligible, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // Broadcast dimension join (J1 at TPC-H volume)
     "q_broadcast_join" -> ((s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_size") < 20)
@@ -1709,6 +1819,73 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // The partsupp bridge queries: every oracle replays the SAME hash-CTE
+    // generation as Tables.partsupp (integer chain, no floats), so the
+    // bridge is bit-identical across engines.
+    "q2_min_cost_supplier" ->
+      ("WITH partsupp AS (\n" + graft.sources.Tables.PartsuppSql + "\n),\n" +
+        """rs AS (
+          |  SELECT s_suppkey, s_name, s_acctbal, n_name
+          |  FROM supplier
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+          |ps AS (SELECT * FROM partsupp JOIN rs ON ps_suppkey = s_suppkey),
+          |mc AS (SELECT ps_partkey AS m_partkey, min(ps_cost_cents) AS min_cents
+          |       FROM ps GROUP BY 1)
+          |SELECT CAST(CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100
+          |            AS DECIMAL(20,0)) AS BIGINT) AS DOUBLE) / 100 AS s_acctbal,
+          |       s_name, n_name, p_partkey, p_brand,
+          |       CAST(ps_cost_cents AS DOUBLE) / 100 AS ps_supplycost
+          |FROM ps
+          |JOIN part ON ps_partkey = p_partkey AND p_size = 15 AND p_type = 'STANDARD'
+          |JOIN mc ON m_partkey = ps_partkey AND ps_cost_cents = min_cents
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+    "q11_important_stock" ->
+      ("WITH partsupp AS (\n" + graft.sources.Tables.PartsuppSql + "\n),\n" +
+        """ps AS (
+          |  SELECT ps_partkey, ps_cost_cents * ps_availqty AS value_cents
+          |  FROM partsupp
+          |  JOIN supplier ON ps_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+          |total AS (SELECT sum(value_cents) AS total_cents FROM ps)
+          |SELECT ps_partkey, CAST(sum(value_cents) AS DOUBLE) / 100 AS part_value
+          |FROM ps, total
+          |GROUP BY ps_partkey, total_cents
+          |HAVING sum(value_cents) * 10000 > total_cents
+          |ORDER BY part_value DESC, ps_partkey""".stripMargin),
+    "q16_supplier_cnt" ->
+      ("WITH partsupp AS (\n" + graft.sources.Tables.PartsuppSql + "\n)\n" +
+        """SELECT p_brand, p_type, p_size,
+          |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM partsupp
+          |JOIN part ON ps_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q20_promotable_parts" ->
+      ("WITH partsupp AS (\n" + graft.sources.Tables.PartsuppSql + "\n),\n" +
+        """shipped AS (
+          |  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+          |         sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+          |                  AS DECIMAL(20,0)) AS BIGINT)) AS qty_cents
+          |  FROM lineitem
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          |  GROUP BY 1, 2)
+          |SELECT s_suppkey, s_name
+          |FROM supplier
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+          |WHERE s_suppkey IN (
+          |  SELECT ps_suppkey
+          |  FROM partsupp
+          |  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+          |  JOIN shipped ON sh_partkey = ps_partkey AND sh_suppkey = ps_suppkey
+          |  WHERE CAST(ps_availqty AS BIGINT) * 200 > qty_cents)
+          |ORDER BY s_suppkey""".stripMargin),
     // plain-join spelling: salting must be invisible in the result
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n
