@@ -72,6 +72,26 @@ object SparkEntry {
           .as("recall_ok"))
   }
 
+  /** Session-scoped temp directory for index-lifecycle gates, keyed by
+    * query name: the same query re-run (bench's warmup + two timed passes,
+    * schema-only resolution in specs) reuses ONE directory — the index
+    * builders write mode=overwrite — instead of minting a fresh leaked
+    * directory per DataFrame construction. A JVM shutdown hook removes
+    * them (best-effort; the JVM is the session). */
+  private val indexDirs = new scala.collection.concurrent.TrieMap[String, String]()
+  private def sessionIndexDir(key: String): String =
+    indexDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-$key")
+      sys.addShutdownHook {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+      d.toString
+    })
+
   /** One-row ANN recall gate: `(n_exact, recall_ok)` where n_exact is the
     * exact top-10 row count (oracle-recomputable in DuckDB) and recall_ok
     * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
@@ -2788,7 +2808,7 @@ object SparkEntry {
           s.range(1).select(lit(0L).as("n_base"), lit(0L).as("n_total"),
             lit(true).as("matches_inmem"))
         } else {
-          val idx = java.nio.file.Files.createTempDirectory("graft-sem-idx").toString
+          val idx = sessionIndexDir("sem-idx")
           Dedup.semanticIndexBuild(base, idx)
           Dedup.semanticIndexAppend(batch, idx)
           val persisted = Dedup.semanticIndexSurvivors(s, idx).select("vec_id", "cluster")
@@ -2867,7 +2887,7 @@ object SparkEntry {
       // scan is partition-pruned to the probed cells (PlanShapeSpec).
       "q_ann_ivf_index_gate" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+        val idx = sessionIndexDir("ivf-idx")
         SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
         val q = e.filter(col("vec_id") < 8)
         val viaIndex = SimilaritySearch.ivfIndexSearch(s, idx, q, 10, nprobe = 2)
@@ -2877,6 +2897,26 @@ object SparkEntry {
           pairs(inMem).exceptAll(pairs(viaIndex)).count()
         annRecallGate(s, dir, (qq, _) => SimilaritySearch.ivfIndexSearch(s, idx, qq, 10, 2), 0.6)
           .withColumn("matches_inmem", lit(diff == 0L))
+      }),
+
+      // IVF×PQ composed index gate — the actual 100 TB ANN serving
+      // architecture (cell partition pruning × 8-byte ADC code scan ×
+      // survivors-only exact re-rank): recall floor at nprobe=2, plus the
+      // all-cells-probe agreement check — probing every cell must reproduce
+      // pqTopK's pair set exactly (same deterministic model; the pruning is
+      // the ONLY approximation the composition adds).
+      "q_ann_ivfpq_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("ivfpq-idx")
+        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val q = e.filter(col("vec_id") < 8)
+        val pairs = (df: org.apache.spark.sql.DataFrame) => df.select("q_id", "n_id")
+        val viaAll = SimilaritySearch.ivfPqIndexSearch(s, idx, q, 10, nprobe = 8)
+        val inMem = SimilaritySearch.pqTopK(q, e, 10)
+        val diff = pairs(viaAll).exceptAll(pairs(inMem)).count() +
+          pairs(inMem).exceptAll(pairs(viaAll)).count()
+        annRecallGate(s, dir, (qq, _) => SimilaritySearch.ivfPqIndexSearch(s, idx, qq, 10, 2), 0.5)
+          .withColumn("matches_pq_all_cells", lit(diff == 0L))
       }),
 
       // Hard-negative mining: per query, the top-5 most-similar
@@ -5845,6 +5885,9 @@ object SparkEntry {
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",
       "TRUE AS recall_ok, TRUE AS matches_inmem"),
+    "q_ann_ivfpq_gate" -> AnnRecallOracleSql.replace(
+      "TRUE AS recall_ok",
+      "TRUE AS recall_ok, TRUE AS matches_pq_all_cells"),
     "q_matryoshka_gate" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -465,6 +465,136 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** IVF×PQ persisted index (Jégou et al., TPAMI 2011 — the composition an
+    * actual 100 TB ANN serving path uses): coarse IVF cells give partition
+    * pruning, PQ codes give an 8-byte-per-vector ranking scan, and the
+    * full vectors are kept cell-partitioned for the survivors-only exact
+    * re-rank. Layout under `dir`:
+    *
+    *  - `centroids/`: the coarse nlist × dim Lloyd model — KB-sized;
+    *  - `codebooks/`: the PQ model, (mi, pos, vec) rows — KB-sized;
+    *  - `codes/`:   (n_id, nn, code0..code{m-1}, cell) partitioned BY CELL
+    *    — the ranking stage reads ONLY probed cells of these 8-byte codes;
+    *  - `vectors/`: (n_id, nv, nn, cell) partitioned BY CELL — read only
+    *    for the O(queries·rerank) survivor join.
+    *
+    * PQ codebooks are trained on the RAW vectors (not residuals), exactly
+    * as [[pqTopK]] trains them — so a search probing ALL cells reproduces
+    * [[pqTopK]] bit-for-bit on the same corpus (the q_ann_ivfpq_gate
+    * agreement check); with nprobe < nlist the ADC scan touches only
+    * nprobe/nlist of the code bytes, which at corpus scale is the product
+    * of the two savings (cell pruning × 32× code compression). */
+  def ivfPqIndexBuild(
+      candidates: DataFrame,
+      dir: String,
+      nlist: Int = 8,
+      iters: Int = 2,
+      m: Int = 8,
+      dim: Int = 64,
+      pqNlist: Int = 16,
+      pqIters: Int = 2): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = withNorm(candidates, "n_id", "nv", "nn")
+    val centroids = trainCentroids(c, nlist, iters)
+    centroids.toSeq
+      .toDF("cid", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val books = pqTrain(candidates, m, dim, pqNlist, pqIters)
+    books.zipWithIndex
+      .flatMap { case (cb, mi) => cb.map { case (pos, v) => (mi, pos, v.toSeq) } }
+      .toDF("mi", "pos", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val assigned =
+      if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0)
+      else c.withColumn("cell", assign(centroids, "nv"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    val codes =
+      if (centroids.isEmpty || books.exists(_.isEmpty))
+        pqEncode(candidates.limit(0), Seq(Array((0, Array(0.0)))), dim)
+          .withColumn("cell", lit(0))
+      else
+        pqEncode(candidates, books, dim)
+          .join(assigned.select("n_id", "cell"), Seq("n_id"))
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  private def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Array[(Int, Array[Double])]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    rows
+      .groupBy(_.getInt(0))
+      .toSeq
+      .sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).sortBy(_._1)
+      }
+  }
+
+  /** Search the IVF×PQ index: nprobe nearest coarse cells per query; ADC
+    * ranking over ONLY those cells' code rows (partition-pruned 8-byte
+    * scan); exact cosine re-rank of the per-query top-`rerank` survivors
+    * against the full vectors (also cell-pruned). [[pqTopK]]'s two-stage
+    * plan with the corpus side partition-pruned — probing all nlist cells
+    * reproduces pqTopK exactly (same deterministic model + tie-breaks). */
+  def ivfPqIndexSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      rerank: Int = 100): DataFrame = {
+    import spark.implicits._
+    val centroids = readCentroids(spark, dir)
+    val books = readCodebooks(spark, dir).map(_.map(_._2))
+    if (centroids.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+    val m = books.size
+    val offsets = books.scanLeft(0)((acc, cb) => acc + cb.length)
+    val probed = withNorm(queries, "q_id", "qv", "qn")
+      .withColumn("lut", {
+        import org.apache.spark.sql.graft.{Bridge, PqLuts}
+        Bridge.column(PqLuts(Bridge.expression(col("qv")), books.map(_.map(_.toSeq).toSeq)))
+      })
+      .withColumn(
+        "cell",
+        explode(slice(
+          sort_array(
+            array(centroids.map { case (cid, v) =>
+              struct((-dot(col("qv"), lit(v))).as("negd"), lit(cid).as("cid"))
+            }: _*)),
+          1,
+          nprobe).getField("cid")))
+    // Model-sized distinct probed-cell list (≤ nlist) — buys partition
+    // pruning on BOTH the code scan and the survivor vector scan.
+    val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+    val codes = spark.read.parquet(s"$dir/codes").filter(col("cell").isin(cells: _*))
+    val adc = (0 until m)
+      .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
+      .reduce(_ + _)
+    val byApprox = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("n_id"))
+    val survivors = codes
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("approx_sim", adc / (col("qn") * col("nn")))
+      .withColumn("arank", row_number().over(byApprox))
+      .filter(col("arank") <= rerank)
+      .select("q_id", "qv", "qn", "n_id")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(cells: _*))
+      .select("n_id", "nv", "nn")
+    val byExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    survivors
+      .join(vectors, Seq("n_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(byExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** Product-quantization codebooks (Jégou et al., TPAMI 2011): the `dim`
     * dims split into `m` subspaces, each with its own `nlist`-centroid
     * Lloyd model trained on the sliced corpus. Codebook entries are
