@@ -2765,8 +2765,15 @@ object SparkEntry {
       // the DuckDB oracle as unrolled CTEs (the PageRank contract): integer
       // quantized centroid sums, one double division per component,
       // left-to-right distance folds, argmin ties toward the smaller cell.
+      // Registered with the maxCell skew kill-switch ACTIVE (the scale-safe
+      // configuration: fixed k=8 over the 500-vector test corpus averages
+      // 62.5/cell, so maxCell=62 is guaranteed by pigeonhole to fire on at
+      // least one cell at BOTH verify SFs — capped cells skip the quadratic
+      // stage and keep all members, replayed by the oracle's cell-count
+      // join). The uncapped path stays covered by the _inc/_index_gate
+      // family. k-sizing rule at Dedup.semanticDedup.
       "q_dedup_semantic" -> ((s, dir) =>
-        Dedup.semanticDedup(Tables.embeddings(s, dir)).orderBy("vec_id")),
+        Dedup.semanticDedup(Tables.embeddings(s, dir), maxCell = 62).orderBy("vec_id")),
 
       // Arrival-time semantic dedup under the FROZEN base model: batch
       // vectors assigned to trained cells, dropped vs same-cell base
@@ -5629,8 +5636,10 @@ object SparkEntry {
         |                  + list_inner_product(c2.cv, c2.cv), c2.cl) AS rn
         |         FROM ed CROSS JOIN c2) WHERE rn = 1),
         |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ed),
+        |cs AS (SELECT cl, CAST(count(*) AS BIGINT) AS cn FROM a3 GROUP BY cl),
         |dup AS (SELECT DISTINCT b.vec_id AS b_id
         |        FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |        JOIN cs ON cs.cl = a.cl AND cs.cn <= 62
         |        JOIN ed ea ON ea.vec_id = a.vec_id
         |        JOIN ed eb ON eb.vec_id = b.vec_id
         |        JOIN nm na ON na.vec_id = a.vec_id

@@ -578,9 +578,22 @@ object Dedup {
     * Scale shape: per round one map-side-combined `(cluster, dim)` integer
     * aggregate; only k·d BIGINT sums ever reach the driver (model-sized, the
     * PCA-gram contract). The corpus is scanned rounds+2 times with fixed
-    * `rounds` — no data-dependent iteration. At 100 TB pick k ≈ N/10⁵ so
-    * cells stay bounded; the pairwise stage shuffles ids+vectors once on the
-    * cluster key. */
+    * `rounds` — no data-dependent iteration.
+    *
+    * k-sizing rule: the within-cell stage is O(Σ|cell|²), so cells must stay
+    * bounded as the corpus grows — a FIXED k means cells grow O(N/k) and the
+    * pair join goes quadratic. Pick k ≈ N / targetCellSize (targetCellSize
+    * ~10⁴–10⁵ rows: big enough for meaningful near-dup density, small enough
+    * that a cell's pair block is one task's work), i.e. k scales LINEARLY
+    * with the corpus. `maxCell` is the independent kill switch for the skew
+    * a data-dependent clustering can always produce (one semantic mega-
+    * cluster): cells past it skip the quadratic stage and keep all members —
+    * conservative, because a pathological mega-cell means k was sized wrong
+    * and silently dropping docs on a broken clustering would be data loss.
+    * Production calls should ALWAYS set it (≈10·targetCellSize); the
+    * registered q_dedup_semantic exercises the capped configuration and its
+    * oracle replays the cap via a cell-count join. The pairwise stage
+    * shuffles ids+vectors once on the cluster key. */
   def semanticDedup(
       embeddings: DataFrame,
       k: Int = 8,
