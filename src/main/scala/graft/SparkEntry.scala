@@ -5146,10 +5146,17 @@ object SparkEntry {
          |       FROM x$k GROUP BY 1, 2),
          |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
          |g$k AS (SELECT word, wf,
-         |               CASE WHEN b.l IS NULL THEN seg
-         |                    ELSE replace(seg, ' ' || b.l || ' ' || b.r || ' ',
-         |                                 ' ' || b.l || b.r || ' ') END AS seg
-         |       FROM g${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
+         |               CASE WHEN ml IS NULL THEN seg
+         |                    ELSE list_reduce(
+         |                           list_prepend(' ', string_split(trim(seg), ' ')),
+         |                           (acc, x) -> CASE
+         |                             WHEN x = mr
+         |                              AND right(acc, length(ml) + 2) = ' ' || ml || ' '
+         |                             THEN left(acc, length(acc) - length(ml) - 1) ||
+         |                                  ml || mr || ' '
+         |                             ELSE acc || x || ' ' END) END AS seg
+         |       FROM (SELECT g.word, g.wf, g.seg, b.l AS ml, b.r AS mr
+         |             FROM g${k - 1} g LEFT JOIN b$k b ON TRUE))""".stripMargin
     }.mkString(",\n")
     s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS wf
        |      FROM (SELECT unnest($ToksSql) AS word FROM documents)

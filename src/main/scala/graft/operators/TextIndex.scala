@@ -647,10 +647,16 @@ object TextIndex {
     * word-frequency table ONCE, up front), pick the argmax pair (ties:
     * smallest left then right symbol — engine-replayable binary string
     * order), and re-segment every word by merging that pair's
-    * non-overlapping occurrences left-to-right (a row-local `replace` on
-    * the space-delimited symbol string — Java and DuckDB `replace` share
-    * the scan-left/skip-matched contract, so greedy BPE merge semantics
-    * replay exactly). Stops early when no pairs remain.
+    * non-overlapping occurrences left-to-right — a row-local fold over the
+    * symbol array ("merge with the previous symbol when it is l and the
+    * incoming one is r", the standard scan-left BPE merge), expressed as
+    * the same sequential string-accumulator `aggregate`/`list_reduce`
+    * lambda in Spark and the DuckDB oracle. The earlier
+    * `replace(" l r ", " lr ")` spelling could not merge back-to-back
+    * occurrences (adjacent matches share one delimiter space: 'aaaa' with
+    * merge (a,a) yielded [aa,a,a] instead of canonical [aa,aa]), which
+    * overstated symbol counts for repeated-symbol words. Stops early when
+    * no pairs remain.
     *
     * Scale shape (the PageRank/LPA iterative contract): per-round state is
     * the vocab-sized segmentation table, re-localCheckpointed with
@@ -738,11 +744,25 @@ object TextIndex {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, l + r, n))
+        // Canonical scan-left merge as a sequential fold: the accumulator is
+        // the rebuilt " t1 t2 ... " string (sentinel spaces preserved); an
+        // incoming r merges with a trailing UNMERGED l — a just-merged "lr"
+        // can never equal l, so overlap skipping is implicit. Bit-identical
+        // to the oracle's list_reduce lambda.
+        val lPat = " " + l + " "
         seg = seg
           .withColumn(
             "seg",
-            org.apache.spark.sql.functions
-              .replace(col("seg"), lit(" " + l + " " + r + " "), lit(" " + l + r + " ")))
+            aggregate(
+              split(trim(col("seg")), " "),
+              lit(" "),
+              (acc, x) =>
+                when(
+                  x === lit(r) && acc.endsWith(lit(lPat)),
+                  concat(
+                    acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+                    lit(l + r + " ")))
+                  .otherwise(concat(acc, x, lit(" ")))))
           .transform(Bridge.localCheckpointFreshStats)
         round += 1
       }

@@ -269,6 +269,20 @@ class TextIndexSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("bpe: back-to-back pair occurrences merge canonically (aaaa → [aa,aa])") {
+    // The replace(" a a ", " aa ") spelling could not see the second
+    // occurrence (adjacent matches share one delimiter space) and left
+    // [aa,a,a]. The fold form merges scan-left like reference BPE.
+    val d = Seq((0L, "aaaa", "s0")).toDF("doc_id", "text", "source")
+    val seg = TextIndex.bpeSegment(d, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(seg("aaaa") === 2L)
+    val out = TextIndex.bpeTrain(d, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("sparseTfidfPairs: hand-computed quantized weights; capped/singleton terms never join") {
     // N=4. df: x=2, y=2, z=2 kept; q (df=1) dropped. wq = (tf·4·10) div df:
     // x@d0=40, x@d1=20, y@d0=20, y@d2=20, z@d1=20, z@d2=20.
