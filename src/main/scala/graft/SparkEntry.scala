@@ -7007,7 +7007,7 @@ object SparkEntry {
          |             CASE WHEN n_words > 0 THEN CAST(n_symbol_words AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio
          |      FROM m),
          |s AS (SELECT source,
-         |             CASE WHEN lang NOT IN ('en','de','fr','es') THEN '1_lang'
+         |             CASE WHEN coalesce(lang, '') NOT IN ('en','de','fr','es') THEN '1_lang'
          |                  WHEN n_words NOT BETWEEN 20 AND 80 THEN '2_word_count'
          |                  WHEN mean_wlen NOT BETWEEN 3.0 AND 10.0 THEN '3_mean_wlen'
          |                  WHEN symbol_ratio >= 0.1 THEN '4_symbol'

@@ -301,7 +301,9 @@ object Curation {
           .otherwise(lit(0.0)))
       .withColumn(
         "stage",
-        when(!col("lang").isin(allowedLangs: _*), lit("1_lang"))
+        // coalesce: a NULL lang must attribute to 1_lang, not NULL-skip
+        // past the stage and report as kept (same coalesce in the oracle)
+        when(!coalesce(col("lang"), lit("")).isin(allowedLangs: _*), lit("1_lang"))
           .when(!col("n_words").between(minWords, maxWords), lit("2_word_count"))
           .when(!col("mean_wlen").between(minMeanLen, maxMeanLen), lit("3_mean_wlen"))
           .when(col("symbol_ratio") >= maxSymbolRatio, lit("4_symbol"))

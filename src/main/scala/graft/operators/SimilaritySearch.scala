@@ -915,10 +915,19 @@ object SimilaritySearch {
         .agg(max("ps").as("mp"))
       val cand = rem.join(pen, Seq("q_id", "n_id"), "left")
         .withColumn("score", col("sim") - lit(lambda) * coalesce(col("mp"), lit(0.0)))
-      selected = selected
+      val next = selected
         .unionByName(pickBest(cand, t))
         .transform(Bridge.localCheckpointFreshStats)
+      // the superseded round's blocks (the PPR prevCkpt pattern) — without
+      // this, per-round selected state accumulates across a 240-query
+      // double-pass bench session
+      Bridge.freeLocalCheckpoint(selected)
+      selected = next
     }
+    // The pool checkpoint was created (by both callers) solely for the
+    // greedy rounds; the returned frame is itself a checkpoint with no
+    // lineage into it, so the pool blocks can go now.
+    Bridge.freeLocalCheckpoint(pool)
     selected.select("q_id", "rank", "n_id", "score")
   }
 }

@@ -628,6 +628,19 @@ object TextIndex {
       .join(dfT, "tok")
       .join(broadcast(n)) // 1 row
       .select(col("tok"), col("doc_id"), expr("(tf * n_docs * 10) div df").as("wq"))
+      // Headroom guard, enforced in-plan rather than only documented: the
+      // BIGINT pair sum Σ wq_a·wq_b stays exact while every wq ≤ 3e6
+      // (products ≤ 9e12; even 10⁵ shared terms keep the sum < 10¹⁸).
+      // Corpus growth that silently busts the quantization (n_docs ~1e5 ×
+      // tf ~1e3 → wq ~1e9) must fail loudly, not wrap — re-quantize
+      // (smaller scale factor, or DECIMAL pair sums) when this fires.
+      .withColumn(
+        "wq",
+        when(col("wq") <= lit(3000000L), col("wq"))
+          .otherwise(raise_error(concat(
+            lit("sparseTfidfPairs: quantized weight exceeds int64 pair-sum headroom (wq="),
+            col("wq").cast("string"),
+            lit(", bound=3000000) — re-quantize for this corpus scale")))))
     val a = w.toDF("tok", "a_id", "a_w")
     val b = w.toDF("tok", "b_id", "b_w")
     a.join(b, Seq("tok"))
@@ -750,7 +763,7 @@ object TextIndex {
         // can never equal l, so overlap skipping is implicit. Bit-identical
         // to the oracle's list_reduce lambda.
         val lPat = " " + l + " "
-        seg = seg
+        val next = seg
           .withColumn(
             "seg",
             aggregate(
@@ -764,6 +777,8 @@ object TextIndex {
                     lit(l + r + " ")))
                   .otherwise(concat(acc, x, lit(" ")))))
           .transform(Bridge.localCheckpointFreshStats)
+        Bridge.freeLocalCheckpoint(seg) // superseded round state (PPR pattern)
+        seg = next
         round += 1
       }
     }
