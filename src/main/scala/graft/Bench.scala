@@ -28,6 +28,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" warning for this run: every
+    // unpartitioned window in the suite sits above a domain-bounded grid
+    // (value-axis groupBy aggregates: Analytics quantile/KS/winsorize
+    // family) or a vocab-sized cut (TextIndex) — the audited exemption list
+    // in VERDICT r5 §anti-patterns. Six-plus copies of the warning per pass
+    // are noise a GENUINE unbounded window could hide behind; a new
+    // offender is caught by PlanShapeSpec, not by log spotting.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup (untimed): one full pass over every query, so the timed pass
     // measures the operator, not first-touch noise — JVM/codegen JIT, parquet
     // footer reads, and kernel class-loading otherwise land on whichever
@@ -132,9 +142,24 @@ object Bench {
         s""","regressions":$m"""
       }
       .getOrElse("")
+    // Run provenance + baseline annotation: a contended driver-side run can
+    // show 2-4x per-query spikes with unchanged code (r5: q_dedup_ngram
+    // 3.99x under driver contention vs 0.51-0.71 s across six clean runs).
+    // run_by comes from SPARK_GRAFT_RUN_BY (builders export builder-clean;
+    // anything else is presumed unattended/contended), load1 is the 1-min
+    // loadavg at the end of the run, and baseline_ok is false whenever ANY
+    // shared query regressed >1.5x - commit such a record as the drift
+    // baseline only alongside a code diff that explains the delta.
+    val runBy = sys.env.getOrElse("SPARK_GRAFT_RUN_BY", "unattended")
+    val load1 =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val baselineOk = drift.forall(_._3.isEmpty)
+    val prov = s""","run_by":"$runBy","load1":${fmt(load1)},"baseline_ok":$baselineOk"""
     java.nio.file.Files.writeString(
       fullPath,
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"$driftFields$regress}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"$driftFields$regress$prov}""")
     println(line(kept))
     spark.stop()
   }

@@ -434,30 +434,35 @@ object Dedup {
     * deliberately skips: A~B and B~C put A,B,C in one cluster even when A~C
     * was never emitted as a pair.
     *
-    * Algorithm: iterative min-label propagation with pointer halving. Each
-    * round is (1) a shuffle join pushing labels across edges + a map-side-
-    * combined min aggregate (BFS step), then (2) a self-join shortcut
-    * `label(v) := label(label(v))` (path halving — every cluster label is
-    * itself a vertex, so the hop is well-defined). BFS alone needs
-    * O(diameter) rounds, which an adversarial chain-shaped component (each
-    * doc similar only to its neighbors) would push past any fixed cap;
-    * halving compresses label chains geometrically for O(log n) rounds —
-    * the same guarantee class as alternating large-star/small-star
+    * Algorithm: alternating large-star / small-star edge rewriting
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14), with two hash joins per round. Near-dup components are dense
-    * in practice (candidate blocks emit most intra-block pairs), where
-    * rounds stay in low single digits; `maxIter` is a backstop, measured
-    * ample for a 10k-deep chain (graft.tools.ClusterBench).
+    * SoCC'14). Each round REWRITES the edge set toward stars centered at
+    * component minima — large-star points every above-center neighbor at
+    * the neighborhood min, small-star flattens the below-center side — and
+    * converges when the edge set stops changing, at which point every
+    * component is a single star whose center is its min id. Unlike
+    * min-label propagation (the previous implementation), whose round
+    * count is Θ(graph diameter) because a label physically travels one
+    * edge per round regardless of pointer-compression (measured: 26 rounds
+    * on the sf0.1 customer-name graph, whose digit-substitution lev-1
+    * chains have diameter ~25; pointer halving did not shorten DISCOVERY,
+    * only already-known chains), star rewriting contracts components
+    * geometrically: the same graph converges in 8 rounds, and the bound is
+    * O(log²n) worst / O(log n) expected — the difference between feasible
+    * and not for a 100 TB corpus whose near-dup graph happens to chain.
     *
-    * Scale mechanics: the edge list is materialized once up front
-    * (`localCheckpoint`, eager) — it would otherwise re-run the whole pair
-    * generation subtree (shingling + candidate join, the dominant cost)
-    * every round — and each round's label frame is checkpointed to truncate
-    * lineage, or the plan tree doubles per iteration. On a real cluster use
-    * reliable `checkpoint` instead; same call shape. Convergence is detected
-    * with a single-scalar certificate, no row collect: labels only ever
-    * decrease, so the label sum is strictly monotone and a stable sum means
-    * a fixed point. */
+    * Scale mechanics: the verified-pair subtree is materialized once up
+    * front (`localCheckpoint`, eager) — it would otherwise re-run the
+    * whole pair generation pipeline (shingling + candidate join, the
+    * dominant cost) every round — and each round's edge frame is
+    * checkpointed to truncate lineage, superseded checkpoints freed. On a
+    * real cluster use reliable `checkpoint` instead; same call shape.
+    * Per-round work is two grouped-min aggregates and two joins over the
+    * current edge list (edge count never grows: large-star emits one edge
+    * per input edge, small-star is count-preserving). Convergence is an
+    * exact symmetric-difference emptiness check (two anti-join probes with
+    * LIMIT 1 — no full count), not a hashable certificate: edge sums are
+    * not monotone under rewriting. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
     duplicateClustersWithRounds(pairs, maxIter)._1
 
@@ -466,56 +471,56 @@ object Dedup {
   private[graft] def duplicateClustersWithRounds(
       pairs: DataFrame,
       maxIter: Int = 25): (DataFrame, Int) = {
-    // Materialize the verified-pair subtree ONCE before symmetrizing: the
-    // union's two branches would otherwise each evaluate the full candidate
-    // + shingle-verification pipeline (the dominant cost) when the edges
-    // checkpoint materializes — measured ~2× on q_dedup_cluster_survivors.
-    val p0 = pairs.select(col("a_id"), col("b_id")).transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-    val edges = p0
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(p0.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(p0)
-    var labels = edges
-      .select(col("src").as("id"))
+    import org.apache.spark.sql.graft.Bridge
+    // Canonical unordered edge set (a < b), deduped; the pair subtree is
+    // evaluated exactly once here.
+    var e = pairs
+      .select(
+        least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-    def certificate(l: DataFrame): Long =
-      l.agg(coalesce(sum("cluster_id"), lit(0L))).head().getLong(0)
-    var prev = certificate(labels)
+      .transform(Bridge.localCheckpointFreshStats)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // Checkpointed before the shortcut self-join, or the BFS subtree (the
-      // expensive half) would evaluate once per join side.
-      val propagated = labels
-        .union(
-          edges
-            .join(labels, edges("src") === labels("id"))
-            .select(col("dst").as("id"), col("cluster_id")))
-        .groupBy("id")
-        .agg(min("cluster_id").as("cluster_id"))
-        .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-      val mapping = propagated.select(col("id").as("cid"), col("cluster_id").as("cc"))
-      val next = propagated
-        .join(mapping, col("cluster_id") === col("cid"), "left")
-        .select(col("id"), coalesce(col("cc"), col("cluster_id")).as("cluster_id"))
-        .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-      val cur = certificate(next)
-      converged = cur == prev
-      prev = cur
-      // `next` is materialized — the previous round's blocks (and this
-      // round's intermediate) are dead; free them or every round's
-      // checkpoint accumulates in the block manager for the life of the
-      // session (measured 4-6× round slowdown at 1M vertices, ClusterBench).
-      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(propagated)
-      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(labels)
-      labels = next
+      // Large-star: center every node u on m = min(neighborhood(u) + u);
+      // each ABOVE-u neighbor v re-points to m. One output edge per input
+      // edge (the v > u side), always canonical (m <= u < v).
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
+      val ls = sym
+        .join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("u"), col("mv")).as("a"), col("v").as("b"))
+        .distinct()
+      // Small-star: orient edges max -> min (already canonical: center u =
+      // b side, below-neighbors = a side); every below-neighbor and the
+      // center itself re-point to m = min(below-neighborhood).
+      val ssMin = ls.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val next = ls
+        .join(ssMin, ls("b") === ssMin("u"))
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), ls("a").as("b"))
+        .union(ssMin.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .transform(Bridge.localCheckpointFreshStats)
+      // Exact convergence: the edge set is a fixed point iff the symmetric
+      // difference is empty — one LIMIT-1 probe job over both directions,
+      // no full count materialized.
+      converged = next.exceptAll(e).union(e.exceptAll(next)).isEmpty
+      Bridge.freeLocalCheckpoint(e)
+      e = next
       i += 1
     }
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(edges)
-    (labels.select(col("id").as("doc_id"), col("cluster_id")), i)
+    // At the star fixed point every edge is (center=min, leaf); labels are
+    // leaf -> center plus center -> itself.
+    val labels = e
+      .select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .union(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .distinct()
+    (labels, i)
   }
 
   /** Survivor corpus via [[duplicateClusters]]: keep exactly one document
