@@ -5187,6 +5187,46 @@ object SparkEntry {
        |       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Band/bucket replay of [[graft.operators.Dedup.embeddingCosinePairsLsh]]
+    * (8 bands × 4 planes, seed 42+band, maxBucket 5000): buckets are the
+    * SRP sign-bit sums with the hyperplane doubles INLINED as literals —
+    * `Double.toString` is the shortest decimal that round-trips, and
+    * DuckDB's parse is correctly rounded, so both engines hash the same
+    * bits. The rest is the same capped self-join + cosine verification the
+    * Spark operator runs. */
+  private lazy val EmbLshOracleSql: String = {
+    val bandSelects = (0 until 8).map { bIdx =>
+      val planes = graft.functions.VectorFunctions.randomPlanes(4, 64, 42L + bIdx)
+      val bucket = planes.zipWithIndex
+        .map { case (p, i) =>
+          val lits = p.map(_.toString).mkString("[", ", ", "]")
+          s"CASE WHEN list_inner_product(v, $lits) >= 0 THEN ${1L << i} ELSE 0 END"
+        }
+        .mkString("(", "\n + ", ")")
+      s"SELECT vec_id, CAST($bIdx AS INT) AS band, CAST($bucket AS BIGINT) AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tagged AS (
+       |$bandSelects
+       |),
+       |oversized AS (SELECT band, bucket FROM tagged
+       |              GROUP BY 1, 2 HAVING count(*) > 5000),
+       |capped AS (SELECT t.vec_id, t.band, t.bucket FROM tagged t
+       |           LEFT JOIN oversized o USING (band, bucket)
+       |           WHERE o.band IS NULL),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM capped a JOIN capped b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |nm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+       |SELECT a_id, b_id,
+       |       list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+       |FROM cand
+       |JOIN nm na ON na.vec_id = a_id
+       |JOIN nm nb ON nb.vec_id = b_id
+       |WHERE list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
     * query's oracles. */
@@ -5588,6 +5628,16 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // Full band/bucket replay of Dedup.embeddingCosinePairsLsh — previously
+    // rows-only. The SRP hyperplanes are deterministic driver-side doubles
+    // (seeded scala.util.Random), inlined here as exact shortest-round-trip
+    // literals, so DuckDB recomputes the same sign bits -> same buckets ->
+    // same capped self-join candidates -> same cosine-verified pairs. The
+    // minhash/simhash families stay gated instead: their signatures are
+    // murmur3 over token BYTES (native kernels), and replaying a byte-level
+    // hash in SQL would be an obfuscated reimplementation, not an
+    // independent oracle.
+    "q_dedup_embedding_lsh" -> EmbLshOracleSql,
     // n_exact cross-checked against the exact pairwise count; recall_ok is
     // the Spark-side floor assertion over the banded-LSH subset.
     "q_dedup_embedding_lsh_gate" ->
