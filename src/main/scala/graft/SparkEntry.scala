@@ -2714,11 +2714,17 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
-      // Near-dup: MinHash + LSH banding (rows-only check; ScalaTest-verified)
+      // Near-dup: MinHash + LSH banding. Rows-only: signatures are murmur3
+      // over shingle BYTES (native kernel) — a byte-level hash replay in
+      // DuckDB SQL would be a reimplementation, not an independent oracle.
+      // The oracled q_dedup_minhash_gate pins recall vs the fully-oracled
+      // ngram pair set (measured 1.0) instead.
       "q_dedup_minhash" -> ((s, dir) =>
         Dedup.minhashLshPairs(Tables.documents(s, dir), 0.5).orderBy("a_id", "b_id")),
 
-      // Near-dup: SimHash 64-bit + chunk-match candidates (rows-only check)
+      // Near-dup: SimHash 64-bit + chunk-match candidates. Rows-only for
+      // the same reason as minhash (murmur3 token hashes inside the native
+      // kernel); its oracled gate pins the invariants.
       "q_dedup_simhash" -> ((s, dir) =>
         Dedup.simhashPairs(Tables.documents(s, dir), 3).orderBy("a_id", "b_id")),
 
@@ -2846,13 +2852,22 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
-      // ANN: SRP-LSH bucketed + multiprobe (scale path; rows-only check)
+      // ANN: SRP-LSH bucketed + multiprobe (scale path). Rows-only: the
+      // multiprobe flip-mask ORDERING depends on engine-specific float
+      // argsort of plane costs; the bucket pipeline itself IS replayable
+      // (see q_dedup_embedding_lsh's full oracle) and the oracled
+      // q_ann_lsh_recall gate pins this query's quality floor.
       "q_ann_lsh" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         SimilaritySearch.lshTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
       }),
 
-      // ANN: IVF coarse-quantizer cells + nprobe re-rank (rows-only check)
+      // ANN: IVF coarse-quantizer cells + nprobe re-rank. Rows-only:
+      // trainCentroids' Lloyd means are partial-merge-order-dependent
+      // DOUBLE avgs (unlike semanticDedup's integer-quantized replayable
+      // model), so cell boundaries can differ legitimately across engines;
+      // the oracled q_ann_ivf_recall + q_ann_ivf_index_gate pin quality
+      // and persisted==in-memory equality instead.
       "q_ann_ivf" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")

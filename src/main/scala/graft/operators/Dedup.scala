@@ -490,11 +490,13 @@ object Dedup {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
+      // No distinct here: duplicate (m, v) edges (two centers sharing a
+      // min) do not change ssMin's grouped min, and `next` dedups — one
+      // fewer shuffle per round.
       val ls = sym
         .join(lsMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(least(col("u"), col("mv")).as("a"), col("v").as("b"))
-        .distinct()
       // Small-star: orient edges max -> min (already canonical: center u =
       // b side, below-neighbors = a side); every below-neighbor and the
       // center itself re-point to m = min(below-neighborhood).
