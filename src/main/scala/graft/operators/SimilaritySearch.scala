@@ -521,6 +521,33 @@ object SimilaritySearch {
     codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Append a batch to the IVF×PQ index under its FROZEN models: arrivals
+    * are cell-assigned by the stored coarse centroids and PQ-encoded by the
+    * stored codebooks, then partition-appended to both the code and vector
+    * segments — existing cells' files untouched, nothing retrained, the
+    * corpus never rescanned (the [[ivfIndexAppend]] contract extended to
+    * the code table). Quantization error for arrivals drifted far from the
+    * training distribution degrades recall gracefully (ADC scores shrink);
+    * rebuild via [[ivfPqIndexBuild]] when drift warrants, exactly like any
+    * production ANN index. The streaming variant would mirror
+    * [[ivfIndexAppendStream]] (assignment and encoding are pure
+    * projections) with `codes-stream`/`vectors-stream` segments. */
+  def ivfPqIndexAppend(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readCentroids(spark, dir)
+    val cbs = readCodebooks(spark, dir)
+    require(
+      centroids.nonEmpty && cbs.nonEmpty,
+      s"ivfpq index at $dir has an empty model")
+    val dim = cbs.size * cbs.head.head._2.length // m × sub
+    val assigned = withNorm(newVectors, "n_id", "nv", "nn")
+      .withColumn("cell", assign(centroids, "nv"))
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    pqEncode(newVectors, cbs, dim)
+      .join(assigned.select("n_id", "cell"), Seq("n_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   private def readCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Array[(Int, Array[Double])]] = {

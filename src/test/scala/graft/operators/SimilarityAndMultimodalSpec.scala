@@ -308,6 +308,30 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF×PQ recall@10 regressed: $recall")
   }
 
+  test("IVF×PQ append: arrivals searchable under the frozen model, nothing retrained") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    SimilaritySearch.ivfPqIndexBuild(emb.filter(col("vec_id") < 400), idx)
+    val booksBefore = spark.read.parquet(s"$idx/codebooks").collect().toSet
+    val centsBefore = spark.read.parquet(s"$idx/centroids").collect().toSet
+    // append a clone of vector 0 with a new id — it must become rank 1 for
+    // query 0 through the appended code/vector segments
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    SimilaritySearch.ivfPqIndexAppend(emb.filter(col("vec_id") >= 400).unionByName(clone), idx)
+    val out = SimilaritySearch
+      .ivfPqIndexSearch(spark, idx, emb.filter(col("vec_id") === 0L), 5, nprobe = 8)
+      .collect()
+    assert(out.head.getAs[Long]("n_id") === 999999L)
+    assert(out.head.getAs[Double]("sim") > 0.9999)
+    // frozen models: append touched neither centroids nor codebooks
+    assert(spark.read.parquet(s"$idx/codebooks").collect().toSet === booksBefore)
+    assert(spark.read.parquet(s"$idx/centroids").collect().toSet === centsBefore)
+    // all appended ids present in both segments
+    val appended = spark.read.parquet(s"$idx/codes").filter(col("n_id") >= 400).count()
+    assert(appended === emb.filter(col("vec_id") >= 400).count() + 1)
+  }
+
   test("labelNoiseScan: audits query vectors absent from the candidate corpus") {
     // the query id (100) does not exist among candidates — its label must
     // come from the queries frame, not be silently dropped by a join
