@@ -3666,6 +3666,62 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Bigram-LM quality score with add-k smoothing — the word-ORDER-
+      // sensitive upgrade of q_quality_lm (a shuffled-token document keeps
+      // its unigram score but collapses under conditional bigram
+      // probabilities; this is the count-based analog of CCNet's KenLM
+      // filter). Per doc: mean log2 P(w2|w1) over bigram occurrences,
+      // P = (c2+k)/(c1+k·V), k=0.5. Numeric discipline: c2/c1/V are exact
+      // BIGINTs, the smoothed ratio is one IEEE-identical double
+      // expression, log2 rounded to 6 dp DECIMAL before the order-free
+      // per-doc sum, one 4 dp round at the edge; sub-2-token docs report
+      // (0, 0.0) rather than NULL. Plan: bigram extraction is ROW-LOCAL
+      // (transform over the token array — no positions shuffle); counts
+      // collapse map-side on the bigram key; V is a 1-row broadcast; the
+      // lp table is bigram-vocab-sized, never corpus-sized.
+      "q_quality_lm_bigram" -> ((s, dir) => {
+        val k = 0.5
+        val docBg = Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1), " +
+              "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)) " +
+              "ELSE array() END")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy("doc_id", "w1", "w2")
+          .agg(count(lit(1)).as("c"))
+        val c2 = docBg.groupBy("w1", "w2").agg(sum("c").as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+        val v = Tables.documents(s, dir)
+          .select(explode(T.tokens(col("text"))).as("tok"))
+          .agg(countDistinct("tok").as("v"))
+        val lp = c2
+          .join(c1, "w1")
+          .crossJoin(broadcast(v))
+          .select(
+            col("w1"), col("w2"),
+            round(
+              log2((col("c2").cast("double") + lit(k)) /
+                (col("c1").cast("double") + lit(k) * col("v").cast("double"))),
+              6).cast("decimal(20,6)").as("lp"))
+        val perDoc = docBg
+          .join(lp, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").cast("long").as("n_bigrams"),
+            sum(col("c").cast("decimal(20,6)") * col("lp")).as("slp"))
+        Tables.documents(s, dir)
+          .select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(
+              round(col("slp").cast("double") / col("n_bigrams").cast("double"), 4),
+              lit(0.0)).as("logprob"))
+          .orderBy("doc_id")
+      }),
+
       // Exact length deciles via the distributed ntile (operators/
       // Analytics.scala): global quantile buckets with NO corpus-wide
       // single-partition window — the global order is reconstructed from
@@ -6435,6 +6491,30 @@ object SparkEntry {
          |             / CAST(sum(dt.c) AS DOUBLE), 4) AS logprob
          |FROM dt JOIN lp USING (tok)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Parallel unnest of the two shifted slices zips positionally — the
+    // same (w1, w2) occurrence stream Spark builds row-locally.
+    "q_quality_lm_bigram" ->
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+         |        FROM d WHERE len(ts) >= 2),
+         |dbg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+         |        FROM bg0 GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c2 FROM dbg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |       FROM (SELECT unnest($ToksSql) AS tok FROM documents)),
+         |lp AS (SELECT w1, w2,
+         |              CAST(round(log2((CAST(c2 AS DOUBLE) + 0.5)
+         |                              / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))), 6)
+         |                   AS DECIMAL(20,6)) AS lp
+         |       FROM c2 JOIN c1 USING (w1) CROSS JOIN vc),
+         |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |              sum(CAST(c AS DECIMAL(20,6)) * lp) AS slp
+         |       FROM dbg JOIN lp USING (w1, w2) GROUP BY 1)
+         |SELECT dd.doc_id,
+         |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       coalesce(round(CAST(slp AS DOUBLE) / n_bigrams, 4), 0.0) AS logprob
+         |FROM documents dd LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_length_deciles" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |                  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
