@@ -794,6 +794,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("partsupp TPC-H shapes: dims broadcast, no cartesian; Q2's per-part min joins by shuffle") {
+    for (q <- Seq("q2_min_cost_supplier", "q11_important_stock",
+        "q16_supplier_cnt", "q20_promotable_parts")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dims not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+      // q11's HAVING-fraction compare rides a 1-row broadcast total — the
+      // suite's standard scalar crossJoin, which plans as a BNLJ; any
+      // OTHER nested-loop join would be a lost equi-key.
+      if (q != "q11_important_stock")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan:\n$p")
+    }
+    // Q16's complaint exclusion must be an anti join, not a NOT IN subplan
+    assert(plan("q16_supplier_cnt").contains("LeftAnti"),
+      s"q16 exclusion not an anti join:\n${plan("q16_supplier_cnt")}")
+  }
+
+  test("q_quality_lm_bigram: row-local bigram generator; no corpus-wide window; V broadcasts") {
+    val p = plan("q_quality_lm_bigram")
+    // bigram expansion must be a Generate (explode of the row-local
+    // transform), never a positions self-join
+    assert(p.contains("Generate explode"), s"bigram generator missing:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"V scalar not broadcast:\n$p")
+  }
+
   test("q_bootstrap_ci: replicate expansion is a row-local generator feeding a " +
     "map-side-combined sum; the tiny CI table broadcasts back") {
     val p = plan("q_bootstrap_ci")
