@@ -516,8 +516,11 @@ object SimilaritySearch {
         pqEncode(candidates.limit(0), Seq(Array((0, Array(0.0)))), dim)
           .withColumn("cell", lit(0))
       else
+        // cell assignments come from the just-written vectors segment — a
+        // column-pruned (n_id, cell) read-back instead of re-evaluating the
+        // nlist×dim assign kernel over the corpus a second time
         pqEncode(candidates, books, dim)
-          .join(assigned.select("n_id", "cell"), Seq("n_id"))
+          .join(spark.read.parquet(s"$dir/vectors").select("n_id", "cell"), Seq("n_id"))
     codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
