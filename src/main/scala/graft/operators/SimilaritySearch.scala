@@ -551,6 +551,109 @@ object SimilaritySearch {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Continuous-ingest version of [[ivfPqIndexAppend]] — the
+    * [[ivfIndexAppendStream]] contract for the composed index: drain a
+    * parquet directory of arriving vectors into the index as a Structured
+    * Streaming job (Trigger.AvailableNow + checkpoint → re-invoking with
+    * the same checkpoint ingests ONLY files that arrived since the last
+    * run). Cell assignment AND PQ encoding under the frozen models are
+    * pure projections, so both run inside the stream — no foreachBatch, no
+    * retraining, no corpus rescan.
+    *
+    * Streamed rows land in ONE combined cell-partitioned segment
+    * (`arrivals-stream`: n_id, nv, nn, code0..m-1, cell) rather than
+    * separate code/vector segments, because a streaming parquet sink owns
+    * its directory through the `_spark_metadata` commit log (two sinks
+    * cannot share one checkpointed stream). The separated-layout scan
+    * economics survive anyway: parquet is columnar, so the ADC stage
+    * reading only (n_id, nn, code*) columns from the combined segment
+    * touches the same bytes a separate code file would.
+    * [[ivfPqIndexSearch]] unions base + stream on both its scan sides;
+    * [[ivfPqIndexCompact]] folds the segment back into the base tables. */
+  def ivfPqIndexAppendStream(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      arrivalsDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val centroids = readCentroids(spark, indexDir)
+    val cbs = readCodebooks(spark, indexDir)
+    require(
+      centroids.nonEmpty && cbs.nonEmpty,
+      s"ivfpq index at $indexDir has an empty model")
+    val m = cbs.size
+    val books = cbs.map(_.sortBy(_._1).map(_._2)).toArray
+    val raw = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .parquet(arrivalsDir)
+    val assigned = raw
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .withColumn("cell", assign(centroids, "nv"))
+      .withColumn("codes", pqAssignCol(books, col("nv")))
+      .select(
+        col("n_id") +: col("nv") +: col("nn") +:
+          (0 until m).map(i => element_at(col("codes"), i + 1).as(s"code$i")) :+
+          col("cell"): _*)
+    val q = assigned.writeStream
+      .format("parquet")
+      .partitionBy("cell")
+      .option("path", s"$indexDir/arrivals-stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold the streamed arrivals segment back into the base code and vector
+    * tables (the [[ivfIndexCompact]] LSM lifecycle close, applied to both
+    * sides of the composed index): write-ahead to temp dirs then swap, so
+    * a crash leaves either the old segments or the new base. The source
+    * checkpoint is untouched — a later [[ivfPqIndexAppendStream]] with the
+    * same checkpoint still skips already-ingested files. */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/arrivals-stream")
+    val fs = streamPath.getFileSystem(conf)
+    if (!fs.exists(streamPath)) return
+    val m = readCodebooks(spark, dir).size
+    def swap(table: String, df: DataFrame): Unit = {
+      val tmp = s"$dir/$table-compacting"
+      df.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/$table"))
+    }
+    swap("vectors", segmentUnion(spark, dir, "vectors").select("n_id", "nv", "nn", "cell"))
+    swap(
+      "codes",
+      segmentUnion(spark, dir, "codes")
+        .select(col("n_id") +: col("nn") +:
+          (0 until m).map(i => col(s"code$i")) :+ col("cell"): _*))
+    fs.delete(streamPath, true)
+  }
+
+  /** Base table ∪ the streamed combined segment, projected to `table`'s
+    * columns (either side may not exist yet; a zero-batch sink log reads
+    * as no-rows — the [[indexVectors]] contract). */
+  private def segmentUnion(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    def readIf(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!path.getFileSystem(conf).exists(path)) None
+      else
+        try Some(spark.read.parquet(p))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    val base = readIf(s"$dir/$table")
+    val stream = readIf(s"$dir/arrivals-stream")
+      .map(s => base.fold(s)(b => s.select(b.columns.map(col): _*)))
+    (base ++ stream).reduceLeft(_ unionByName _)
+  }
+
   private def readCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Array[(Int, Array[Double])]] = {
@@ -601,7 +704,7 @@ object SimilaritySearch {
     // Model-sized distinct probed-cell list (≤ nlist) — buys partition
     // pruning on BOTH the code scan and the survivor vector scan.
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
-    val codes = spark.read.parquet(s"$dir/codes").filter(col("cell").isin(cells: _*))
+    val codes = segmentUnion(spark, dir, "codes").filter(col("cell").isin(cells: _*))
     val adc = (0 until m)
       .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
       .reduce(_ + _)
@@ -613,7 +716,7 @@ object SimilaritySearch {
       .withColumn("arank", row_number().over(byApprox))
       .filter(col("arank") <= rerank)
       .select("q_id", "qv", "qn", "n_id")
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    val vectors = segmentUnion(spark, dir, "vectors")
       .filter(col("cell").isin(cells: _*))
       .select("n_id", "nv", "nn")
     val byExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))

@@ -308,6 +308,40 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF×PQ recall@10 regressed: $recall")
   }
 
+  test("IVF×PQ streaming append: exactly-once ingest, search over union, compaction folds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-str").toString
+    val arrivals = java.nio.file.Files.createTempDirectory("graft-ivfpq-arr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfpq-ck").toString
+    SimilaritySearch.ivfPqIndexBuild(emb.filter(col("vec_id") < 400), idx)
+    // a clone of vector 0 arrives via the stream
+    emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+      .write.mode("append").parquet(arrivals)
+    SimilaritySearch.ivfPqIndexAppendStream(spark, idx, arrivals, ckpt.toString)
+    def top(): (Long, Double) = {
+      val r = SimilaritySearch
+        .ivfPqIndexSearch(spark, idx, emb.filter(col("vec_id") === 0L), 5, nprobe = 8)
+        .collect().head
+      (r.getAs[Long]("n_id"), r.getAs[Double]("sim"))
+    }
+    assert(top()._1 === 999999L)
+    assert(top()._2 > 0.9999)
+    // same checkpoint, no new files → nothing ingested twice
+    val nBefore = spark.read.parquet(s"$idx/arrivals-stream").count()
+    SimilaritySearch.ivfPqIndexAppendStream(spark, idx, arrivals, ckpt.toString)
+    assert(spark.read.parquet(s"$idx/arrivals-stream").count() === nBefore)
+    // compaction: segment folded into both base tables, answers unchanged
+    val before = top()
+    SimilaritySearch.ivfPqIndexCompact(spark, idx)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/arrivals-stream")))
+    assert(top() === before)
+    assert(spark.read.parquet(s"$idx/codes").filter(col("n_id") === 999999L).count() === 1)
+    // checkpoint survives compaction: ingesting again is still a no-op
+    SimilaritySearch.ivfPqIndexAppendStream(spark, idx, arrivals, ckpt.toString)
+    assert(top() === before)
+  }
+
   test("IVF×PQ append: arrivals searchable under the frozen model, nothing retrained") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
