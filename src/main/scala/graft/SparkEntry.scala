@@ -2852,11 +2852,12 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
-      // ANN: SRP-LSH bucketed + multiprobe (scale path). Rows-only: the
-      // multiprobe flip-mask ORDERING depends on engine-specific float
-      // argsort of plane costs; the bucket pipeline itself IS replayable
-      // (see q_dedup_embedding_lsh's full oracle) and the oracled
-      // q_ann_lsh_recall gate pins this query's quality floor.
+      // ANN: SRP-LSH bucketed + query-directed multiprobe (scale path).
+      // Fully oracled since round 6: the mask costs are fixed-order IEEE
+      // |projection| sums and the probe order is (cost, mask)-ascending on
+      // both engines, so the whole probe sequence replays in DuckDB
+      // (AnnLshOracleSql); the q_ann_lsh_recall gate additionally pins the
+      // quality floor.
       "q_ann_lsh" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         SimilaritySearch.lshTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
@@ -5298,6 +5299,57 @@ object SparkEntry {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Full replay of [[graft.operators.SimilaritySearch.lshTopK]] at the
+    * q_ann_lsh registration config (4 planes, query-directed multiprobe,
+    * default 5-probe budget): the hyperplanes inline as exact round-trip
+    * literals; each query's 16 mask costs are fixed-order |projection|
+    * sums (Spark's foldLeft starts at 0.0 — IEEE-identical to the bare
+    * sum since 0.0 + x ≡ x); the probe sequence is the (cost, mask)-
+    * ascending top-5 (ties toward the smaller mask on both engines); a
+    * candidate has exactly ONE bucket so no probe ever double-joins it. */
+  private lazy val AnnLshOracleSql: String = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(4, 64)
+    val pl = planes.map(p => p.map(_.toString).mkString("[", ", ", "]"))
+    def signBits(pj: Int => String): String =
+      (0 until 4).map { i =>
+        s"CASE WHEN ${pj(i)} >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val cbBucket = signBits(i => s"list_inner_product(v, ${pl(i)})")
+    val qProjs = (0 until 4).map(i => s"list_inner_product(v, ${pl(i)}) AS pj$i").mkString(", ")
+    val b0 = signBits(i => s"pj$i")
+    val maskList = (0 until 16).map(_.toString).mkString("[", ", ", "]")
+    val costList = (0 until 16).map { mask =>
+      val terms = (0 until 4).filter(i => (mask & (1 << i)) != 0).map(i => s"abs(pj$i)")
+      if (terms.isEmpty) "0.0" else terms.mkString(" + ")
+    }.mkString("[", ", ", "]")
+    s"""WITH nm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                           CAST(embedding AS DOUBLE[]))) AS nrm
+       |            FROM embeddings),
+       |cb AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn,
+       |              CAST($cbBucket AS BIGINT) AS bucket
+       |       FROM nm),
+       |qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, $qProjs
+       |       FROM nm WHERE vec_id < 8),
+       |qb AS (SELECT q_id, qv, qn, pj0, pj1, pj2, pj3,
+       |              CAST($b0 AS BIGINT) AS b0
+       |       FROM qp),
+       |pm AS (SELECT q_id, qv, qn, b0,
+       |              unnest($maskList) AS mask, unnest($costList) AS cost
+       |       FROM qb),
+       |pr AS (SELECT q_id, qv, qn, xor(CAST(mask AS BIGINT), b0) AS bucket FROM (
+       |         SELECT q_id, qv, qn, b0, mask, cost,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY cost, mask) AS pn
+       |         FROM pm) WHERE pn <= 5)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+       |  SELECT q_id, n_id,
+       |         list_inner_product(qv, nv) / (qn * nn) AS sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY list_inner_product(qv, nv) / (qn * nn) DESC, n_id) AS rank
+       |  FROM pr JOIN cb USING (bucket) WHERE q_id <> n_id)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
     * query's oracles. */
@@ -6018,6 +6070,9 @@ object SparkEntry {
     // assertion (TRUE expected — a recall regression hash-mismatches here).
     "q_ann_lsh_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_recall" -> AnnRecallOracleSql,
+    // Full multiprobe replay (see AnnLshOracleSql) — this query moved from
+    // rows-only to fully hash-compared in round 6.
+    "q_ann_lsh" -> AnnLshOracleSql,
     "q_ann_pq_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",
