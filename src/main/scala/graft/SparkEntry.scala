@@ -2863,12 +2863,13 @@ object SparkEntry {
         SimilaritySearch.lshTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
       }),
 
-      // ANN: IVF coarse-quantizer cells + nprobe re-rank. Rows-only:
-      // trainCentroids' Lloyd means are partial-merge-order-dependent
-      // DOUBLE avgs (unlike semanticDedup's integer-quantized replayable
-      // model), so cell boundaries can differ legitimately across engines;
-      // the oracled q_ann_ivf_recall + q_ann_ivf_index_gate pin quality
-      // and persisted==in-memory equality instead.
+      // ANN: IVF coarse-quantizer cells + nprobe re-rank. Fully oracled
+      // since round 6: trainCentroids' Lloyd means became order-free
+      // integer-quantized sums (the semanticModel discipline), so the
+      // model — and every cell boundary — replays bit-identically in the
+      // DuckDB oracle's unrolled CTEs (AnnIvfOracleSql) and is stable
+      // across cluster layouts; q_ann_ivf_recall and q_ann_ivf_index_gate
+      // additionally pin quality and persisted==in-memory equality.
       "q_ann_ivf" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
@@ -5350,6 +5351,63 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Full replay of [[graft.operators.SimilaritySearch.ivfTopK]] at the
+    * q_ann_ivf registration config (nlist=8, nprobe=2, iters=2): the Lloyd
+    * rounds unroll as CTEs (the semantic-dedup k-means contract, adapted to
+    * max-DOT assignment with ties toward the LARGER cell — Spark's
+    * array_max struct ordering — and probe ties toward the SMALLER cell —
+    * sort_array ascending). Means are exact BIGINT sums of ⌊x·4096⌋
+    * components with `(Σq / n) / 4096` double division, matching
+    * trainCentroids' round-6 order-free quantized discipline — the change
+    * that made this query oracle-replayable at all. */
+  private lazy val AnnIvfOracleSql: String = {
+    def assignSql(name: String, cents: String, tieDir: String, filter: String): String =
+      s"""$name AS (SELECT vec_id, cl FROM (
+         |         SELECT e.vec_id, $cents.cl,
+         |                row_number() OVER (PARTITION BY e.vec_id
+         |                  ORDER BY list_inner_product(e.v, $cents.cv) DESC,
+         |                           $cents.cl $tieDir) AS rn
+         |         FROM e CROSS JOIN $cents$filter) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to 2).map { k =>
+      val prev = if (k == 1) "c0" else s"c${k - 1}"
+      s"""${assignSql(s"a$k", prev, "DESC", "")},
+         |s$k AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+         |       FROM (SELECT a$k.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+         |             FROM e JOIN a$k USING (vec_id))
+         |       GROUP BY cl, i),
+         |c$k AS (SELECT cl, list(CAST(sx AS DOUBLE) / n / 4096 ORDER BY i) AS cv
+         |       FROM s$k GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |                  list_transform(CAST(embedding AS DOUBLE[]),
+       |                                 x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+       |           FROM embeddings),
+       |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v AS cv
+       |       FROM e ORDER BY vec_id LIMIT 8),
+       |$rounds,
+       |${assignSql("a3", "c2", "DESC", "")},
+       |pq AS (SELECT q_id, cl FROM (
+       |        SELECT e.vec_id AS q_id, c2.cl,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY list_inner_product(e.v, c2.cv) DESC, c2.cl ASC) AS rn
+       |        FROM e CROSS JOIN c2 WHERE e.vec_id < 8) WHERE rn <= 2)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+       |  SELECT p.q_id, a3.vec_id AS n_id,
+       |         list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) AS sim,
+       |         row_number() OVER (PARTITION BY p.q_id
+       |           ORDER BY list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) DESC,
+       |                    a3.vec_id) AS rank
+       |  FROM pq p
+       |  JOIN a3 ON a3.cl = p.cl
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e en ON en.vec_id = a3.vec_id
+       |  JOIN nm nq ON nq.vec_id = p.q_id
+       |  JOIN nm nn2 ON nn2.vec_id = a3.vec_id
+       |  WHERE a3.vec_id <> p.q_id)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
     * query's oracles. */
@@ -6073,6 +6131,9 @@ object SparkEntry {
     // Full multiprobe replay (see AnnLshOracleSql) — this query moved from
     // rows-only to fully hash-compared in round 6.
     "q_ann_lsh" -> AnnLshOracleSql,
+    // Unrolled quantized-Lloyd replay (see AnnIvfOracleSql) — oracled in
+    // round 6 once trainCentroids switched to order-free integer sums.
+    "q_ann_ivf" -> AnnIvfOracleSql,
     "q_ann_pq_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",

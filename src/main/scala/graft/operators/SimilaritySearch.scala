@@ -216,7 +216,7 @@ object SimilaritySearch {
   /** Deterministic seeds + Lloyd refinement (means over the assigned
     * cells). Only the nlist × dim centroid model reaches the driver.
     *
-    * Per-cell means run as ONE hash aggregate with `dim` avg expressions
+    * Per-cell means run as ONE hash aggregate with `dim` sum expressions
     * inside an array() — map-side combine reduces the shuffle to nlist×dim
     * partial rows per iteration regardless of corpus size. The earlier
     * explode-per-dimension formulation shuffled corpus×dim rows into the
@@ -224,7 +224,18 @@ object SimilaritySearch {
     * per-cell sort; measured ~20% faster per iteration even at sf0.1's
     * trivial volume (graft.tools.IvfBench: 0.40 s vs 0.51 s), and the gap
     * is the whole explode volume at real scale. Empty input → empty model
-    * (callers answer degenerate corpora as no-ops, not crashes). */
+    * (callers answer degenerate corpora as no-ops, not crashes).
+    *
+    * Numeric discipline (since round 6, the [[Dedup.semanticModel]]
+    * contract): per-dim sums are EXACT BIGINTs over `⌊x·4096⌋`-quantized
+    * components, so the model — and therefore every IVF/PQ cell boundary
+    * and search result — is independent of partition/merge order (a double
+    * `avg` is not), bit-stable across cluster layouts, and replayable by a
+    * DuckDB oracle as unrolled CTEs (q_ann_ivf is fully oracled on the
+    * back of this). Centroid = (Σq / n) / 4096 — two correctly-rounded
+    * double divisions, the second exact (power of two). The ≤2⁻¹²
+    * quantization nudge is far inside the gates' recall slack. */
+  private val QuantScale = 4096
   private def trainCentroids(
       c: DataFrame,
       nlist: Int,
@@ -242,9 +253,15 @@ object SimilaritySearch {
       val means = c
         .withColumn("cell", assign(centroids, "nv"))
         .groupBy("cell")
-        .agg(array((0 until dims).map(i => avg(element_at(col("nv"), i + 1))): _*).as("mv"))
+        .agg(
+          array((0 until dims).map(i =>
+            sum(floor(element_at(col("nv"), i + 1) * QuantScale).cast("long"))): _*).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .map { r =>
+          val n = r.getLong(2)
+          r.getInt(0) -> r.getSeq[Long](1).map(s => s.toDouble / n / QuantScale).toArray
+        }
       if (means.nonEmpty) centroids = means
     }
     centroids
@@ -782,11 +799,16 @@ object SimilaritySearch {
           element_at(col("codes"), mi + 1).as("cell"),
           slice(col("nv"), mi * sub + 1, sub).as("sv"))
       }: _*)).as("e")
+      // exact integer-quantized sums (the trainCentroids discipline) —
+      // order-free partials, bit-stable model across cluster layouts
       val means = base
         .withColumn("codes", pqAssignCol(books, col("nv")))
         .select(entries)
         .groupBy(col("e.mi").as("mi"), col("e.cell").as("cell"))
-        .agg(array((0 until sub).map(i => avg(element_at(col("e.sv"), i + 1))): _*).as("mv"))
+        .agg(
+          array((0 until sub).map(i =>
+            sum(floor(element_at(col("e.sv"), i + 1) * 4096).cast("long"))): _*).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       val bySubspace = means.groupBy(_.getInt(0))
       books = Array.tabulate(m) { mi =>
@@ -794,7 +816,11 @@ object SimilaritySearch {
           // position order; cells that lost every member drop and positions
           // compact (relabeling — next iteration's assignment uses the new
           // positions consistently)
-          case Some(rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+          case Some(rs) =>
+            rs.sortBy(_.getInt(1)).map { r =>
+              val n = r.getLong(3)
+              r.getSeq[Long](2).map(s => s.toDouble / n / 4096).toArray
+            }
           case None => books(mi) // can't happen on a non-empty corpus; keep model
         }
       }
