@@ -2876,8 +2876,10 @@ object SparkEntry {
       }),
 
       // ANN: product quantization + ADC re-rank — 8 one-byte codes stand
-      // in for the 256-byte vector on the ranking scan (rows-only check;
-      // recall gate below)
+      // in for the 256-byte vector on the ranking scan. Fully oracled
+      // since round 6 (AnnPqOracleSql: per-subspace quantized-Lloyd CTEs +
+      // fixed-order ADC fold); the recall gate below additionally pins
+      // quality vs exact.
       "q_ann_pq" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         SimilaritySearch.pqTopK(e.filter(col("vec_id") < 8), e, 10).orderBy("q_id", "rank")
@@ -5408,6 +5410,80 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Full replay of [[graft.operators.SimilaritySearch.pqTopK]] at the
+    * q_ann_pq registration config (m=8, dim=64, nlist=16, iters=2,
+    * rerank=100): every subspace's two quantized-Lloyd rounds unroll as
+    * CTEs over the melted (vec_id, mi, subvector) frame — assignment ties
+    * toward the LARGER position (PqAssign's `>=` keep-last), empty cells
+    * compact positions per round exactly as the Spark model array does —
+    * then PQ encoding, the per-(query, candidate) ADC sum as a FIXED
+    * mi-ascending left fold (`list_reduce` ≡ Spark's `reduce(_ + _)` over
+    * the LUT adds; an unordered SUM() would be merge-order-dependent), the
+    * top-100 approximate cut, and the exact cosine re-rank. */
+  private lazy val AnnPqOracleSql: String = {
+    val rounds = (1 to 2).map { k =>
+      val prev = s"c${k - 1}"
+      s"""a$k AS (SELECT vec_id, mi, pos FROM (
+         |        SELECT es.vec_id, es.mi, $prev.pos,
+         |               row_number() OVER (PARTITION BY es.vec_id, es.mi
+         |                 ORDER BY list_inner_product(es.sv, $prev.cv) DESC,
+         |                          $prev.pos DESC) AS rn
+         |        FROM es JOIN $prev USING (mi)) WHERE rn = 1),
+         |s$k AS (SELECT mi, pos, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+         |       FROM (SELECT a$k.mi, a$k.pos, unnest(es.q) AS qx, unnest(range(1, 9)) AS i
+         |             FROM es JOIN a$k USING (vec_id, mi))
+         |       GROUP BY 1, 2, 3),
+         |c$k AS (SELECT mi,
+         |              CAST(row_number() OVER (PARTITION BY mi ORDER BY pos0) - 1
+         |                   AS INTEGER) AS pos, cv
+         |       FROM (SELECT mi, pos AS pos0, list(CAST(sx AS DOUBLE) / n / 4096 ORDER BY i) AS cv
+         |             FROM s$k GROUP BY mi, pos))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |es AS (SELECT vec_id, mi, v[mi*8+1 : mi*8+8] AS sv,
+       |              list_transform(v[mi*8+1 : mi*8+8],
+       |                             x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+       |       FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS mi)),
+       |c0 AS (SELECT mi,
+       |              CAST(row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
+       |                   AS INTEGER) AS pos, sv AS cv
+       |       FROM es WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+       |$rounds,
+       |codes AS (SELECT vec_id, mi, pos FROM (
+       |        SELECT es.vec_id, es.mi, c2.pos,
+       |               row_number() OVER (PARTITION BY es.vec_id, es.mi
+       |                 ORDER BY list_inner_product(es.sv, c2.cv) DESC, c2.pos DESC) AS rn
+       |        FROM es JOIN c2 USING (mi)) WHERE rn = 1),
+       |adc AS (SELECT q_id, n_id, list_reduce(list(ip ORDER BY mi), (a, b) -> a + b) AS adc
+       |        FROM (SELECT qs.vec_id AS q_id, codes.vec_id AS n_id, codes.mi AS mi,
+       |                     list_inner_product(qs.sv, c2.cv) AS ip
+       |              FROM codes
+       |              JOIN c2 USING (mi, pos)
+       |              JOIN es qs ON qs.mi = codes.mi AND qs.vec_id < 8
+       |              WHERE codes.vec_id <> qs.vec_id)
+       |        GROUP BY q_id, n_id),
+       |sur AS (SELECT q_id, n_id FROM (
+       |         SELECT adc.q_id, adc.n_id,
+       |                row_number() OVER (PARTITION BY adc.q_id
+       |                  ORDER BY adc.adc / (nq.nrm * nn2.nrm) DESC, adc.n_id) AS arank
+       |         FROM adc
+       |         JOIN nm nq ON nq.vec_id = adc.q_id
+       |         JOIN nm nn2 ON nn2.vec_id = adc.n_id) WHERE arank <= 100)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+       |  SELECT s.q_id, s.n_id,
+       |         list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) AS sim,
+       |         row_number() OVER (PARTITION BY s.q_id
+       |           ORDER BY list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) DESC,
+       |                    s.n_id) AS rank
+       |  FROM sur s
+       |  JOIN e eq ON eq.vec_id = s.q_id
+       |  JOIN e en ON en.vec_id = s.n_id
+       |  JOIN nm nq ON nq.vec_id = s.q_id
+       |  JOIN nm nn2 ON nn2.vec_id = s.n_id)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
     * query's oracles. */
@@ -6134,6 +6210,8 @@ object SparkEntry {
     // Unrolled quantized-Lloyd replay (see AnnIvfOracleSql) — oracled in
     // round 6 once trainCentroids switched to order-free integer sums.
     "q_ann_ivf" -> AnnIvfOracleSql,
+    // Per-subspace quantized-Lloyd + fixed-fold ADC replay (AnnPqOracleSql).
+    "q_ann_pq" -> AnnPqOracleSql,
     "q_ann_pq_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",
