@@ -4069,9 +4069,10 @@ object SparkEntry {
           .orderBy("doc_id")),
 
       // Semantic diversity downsample (SimilaritySearch.diversitySample):
-      // k-means cell assignment + per-cell hash-lottery cap. Cell ids are
-      // engine-specific (Lloyd on this engine's seeds) → rows-only; the
-      // oracled gate below pins the invariants.
+      // k-means cell assignment + per-cell hash-lottery cap. Fully oracled
+      // since round 6: the quantized-Lloyd model replays as CTEs and the
+      // lottery is the engine-replayable Knuth multiplicative hash; the
+      // gate below still pins the structural invariants.
       "q_diverse_sample" -> ((s, dir) =>
         graft.operators.SimilaritySearch
           .diversitySample(Tables.embeddings(s, dir), cap = 40)
@@ -5362,7 +5363,12 @@ object SparkEntry {
     * components with `(Σq / n) / 4096` double division, matching
     * trainCentroids' round-6 order-free quantized discipline — the change
     * that made this query oracle-replayable at all. */
-  private lazy val AnnIvfOracleSql: String = {
+  /** Shared k-means CTE prefix (e/nm/c0/rounds/a3) for the IVF-model
+    * oracles — q_ann_ivf appends the probe + re-rank, q_diverse_sample the
+    * per-cell Knuth-hash lottery. */
+  private lazy val IvfModelCtesSql: String = AnnIvfCtes._1
+  private lazy val AnnIvfOracleSql: String = AnnIvfCtes._2
+  private lazy val AnnIvfCtes: (String, String) = {
     def assignSql(name: String, cents: String, tieDir: String, filter: String): String =
       s"""$name AS (SELECT vec_id, cl FROM (
          |         SELECT e.vec_id, $cents.cl,
@@ -5380,7 +5386,7 @@ object SparkEntry {
          |c$k AS (SELECT cl, list(CAST(sx AS DOUBLE) / n / 4096 ORDER BY i) AS cv
          |       FROM s$k GROUP BY cl)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    val model = s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |                  list_transform(CAST(embedding AS DOUBLE[]),
        |                                 x -> CAST(floor(x * 4096) AS BIGINT)) AS q
        |           FROM embeddings),
@@ -5388,7 +5394,8 @@ object SparkEntry {
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v AS cv
        |       FROM e ORDER BY vec_id LIMIT 8),
        |$rounds,
-       |${assignSql("a3", "c2", "DESC", "")},
+       |${assignSql("a3", "c2", "DESC", "")}""".stripMargin
+    val search = s"""WITH $model,
        |pq AS (SELECT q_id, cl FROM (
        |        SELECT e.vec_id AS q_id, c2.cl,
        |               row_number() OVER (PARTITION BY e.vec_id
@@ -5408,7 +5415,19 @@ object SparkEntry {
        |  JOIN nm nn2 ON nn2.vec_id = a3.vec_id
        |  WHERE a3.vec_id <> p.q_id)
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    (model, search)
   }
+
+  /** [[graft.operators.SimilaritySearch.diversitySample]] replay: the
+    * shared quantized-Lloyd assignment plus the per-cell Knuth-hash
+    * lottery cut (cap 40 — the registration config). */
+  private lazy val DiverseSampleOracleSql: String =
+    s"""WITH $IvfModelCtesSql
+       |SELECT vec_id, cell, rk FROM (
+       |  SELECT vec_id, cl AS cell,
+       |         CAST(row_number() OVER (PARTITION BY cl
+       |           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS BIGINT) AS rk
+       |  FROM a3) WHERE rk <= 40 ORDER BY vec_id""".stripMargin
 
   /** Full replay of [[graft.operators.SimilaritySearch.pqTopK]] at the
     * q_ann_pq registration config (m=8, dim=64, nlist=16, iters=2,
@@ -6212,6 +6231,8 @@ object SparkEntry {
     "q_ann_ivf" -> AnnIvfOracleSql,
     // Per-subspace quantized-Lloyd + fixed-fold ADC replay (AnnPqOracleSql).
     "q_ann_pq" -> AnnPqOracleSql,
+    // Shared IVF model CTEs + the replayable Knuth-hash lottery.
+    "q_diverse_sample" -> DiverseSampleOracleSql,
     "q_ann_pq_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",

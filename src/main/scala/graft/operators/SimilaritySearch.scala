@@ -281,7 +281,13 @@ object SimilaritySearch {
     * at-most-cell-size rows; with heavy clustering one cell can be large,
     * but the window only top-k's it (WindowGroupLimit prunes past `cap`
     * per partition before the sort completes). Returns
-    * (vec_id, cell, rk ≤ cap). */
+    * (vec_id, cell, rk ≤ cap).
+    *
+    * The lottery key is the suite's Knuth multiplicative hash
+    * `(id·2654435761) mod 2³²` (int64-safe for id < ~3.4e9; the
+    * train-split idiom) rather than xxhash64 — engine-replayable integer
+    * arithmetic, which together with the order-free quantized Lloyd model
+    * makes this query fully DuckDB-oracled. */
   def diversitySample(
       embeddings: DataFrame,
       cap: Int,
@@ -296,7 +302,7 @@ object SimilaritySearch {
     }
     val byCell = Window
       .partitionBy(col("cell"))
-      .orderBy(xxhash64(col("n_id")), col("n_id"))
+      .orderBy(pmod(col("n_id") * lit(2654435761L), lit(4294967296L)), col("n_id"))
     c.withColumn("cell", assign(centroids, "nv"))
       .withColumn("rk", row_number().over(byCell).cast("long"))
       .filter(col("rk") <= cap)
