@@ -4068,6 +4068,20 @@ object SparkEntry {
           .linearClassifier(Tables.documents(s, dir), ClassifierWeights, BigDecimal("-1.000"))
           .orderBy("doc_id")),
 
+      // Topic keywords: the composed topic-model surface — quantized-Lloyd
+      // semantic cells over the embeddings (the q_ann_ivf model) joined to
+      // the documents (aligned ids), labeled by c-TF-IDF distinctive terms
+      // per CELL (the BERTopic recipe: cluster → class-based TF-IDF).
+      // Fully oracled: both halves replay (shared IVF-model CTEs + the
+      // distinctive-terms SQL with cell as the class).
+      "q_topic_keywords" -> ((s, dir) => {
+        val cells = graft.operators.SimilaritySearch.semanticCells(Tables.embeddings(s, dir))
+        val docs = Tables.documents(s, dir)
+          .join(cells, col("doc_id") === col("vec_id"))
+          .select(col("cell"), col("text"))
+        graft.operators.TextIndex.distinctiveTermsBy(docs, "cell", 5).orderBy("cell", "rk")
+      }),
+
       // Semantic diversity downsample (SimilaritySearch.diversitySample):
       // k-means cell assignment + per-cell hash-lottery cap. Fully oracled
       // since round 6: the quantized-Lloyd model replays as CTEs and the
@@ -5503,6 +5517,30 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** [[graft.operators.TextIndex.distinctiveTermsBy]] over the semantic
+    * cells: the shared quantized-Lloyd assignment joined to documents
+    * (doc_id ≡ vec_id in the test star), then the c-TF-IDF scoring with
+    * `cell` as the class column. */
+  private lazy val TopicKeywordsOracleSql: String =
+    s"""WITH $IvfModelCtesSql,
+       |dd AS (SELECT a3.cl AS cell, d.text FROM documents d JOIN a3 ON a3.vec_id = d.doc_id),
+       |tf AS (SELECT cell, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT cell, unnest($ToksSql) AS tok FROM dd)
+       |       GROUP BY 1, 2),
+       |ps AS (SELECT cell, CAST(sum(tf) AS BIGINT) AS n_s FROM tf GROUP BY 1),
+       |pt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS f_t FROM tf GROUP BY 1),
+       |av AS (SELECT CAST(sum(n_s) AS DOUBLE) / count(DISTINCT cell) AS a_tok FROM ps),
+       |sc AS (SELECT tf.cell, tf.tok, tf.tf,
+       |              (CAST(tf.tf AS DOUBLE) / n_s)
+       |                * round(ln(1.0 + a_tok / f_t), 9) AS score
+       |       FROM tf JOIN ps USING (cell) JOIN pt USING (tok), av),
+       |rr AS (SELECT cell, tok, tf, score,
+       |             CAST(row_number() OVER (PARTITION BY cell
+       |                                     ORDER BY score DESC, tok) AS BIGINT) AS rk
+       |      FROM sc)
+       |SELECT cell, rk, tok, tf, round(score, 9) AS score
+       |FROM rr WHERE rk <= 5 ORDER BY cell, rk""".stripMargin
+
   /** Blocked word-3-gram Jaccard pair set (mirrors Dedup.ngramJaccardPairs
     * incl. the bucket cap) — shared by the pair query and the survivor
     * query's oracles. */
@@ -6233,6 +6271,8 @@ object SparkEntry {
     "q_ann_pq" -> AnnPqOracleSql,
     // Shared IVF model CTEs + the replayable Knuth-hash lottery.
     "q_diverse_sample" -> DiverseSampleOracleSql,
+    // Shared IVF model CTEs + the c-TF-IDF class SQL with cell classes.
+    "q_topic_keywords" -> TopicKeywordsOracleSql,
     "q_ann_pq_recall" -> AnnRecallOracleSql,
     "q_ann_ivf_index_gate" -> AnnRecallOracleSql.replace(
       "TRUE AS recall_ok",

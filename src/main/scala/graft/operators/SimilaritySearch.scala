@@ -309,6 +309,27 @@ object SimilaritySearch {
       .select(col("n_id").as("vec_id"), col("cell"), col("rk"))
   }
 
+  /** The corpus's semantic-cell assignment under the deterministic
+    * quantized-Lloyd model — `(vec_id, cell)`. The clustering half of
+    * [[diversitySample]] exposed on its own, for compositions that attach
+    * cell structure to OTHER tables (topic keywords join it to documents;
+    * any per-cluster rollup works the same way). Engine-replayable: the
+    * model unrolls as oracle CTEs (the q_ann_ivf contract). */
+  def semanticCells(
+      embeddings: DataFrame,
+      nlist: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val c = withNorm(embeddings, "n_id", "nv", "nn")
+    val centroids = trainCentroids(c, nlist, iters)
+    if (centroids.isEmpty) {
+      val s = embeddings.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int)].toDF("vec_id", "cell")
+    }
+    c.withColumn("cell", assign(centroids, "nv"))
+      .select(col("n_id").as("vec_id"), col("cell"))
+  }
+
   /** Persisted IVF index — the build/search split of [[ivfTopK]] for a
     * corpus that outlives one job (the ANN sibling of the persisted
     * MinHash index, [[Dedup.minhashIndex]]). Layout under `dir`:

@@ -106,26 +106,32 @@ object TextIndex {
     * Scale shape: one exploded-token shuffle into the (source × term)
     * grid; marginals roll up FROM the grid (no second corpus pass); the
     * rank window partitions by source over vocabulary-sized rows. */
-  def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+  def distinctiveTerms(documents: DataFrame, k: Int = 5): DataFrame =
+    distinctiveTermsBy(documents, "source", k)
+
+  /** [[distinctiveTerms]] generalized to any class column — the c-TF-IDF
+    * core parameterized by what a "class" is (source, semantic cell, split,
+    * …). Same plan shape and numeric contract for any class cardinality. */
+  def distinctiveTermsBy(documents: DataFrame, classCol: String, k: Int): DataFrame = {
     val tf = documents
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("source", "tok")
+      .select(col(classCol), explode(tokens(col("text"))).as("tok"))
+      .groupBy(classCol, "tok")
       .agg(count(lit(1)).cast("long").as("tf"))
-    val perSource = tf.groupBy("source").agg(sum("tf").cast("long").as("n_s"))
+    val perClass = tf.groupBy(classCol).agg(sum("tf").cast("long").as("n_s"))
     val perTerm = tf.groupBy("tok").agg(sum("tf").cast("long").as("f_t"))
-    val avg = perSource.agg(
-      (sum("n_s").cast("double") / countDistinct(col("source"))).as("a_tok"))
-    val bySource = Window.partitionBy(col("source"))
+    val avg = perClass.agg(
+      (sum("n_s").cast("double") / countDistinct(col(classCol))).as("a_tok"))
+    val byClass = Window.partitionBy(col(classCol))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(perSource), Seq("source"))
+    tf.join(broadcast(perClass), Seq(classCol))
       .join(perTerm, Seq("tok"))
       .crossJoin(broadcast(avg))
       .withColumn("score",
         (col("tf").cast("double") / col("n_s")) *
           round(log(lit(1.0) + col("a_tok") / col("f_t")), 9))
-      .withColumn("rk", row_number().over(bySource).cast("long"))
+      .withColumn("rk", row_number().over(byClass).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("source"), col("rk"), col("tok"), col("tf"),
+      .select(col(classCol), col("rk"), col("tok"), col("tf"),
         round(col("score"), 9).as("score"))
   }
 
