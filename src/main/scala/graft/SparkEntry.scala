@@ -3395,7 +3395,10 @@ object SparkEntry {
         Tables.events(s, dir)
           .agg(
             countDistinct(col("user_id")).as("n_exact_users"),
-            approx_count_distinct(col("user_id")).as("est"),
+            // rsd 0.02: the default 0.05 makes the 5% accuracy gate
+            // razor-thin (observed FALSE at sf0.1's 1500-user cardinality);
+            // a 2% sketch keeps the gate honest with margin at any SF
+            approx_count_distinct(col("user_id"), 0.02).as("est"),
             expr("percentile(value, 0.4)").as("p40"),
             expr("percentile(value, 0.6)").as("p60"),
             expr("approx_percentile(value, 0.5, 10000)").as("med_est"))
@@ -3665,7 +3668,13 @@ object SparkEntry {
           .select(
             col("doc_id"),
             col("n_tokens"),
-            round(col("slp").cast("double") / col("n_tokens").cast("double"), 4)
+            // floor(x*1e4+0.5)/1e4, not round(·,4): round() interprets the
+            // double's SHORTEST decimal repr in Spark but the exact binary
+            // value in DuckDB, and a boundary row (observed at sf0.1:
+            // -4.89955) flips between engines; floor operates on
+            // the binary value identically everywhere (the quantizeInt8
+            // doctrine applied to the output edge).
+            (floor(col("slp").cast("double") / col("n_tokens").cast("double") * 1e4 + 0.5) / 1e4)
               .as("logprob"))
           .orderBy("doc_id")
       }),
@@ -3721,7 +3730,7 @@ object SparkEntry {
             col("doc_id"),
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
             coalesce(
-              round(col("slp").cast("double") / col("n_bigrams").cast("double"), 4),
+              floor(col("slp").cast("double") / col("n_bigrams").cast("double") * 1e4 + 0.5) / 1e4,
               lit(0.0)).as("logprob"))
           .orderBy("doc_id")
       }),
@@ -5502,7 +5511,7 @@ object SparkEntry {
        |                  ORDER BY adc.adc / (nq.nrm * nn2.nrm) DESC, adc.n_id) AS arank
        |         FROM adc
        |         JOIN nm nq ON nq.vec_id = adc.q_id
-       |         JOIN nm nn2 ON nn2.vec_id = adc.n_id) WHERE arank <= 100)
+       |         JOIN nm nn2 ON nn2.vec_id = adc.n_id) WHERE arank <= 200)
        |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM (
        |  SELECT s.q_id, s.n_id,
        |         list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) AS sim,
@@ -6742,8 +6751,8 @@ object SparkEntry {
          |                   AS DECIMAL(20,6)) AS lp
          |       FROM v, t)
          |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
-         |       round(CAST(sum(dt.c * lp.lp) AS DOUBLE)
-         |             / CAST(sum(dt.c) AS DOUBLE), 4) AS logprob
+         |       floor(CAST(sum(dt.c * lp.lp) AS DOUBLE)
+         |             / CAST(sum(dt.c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS logprob
          |FROM dt JOIN lp USING (tok)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Parallel unnest of the two shifted slices zips positionally — the
@@ -6768,7 +6777,7 @@ object SparkEntry {
          |       FROM dbg JOIN lp USING (w1, w2) GROUP BY 1)
          |SELECT dd.doc_id,
          |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |       coalesce(round(CAST(slp AS DOUBLE) / n_bigrams, 4), 0.0) AS logprob
+         |       coalesce(floor(CAST(slp AS DOUBLE) / n_bigrams * 1e4 + 0.5) / 1e4, 0.0) AS logprob
          |FROM documents dd LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_length_deciles" ->
       """WITH t AS (SELECT doc_id, n_chars,

@@ -723,7 +723,7 @@ object SimilaritySearch {
       queries: DataFrame,
       k: Int,
       nprobe: Int = 2,
-      rerank: Int = 100): DataFrame = {
+      rerank: Int = 200): DataFrame = {
     import spark.implicits._
     val centroids = readCentroids(spark, dir)
     val books = readCodebooks(spark, dir).map(_.map(_._2))
@@ -890,10 +890,11 @@ object SimilaritySearch {
     * embeddings (a survivors-only join — O(queries·rerank) rows). At
     * corpus scale the first stage reads ONLY the code table.
     * Deterministic given the deterministic Lloyd seeds; recall floor
-    * pinned by the oracled gate (measured recall@10 on the worst-case
-    * random embeddings, m=8/nlist=16/rerank=100: 0.87 on the sf0.001
-    * 20-query set, 0.91 on the sf0.01 8-query set —
-    * tools/AnnRecallProbe). */
+    * pinned by the oracled gate. Default rerank=200: the survivor budget
+    * must grow with the corpus for recall to hold (rerank=100 measured
+    * 0.87/0.91 at the 500-vector SFs but fell below the 0.7 floor on the
+    * 2000-vector sf0.1 corpus); at real scale size rerank ∝ the
+    * acceptable exact-rerank cost, not the corpus. */
   def pqTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -902,7 +903,7 @@ object SimilaritySearch {
       dim: Int = 64,
       nlist: Int = 16,
       iters: Int = 2,
-      rerank: Int = 100): DataFrame = {
+      rerank: Int = 200): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val codebooks = pqTrain(candidates, m, dim, nlist, iters)
