@@ -2945,6 +2945,78 @@ object SparkEntry {
           .withColumn("matches_pq_all_cells", lit(diff == 0L))
       }),
 
+      // Filtered vector search, PRE-FILTER strategy: top-10 under a
+      // selective metadata predicate (label IN (3,9) keeps ~22% of the
+      // corpus). The predicate lands in the parquet scan as a pushed
+      // filter BEFORE the pairwise stage (PlanShapeSpec), so the re-rank
+      // touches only survivors — exact by construction, fully oracled.
+      "q_ann_filtered" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch
+          .filteredTopK(e.filter(col("vec_id") < 8), e, col("label").isin(3, 9), 10)
+          .orderBy("q_id", "rank")
+      }),
+
+      // Filtered vector search, POST-FILTER strategy gate: a LOOSE
+      // predicate (label <> 3 keeps ~88%) probed through the UNFILTERED
+      // IVF index with a 4× inflated budget, predicate applied to the
+      // head-sized hit list (broadcast join, corpus never re-scanned).
+      // recall_ok asserts overlap vs the exact pre-filter path; fill_ok
+      // asserts every query still fills k after filtering — the two
+      // failure modes the post-filter strategy trades for index reuse.
+      // n_exact is the DuckDB-recomputed filtered brute-force count.
+      // Measured (tools/AnnRecallProbe): recall 0.72/0.91, full fill at
+      // both verify SFs — under this loose predicate the binding loss is
+      // IVF's own cell pruning (inflate saturates by 2×), so the floor
+      // 0.5 tracks the q_ann_ivf_recall floor rather than the filter.
+      "q_ann_filtered_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val pred = col("label") =!= 3
+        val exact =
+          SimilaritySearch.filteredTopK(q, e, pred, 10).select("q_id", "n_id")
+        val post = SimilaritySearch
+          .filteredTopKPost(q, e, pred, 10, inflate = 4)
+          .select("q_id", "n_id")
+        // Counted against the QUERY set, not the hit list — a query with
+        // zero surviving hits must fail fill_ok, not vanish from the group.
+        val nQ = q.count()
+        val nFilled = post.groupBy("q_id").count().filter(col("count") === 10).count()
+        exact
+          .join(post.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left_outer")
+          .agg(
+            count(lit(1)).cast("long").as("n_exact"),
+            count(col("hit")).cast("double").as("hits"))
+          .select(
+            col("n_exact"),
+            when(col("n_exact") > 0, col("hits") / col("n_exact") >= 0.5)
+              .otherwise(lit(true))
+              .as("recall_ok"),
+            lit(nFilled == nQ).as("fill_ok"))
+      }),
+
+      // Hybrid retrieval: BM25 lane (top-20 literal-term hits) × vector
+      // lane (top-20 cosine neighbors per query), fused per query by
+      // reciprocal-rank fusion — the standard hybrid-search combiner.
+      // The shared text hit list replicates across the 8 query ids via a
+      // broadcast cross join (head-sized: 8×20 rows; production would
+      // carry per-query term lists). Fully oracled: both lanes' SQL
+      // already replay (q_ann_bruteforce + q_bm25_topk CTEs) and the
+      // fused score is a fixed two-term IEEE sum rounded to 12dp.
+      "q_hybrid_rrf" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val vec = SimilaritySearch
+          .bruteForceTopK(e.filter(col("vec_id") < 8), e, 20)
+          .select(col("q_id"), col("n_id").as("id"), col("rank"))
+        val txt = graft.operators.TextIndex
+          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 20)
+          .select(col("doc_id").as("id"), col("rk").as("rank"))
+        val qids = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"))
+        SimilaritySearch
+          .rrfFuse(vec, qids.crossJoin(broadcast(txt)), 10)
+          .orderBy("q_id", "rank")
+      }),
+
       // Hard-negative mining: per query, the top-5 most-similar
       // DIFFERENT-label vectors — the contrastive-training pair source.
       // Same broadcast-query/one-corpus-scan shape as q_ann_bruteforce.
@@ -6265,6 +6337,86 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
         |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Pre-filter filtered vector search: exact by construction — the oracle
+    // is the brute-force replay with the predicate inside the candidate CTE.
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings WHERE label IN (3, 9)),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Post-filter strategy gate: n_exact recomputed from the filtered
+    // brute-force top-k; recall_ok/fill_ok are Spark-side assertions (TRUE
+    // expected — a recall or fill regression hash-mismatches here).
+    "q_ann_filtered_gate" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings WHERE label <> 3),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok, TRUE AS fill_ok
+        |FROM r WHERE rank <= 10""".stripMargin,
+    // Hybrid RRF: both lanes replay (the q_ann_bruteforce cosine CTEs at
+    // top-20 + the q_bm25_topk scoring CTEs at LIMIT 20, replicated per
+    // query id); the fused score is a fixed two-term IEEE double sum
+    // rounded to 12dp, so ranks and scores hash-match bit-for-bit.
+    "q_hybrid_rrf" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         |sv AS (SELECT q_id, n_id,
+         |              list_inner_product(qv, nv) /
+         |                (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+         |       FROM c CROSS JOIN q WHERE q_id <> n_id),
+         |v AS (SELECT q_id, n_id AS id, rank_a FROM (
+         |        SELECT q_id, n_id,
+         |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank_a
+         |        FROM sv)
+         |      WHERE rank_a <= 20),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sb AS (SELECT tf.doc_id,
+         |              ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |              * (CAST(tf AS DOUBLE) * 2.2
+         |                 / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |       FROM tf JOIN dfq USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |ab AS (SELECT doc_id,
+         |              round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |       FROM sb GROUP BY 1),
+         |tx AS (SELECT doc_id AS id,
+         |              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_b
+         |       FROM (SELECT doc_id, score FROM ab ORDER BY score DESC, doc_id LIMIT 20)),
+         |txq AS (SELECT qq.q_id, tx.id, tx.rank_b
+         |        FROM (SELECT DISTINCT q_id FROM q) qq CROSS JOIN tx),
+         |f AS (SELECT coalesce(v.q_id, txq.q_id) AS q_id, coalesce(v.id, txq.id) AS id,
+         |             v.rank_a, txq.rank_b
+         |      FROM v FULL OUTER JOIN txq ON v.q_id = txq.q_id AND v.id = txq.id),
+         |fs AS (SELECT q_id, id, rank_a, rank_b,
+         |              round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), CAST(0 AS DOUBLE))
+         |                    + coalesce(CAST(1 AS DOUBLE) / (60 + rank_b), CAST(0 AS DOUBLE)), 12) AS score
+         |       FROM f),
+         |rr AS (SELECT q_id, id, score, rank_a, rank_b,
+         |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS BIGINT) AS rank
+         |       FROM fs)
+         |SELECT q_id, id, rank, score, rank_a, rank_b
+         |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Recall gates: n_exact recomputed from the same brute-force top-k the
     // oracled q_ann_bruteforce uses; recall_ok is the Spark-side floor
     // assertion (TRUE expected — a recall regression hash-mismatches here).

@@ -6,19 +6,29 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (SURVEY.md §7.2 M5). Two paths:
+/** Vector search over an embedding column (SURVEY.md §7.2 M5).
   *
-  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline. The
-  *    (small) query set is broadcast against the full candidate corpus, so
-  *    the corpus is scanned once, partition-parallel, with no shuffle of the
-  *    candidate side; only the per-query top-k heads shuffle (window by
-  *    query). Norms are precomputed per side, never per pair.
+  * Exact baseline: [[bruteForceTopK]] — the (small) query set is broadcast
+  * against the full candidate corpus, so the corpus is scanned once,
+  * partition-parallel, with no shuffle of the candidate side; only the
+  * per-query top-k heads shuffle (window by query). Norms are precomputed
+  * per side, never per pair.
   *
-  *  - [[lshTopK]]: the 100 TB path — signed-random-projection buckets bound
-  *    each query's candidate set to its bucket; exact cosine re-ranks inside
-  *    the bucket. Recall trades off against `numPlanes`; multiprobe (flip one
-  *    bit) widens recall without a second corpus scan.
+  * Scale paths, by what bounds the per-query work:
+  *  - [[lshTopK]]: signed-random-projection buckets + query-directed
+  *    multiprobe — recall trades off against `numPlanes`/`probes`.
+  *  - [[ivfTopK]] / [[ivfIndexBuild]]+[[ivfIndexSearch]]: coarse k-means
+  *    cells, `nprobe` re-ranked — plus the persisted, cell-partitioned
+  *    (partition-pruned) index lifecycle with streaming append/compact.
+  *  - [[pqTopK]] / [[ivfPqIndexBuild]]+[[ivfPqIndexSearch]]: product-
+  *    quantized 8-byte codes scanned via ADC, survivors exact-re-ranked;
+  *    composed with IVF cells this is the 100 TB serving architecture.
+  *
+  * Serving-side compositions: [[filteredTopK]]/[[filteredTopKPost]]
+  * (metadata-predicate filtered search, pre- vs post-filter strategies),
+  * [[rrfFuse]] (hybrid BM25×vector reciprocal-rank fusion),
+  * [[mmrRerank]] (diversity), [[hardNegatives]], [[labelNoiseScan]],
+  * [[truncationRankingMetrics]] (Matryoshka audit), [[diversitySample]].
   */
 object SimilaritySearch {
 
@@ -978,6 +988,87 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Metadata-filtered exact top-k — the PRE-FILTER strategy. The predicate
+    * is applied to the candidate corpus BEFORE the pairwise stage, so it
+    * reaches the parquet scan as a pushed filter (plan-guarded in
+    * PlanShapeSpec) and the broadcast-query re-rank touches only survivors.
+    *
+    * Strategy rule (the classic filtered-vector-search trade-off): pre-filter
+    * wins when the predicate is SELECTIVE — the scan shrinks by the
+    * selectivity factor and recall is exact by construction. When the
+    * predicate keeps most of the corpus and a prebuilt unfiltered index
+    * exists, prefer [[filteredTopKPost]] — searching the index with an
+    * inflated budget avoids re-scanning (or re-indexing) the corpus per
+    * predicate. Crossover is at roughly selectivity ≈ 1/inflate: below it
+    * the filtered scan is cheaper than the inflated index probe. */
+  def filteredTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      pred: Column,
+      k: Int): DataFrame =
+    bruteForceTopK(queries, candidates.filter(pred), k)
+
+  /** Metadata-filtered top-k — the POST-FILTER strategy over an UNFILTERED
+    * coarse index: probe [[ivfTopK]] with an inflated `k·inflate` budget,
+    * keep only hits satisfying the predicate, re-rank, cut to `k`.
+    *
+    * Scale shape: the hit list is queries×k·inflate rows (broadcast-small),
+    * so the predicate join scans the metadata side once with the predicate
+    * pushed down and the hit list broadcast — the corpus is never re-scanned
+    * and no second index is built. Approximation is two-layered (cell
+    * pruning × budget truncation): a query whose neighborhood is dominated
+    * by non-matching vectors can under-fill below `k` — the recall gate
+    * (`q_ann_filtered_gate`) measures exactly this against the exact
+    * pre-filter path. Raise `inflate` (or `nprobe`) when the predicate is
+    * loose-but-skewed; switch to [[filteredTopK]] when it is selective. */
+  def filteredTopKPost(
+      queries: DataFrame,
+      candidates: DataFrame,
+      pred: Column,
+      k: Int,
+      inflate: Int = 4,
+      nlist: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val allowed = candidates.filter(pred).select(col("vec_id").as("n_id"))
+    val hits = ivfTopK(queries, candidates, k * inflate, nlist, nprobe)
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    allowed
+      .join(broadcast(hits), Seq("n_id"))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two per-query
+    * ranked hit lists — THE standard hybrid-retrieval combiner (BM25 lane ×
+    * vector lane). Inputs are `(q_id, id, rank)`; a full-outer join on
+    * `(q_id, id)` unions the lists and each lane contributes
+    * `1/(k0+rank)` (0 when absent), so documents found by both lanes rise.
+    *
+    * Scale shape: rank lists are per-query HEADS (top-N rows each), so the
+    * fusion join is head-sized regardless of corpus size — the expensive
+    * work is the upstream retrievals, which carry their own scale paths
+    * ([[ivfPqIndexSearch]], TextIndex.bm25TopK's pre-shuffle term filter).
+    * Numeric contract: the fused score is a FIXED two-term IEEE sum (not an
+    * aggregate), rounded to 12dp — replays bit-identically in any engine.
+    * Ties break on `id` ascending. `rank_a`/`rank_b` are kept (NULL when a
+    * lane missed the doc) as provenance for downstream blending. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    val sa = a.select(col("q_id"), col("id"), col("rank").as("rank_a"))
+    val sb = b.select(col("q_id"), col("id"), col("rank").as("rank_b"))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    sa.join(sb, Seq("q_id", "id"), "full_outer")
+      .withColumn(
+        "score",
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)),
+          12))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "id", "rank", "score", "rank_a", "rank_b")
   }
 
   /** Ranking-quality metrics for a degraded retrieval path vs the exact

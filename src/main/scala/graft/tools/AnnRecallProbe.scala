@@ -40,6 +40,16 @@ object AnnRecallProbe {
         println(f"  planes=$planes probes=$t (${t.toDouble / (1 << planes)}%.2f of buckets): " +
           f"recall=${lsh.intersect(exact).size.toDouble / exact.size}%.3f")
       }
+      // post-filter strategy recall vs the exact PRE-filter path, loose
+      // predicate (label <> 3 keeps ~88%) — the q_ann_filtered_gate config
+      val pred = col("label") =!= 3
+      val fExact = rs(SimilaritySearch.filteredTopK(queries, emb, pred, 10))
+      for (inflate <- Seq(2, 4, 8)) {
+        val fPost = rs(SimilaritySearch.filteredTopKPost(queries, emb, pred, 10, inflate))
+        println(f"  filtered post(inflate=$inflate): " +
+          f"recall=${fPost.intersect(fExact).size.toDouble / fExact.size}%.3f " +
+          f"fill=${fPost.size}/${fExact.size}")
+      }
     }
     spark.stop()
   }

@@ -101,6 +101,20 @@ object R6ScaleBench {
       SimilaritySearch.ivfPqIndexSearch(spark, idx, queries, 10, nprobe = 2).count())
     time("pqTopK full-corpus (train+encode+scan)")(
       SimilaritySearch.pqTopK(queries, corpus, 10).count())
+
+    // -- 4. filtered ANN: pre- vs post-filter strategy at the same corpus --
+    // The documented crossover (selectivity ≈ 1/inflate): a selective
+    // predicate should favor the pre-filter exact scan (corpus shrinks at
+    // the source); a loose one should favor probing the unfiltered IVF at
+    // an inflated budget (corpus never re-scanned quadratically).
+    for ((nm, pred) <- Seq(
+        ("selective ~10%", col("label") === 3),
+        ("loose ~90%", col("label") =!= 3))) {
+      time(s"pre-filter exact ($nm)")(
+        SimilaritySearch.filteredTopK(queries, corpus, pred, 10).count())
+      time(s"post-filter IVF  ($nm)")(
+        SimilaritySearch.filteredTopKPost(queries, corpus, pred, 10).count())
+    }
     spark.stop()
   }
 }

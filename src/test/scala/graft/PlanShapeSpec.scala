@@ -53,6 +53,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_filtered: the metadata predicate reaches the embeddings scan as a pushed filter") {
+    // The pre-filter strategy's whole point: the selective predicate shrinks
+    // the corpus AT THE SCAN, before the quadratic re-rank stage sees it.
+    val p = plan("q_ann_filtered")
+    assert(p.contains("PushedFilters: [") && p.contains("In(label"),
+      s"label predicate not pushed to the scan:\n$p")
+  }
+
+  test("q_hybrid_rrf: lanes fuse head-sized — text lane broadcast, no cartesian") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // the shared text hit list replicates via broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"text lane not broadcast:\n$p")
+  }
+
   test("q5_local_volume: dims broadcast, facts hash-join, no cartesian/nested-loop") {
     val p = plan("q5_local_volume")
     assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")

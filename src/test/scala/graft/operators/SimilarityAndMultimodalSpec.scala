@@ -84,6 +84,47 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(fromPool.toSeq === direct.toSeq)
   }
 
+  test("filteredTopK: predicate restricts the pool; survivors re-close the ranks") {
+    // Labels: near-dups of the query (1, 4) are label 0; the orthogonals
+    // (2, 3) are label 1. Filtering to label 1 must skip the true nearest
+    // neighbors entirely and rank only the orthogonal survivors.
+    val labeled = vecs.withColumn("label", when(col("vec_id").isin(1L, 4L), 0).otherwise(1))
+    val out = SimilaritySearch
+      .filteredTopK(labeled.filter(col("vec_id") === 0L), labeled, col("label") === 1, 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("n_id")).toSeq === Seq(2L, 3L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("sim")) < 1e-12)) // both orthogonal
+  }
+
+  test("filteredTopKPost: with all cells probed and budget covering the corpus, " +
+    "the post-filter path equals the exact pre-filter path") {
+    val labeled = vecs.withColumn("label", when(col("vec_id") === 4L, 0).otherwise(1))
+    val q = labeled.filter(col("vec_id") === 0L)
+    val pred = col("label") === 1
+    val exact = SimilaritySearch.filteredTopK(q, labeled, pred, 2)
+      .select("q_id", "n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val post = SimilaritySearch
+      .filteredTopKPost(q, labeled, pred, 2, inflate = 3, nlist = 2, nprobe = 2)
+      .select("q_id", "n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(post.sorted.toSeq === exact.sorted.toSeq)
+  }
+
+  test("rrfFuse: a doc hit by both lanes outranks single-lane docs; " +
+    "scores are exact 1/(k0+r) sums and missing lanes are NULL provenance") {
+    val laneA = Seq((0L, 100L, 1L), (0L, 101L, 2L)).toDF("q_id", "id", "rank")
+    val laneB = Seq((0L, 101L, 1L), (0L, 102L, 2L)).toDF("q_id", "id", "rank")
+    val out = SimilaritySearch.rrfFuse(laneA, laneB, k = 3).orderBy("rank").collect()
+    // 101 appears in both lanes (1/62 + 1/61) and must beat 100 (1/61) and 102 (1/62)
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(101L, 100L, 102L))
+    val s101 = out(0).getAs[Double]("score")
+    assert(math.abs(s101 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // single-lane rows carry NULL in the missed lane's rank column
+    assert(out(1).isNullAt(out(1).fieldIndex("rank_b")))
+    assert(out(2).isNullAt(out(2).fieldIndex("rank_a")))
+    // 1/61 > 1/62: lane-A's rank-1 doc edges lane-B's rank-2 doc
+    assert(out(1).getAs[Long]("id") === 100L && out(1).getAs[Long]("rank_a") === 1L)
+  }
+
   test("LSH top-k: identical-direction vector is always found at rank 1") {
     val out = SimilaritySearch
       .lshTopK(vecs.filter(col("vec_id") === 0L), vecs, 3, numPlanes = 6, dim = 3)
