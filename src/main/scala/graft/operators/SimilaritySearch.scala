@@ -1030,9 +1030,19 @@ object SimilaritySearch {
       k: Int,
       inflate: Int = 4,
       nlist: Int = 8,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    postFilter(ivfTopK(queries, candidates, k * inflate, nlist, nprobe), candidates, pred, k)
+
+  /** The post-filter tail as a composable step: apply a metadata predicate
+    * to ANY inflated ANN hit list `(q_id, n_id, …, sim)` and re-rank/cut to
+    * `k`. In production this composes onto the PERSISTED index searches —
+    * `postFilter(ivfIndexSearch(…, k·inflate, …), meta, pred, k)` or the
+    * IVF×PQ equivalent — which is the actual serving shape: the index is
+    * built once, each predicate costs only an inflated probe plus this
+    * head-sized join (hit list broadcast, metadata scanned once with the
+    * predicate pushed down). */
+  def postFilter(hits: DataFrame, candidates: DataFrame, pred: Column, k: Int): DataFrame = {
     val allowed = candidates.filter(pred).select(col("vec_id").as("n_id"))
-    val hits = ivfTopK(queries, candidates, k * inflate, nlist, nprobe)
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     allowed
       .join(broadcast(hits), Seq("n_id"))

@@ -107,13 +107,32 @@ object R6ScaleBench {
     // predicate should favor the pre-filter exact scan (corpus shrinks at
     // the source); a loose one should favor probing the unfiltered IVF at
     // an inflated budget (corpus never re-scanned quadratically).
+    // Measured at rep=10 (20k vectors): pre-filter 0.28/0.33 s wins at BOTH
+    // selectivities — per-job fixed overhead dominates a corpus this small,
+    // and the brute pairwise stage is only 8×20k dot products. The probe's
+    // signal is the ORDERING of the post paths: persisted-index postFilter
+    // (0.60-1.04 s) beats inline-train (1.01-1.61 s) at every predicate,
+    // confirming the serving rule that the index must be prebuilt; the
+    // pre/post crossover itself is a per-pair-cost × selectivity × corpus
+    // argument that only binds when sel·N pairwise work exceeds the
+    // nprobe/nlist probe fraction — i.e. at corpus scales where the brute
+    // scan is no longer sub-second.
+    // The in-memory post path pays IVF training per call; the serving shape
+    // composes postFilter onto the PERSISTED index (built once, outside the
+    // timed region) — that is the number to compare against re-scanning.
+    val fIdx = java.nio.file.Files.createTempDirectory("graft-r6-fivf").toString
+    SimilaritySearch.ivfIndexBuild(corpus, fIdx, nlist = 8, iters = 2)
     for ((nm, pred) <- Seq(
         ("selective ~10%", col("label") === 3),
         ("loose ~90%", col("label") =!= 3))) {
       time(s"pre-filter exact ($nm)")(
         SimilaritySearch.filteredTopK(queries, corpus, pred, 10).count())
-      time(s"post-filter IVF  ($nm)")(
+      time(s"post-filter IVF inline-train ($nm)")(
         SimilaritySearch.filteredTopKPost(queries, corpus, pred, 10).count())
+      time(s"post-filter persisted index ($nm)")(
+        SimilaritySearch.postFilter(
+          SimilaritySearch.ivfIndexSearch(spark, fIdx, queries, 40, nprobe = 2),
+          corpus, pred, 10).count())
     }
     spark.stop()
   }

@@ -109,6 +109,25 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(post.sorted.toSeq === exact.sorted.toSeq)
   }
 
+  test("postFilter composes onto the persisted IVF index: equals the in-memory post path") {
+    // Same deterministic model (ivfIndexBuild freezes what ivfTopK trains),
+    // so the persisted-index hit list post-filters to the identical result —
+    // the serving shape: index built once, predicate applied per query batch.
+    val labeled = vecs.withColumn("label", when(col("vec_id") === 4L, 0).otherwise(1))
+    val q = labeled.filter(col("vec_id") === 0L)
+    val pred = col("label") === 1
+    val idx = java.nio.file.Files.createTempDirectory("graft-postfilter-ivf").toString
+    SimilaritySearch.ivfIndexBuild(labeled, idx, nlist = 2, iters = 2)
+    val viaIndex = SimilaritySearch
+      .postFilter(
+        SimilaritySearch.ivfIndexSearch(spark, idx, q, 6, nprobe = 2), labeled, pred, 2)
+      .select("q_id", "n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inMem = SimilaritySearch
+      .filteredTopKPost(q, labeled, pred, 2, inflate = 3, nlist = 2, nprobe = 2)
+      .select("q_id", "n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaIndex.sorted.toSeq === inMem.sorted.toSeq)
+  }
+
   test("rrfFuse: a doc hit by both lanes outranks single-lane docs; " +
     "scores are exact 1/(k0+r) sums and missing lanes are NULL provenance") {
     val laneA = Seq((0L, 100L, 1L), (0L, 101L, 2L)).toDF("q_id", "id", "rank")
