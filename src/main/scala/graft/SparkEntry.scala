@@ -3017,6 +3017,26 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
+      // Hybrid retrieval, score-blend combiner: the same two lanes as
+      // q_hybrid_rrf fused by min-max-normalized convex combination
+      // (α=0.5) instead of ranks — score-aware where RRF is score-blind.
+      // Fully oracled: both lanes' scores already replay (cosine sim +
+      // the round-4 BM25 sum), normalization is one exact-min/max
+      // subtract-divide, and the blend a fixed IEEE expression.
+      "q_hybrid_blend" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val vec = SimilaritySearch
+          .bruteForceTopK(e.filter(col("vec_id") < 8), e, 20)
+          .select(col("q_id"), col("n_id").as("id"), col("sim").as("score"))
+        val txt = graft.operators.TextIndex
+          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 20)
+          .select(col("doc_id").as("id"), col("score"))
+        val qids = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"))
+        SimilaritySearch
+          .blendFuse(vec, qids.crossJoin(broadcast(txt)), 10)
+          .orderBy("q_id", "rank")
+      }),
+
       // Hard-negative mining: per query, the top-5 most-similar
       // DIFFERENT-label vectors — the contrastive-training pair source.
       // Same broadcast-query/one-corpus-scan shape as q_ann_bruteforce.
@@ -4139,6 +4159,23 @@ object SparkEntry {
       "q_bm25_topk" -> ((s, dir) =>
         graft.operators.TextIndex
           .bm25TopK(Tables.documents(s, dir), Bm25Terms, 10)
+          .orderBy("rk")),
+
+      // Pseudo-relevance-feedback expansion terms (RM1-lite): top-5 BM25
+      // feedback docs for the seed query, candidate tokens scored
+      // fb_tf × ln(n_docs/df) (9dp-rounded ln × exact BIGINT, the
+      // distinctiveTerms discipline), seed + stopwords excluded, top-3.
+      "q_prf_terms" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .prfExpansionTerms(Tables.documents(s, dir), Bm25Terms)
+          .orderBy(col("w").desc, col("tok"))),
+
+      // The full PRF retrieval: BM25 re-queried over seed ∪ expansion via
+      // the terms-as-data variant (broadcast term table in the same
+      // pre-shuffle cut position as the literal isin).
+      "q_prf_expansion" -> ((s, dir) =>
+        graft.operators.TextIndex
+          .prfBm25TopK(Tables.documents(s, dir), Bm25Terms, 10)
           .orderBy("rk")),
 
       // Linear classifier inference (TextIndex.linearClassifier): broadcast
@@ -5294,6 +5331,40 @@ object SparkEntry {
 
   private val StopListSql = "('the','a','of','and','to','in','is','on','for','it')"
 
+  /** Shared PRF replay: the q_bm25_topk scoring CTEs for the seed query,
+    * top-5 feedback cut, then expansion-term scoring (fb_tf × 9dp-rounded
+    * ln(n_docs/df) as exact DECIMAL — the distinctiveTerms discipline).
+    * Ends at CTE `w` (tok, w_dec); q_prf_terms SELECTs the top-3 from it,
+    * q_prf_expansion re-runs the scoring over seed ∪ top-3. */
+  private lazy val PrfPrologueSql =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sb AS (SELECT tf.doc_id,
+       |              ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |              * (CAST(tf AS DOUBLE) * 2.2
+       |                 / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+       |       FROM tf JOIN dfq USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+       |ab AS (SELECT doc_id,
+       |              round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+       |       FROM sb GROUP BY 1),
+       |fb AS (SELECT doc_id FROM ab ORDER BY score DESC, doc_id LIMIT 5),
+       |fbtf AS (SELECT tok, CAST(count(*) AS BIGINT) AS fb_tf
+       |         FROM (SELECT unnest(toks) AS tok FROM t JOIN fb USING (doc_id))
+       |         WHERE tok NOT IN ('filter', 'stream', 'vector') AND tok NOT IN $StopListSql
+       |         GROUP BY 1),
+       |dfall AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |          FROM (SELECT doc_id, tok
+       |                FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+       |          GROUP BY 1),
+       |w AS (SELECT tok,
+       |             fb_tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e9 + 0.5) AS BIGINT) AS w_nano
+       |      FROM fbtf JOIN dfall USING (tok) CROSS JOIN g)""".stripMargin
+
   /** 6-round unrolled BPE-training replay (the PageRank unrolled-CTE
     * contract for iterative operators): per round, pair counts from the
     * space-delimited segmentation strings, 1-row argmax (ties by binary
@@ -6417,6 +6488,65 @@ object SparkEntry {
          |       FROM fs)
          |SELECT q_id, id, rank, score, rank_a, rank_b
          |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Hybrid convex blend: same lane CTEs as q_hybrid_rrf but carrying each
+    // lane's SCORE; min-max normalization per query over the lane's own
+    // top-20 (single-hit lane → 1.0), fixed-IEEE 0.5/0.5 blend, round 12dp.
+    "q_hybrid_blend" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         |sv AS (SELECT q_id, n_id,
+         |              list_inner_product(qv, nv) /
+         |                (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+         |       FROM c CROSS JOIN q WHERE q_id <> n_id),
+         |v AS (SELECT q_id, n_id AS id, sim AS sa FROM (
+         |        SELECT q_id, n_id, sim,
+         |               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+         |        FROM sv)
+         |      WHERE rnk <= 20),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sb AS (SELECT tf.doc_id,
+         |              ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |              * (CAST(tf AS DOUBLE) * 2.2
+         |                 / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |       FROM tf JOIN dfq USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |ab AS (SELECT doc_id,
+         |              round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |       FROM sb GROUP BY 1),
+         |tx AS (SELECT doc_id AS id, score AS sb2
+         |       FROM (SELECT doc_id, score FROM ab ORDER BY score DESC, doc_id LIMIT 20)),
+         |txq AS (SELECT qq.q_id, tx.id, tx.sb2
+         |        FROM (SELECT DISTINCT q_id FROM q) qq CROSS JOIN tx),
+         |na AS (SELECT q_id, id,
+         |              CASE WHEN mx > mn THEN (sa - mn) / (mx - mn)
+         |                   ELSE CAST(1 AS DOUBLE) END AS norm_a
+         |       FROM (SELECT q_id, id, sa,
+         |                    min(sa) OVER (PARTITION BY q_id) AS mn,
+         |                    max(sa) OVER (PARTITION BY q_id) AS mx FROM v)),
+         |nb AS (SELECT q_id, id,
+         |              CASE WHEN mx > mn THEN (sb2 - mn) / (mx - mn)
+         |                   ELSE CAST(1 AS DOUBLE) END AS norm_b
+         |       FROM (SELECT q_id, id, sb2,
+         |                    min(sb2) OVER (PARTITION BY q_id) AS mn,
+         |                    max(sb2) OVER (PARTITION BY q_id) AS mx FROM txq)),
+         |f AS (SELECT coalesce(na.q_id, nb.q_id) AS q_id, coalesce(na.id, nb.id) AS id,
+         |             na.norm_a, nb.norm_b
+         |      FROM na FULL OUTER JOIN nb ON na.q_id = nb.q_id AND na.id = nb.id),
+         |fs AS (SELECT q_id, id,
+         |              round(CAST(0.5 AS DOUBLE) * coalesce(norm_a, CAST(0 AS DOUBLE))
+         |                    + CAST(0.5 AS DOUBLE) * coalesce(norm_b, CAST(0 AS DOUBLE)), 12) AS score
+         |       FROM f),
+         |rr AS (SELECT q_id, id, score,
+         |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS BIGINT) AS rank
+         |       FROM fs)
+         |SELECT q_id, id, rank, score
+         |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Recall gates: n_exact recomputed from the same brute-force top-k the
     // oracled q_ann_bruteforce uses; recall_ok is the Spark-side floor
     // assertion (TRUE expected — a recall regression hash-mismatches here).
@@ -7092,6 +7222,36 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
          |       doc_id, score, n_hit
          |FROM r ORDER BY rk""".stripMargin,
+    // PRF term selection: the shared prologue replays the seed BM25 pass,
+    // the feedback cut, and the integer nano-unit term weights (the
+    // floor(x·10⁹+½) quantization — round(·,9) diverges cross-engine on
+    // shortest-repr boundaries); one double division at the edge.
+    "q_prf_terms" ->
+      s"""$PrfPrologueSql
+         |SELECT tok, CAST(w_nano AS DOUBLE) / 1e9 AS w FROM w
+         |ORDER BY w_nano DESC, tok LIMIT 3""".stripMargin,
+    // PRF retrieval: seed ∪ top-3 expansion terms re-scored by the same
+    // BM25 CTEs (terms as a set, mirroring the broadcast term table).
+    "q_prf_expansion" ->
+      s"""$PrfPrologueSql,
+         |terms AS (SELECT tok FROM (SELECT tok FROM w ORDER BY w_nano DESC, tok LIMIT 3)
+         |          UNION SELECT unnest(['filter', 'stream', 'vector'])),
+         |tf2 AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |        WHERE tok IN (SELECT tok FROM terms) GROUP BY 1, 2),
+         |dfq2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+         |sb2 AS (SELECT tf2.doc_id,
+         |               ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |               * (CAST(tf AS DOUBLE) * 2.2
+         |                  / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |        FROM tf2 JOIN dfq2 USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |ab2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |               round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |        FROM sb2 GROUP BY 1),
+         |r2 AS (SELECT doc_id, score, n_hit FROM ab2 ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit
+         |FROM r2 ORDER BY rk""".stripMargin,
     "q_quality_classifier" ->
       // Weight table mirrored from ClassifierWeights; all-DECIMAL exact
       // arithmetic, one final double cast — no rounding discipline needed.

@@ -1081,6 +1081,47 @@ object SimilaritySearch {
       .select("q_id", "id", "rank", "score", "rank_a", "rank_b")
   }
 
+  /** Convex score blending — the other standard hybrid-retrieval combiner
+    * (vs rank-based [[rrfFuse]]): each lane's scores are min-max normalized
+    * PER QUERY over its own hit list, then fused as
+    * `α·norm_a + (1−α)·norm_b` (a missing lane contributes 0). Score-aware
+    * where RRF is score-blind — a lane's confidence gap survives fusion —
+    * at the cost of sensitivity to each lane's score distribution (the
+    * reason RRF is the safer default).
+    *
+    * Same head-sized shape as [[rrfFuse]]: the min/max window and the
+    * full-outer join run over per-query top-N lists, never the corpus.
+    * Numeric contract: normalization is one subtract + one divide on the
+    * lane's exact min/max (order-insensitive), the blend a fixed
+    * three-term IEEE expression rounded to 12dp at the edge — replays
+    * bit-identically in any engine. A single-hit lane (max == min)
+    * normalizes to 1.0, not 0/0. Ties break on `id` ascending. */
+  def blendFuse(a: DataFrame, b: DataFrame, k: Int, alpha: Double = 0.5): DataFrame = {
+    def nrm(df: DataFrame, as: String): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+      df.select(col("q_id"), col("id"), col("score").as("s"))
+        .withColumn("mn", min(col("s")).over(w))
+        .withColumn("mx", max(col("s")).over(w))
+        .withColumn(
+          as,
+          when(col("mx") > col("mn"), (col("s") - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0)))
+        .select(col("q_id"), col("id"), col(as))
+    }
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    nrm(a, "norm_a")
+      .join(nrm(b, "norm_b"), Seq("q_id", "id"), "full_outer")
+      .withColumn(
+        "score",
+        round(
+          lit(alpha) * coalesce(col("norm_a"), lit(0.0)) +
+            lit(1.0 - alpha) * coalesce(col("norm_b"), lit(0.0)),
+          12))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "id", "rank", "score")
+  }
+
   /** Ranking-quality metrics for a degraded retrieval path vs the exact
     * one: per query, binary relevance = membership in the full-precision
     * cosine top-`k`, scored against the leading-`dims` (Matryoshka-

@@ -246,15 +246,30 @@ object TextIndex {
     * only query-term hits; dl counts ALL tokens), so the pass count is
     * inherent to a plan-per-run registry; repeated-retrieval callers
     * should `persist()` the token projection and pass it through. */
-  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25Rank(documents, _.filter(col("tok").isin(terms: _*)), k)
+
+  /** [[bm25TopK]] with the query terms as DATA instead of literals — the
+    * form a data-driven querier (e.g. [[prfBm25TopK]]'s expanded term set)
+    * needs. The literal `isin` pre-shuffle cut becomes a broadcast semi
+    * join in the same pre-shuffle position: the exploded token stream is
+    * still reduced to query-term hits before anything exchanges. */
+  def bm25TopKFromTerms(documents: DataFrame, termsDf: DataFrame, k: Int): DataFrame =
+    bm25Rank(
+      documents,
+      _.join(broadcast(termsDf.select("tok").distinct()), Seq("tok"), "left_semi"),
+      k)
+
+  private def bm25Rank(
+      documents: DataFrame,
+      termFilter: DataFrame => DataFrame,
+      k: Int): DataFrame = {
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val g = dl.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    val tf = toks
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+    val tf = termFilter(toks.select(col("doc_id"), explode(col("toks")).as("tok")))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -282,6 +297,74 @@ object TextIndex {
           .over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long"))
       .select("rk", "doc_id", "score", "n_hit")
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (RM1-lite): run BM25 for the
+    * seed terms, take the top `fbDocs` documents as pseudo-relevant, and
+    * score every candidate token in them by
+    * `fb_tf × ln(n_docs/df)` — feedback-set frequency weighted by corpus
+    * rarity — excluding the seed terms and stopwords. Returns the top
+    * `expTerms` as `(tok, w)`, ties on the token.
+    *
+    * Numeric contract: the ln is quantized to integer NANO-units via
+    * `floor(x·10⁹ + ½)` (the LM-scorer output-edge pattern — plain
+    * `round(·,9)` diverges cross-engine on shortest-repr-vs-binary
+    * boundary values, observed on 1-of-3 rows at every SF) and multiplied
+    * into the exact BIGINT feedback frequency, so the term ranking and the
+    * weight replay bit-identically; one double division at the edge.
+    * Scale shape: the feedback set is `fbDocs` rows (head-sized), so its
+    * token stream and vocabulary are bounded by feedback-doc length; the
+    * corpus-wide df is the one vocabulary-sized aggregate (the q_vocab
+    * class), joined with the tiny feedback vocabulary broadcast. */
+  def prfExpansionTerms(
+      documents: DataFrame,
+      seed: Seq[String],
+      fbDocs: Int = 5,
+      expTerms: Int = 3,
+      stop: Seq[String] = graft.functions.TextFunctions.Stopwords): DataFrame = {
+    val fb = bm25TopK(documents, seed, fbDocs).select("doc_id")
+    val fbTf = documents
+      .join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(!col("tok").isin(seed ++ stop: _*))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("long").as("fb_tf"))
+    val dfAll = documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = documents.agg(count(lit(1)).cast("long").as("n_docs"))
+    dfAll
+      .join(broadcast(fbTf), "tok")
+      .crossJoin(broadcast(n)) // 1 row
+      .withColumn(
+        "w_nano",
+        col("fb_tf") *
+          floor(log(col("n_docs").cast("double") / col("df")) * lit(1e9) + lit(0.5))
+            .cast("long"))
+      .orderBy(col("w_nano").desc, col("tok"))
+      .limit(expTerms)
+      .select(col("tok"), (col("w_nano").cast("double") / lit(1e9)).as("w"))
+  }
+
+  /** BM25 retrieval with pseudo-relevance-feedback query expansion — the
+    * classic two-pass IR recipe: seed query → top-`fbDocs` feedback set →
+    * [[prfExpansionTerms]] picks `expTerms` enrichment terms → one re-query
+    * over seed ∪ expansion via [[bm25TopKFromTerms]]. Recall widens to
+    * documents sharing the feedback set's vocabulary even when they miss
+    * the literal seed terms. Both passes keep bm25's pre-shuffle term cut;
+    * the expansion set rides as a broadcast term table. */
+  def prfBm25TopK(
+      documents: DataFrame,
+      seed: Seq[String],
+      k: Int,
+      fbDocs: Int = 5,
+      expTerms: Int = 3): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val terms = seed.toDF("tok").union(prfExpansionTerms(documents, seed, fbDocs, expTerms)
+      .select("tok"))
+    bm25TopKFromTerms(documents, terms, k)
   }
 
   /** Linear text-classifier inference — the fasttext-style quality-filter

@@ -350,4 +350,39 @@ class PropertySpec extends SparkSpec {
       assert(got === pr.map { case (k, v) => (s"n$k", v) })
     }
   }
+
+  test("rrfFuse equals the brute-force fusion model on random rank lists") {
+    // Two lanes per query: a random subset of a 30-id universe, ranked
+    // 1..n by shuffle order. Invariants: per-query output ids unique,
+    // ranks contiguous from 1, scores non-increasing, and every score is
+    // exactly the 1/(60+r) lane sum of the brute model (ties by id).
+    val laneGen = for {
+      n <- Gen.choose(0, 12)
+      ids <- Gen.pick(n, 0 until 30)
+    } yield ids.toList.zipWithIndex.map { case (id, i) => (id.toLong, (i + 1).toLong) }
+    val twoLanes = Gen.zip(laneGen, laneGen)
+    forAllSamples(twoLanes, n = 8) { case (la, lb) =>
+      val k = 5
+      val a = la.map { case (id, r) => (0L, id, r) }.toDF("q_id", "id", "rank")
+      val b = lb.map { case (id, r) => (0L, id, r) }.toDF("q_id", "id", "rank")
+      val got = SimilaritySearch.rrfFuse(a, b, k)
+        .orderBy("rank")
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"), r.getAs[Double]("score")))
+      // brute model: union of ids, fixed two-term sum, sort by (-score, id)
+      val ra = la.toMap
+      val rb = lb.toMap
+      val model = (ra.keySet ++ rb.keySet).toSeq
+        .map { id =>
+          val s = ra.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            rb.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (id, BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((id, s), i) => (id, (i + 1).toLong, s) }
+      assert(got.toSeq === model)
+    }
+  }
 }

@@ -144,6 +144,22 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Long]("id") === 100L && out(1).getAs[Long]("rank_a") === 1L)
   }
 
+  test("blendFuse: per-lane min-max normalization, missing lane scores 0, " +
+    "single-hit lane normalizes to 1.0") {
+    val laneA = Seq((0L, 100L, 10.0), (0L, 101L, 5.0)).toDF("q_id", "id", "score")
+    val laneB = Seq((0L, 101L, 2.0), (0L, 102L, 1.0)).toDF("q_id", "id", "score")
+    val out = SimilaritySearch.blendFuse(laneA, laneB, k = 3).orderBy("rank").collect()
+    // norms: A → 100:1.0, 101:0.0; B → 101:1.0, 102:0.0
+    // blends: 100 = .5·1+.5·0 = .5; 101 = .5·0+.5·1 = .5; 102 = 0
+    // tie at 0.5 breaks by id → 100 before 101
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq ===
+      Seq((100L, 0.5), (101L, 0.5), (102L, 0.0)))
+    // a single-hit lane has max == min and must normalize to 1.0, not 0/0
+    val one = Seq((0L, 200L, 7.0)).toDF("q_id", "id", "score")
+    val single = SimilaritySearch.blendFuse(one, one.limit(0), k = 1).collect().head
+    assert(single.getAs[Long]("id") === 200L && single.getAs[Double]("score") === 0.5)
+  }
+
   test("LSH top-k: identical-direction vector is always found at rank 1") {
     val out = SimilaritySearch
       .lshTopK(vecs.filter(col("vec_id") === 0L), vecs, 3, numPlanes = 6, dim = 3)

@@ -157,6 +157,48 @@ class TextIndexSpec extends SparkSpec {
     assert(math.abs(s(1L) - 0.7586) < 1e-3)
   }
 
+  test("bm25TopKFromTerms: terms-as-data reproduces the literal-isin ranking exactly") {
+    val docs = Seq(
+      (0L, "filter stream filter"),
+      (1L, "filter alpha beta gamma"),
+      (2L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val lit = TextIndex.bm25TopK(docs, Seq("filter", "stream"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val asData = TextIndex
+      .bm25TopKFromTerms(docs, Seq("filter", "stream", "stream").toDF("tok"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(asData === lit) // duplicate term rows must not double-count
+  }
+
+  test("PRF: expansion term mined from the feedback docs retrieves a doc the seed misses") {
+    // Seed = "query". Feedback docs (0, 1) both talk about "expansion";
+    // doc 2 contains ONLY "expansion" — invisible to the seed query,
+    // retrievable after PRF. Stopword "the" and the seed itself must never
+    // be picked as expansion terms despite being frequent in feedback docs.
+    val docs = Seq(
+      (0L, "query the expansion expansion"),
+      (1L, "query the expansion notes"),
+      (2L, "expansion expansion expansion"),
+      // "notes" recurs here so its rarity (ln idf) cannot outweigh the
+      // feedback-frequency of "expansion": w(expansion)=3·ln(4/3)≈0.86 >
+      // w(notes)=1·ln(4/2)≈0.69
+      (3L, "unrelated notes entirely")
+    ).toDF("doc_id", "text")
+    val terms = TextIndex
+      .prfExpansionTerms(docs, Seq("query"), fbDocs = 2, expTerms = 1)
+      .collect()
+    assert(terms.map(_.getAs[String]("tok")).toSeq === Seq("expansion"))
+    // fb_tf=3 across the 2 feedback docs; df(expansion)=3 of 4 docs → w = 3·ln(4/3)
+    assert(math.abs(terms.head.getAs[Double]("w") - 3 * math.log(4.0 / 3.0)) < 1e-6)
+    val seedOnly = TextIndex.bm25TopK(docs, Seq("query"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!seedOnly.contains(2L))
+    val prf = TextIndex.prfBm25TopK(docs, Seq("query"), 10, fbDocs = 2, expTerms = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(prf.contains(2L) && !prf.contains(3L))
+  }
+
   test("linearClassifier: exact decimal score, bias on signal-free docs, sign label") {
     val docs = Seq(
       (0L, "good good good"),
