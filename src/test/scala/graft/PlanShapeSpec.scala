@@ -69,6 +69,16 @@ class PlanShapeSpec extends SparkSpec {
       s"text lane not broadcast:\n$p")
   }
 
+  test("q_prf_expansion: expansion terms ride as a broadcast table in the pre-shuffle cut") {
+    // The terms-as-data re-query must keep bm25's shape: the exploded token
+    // stream is cut to query-term hits by a BROADCAST (semi) join before
+    // any exchange — a shuffled term join or a cartesian would scale with
+    // the corpus token stream instead of the term table.
+    val p = plan("q_prf_expansion")
+    assert(p.contains("BroadcastHashJoin"), s"term table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q5_local_volume: dims broadcast, facts hash-join, no cartesian/nested-loop") {
     val p = plan("q5_local_volume")
     assert(p.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$p")
