@@ -2945,6 +2945,45 @@ object SparkEntry {
           .withColumn("matches_pq_all_cells", lit(diff == 0L))
       }),
 
+      // Persisted-index DELETE lifecycle gate: build the session IVF index,
+      // tombstone two ids, and assert (a) no deleted id surfaces, (b) the
+      // tombstoned search equals the pre-delete search at an inflated k
+      // with the deleted ids post-filtered (deletion only removes
+      // candidates, so the k+|deleted| head covers the post-delete top-k),
+      // and (c) compaction — which applies tombstones physically and
+      // clears the segment — reproduces the same result. n_exact is the
+      // DuckDB-recomputed brute-force count over the corpus minus deleted.
+      "q_ann_ivf_delete_gate" -> ((s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("ivf-del-idx")
+        SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
+        val q = e.filter(col("vec_id") < 8)
+        val deleted = Seq(10L, 11L)
+        val live = !col("vec_id").isin(deleted: _*)
+        // Head-sized result sets collected eagerly: the tombstoned search's
+        // PLAN reads the tombstone files, which compaction deletes — a lazy
+        // re-evaluation after compact would hit FILE_NOT_EXIST.
+        val pairSet = (df: org.apache.spark.sql.DataFrame) =>
+          df.select("q_id", "n_id", "rank").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val expected = pairSet(SimilaritySearch.postFilter(
+          SimilaritySearch.ivfIndexSearch(s, idx, q, 10 + deleted.size, nprobe = 2),
+          e, live, 10))
+        SimilaritySearch.indexDelete(deleted.toDF("vec_id"), idx)
+        val actual = pairSet(SimilaritySearch.ivfIndexSearch(s, idx, q, 10, nprobe = 2))
+        SimilaritySearch.ivfIndexCompact(s, idx)
+        val compacted = pairSet(SimilaritySearch.ivfIndexSearch(s, idx, q, 10, nprobe = 2))
+        SimilaritySearch
+          .bruteForceTopK(q, e.filter(live), 10)
+          .agg(count(lit(1)).cast("long").as("n_exact"))
+          .select(
+            col("n_exact"),
+            lit(!actual.exists(p => deleted.contains(p._2))).as("deleted_absent"),
+            lit(actual == expected).as("matches_expected"),
+            lit(compacted == actual).as("compact_ok"))
+      }),
+
       // Filtered vector search, PRE-FILTER strategy: top-10 under a
       // selective metadata predicate (label IN (3,9) keeps ~22% of the
       // corpus). The predicate lands in the parquet scan as a pushed
@@ -6408,6 +6447,23 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
         |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Delete-lifecycle gate: n_exact recomputed from the brute-force top-k
+    // over the corpus minus the tombstoned ids; the three lifecycle flags
+    // are Spark-side assertions (TRUE expected).
+    "q_ann_ivf_delete_gate" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings WHERE vec_id NOT IN (10, 11)),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS deleted_absent,
+        |       TRUE AS matches_expected, TRUE AS compact_ok
+        |FROM r WHERE rank <= 10""".stripMargin,
     // Pre-filter filtered vector search: exact by construction — the oracle
     // is the brute-force replay with the predicate inside the candidate CTE.
     "q_ann_filtered" ->

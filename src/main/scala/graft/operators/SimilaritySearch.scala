@@ -363,6 +363,7 @@ object SimilaritySearch {
       iters: Int = 2): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    clearTombstones(spark, dir) // a rebuild invalidates prior deletes
     val c = withNorm(candidates, "n_id", "nv", "nn")
     val centroids = trainCentroids(c, nlist, iters)
     centroids.toSeq
@@ -435,34 +436,93 @@ object SimilaritySearch {
     q.awaitTermination()
   }
 
+  /** Logical delete from a persisted IVF or IVF×PQ index: the ids land in
+    * an append-only `tombstones/` segment and every search anti-joins them
+    * out — no index file is touched, so a delete is O(ids) regardless of
+    * corpus size (the LSM tombstone discipline, [[graft.kv
+    * .LogStructuredTable]]'s delete shape applied to the ANN lifecycle).
+    * The next compaction applies tombstones physically and clears the
+    * segment.
+    *
+    * Contract: ids are global — a tombstone hides EVERY row of that id,
+    * including ones appended after the delete, until a compaction clears
+    * it. Re-inserting a deleted id therefore requires compacting first
+    * (versioned tombstones would need per-row sequence numbers the index
+    * deliberately doesn't carry). [[ivfIndexBuild]]/[[ivfPqIndexBuild]]
+    * clear stale tombstones — a rebuild starts from a clean slate. The
+    * anti join carries no broadcast hint: AQE broadcasts the segment while
+    * it is small (the expected state — compaction bounds it) and degrades
+    * to a shuffled anti join rather than a driver OOM if deletes pile up. */
+  def indexDelete(ids: DataFrame, dir: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("n_id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private def readTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)) None
+    else
+      try Some(spark.read.parquet(s"$dir/tombstones"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  private def dropTombstoned(
+      rows: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    readTombstones(spark, dir).fold(rows)(t =>
+      rows.join(t.select("n_id").distinct(), Seq("n_id"), "left_anti"))
+
+  private[operators] def clearTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Major compaction: fold the streamed segment back into the base (the
     * LSM lifecycle close — after enough stream epochs the union's
     * two-branch scan and the stream segment's small files are worth one
-    * rewrite). Write-ahead to a temp dir then swap, so a crash leaves
-    * either the old segments or the new base, never a half state (the
-    * swap window itself is the same non-atomic-rename caveat as
-    * [[graft.kv.LogStructuredTable]]'s compaction, documented there). The
-    * source CHECKPOINT is untouched — a later [[ivfIndexAppendStream]]
-    * with the same checkpoint still skips already-ingested files. */
+    * rewrite) and apply any [[indexDelete]] tombstones physically. Runs
+    * when either a streamed segment or tombstones exist. Write-ahead to a
+    * temp dir then swap, so a crash leaves either the old segments or the
+    * new base, never a half state (the swap window itself is the same
+    * non-atomic-rename caveat as [[graft.kv.LogStructuredTable]]'s
+    * compaction, documented there). The source CHECKPOINT is untouched — a
+    * later [[ivfIndexAppendStream]] with the same checkpoint still skips
+    * already-ingested files. */
   def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val streamPath = new org.apache.hadoop.fs.Path(s"$dir/vectors-stream")
     val fs = streamPath.getFileSystem(conf)
-    if (!fs.exists(streamPath)) return
-    val tmp = s"$dir/vectors-compacting"
-    indexVectors(spark, dir)
-      .select("n_id", "nv", "nn", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/vectors"))
-    fs.delete(streamPath, true)
+    val hasStream = fs.exists(streamPath)
+    if (!hasStream && readTombstones(spark, dir).isEmpty) return
+    indexVectorsOpt(spark, dir) match {
+      case None =>
+        // Nothing readable (empty-corpus build): tombstones have nothing
+        // to apply to — clear them and leave the zero-row base untouched.
+        clearTombstones(spark, dir)
+      case Some(all) =>
+        val tmp = s"$dir/vectors-compacting"
+        dropTombstoned(all, spark, dir)
+          .select("n_id", "nv", "nn", "cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/vectors"))
+        if (hasStream) fs.delete(streamPath, true)
+        clearTombstones(spark, dir)
+    }
   }
 
   /** Base + streamed segments of the index, unioned (either may not exist
-    * yet on a freshly-built or stream-only index). */
-  private def indexVectors(
+    * yet on a freshly-built or stream-only index); None when NEITHER is
+    * readable — an empty-corpus build writes a zero-row base whose parquet
+    * dir has no schema to infer. */
+  private def indexVectorsOpt(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
@@ -476,8 +536,14 @@ object SimilaritySearch {
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
     (readIf(s"$dir/vectors") ++ readIf(s"$dir/vectors-stream"))
-      .reduceLeft(_ unionByName _)
+      .reduceLeftOption(_ unionByName _)
   }
+
+  private def indexVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    indexVectorsOpt(spark, dir)
+      .getOrElse(sys.error(s"ivf index at $dir has no readable vector segment"))
 
   /** Search the persisted index: nprobe nearest cells per query, exact
     * cosine re-rank inside them — [[ivfTopK]]'s plan with the scan side
@@ -506,9 +572,11 @@ object SimilaritySearch {
         nprobe).getField("cid")))
     // Distinct probed cells: bounded by nlist regardless of query count —
     // a driver-side model-sized collect that buys partition pruning on the
-    // vectors scan.
+    // vectors scan. Tombstoned ids ([[indexDelete]]) are anti-joined out
+    // AFTER the cell pruning, so the delete check touches probed cells only.
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
-    val indexed = indexVectors(spark, dir).filter(col("cell").isin(cells: _*))
+    val indexed =
+      dropTombstoned(indexVectors(spark, dir).filter(col("cell").isin(cells: _*)), spark, dir)
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     indexed
       .join(broadcast(probed), Seq("cell"))
@@ -549,6 +617,7 @@ object SimilaritySearch {
       pqIters: Int = 2): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    clearTombstones(spark, dir) // a rebuild invalidates prior deletes
     val c = withNorm(candidates, "n_id", "nv", "nn")
     val centroids = trainCentroids(c, nlist, iters)
     centroids.toSeq
@@ -662,38 +731,49 @@ object SimilaritySearch {
 
   /** Fold the streamed arrivals segment back into the base code and vector
     * tables (the [[ivfIndexCompact]] LSM lifecycle close, applied to both
-    * sides of the composed index): write-ahead to temp dirs then swap, so
-    * a crash leaves either the old segments or the new base. The source
-    * checkpoint is untouched — a later [[ivfPqIndexAppendStream]] with the
-    * same checkpoint still skips already-ingested files. */
+    * sides of the composed index) and apply any [[indexDelete]] tombstones
+    * physically to BOTH tables. Runs when either a streamed segment or
+    * tombstones exist. Write-ahead to temp dirs then swap, so a crash
+    * leaves either the old segments or the new base. The source checkpoint
+    * is untouched — a later [[ivfPqIndexAppendStream]] with the same
+    * checkpoint still skips already-ingested files. */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val streamPath = new org.apache.hadoop.fs.Path(s"$dir/arrivals-stream")
     val fs = streamPath.getFileSystem(conf)
-    if (!fs.exists(streamPath)) return
-    val m = readCodebooks(spark, dir).size
-    def swap(table: String, df: DataFrame): Unit = {
-      val tmp = s"$dir/$table-compacting"
-      df.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/$table"))
+    val hasStream = fs.exists(streamPath)
+    if (!hasStream && readTombstones(spark, dir).isEmpty) return
+    (segmentUnionOpt(spark, dir, "vectors"), segmentUnionOpt(spark, dir, "codes")) match {
+      case (Some(vecs), Some(codes)) =>
+        val m = readCodebooks(spark, dir).size
+        def swap(table: String, df: DataFrame): Unit = {
+          val tmp = s"$dir/$table-compacting"
+          df.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table"), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/$table"))
+        }
+        swap("vectors", dropTombstoned(vecs, spark, dir).select("n_id", "nv", "nn", "cell"))
+        swap(
+          "codes",
+          dropTombstoned(codes, spark, dir)
+            .select(col("n_id") +: col("nn") +:
+              (0 until m).map(i => col(s"code$i")) :+ col("cell"): _*))
+        if (hasStream) fs.delete(streamPath, true)
+        clearTombstones(spark, dir)
+      case _ =>
+        // Nothing readable (empty-corpus build): tombstones have nothing
+        // to apply to — clear them and leave the zero-row base untouched.
+        clearTombstones(spark, dir)
     }
-    swap("vectors", segmentUnion(spark, dir, "vectors").select("n_id", "nv", "nn", "cell"))
-    swap(
-      "codes",
-      segmentUnion(spark, dir, "codes")
-        .select(col("n_id") +: col("nn") +:
-          (0 until m).map(i => col(s"code$i")) :+ col("cell"): _*))
-    fs.delete(streamPath, true)
   }
 
   /** Base table ∪ the streamed combined segment, projected to `table`'s
     * columns (either side may not exist yet; a zero-batch sink log reads
     * as no-rows — the [[indexVectors]] contract). */
-  private def segmentUnion(
+  private def segmentUnionOpt(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      table: String): DataFrame = {
+      table: String): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
@@ -705,8 +785,15 @@ object SimilaritySearch {
     val base = readIf(s"$dir/$table")
     val stream = readIf(s"$dir/arrivals-stream")
       .map(s => base.fold(s)(b => s.select(b.columns.map(col): _*)))
-    (base ++ stream).reduceLeft(_ unionByName _)
+    (base ++ stream).reduceLeftOption(_ unionByName _)
   }
+
+  private def segmentUnion(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String): DataFrame =
+    segmentUnionOpt(spark, dir, table)
+      .getOrElse(sys.error(s"ivfpq index at $dir has no readable $table segment"))
 
   private def readCodebooks(
       spark: org.apache.spark.sql.SparkSession,
@@ -758,7 +845,10 @@ object SimilaritySearch {
     // Model-sized distinct probed-cell list (≤ nlist) — buys partition
     // pruning on BOTH the code scan and the survivor vector scan.
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
-    val codes = segmentUnion(spark, dir, "codes").filter(col("cell").isin(cells: _*))
+    // Tombstones applied at the CODE stage — a deleted id never reaches the
+    // ADC ranking, and the survivor vector join is keyed by live ids only.
+    val codes = dropTombstoned(
+      segmentUnion(spark, dir, "codes").filter(col("cell").isin(cells: _*)), spark, dir)
     val adc = (0 until m)
       .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
       .reduce(_ + _)

@@ -353,6 +353,55 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       s"no cell partition filter in plan:\n$p")
   }
 
+  test("index delete: tombstone hides the id from search; compaction applies it " +
+    "physically and clears the segment") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    SimilaritySearch.ivfIndexBuild(vecs, idx, nlist = 2, iters = 2)
+    val q = vecs.filter(col("vec_id") === 0L)
+    def res(): Seq[(Long, Long)] =
+      SimilaritySearch.ivfIndexSearch(spark, idx, q, 4, nprobe = 2)
+        .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Long]("rank"))).sortBy(_._2).toSeq
+    val before = res()
+    assert(before.map(_._1).contains(4L))
+    SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), idx)
+    val after = res()
+    // the deleted id is gone and the remainder is the prior ranking with
+    // ranks re-closed (deletion only removes candidates)
+    assert(!after.map(_._1).contains(4L))
+    assert(after.map(_._1) === before.map(_._1).filterNot(_ == 4L))
+    assert(after.map(_._2) === (1L to after.size.toLong))
+    // logical until compaction: the physical row is still in the index
+    assert(spark.read.parquet(s"$idx/vectors").filter(col("n_id") === 4L).count() === 1L)
+    SimilaritySearch.ivfIndexCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/vectors").filter(col("n_id") === 4L).count() === 0L)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(res() === after) // physically-applied result identical
+    // rebuild invalidates stale tombstones: id 4 is findable again
+    SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), idx)
+    SimilaritySearch.ivfIndexBuild(vecs, idx, nlist = 2, iters = 2)
+    assert(res().map(_._1).contains(4L))
+  }
+
+  test("IVF×PQ delete: tombstone respected at the code stage; compaction cleans both tables") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+    val q = emb.filter(col("vec_id") === 0L)
+    val victim = SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 8)
+      .orderBy("rank").collect().head.getAs[Long]("n_id")
+    SimilaritySearch.indexDelete(Seq(victim).toDF("vec_id"), idx)
+    val after = SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 8)
+      .collect().map(_.getAs[Long]("n_id"))
+    assert(!after.contains(victim))
+    SimilaritySearch.ivfPqIndexCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/codes").filter(col("n_id") === victim).count() === 0L)
+    assert(spark.read.parquet(s"$idx/vectors").filter(col("n_id") === victim).count() === 0L)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    val afterCompact = SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 8)
+      .collect().map(_.getAs[Long]("n_id"))
+    assert(afterCompact.sorted.toSeq === after.sorted.toSeq)
+  }
+
   test("IVF×PQ index: all-cells probe equals pqTopK; partial probe prunes partitions") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
