@@ -249,6 +249,123 @@ object Dedup {
     capBuckets(bandedBuckets(corpus, numPerm, bands), Seq("bucket"), maxBucket)
       .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
 
+  /** Persist the corpus LSH index on disk with the full
+    * build/append/delete/compact lifecycle (the [[graft.operators
+    * .SimilaritySearch.ivfIndexBuild]] discipline applied to the minhash
+    * family). Layout under `dir`:
+    *
+    *  - `meta/`: one row (num_perm, bands, max_bucket) — appends and
+    *    queries MUST band under the build parameters or buckets never
+    *    collide, so the index carries them;
+    *  - `index/`: the (bucket, c_id, c_sig) rows of [[minhashIndex]];
+    *  - `tombstones/`: pending logical deletes ([[Tombstones]]).
+    *
+    * A rebuild clears stale tombstones — it starts from a clean slate. */
+  def minhashIndexBuild(
+      corpus: DataFrame,
+      dir: String,
+      numPerm: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 2000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Tombstones.clear(spark, dir)
+    Seq((numPerm, bands, maxBucket))
+      .toDF("num_perm", "bands", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    minhashIndex(corpus, numPerm, bands, maxBucket)
+      .write.mode("overwrite").parquet(s"$dir/index")
+  }
+
+  private def minhashIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta")
+      .select("num_perm", "bands", "max_bucket").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** The LIVE index rows — base minus pending deletes, the static side
+    * every consumer ([[minhashIndexCandidates]], [[graft.streaming
+    * .StreamingDedup.classifyNear]]) reads. A fully-tombstoned index
+    * compacts to a zero-row base with no schema-carrying files; that is an
+    * EMPTY index, not a broken one. */
+  def minhashIndexRows(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base =
+      try spark.read.parquet(s"$dir/index")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField("bucket", IntegerType),
+              StructField("c_id", LongType),
+              StructField("c_sig", ArrayType(LongType)))))
+      }
+    Tombstones.drop(base, dir, "c_id")
+  }
+
+  /** Append a corpus batch under the index's STORED parameters (partition
+    * append — existing files untouched, the corpus never rescanned). The
+    * `maxBucket` cap applies within the batch only: a bucket can exceed
+    * the cap across appends, exactly like any LSM index whose per-segment
+    * invariants are restored at compaction — the candidate-join consumers
+    * keep their own caps as the backstop. */
+  def minhashIndexAppend(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val (numPerm, bands, maxBucket) = minhashIndexMeta(spark, dir)
+    minhashIndex(batch, numPerm, bands, maxBucket)
+      .write.mode("append").parquet(s"$dir/index")
+  }
+
+  /** Logical delete of corpus documents: O(ids) tombstone append, applied
+    * by every read through [[minhashIndexRows]] and physically at
+    * [[minhashIndexCompact]] (the [[Tombstones]] contract — takedowns and
+    * licensing retractions never force an index rebuild). */
+  def minhashIndexDelete(ids: DataFrame, dir: String): Unit =
+    Tombstones.delete(ids, dir)
+
+  /** Major compaction: apply pending deletes physically (one base rewrite)
+    * and clear the tombstone segment. No-op without tombstones. */
+  def minhashIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    if (Tombstones.read(spark, dir).isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tmp = s"$dir/index-compacting"
+    minhashIndexRows(spark, dir).write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index"), true)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/index"))
+    Tombstones.clear(spark, dir)
+  }
+
+  /** Batch near-dup candidates of `batch` against the persisted index:
+    * the batch bands under the STORED parameters, equi-joins live index
+    * rows on `bucket`, and estimates Jaccard as the fraction of agreeing
+    * MinHash components (the [[graft.streaming.StreamingDedup
+    * .classifyNear]] estimate, batch-shaped). Corpus text is never
+    * rescanned; the estimate is identical from any colliding band, so the
+    * pair dedup is value-stable. */
+  def minhashIndexCandidates(batch: DataFrame, dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val (numPerm, bands, _) = minhashIndexMeta(spark, dir)
+    bandedBuckets(batch, numPerm, bands)
+      .join(minhashIndexRows(spark, dir), Seq("bucket"))
+      .filter(col("doc_id") =!= col("c_id"))
+      .select(
+        col("doc_id"),
+        col("c_id"),
+        (size(filter(zip_with(col("sig"), col("c_sig"), (a, b) => a === b), x => x))
+          / lit(numPerm.toDouble)).as("est"))
+      .dropDuplicates("doc_id", "c_id")
+  }
+
   /** MinHash + LSH near-dup pairs: shingle → 16-perm MinHash signature →
     * 4 bands × 4 rows → band-bucket self-join for candidates → exact Jaccard
     * verification ≥ threshold. The full pairwise phase never materializes;
@@ -796,6 +913,7 @@ object Dedup {
       quantScale: Int = 4096): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    Tombstones.clear(spark, dir) // a rebuild invalidates prior deletes
     val model = semanticModel(embeddings, k, rounds, quantScale)
     model.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
@@ -814,11 +932,58 @@ object Dedup {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
 
-  /** The persisted survivor set `(vec_id, embedding, cluster)`. */
+  /** The LIVE persisted survivor set `(vec_id, embedding, cluster)` —
+    * base minus pending [[semanticIndexDelete]] tombstones. Every consumer
+    * reads this view, so a retracted survivor stops suppressing arrivals
+    * the moment its tombstone lands (the retraction semantics a takedown
+    * wants). A fully-tombstoned index compacts to a zero-row base with no
+    * schema-carrying files; that reads back as an EMPTY survivor set. */
   def semanticIndexSurvivors(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(s"$dir/survivors")
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base =
+      try spark.read.parquet(s"$dir/survivors")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField("vec_id", LongType),
+              StructField("embedding", ArrayType(FloatType)),
+              StructField("cluster", LongType))))
+      }
+    Tombstones.drop(base, dir, "vec_id")
+  }
+
+  /** Logical delete of indexed survivors: O(ids) tombstone append, applied
+    * by every read through [[semanticIndexSurvivors]] and physically at
+    * [[semanticIndexCompact]] — the [[Tombstones]] lifecycle on the
+    * semantic-dedup family (takedowns never force a rebuild). Note the
+    * model stays frozen: deleting training vectors does not retrain
+    * centroids, exactly like deleting rows from any ANN index. */
+  def semanticIndexDelete(ids: DataFrame, dir: String): Unit =
+    Tombstones.delete(ids, dir)
+
+  /** Major compaction: apply pending deletes physically (one
+    * cell-partitioned survivor rewrite) and clear the tombstone segment.
+    * No-op without tombstones. */
+  def semanticIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    if (Tombstones.read(spark, dir).isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tmp = s"$dir/survivors-compacting"
+    semanticIndexSurvivors(spark, dir)
+      .select("vec_id", "embedding", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/survivors"), true)
+    fs.rename(
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/survivors"))
+    Tombstones.clear(spark, dir)
+  }
 
   /** Dedup a batch of arrivals against the persisted index under its
     * FROZEN model and append the batch's survivors (partition-append —

@@ -452,35 +452,33 @@ object SimilaritySearch {
     * clear stale tombstones — a rebuild starts from a clean slate. The
     * anti join carries no broadcast hint: AQE broadcasts the segment while
     * it is small (the expected state — compaction bounds it) and degrades
-    * to a shuffled anti join rather than a driver OOM if deletes pile up. */
+    * to a shuffled anti join rather than a driver OOM if deletes pile up.
+    *
+    * When to compact: deletes stay correct at ANY tombstone volume (the
+    * R7ScaleBench heavy-tombstone probe measures search under 30%
+    * uncompacted deletes), so the trigger is purely a read-cost knob —
+    * compact once the segment exceeds ~1% of base rows (keeps the
+    * anti-join build side broadcast-sized at corpus scale) or at the
+    * stream-epoch fold the index was due anyway, whichever first
+    * ([[Tombstones]] has the shared heuristic note). */
   def indexDelete(ids: DataFrame, dir: String): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("n_id"))
-      .write.mode("append").parquet(s"$dir/tombstones")
+    Tombstones.delete(ids, dir)
 
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (!path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)) None
-    else
-      try Some(spark.read.parquet(s"$dir/tombstones"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-  }
+      dir: String): Option[DataFrame] =
+    Tombstones.read(spark, dir)
 
   private def dropTombstoned(
       rows: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    readTombstones(spark, dir).fold(rows)(t =>
-      rows.join(t.select("n_id").distinct(), Seq("n_id"), "left_anti"))
+    Tombstones.drop(rows, dir, "n_id")
 
   private[operators] def clearTombstones(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) fs.delete(path, true)
-  }
+      dir: String): Unit =
+    Tombstones.clear(spark, dir)
 
   /** Major compaction: fold the streamed segment back into the base (the
     * LSM lifecycle close — after enough stream epochs the union's
@@ -539,12 +537,6 @@ object SimilaritySearch {
       .reduceLeftOption(_ unionByName _)
   }
 
-  private def indexVectors(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    indexVectorsOpt(spark, dir)
-      .getOrElse(sys.error(s"ivf index at $dir has no readable vector segment"))
-
   /** Search the persisted index: nprobe nearest cells per query, exact
     * cosine re-rank inside them — [[ivfTopK]]'s plan with the scan side
     * PARTITION-PRUNED to the union of probed cells (a model-sized `IN`
@@ -575,8 +567,12 @@ object SimilaritySearch {
     // vectors scan. Tombstoned ids ([[indexDelete]]) are anti-joined out
     // AFTER the cell pruning, so the delete check touches probed cells only.
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+    // A fully-tombstoned index compacts to a zero-row base whose parquet
+    // dir carries no schema — that is an EMPTY index, not a broken one.
+    val all = indexVectorsOpt(spark, dir).getOrElse(
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim"))
     val indexed =
-      dropTombstoned(indexVectors(spark, dir).filter(col("cell").isin(cells: _*)), spark, dir)
+      dropTombstoned(all.filter(col("cell").isin(cells: _*)), spark, dir)
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     indexed
       .join(broadcast(probed), Seq("cell"))
@@ -760,10 +756,19 @@ object SimilaritySearch {
               (0 until m).map(i => col(s"code$i")) :+ col("cell"): _*))
         if (hasStream) fs.delete(streamPath, true)
         clearTombstones(spark, dir)
-      case _ =>
+      case (None, None) =>
         // Nothing readable (empty-corpus build): tombstones have nothing
         // to apply to — clear them and leave the zero-row base untouched.
         clearTombstones(spark, dir)
+      case (v, c) =>
+        // Exactly one side readable — a crash between the two swaps of a
+        // prior compact. Clearing tombstones here would silently drop
+        // pending deletes on the readable side; fail loudly instead and
+        // leave the segment intact so the delete is never lost.
+        sys.error(
+          s"ivfpq index at $dir is in a mixed state (vectors readable=" +
+            s"${v.isDefined}, codes readable=${c.isDefined}); rebuild via " +
+            "ivfPqIndexBuild — refusing to compact or clear tombstones")
     }
   }
 
@@ -847,8 +852,12 @@ object SimilaritySearch {
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
     // Tombstones applied at the CODE stage — a deleted id never reaches the
     // ADC ranking, and the survivor vector join is keyed by live ids only.
+    // A fully-tombstoned index compacts to zero-row bases with no
+    // schema-carrying files — an EMPTY index (return no hits), not an error.
+    val allCodes = segmentUnionOpt(spark, dir, "codes").getOrElse(
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim"))
     val codes = dropTombstoned(
-      segmentUnion(spark, dir, "codes").filter(col("cell").isin(cells: _*)), spark, dir)
+      allCodes.filter(col("cell").isin(cells: _*)), spark, dir)
     val adc = (0 until m)
       .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
       .reduce(_ + _)

@@ -375,4 +375,80 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((3L, 0L, 0.0)))
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
+
+  test("minhash index lifecycle: build → append → delete → compact; tombstone " +
+    "hides the doc from candidates, compaction applies it physically") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.minhashIndexBuild(docs.filter(col("doc_id") <= 2), idx)
+    // append under the STORED parameters: doc 3 (near-dup of 0) joins later
+    Dedup.minhashIndexAppend(docs.filter(col("doc_id") >= 3), idx)
+    val probe = Seq((100L, base + " probe")).toDF("doc_id", "text")
+    def cands(): Set[Long] =
+      Dedup.minhashIndexCandidates(probe, idx)
+        .collect().map(_.getAs[Long]("c_id")).toSet
+    val before = cands()
+    assert(before.contains(0L), s"probe should hit the base near-dup, got $before")
+    assert(before.contains(3L), s"probe should hit the APPENDED near-dup, got $before")
+    // logical delete: candidates lose doc 0 instantly, physical rows remain
+    Dedup.minhashIndexDelete(Seq(0L).toDF("doc_id"), idx)
+    val after = cands()
+    assert(!after.contains(0L))
+    assert(after === before - 0L)
+    assert(spark.read.parquet(s"$idx/index").filter(col("c_id") === 0L).count() > 0L)
+    // compaction applies physically and clears the segment; answers unchanged
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/index").filter(col("c_id") === 0L).count() === 0L)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(cands() === after)
+    // rebuild invalidates stale tombstones
+    Dedup.minhashIndexDelete(Seq(3L).toDF("doc_id"), idx)
+    Dedup.minhashIndexBuild(docs, idx)
+    assert(cands().contains(3L))
+  }
+
+  test("minhash index: compacting a fully-tombstoned index reads back as EMPTY, not broken") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-empty").toString
+    Dedup.minhashIndexBuild(docs, idx)
+    Dedup.minhashIndexDelete(docs.select("doc_id"), idx)
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(Dedup.minhashIndexRows(spark, idx).count() === 0L)
+    val probe = Seq((100L, base)).toDF("doc_id", "text")
+    assert(Dedup.minhashIndexCandidates(probe, idx).count() === 0L)
+  }
+
+  test("semantic index delete: a retracted survivor stops suppressing arrivals; " +
+    "compaction applies physically; full tombstoning reads back empty") {
+    val baseVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-semidx-del").toString
+    Dedup.semanticIndexBuild(baseVecs, idx, k = 2, rounds = 2, threshold = 0.99)
+    def ids() = Dedup.semanticIndexSurvivors(spark, idx)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids() === Set(0L, 2L))
+    // takedown of survivor 0: live view loses it instantly
+    Dedup.semanticIndexDelete(Seq(0L).toDF("vec_id"), idx)
+    assert(ids() === Set(2L))
+    assert(spark.read.parquet(s"$idx/survivors").filter(col("vec_id") === 0L).count() === 1L)
+    // an arrival that duplicated ONLY the retracted survivor is now kept —
+    // the semantics a takedown wants (nothing live suppresses it)
+    val b1 = Seq((10L, Array(1.0f, 0.002f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    Dedup.semanticIndexAppend(b1, idx, threshold = 0.99)
+    assert(ids() === Set(2L, 10L))
+    // physical apply + clean segment; answers unchanged
+    Dedup.semanticIndexCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/survivors").filter(col("vec_id") === 0L).count() === 0L)
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(ids() === Set(2L, 10L))
+    // retract everything: the compacted index is EMPTY, not broken
+    Dedup.semanticIndexDelete(Seq(2L, 10L).toDF("vec_id"), idx)
+    Dedup.semanticIndexCompact(spark, idx)
+    assert(ids() === Set.empty[Long])
+    // and a fresh arrival into the empty live set is kept under the frozen model
+    val b2 = Seq((20L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Dedup.semanticIndexAppend(b2, idx, threshold = 0.99)
+    assert(ids() === Set(20L))
+  }
 }

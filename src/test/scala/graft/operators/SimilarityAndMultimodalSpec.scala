@@ -573,4 +573,34 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("fully-tombstoned index: compaction leaves an EMPTY index — searches " +
+    "return zero rows on both the IVF and IVF×PQ families, not an error") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val ivf = java.nio.file.Files.createTempDirectory("graft-ivf-allgone").toString
+    SimilaritySearch.ivfIndexBuild(vecs, ivf, nlist = 2, iters = 2)
+    SimilaritySearch.indexDelete(vecs.select("vec_id"), ivf)
+    SimilaritySearch.ivfIndexCompact(spark, ivf)
+    assert(SimilaritySearch.ivfIndexSearch(spark, ivf, q, 3, nprobe = 2).count() === 0L)
+    val pq = java.nio.file.Files.createTempDirectory("graft-ivfpq-allgone").toString
+    SimilaritySearch.ivfPqIndexBuild(vecs, pq, nlist = 2, iters = 2, m = 3, dim = 3, pqNlist = 2)
+    SimilaritySearch.indexDelete(vecs.select("vec_id"), pq)
+    SimilaritySearch.ivfPqIndexCompact(spark, pq)
+    assert(SimilaritySearch.ivfPqIndexSearch(spark, pq, q, 3, nprobe = 2).count() === 0L)
+  }
+
+  test("IVF×PQ compact on a mixed half-readable index fails loudly and " +
+    "keeps the tombstones (pending deletes are never silently dropped)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-mixed").toString
+    SimilaritySearch.ivfPqIndexBuild(vecs, idx, nlist = 2, iters = 2, m = 3, dim = 3, pqNlist = 2)
+    SimilaritySearch.indexDelete(Seq(1L).toDF("vec_id"), idx)
+    // simulate a crash between the two swaps of a prior compact: one table gone
+    val codes = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    codes.getFileSystem(spark.sessionState.newHadoopConf()).delete(codes, true)
+    val err = intercept[RuntimeException] {
+      SimilaritySearch.ivfPqIndexCompact(spark, idx)
+    }
+    assert(err.getMessage.contains("mixed state"))
+    assert(new java.io.File(s"$idx/tombstones").exists(), "tombstones must survive the refusal")
+  }
 }
