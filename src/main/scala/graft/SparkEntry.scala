@@ -2837,6 +2837,44 @@ object SparkEntry {
         }
       }),
 
+      // Persisted semantic-dedup index DELETE lifecycle gate: build on the
+      // base, tombstone the two smallest survivors (a deterministic pick
+      // the oracle replays from its own survivor recompute), and assert
+      // the live view loses them instantly while the physical rows remain,
+      // then that compaction applies the delete physically, clears the
+      // segment, and changes no answer. n_built/n_live are DuckDB-
+      // recomputed through the shared frozen-model CTE prologue. Eager
+      // collects before compaction (mutation-gate rule).
+      "q_semantic_index_delete_gate" -> ((s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
+        val model = Dedup.semanticModel(e)
+        if (model.isEmpty) {
+          s.range(1).select(lit(0L).as("n_built"), lit(0L).as("n_live"),
+            lit(true).as("deleted_absent"), lit(true).as("compact_ok"))
+        } else {
+          val idx = sessionIndexDir("sem-del-idx")
+          Dedup.semanticIndexBuild(e, idx)
+          val builtIds = Dedup.semanticIndexSurvivors(s, idx)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val delIds = builtIds.toSeq.sorted.take(2)
+          Dedup.semanticIndexDelete(delIds.toDF("vec_id"), idx)
+          val liveIds = Dedup.semanticIndexSurvivors(s, idx)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val physicalRemain = s.read.parquet(s"$idx/survivors")
+            .filter(col("vec_id").isin(delIds: _*)).count() == delIds.size.toLong
+          Dedup.semanticIndexCompact(s, idx)
+          val compactIds = Dedup.semanticIndexSurvivors(s, idx)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          s.range(1).select(
+            lit(builtIds.size.toLong).as("n_built"),
+            lit(liveIds.size.toLong).as("n_live"),
+            lit(liveIds == builtIds -- delIds && physicalRemain).as("deleted_absent"),
+            lit(compactIds == liveIds
+              && !new java.io.File(s"$idx/tombstones").exists()).as("compact_ok"))
+        }
+      }),
+
       // MMR diversity re-rank over the brute-force pool: k fixed greedy
       // rounds, oracled as unrolled CTEs (relevance − λ·max-sim-to-selected)
       "q_mmr_rerank" -> ((s, dir) => {
@@ -4300,6 +4338,48 @@ object SparkEntry {
           .select(
             col("n_docs_indexed").cast("long").as("n_docs_indexed"),
             (col("n_rows") === col("n_docs_indexed") * 4).as("rows_per_band_ok"))
+      }),
+
+      // PERSISTED minhash-index DELETE lifecycle gate (the q_ann_ivf_delete
+      // _gate pattern on the LSH dedup family): build the on-disk index,
+      // tombstone two corpus docs, and assert (a) the live view and the
+      // candidate join lose them instantly while the physical rows remain,
+      // (b) compaction applies the delete physically, clears the segment,
+      // and changes no answer. n_docs_live is the DuckDB-recomputed
+      // shingleable-doc count minus the deleted ids — deleting a doc the
+      // index never held (non-shingleable) must NOT shrink the count, and
+      // both engines encode that by construction. Head-sized results are
+      // collected eagerly BEFORE compaction (the mutation-gate rule: the
+      // tombstoned plans read files compaction deletes).
+      "q_minhash_index_delete_gate" -> ((s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("mh-del-idx")
+        Dedup.minhashIndexBuild(docs, idx)
+        val deleted = Seq(10L, 11L)
+        Dedup.minhashIndexDelete(deleted.toDF("doc_id"), idx)
+        val liveDocs = Dedup.minhashIndexRows(s, idx)
+          .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+        val liveRows = Dedup.minhashIndexRows(s, idx).count()
+        // empty-corpus build leaves a schema-less index dir: physical
+        // presence is vacuously "kept" (there is nothing to keep)
+        val physicalRemain =
+          try s.read.parquet(s"$idx/index")
+            .filter(col("c_id").isin(deleted: _*)).count() > 0
+          catch { case _: org.apache.spark.sql.AnalysisException => liveDocs.isEmpty }
+        val probeHits = Dedup.minhashIndexCandidates(docs.filter(col("doc_id") < 5), idx)
+          .filter(col("c_id").isin(deleted: _*)).count()
+        Dedup.minhashIndexCompact(s, idx)
+        val compactDocs = Dedup.minhashIndexRows(s, idx)
+          .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+        val compactRows = Dedup.minhashIndexRows(s, idx).count()
+        s.range(1).select(
+          lit(liveDocs.size.toLong).as("n_docs_live"),
+          lit(!deleted.exists(liveDocs.contains) && probeHits == 0L
+            && physicalRemain).as("deleted_absent"),
+          lit(liveRows == liveDocs.size * 4L).as("rows_per_band_ok"),
+          lit(compactDocs == liveDocs && compactRows == liveRows
+            && !new java.io.File(s"$idx/tombstones").exists()).as("compact_ok"))
       }),
 
       // Blocked entity-resolution self-join: customer-name pairs within one
@@ -6287,6 +6367,66 @@ object SparkEntry {
         |            (SELECT count(*) FROM ba WHERE NOT EXISTS
         |               (SELECT 1 FROM bdup WHERE b_id = ba.vec_id)) AS BIGINT) AS n_total,
         |       TRUE AS matches_inmem""".stripMargin,
+    // Delete-lifecycle gate on the semantic-dedup index: the same frozen-
+    // model survivor recompute as q_dedup_semantic_index_gate, then the
+    // two smallest survivors tombstoned — DuckDB replays the pick from its
+    // own `kept` set, so n_live is a hard cross-check, not a constant. The
+    // lifecycle booleans are Spark-side assertions (TRUE expected).
+    "q_semantic_index_delete_gate" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id < 400),
+        |ed AS (SELECT vec_id, v, list_transform(q, x -> CAST(x AS DOUBLE)) AS x FROM e),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, x AS cv
+        |       FROM ed ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c0.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c0.cv)
+        |                  + list_inner_product(c0.cv, c0.cv), c0.cl) AS rn
+        |         FROM ed CROSS JOIN c0) WHERE rn = 1),
+        |s1 AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT a1.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+        |             FROM e JOIN a1 USING (vec_id))
+        |       GROUP BY cl, i),
+        |c1 AS (SELECT cl, list(CAST(sx AS DOUBLE) / n ORDER BY i) AS cv FROM s1 GROUP BY cl),
+        |a2 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c1.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c1.cv)
+        |                  + list_inner_product(c1.cv, c1.cv), c1.cl) AS rn
+        |         FROM ed CROSS JOIN c1) WHERE rn = 1),
+        |s2 AS (SELECT cl, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT a2.cl, unnest(e.q) AS qx, unnest(range(1, 65)) AS i
+        |             FROM e JOIN a2 USING (vec_id))
+        |       GROUP BY cl, i),
+        |c2 AS (SELECT cl, list(CAST(sx AS DOUBLE) / n ORDER BY i) AS cv FROM s2 GROUP BY cl),
+        |a3 AS (SELECT vec_id, cl FROM (
+        |         SELECT ed.vec_id, c2.cl,
+        |                row_number() OVER (PARTITION BY ed.vec_id ORDER BY
+        |                  list_inner_product(ed.x, ed.x)
+        |                  - 2 * list_inner_product(ed.x, c2.cv)
+        |                  + list_inner_product(c2.cv, c2.cv), c2.cl) AS rn
+        |         FROM ed CROSS JOIN c2) WHERE rn = 1),
+        |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ed),
+        |dup AS (SELECT DISTINCT b.vec_id AS b_id
+        |        FROM a3 a JOIN a3 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |        JOIN ed ea ON ea.vec_id = a.vec_id
+        |        JOIN ed eb ON eb.vec_id = b.vec_id
+        |        JOIN nm na ON na.vec_id = a.vec_id
+        |        JOIN nm nb ON nb.vec_id = b.vec_id
+        |        WHERE list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) >= 0.4),
+        |kept AS (SELECT a3.vec_id FROM a3
+        |         WHERE NOT EXISTS (SELECT 1 FROM dup WHERE b_id = a3.vec_id)),
+        |del AS (SELECT vec_id FROM kept ORDER BY vec_id LIMIT 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_built,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept
+        |        WHERE vec_id NOT IN (SELECT vec_id FROM del)) AS n_live,
+        |       TRUE AS deleted_absent, TRUE AS compact_ok""".stripMargin,
     "q_dedup_semantic_inc" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -7333,6 +7473,16 @@ object SparkEntry {
       // shingleable = at least one word-3-gram = at least 3 tokens
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs_indexed, TRUE AS rows_per_band_ok
          |FROM (SELECT len($ToksSql) AS nt FROM documents) WHERE nt >= 3""".stripMargin,
+    // Delete-lifecycle gate: the live-doc count is the shingleable set
+    // minus the tombstoned ids — a non-shingleable deleted id shrinks
+    // nothing on either engine (it was never indexed). The lifecycle
+    // booleans are Spark-side assertions (TRUE expected; any tombstone or
+    // compaction regression hash-mismatches here).
+    "q_minhash_index_delete_gate" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs_live, TRUE AS deleted_absent,
+         |       TRUE AS rows_per_band_ok, TRUE AS compact_ok
+         |FROM (SELECT doc_id, len($ToksSql) AS nt FROM documents)
+         |WHERE nt >= 3 AND doc_id NOT IN (10, 11)""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
         |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
