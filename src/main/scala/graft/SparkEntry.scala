@@ -3114,6 +3114,42 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
+      // PERSISTED-LANE hybrid serving gate — the actual 100 TB serving
+      // composition: rrfFuse over (postFilter ∘ ivfPqIndexSearch) + the
+      // BM25 lane. All-cells probing makes the index lane reproduce pqTopK
+      // bit-for-bit (the q_ann_ivfpq_gate agreement), so the gate asserts
+      // the persisted-lane fusion EQUALS the in-memory-lane fusion
+      // (ranks AND 12dp scores), and the fused ranking itself is hard
+      // cross-checked by a checksum DuckDB recomputes replaying the
+      // in-memory lanes end-to-end (PQ CTEs + BM25 CTEs + RRF). The
+      // nprobe<nlist pruned shape of the same composition is plan-guarded
+      // in SimilarityAndMultimodalSpec (PartitionFilters on both scans).
+      "q_hybrid_persisted_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("hyb-idx")
+        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val q = e.filter(col("vec_id") < 8)
+        val pred = col("label") =!= 3
+        def lane(hits: org.apache.spark.sql.DataFrame) =
+          SimilaritySearch.postFilter(hits, e, pred, 20)
+            .select(col("q_id"), col("n_id").as("id"), col("rank"))
+        val txt = graft.operators.TextIndex
+          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 20)
+          .select(col("doc_id").as("id"), col("rk").as("rank"))
+        val qids = q.select(col("vec_id").as("q_id"))
+        def fused(v: org.apache.spark.sql.DataFrame) =
+          SimilaritySearch.rrfFuse(v, qids.crossJoin(broadcast(txt)), 10)
+            .select("q_id", "id", "rank", "score").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val fp = fused(lane(SimilaritySearch.ivfPqIndexSearch(s, idx, q, 40, nprobe = 8)))
+        val fm = fused(lane(SimilaritySearch.pqTopK(q, e, 40)))
+        val checksum = fp.toSeq.map { case (qd, id, rk, _) => (qd * 1000003L + id) * rk }.sum
+        s.range(1).select(
+          lit(fp.size.toLong).as("n_fused"),
+          lit(checksum).as("fuse_checksum"),
+          lit(fp == fm).as("persisted_matches_inmem"))
+      }),
+
       // Hard-negative mining: per query, the top-5 most-similar
       // DIFFERENT-label vectors — the contrastive-training pair source.
       // Same broadcast-query/one-corpus-scan shape as q_ann_bruteforce.
@@ -5724,7 +5760,13 @@ object SparkEntry {
     * mi-ascending left fold (`list_reduce` ≡ Spark's `reduce(_ + _)` over
     * the LUT adds; an unordered SUM() would be merge-order-dependent), the
     * top-100 approximate cut, and the exact cosine re-rank. */
-  private lazy val AnnPqOracleSql: String = {
+  /** Shared PQ-search CTE chain (per-subspace quantized-Lloyd codebooks +
+    * fixed-fold ADC + exact survivor re-rank, ending at ranked CTE `pqr`)
+    * — q_ann_pq cuts it at rank ≤ 10; the persisted-hybrid gate takes a
+    * deeper cut as its vector lane. */
+  private lazy val PqSearchCtesSql: String = AnnPqCtes._1
+  private lazy val AnnPqOracleSql: String = AnnPqCtes._2
+  private lazy val AnnPqCtes: (String, String) = {
     val rounds = (1 to 2).map { k =>
       val prev = s"c${k - 1}"
       s"""a$k AS (SELECT vec_id, mi, pos FROM (
@@ -5743,7 +5785,7 @@ object SparkEntry {
          |       FROM (SELECT mi, pos AS pos0, list(CAST(sx AS DOUBLE) / n / 4096 ORDER BY i) AS cv
          |             FROM s$k GROUP BY mi, pos))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    val ctes = s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |es AS (SELECT vec_id, mi, v[mi*8+1 : mi*8+8] AS sv,
        |              list_transform(v[mi*8+1 : mi*8+8],
@@ -5773,8 +5815,8 @@ object SparkEntry {
        |                  ORDER BY adc.adc / (nq.nrm * nn2.nrm) DESC, adc.n_id) AS arank
        |         FROM adc
        |         JOIN nm nq ON nq.vec_id = adc.q_id
-       |         JOIN nm nn2 ON nn2.vec_id = adc.n_id) WHERE arank <= 200)
-       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+       |         JOIN nm nn2 ON nn2.vec_id = adc.n_id) WHERE arank <= 200),
+       |pqr AS (
        |  SELECT s.q_id, s.n_id,
        |         list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) AS sim,
        |         row_number() OVER (PARTITION BY s.q_id
@@ -5784,8 +5826,11 @@ object SparkEntry {
        |  JOIN e eq ON eq.vec_id = s.q_id
        |  JOIN e en ON en.vec_id = s.n_id
        |  JOIN nm nq ON nq.vec_id = s.q_id
-       |  JOIN nm nn2 ON nn2.vec_id = s.n_id)
+       |  JOIN nm nn2 ON nn2.vec_id = s.n_id)""".stripMargin
+    val search = s"""WITH $ctes
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM pqr
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    (ctes, search)
   }
 
   /** [[graft.operators.TextIndex.distinctiveTermsBy]] over the semantic
@@ -6743,6 +6788,55 @@ object SparkEntry {
          |       FROM fs)
          |SELECT q_id, id, rank, score
          |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Persisted-hybrid gate: replay the in-memory twin end-to-end — the
+    // shared PQ-search CTEs cut at rank ≤ 40, post-filtered (label <> 3)
+    // to per-query top-20 by exact sim, fused with the BM25 lane by RRF.
+    // The checksum pins the entire fused ranking; the boolean is the
+    // Spark-side persisted==in-memory assertion (TRUE expected).
+    "q_hybrid_persisted_gate" ->
+      s"""WITH $PqSearchCtesSql,
+         |vhits AS (SELECT q_id, n_id, sim FROM pqr WHERE rank <= 40),
+         |al AS (SELECT vec_id AS n_id FROM embeddings WHERE label <> 3),
+         |pf AS (SELECT q_id, id, rank_a FROM (
+         |        SELECT v.q_id, v.n_id AS id,
+         |               CAST(row_number() OVER (PARTITION BY v.q_id
+         |                 ORDER BY v.sim DESC, v.n_id) AS BIGINT) AS rank_a
+         |        FROM vhits v JOIN al ON al.n_id = v.n_id)
+         |      WHERE rank_a <= 20),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sb AS (SELECT tf.doc_id,
+         |              ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |              * (CAST(tf AS DOUBLE) * 2.2
+         |                 / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |       FROM tf JOIN dfq USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |ab AS (SELECT doc_id,
+         |              round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |       FROM sb GROUP BY 1),
+         |tx AS (SELECT doc_id AS id,
+         |              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_b
+         |       FROM (SELECT doc_id, score FROM ab ORDER BY score DESC, doc_id LIMIT 20)),
+         |txq AS (SELECT qq.q_id, tx.id, tx.rank_b
+         |        FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 8) qq CROSS JOIN tx),
+         |f AS (SELECT coalesce(pf.q_id, txq.q_id) AS q_id, coalesce(pf.id, txq.id) AS id,
+         |             pf.rank_a, txq.rank_b
+         |      FROM pf FULL OUTER JOIN txq ON pf.q_id = txq.q_id AND pf.id = txq.id),
+         |fs AS (SELECT q_id, id,
+         |              round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_a), CAST(0 AS DOUBLE))
+         |                    + coalesce(CAST(1 AS DOUBLE) / (60 + rank_b), CAST(0 AS DOUBLE)), 12) AS score
+         |       FROM f),
+         |rr AS (SELECT q_id, id,
+         |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS BIGINT) AS rank
+         |       FROM fs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_fused,
+         |       CAST(coalesce(sum((q_id * 1000003 + id) * rank), 0) AS BIGINT) AS fuse_checksum,
+         |       TRUE AS persisted_matches_inmem
+         |FROM rr WHERE rank <= 10""".stripMargin,
     // Recall gates: n_exact recomputed from the same brute-force top-k the
     // oracled q_ann_bruteforce uses; recall_ok is the Spark-side floor
     // assertion (TRUE expected — a recall regression hash-mismatches here).

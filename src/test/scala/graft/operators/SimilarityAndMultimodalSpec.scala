@@ -589,6 +589,29 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(SimilaritySearch.ivfPqIndexSearch(spark, pq, q, 3, nprobe = 2).count() === 0L)
   }
 
+  test("persisted hybrid serving: the PRUNED composed plan (rrfFuse over " +
+    "postFilter over ivfPqIndexSearch + BM25 lane) keeps PartitionFilters on both index scans") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-hyb-prune").toString
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+    val q = emb.filter(col("vec_id") < 8)
+    val hits = SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 40, nprobe = 2)
+    val pf = SimilaritySearch.postFilter(hits, emb, col("label") =!= 3, 20)
+      .select(col("q_id"), col("n_id").as("id"), col("rank"))
+    val txt = graft.operators.TextIndex
+      .bm25TopK(docs, Seq("filter", "stream", "vector"), 20)
+      .select(col("doc_id").as("id"), col("rk").as("rank"))
+    val qids = q.select(col("vec_id").as("q_id"))
+    val plan = SimilaritySearch.rrfFuse(pf, qids.crossJoin(broadcast(txt)), 10)
+      .queryExecution.executedPlan.toString
+    // composing postFilter + fusion on top must NOT lose the index lane's
+    // cell pruning: both the code scan (ADC) and the vector scan (re-rank)
+    // still carry a cell partition filter in the fused plan.
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).size
+    assert(pruned >= 2, s"expected >=2 cell-pruned scans in the fused plan, got $pruned:\n$plan")
+  }
+
   test("IVF×PQ compact on a mixed half-readable index fails loudly and " +
     "keeps the tombstones (pending deletes are never silently dropped)") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-mixed").toString
