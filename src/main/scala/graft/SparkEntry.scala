@@ -3150,6 +3150,41 @@ object SparkEntry {
           lit(fp == fm).as("persisted_matches_inmem"))
       }),
 
+      // STREAMING serving gate: drain a query wave through the
+      // checkpointed foreachBatch server (graft.streaming.StreamingSearch)
+      // against the persisted IVF×PQ index under all-cells probing, and
+      // assert the committed epoch answers equal the batch search
+      // bit-for-bit and that a checkpoint-resumed re-serve with no new
+      // arrivals commits nothing. All-cells probing makes the answers
+      // DuckDB-replayable through the shared PQ CTEs (n_served). All
+      // stream state lives in a per-evaluation temp dir deleted eagerly
+      // after the head-sized collects — nothing leaks, nothing is reused.
+      "q_serve_stream_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val io = java.nio.file.Files.createTempDirectory("graft-serve-gate").toString
+        val (idx, arrivals, out, ckpt) =
+          (s"$io/idx", s"$io/in", s"$io/out", s"$io/ckpt")
+        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val q = e.filter(col("vec_id") < 8)
+        q.coalesce(1).write.mode("append").parquet(arrivals)
+        graft.streaming.StreamingSearch
+          .serveAvailableNow(s, idx, arrivals, out, ckpt, k = 10, nprobe = 8)
+        val rows = (df: org.apache.spark.sql.DataFrame) =>
+          df.select("q_id", "n_id", "rank", "sim").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val served = rows(graft.streaming.StreamingSearch.answers(s, out))
+        val batch = rows(SimilaritySearch.ivfPqIndexSearch(s, idx, q, 10, nprobe = 8))
+        graft.streaming.StreamingSearch
+          .serveAvailableNow(s, idx, arrivals, out, ckpt, k = 10, nprobe = 8)
+        val resumed = rows(graft.streaming.StreamingSearch.answers(s, out))
+        val p = new org.apache.hadoop.fs.Path(io)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        s.range(1).select(
+          lit(served.size.toLong).as("n_served"),
+          lit(served == batch).as("matches_batch"),
+          lit(resumed == served).as("resume_noop"))
+      }),
+
       // Hard-negative mining: per query, the top-5 most-similar
       // DIFFERENT-label vectors — the contrastive-training pair source.
       // Same broadcast-query/one-corpus-scan shape as q_ann_bruteforce.
@@ -6837,6 +6872,14 @@ object SparkEntry {
          |       CAST(coalesce(sum((q_id * 1000003 + id) * rank), 0) AS BIGINT) AS fuse_checksum,
          |       TRUE AS persisted_matches_inmem
          |FROM rr WHERE rank <= 10""".stripMargin,
+    // Streaming serving gate: all-cells IVF×PQ answers == pqTopK, so the
+    // served row count replays through the shared PQ CTEs; the lifecycle
+    // booleans are Spark-side assertions (TRUE expected).
+    "q_serve_stream_gate" ->
+      s"""WITH $PqSearchCtesSql
+         |SELECT CAST(count(*) AS BIGINT) AS n_served, TRUE AS matches_batch,
+         |       TRUE AS resume_noop
+         |FROM pqr WHERE rank <= 10""".stripMargin,
     // Recall gates: n_exact recomputed from the same brute-force top-k the
     // oracled q_ann_bruteforce uses; recall_ok is the Spark-side floor
     // assertion (TRUE expected — a recall regression hash-mismatches here).

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SimilaritySearch
+
+class StreamingSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+    df.select("q_id", "n_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("streamed serving equals the batch search; checkpoint resume answers " +
+    "only new arrivals; replayed epochs never duplicate") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    val (idx, arrivals, out, ckpt) = (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+
+    // first wave of queries arrives and is served
+    val w1 = emb.filter(col("vec_id") < 4)
+    w1.coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2)
+    val served1 = pairs(StreamingSearch.answers(spark, out))
+    assert(served1 === pairs(SimilaritySearch.ivfPqIndexSearch(spark, idx, w1, 5, nprobe = 2)))
+    assert(served1.nonEmpty)
+
+    // same checkpoint, no new arrivals -> nothing re-answered
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2)
+    assert(pairs(StreamingSearch.answers(spark, out)) === served1)
+
+    // second wave: only the NEW queries are answered, cumulatively correct
+    val w2 = emb.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+    w2.coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2)
+    val both = w1.unionByName(w2)
+    assert(
+      pairs(StreamingSearch.answers(spark, out)) ===
+        pairs(SimilaritySearch.ivfPqIndexSearch(spark, idx, both, 5, nprobe = 2)))
+
+    // an at-least-once replay of a committed epoch is skipped: the epoch
+    // directory is the commit marker
+    val served2 = pairs(StreamingSearch.answers(spark, out))
+    val epochs = StreamingSearch.answers(spark, out)
+      .select("epoch").distinct().as[Int].collect().sorted
+    assert(epochs.nonEmpty)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/.inflight-epoch=99"))
+    assert(pairs(StreamingSearch.answers(spark, out)) === served2)
+  }
+
+  test("serving interleaves with the index delete lifecycle: a tombstoned id " +
+    "vanishes from the NEXT micro-batch's answers") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-del").toString
+    val (idx, arrivals, out, ckpt) = (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+    val q = emb.filter(col("vec_id") === 0L)
+    q.coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 8)
+    val victim = StreamingSearch.answers(spark, out)
+      .orderBy("rank").collect().head.getAs[Long]("n_id")
+    SimilaritySearch.indexDelete(Seq(victim).toDF("vec_id"), idx)
+    // the same query arrives again (new file): the new epoch's answers are
+    // computed against the post-delete index state
+    q.coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 8)
+    val latest = StreamingSearch.answers(spark, out)
+      .groupBy("epoch").count().orderBy(col("epoch").desc).collect().head.getAs[Int]("epoch")
+    val after = StreamingSearch.answers(spark, out)
+      .filter(col("epoch") === latest).collect().map(_.getAs[Long]("n_id"))
+    assert(!after.contains(victim))
+    assert(after.nonEmpty)
+  }
+
+  test("zero-arrival serve leaves an empty answers view, not an error") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-empty").toString
+    val (idx, arrivals, out, ckpt) = (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+    // an arrivals dir exists but holds no files the stream hasn't seen
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5)
+    assert(StreamingSearch.answers(spark, out).count() === 0L)
+  }
+}
