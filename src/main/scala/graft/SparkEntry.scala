@@ -92,6 +92,50 @@ object SparkEntry {
       d.toString
     })
 
+  /** Session-persisted EDGE ARTIFACT (the index-lifecycle discipline
+    * applied to the graph family): the first consumer of a (graph, sfdir)
+    * key materializes the edge projection ONCE as a parquet artifact; the
+    * other graph queries read it back — at corpus scale this is the
+    * difference between one edge materialization and seven (the co-order
+    * graph feeds triangles/LPA/BFS/degree/assortativity/LCC/k-core, the
+    * trade graph PageRank + PPR). A parquet read-back also gives every
+    * consumer fresh size stats for AQE join planning, subsuming the
+    * per-query `localCheckpointFreshStats` dual-consumer pattern the
+    * k-core and BFS gates used. Oracles are untouched — the artifact
+    * holds exactly the rows the inline projection produced. */
+  private def edgeArtifact(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val d = sessionIndexDir(key)
+    indexDirs.synchronized {
+      if (!new java.io.File(s"$d/_built").exists()) {
+        build.write.mode("overwrite").parquet(s"$d/edges")
+        new java.io.File(s"$d/_built").createNewFile()
+      }
+    }
+    s.read.parquet(s"$d/edges")
+  }
+
+  private def artifactKey(graph: String, dir: String): String =
+    s"$graph-${dir.replaceAll("[^A-Za-z0-9.-]", "_")}"
+
+  /** Co-order item graph `(a, b), a < b` — one materialization per SF dir. */
+  private def coOrderEdgesArtifact(s: SparkSession, dir: String): DataFrame =
+    edgeArtifact(s, artifactKey("coorder", dir))(
+      graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)))
+
+  /** Directed customer→supplier trade edges (distinct); callers symmetrize
+    * with the cheap reversed-union projection. */
+  private def tradeEdgesArtifact(s: SparkSession, dir: String): DataFrame =
+    edgeArtifact(s, artifactKey("trade", dir))(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct())
+
   /** One-row ANN recall gate: `(n_exact, recall_ok)` where n_exact is the
     * exact top-10 row count (oracle-recomputable in DuckDB) and recall_ok
     * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
@@ -1080,15 +1124,7 @@ object SparkEntry {
     // quality signal (link centrality gating documents into the training
     // mix) and the second iterative-graph operator next to q_dedup_clusters.
     "q_pagerank" -> ((s, dir) => {
-      val pairs = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(
-          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-        .distinct()
+      val pairs = tradeEdgesArtifact(s, dir)
       // prefixes differ, so the reversed set is disjoint — no re-distinct
       val edges = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Analytics.pageRank(edges, iters = 5)
@@ -1101,15 +1137,7 @@ object SparkEntry {
     // proximity to the seed set (seed-anchored corpus selection). Same
     // integer contract and unrolled-CTE oracle as q_pagerank.
     "q_ppr" -> ((s, dir) => {
-      val pairs = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(
-          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(
-          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-        .distinct()
+      val pairs = tradeEdgesArtifact(s, dir)
       val edges = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = edges
         .select(col("src").as("node"))
@@ -4574,8 +4602,7 @@ object SparkEntry {
       // (row-local pair expansion per order), triangles counted
       // degree-oriented so no hub ever expands degree².
       "q_triangles" -> ((s, dir) =>
-        graft.operators.Analytics.triangleStats(
-          graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)))),
+        graft.operators.Analytics.triangleStats(coOrderEdgesArtifact(s, dir))),
 
       // Top-30 skip-gram pairs (±2 tokens): pairs generated row-locally in
       // one projection — no posexplode self-join — then one cell count.
@@ -4671,8 +4698,7 @@ object SparkEntry {
       // detection).
       "q_communities" -> ((s, dir) =>
         graft.operators.Analytics
-          .labelPropagation(
-            graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)), 3)
+          .labelPropagation(coOrderEdgesArtifact(s, dir), 3)
           .orderBy("node")),
 
       // Gaps-and-islands: per-user activity streaks over event days. The
@@ -4957,8 +4983,7 @@ object SparkEntry {
       // filter and the peel loop (the kcoreGate pattern).
       "q_bfs_dist" -> ((s, dir) => {
         import graft.operators.Analytics
-        val edges = org.apache.spark.sql.graft.Bridge
-          .localCheckpointFreshStats(Analytics.coOrderEdges(Tables.lineitem(s, dir)))
+        val edges = coOrderEdgesArtifact(s, dir)
         val seeds = edges.select(col("a").as("node"))
           .union(edges.select(col("b").as("node")))
           .distinct()
@@ -4973,7 +4998,7 @@ object SparkEntry {
       // both engines where a double log2 can land on either side of a power
       // of two. Two map-side-combined aggregates, output O(log maxdeg).
       "q_degree_dist" -> ((s, dir) => {
-        val edges = graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir))
+        val edges = coOrderEdgesArtifact(s, dir)
         edges.select(col("a").as("node"))
           .union(edges.select(col("b").as("node")))
           .groupBy("node")
@@ -5140,7 +5165,7 @@ object SparkEntry {
       // engine-identical) before the single IEEE division, rounded 6.
       "q_assortativity" -> ((s, dir) => {
         import graft.operators.Analytics
-        val edges = Analytics.coOrderEdges(Tables.lineitem(s, dir))
+        val edges = coOrderEdgesArtifact(s, dir)
         val sym = edges
           .select(col("a").as("src"), col("b").as("dst"))
           .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -5235,8 +5260,8 @@ object SparkEntry {
       // q_triangles on the same degree-oriented edge iterator; triangles
       // explode to 3T corner cells (output-sized), never Σ outdeg² wedges.
       "q_lcc" -> ((s, dir) =>
-        graft.operators.Analytics.localClusteringCoefficient(
-          graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)), 40)),
+        graft.operators.Analytics
+          .localClusteringCoefficient(coOrderEdgesArtifact(s, dir), 40)),
 
       // Lag-1/lag-7 autocorrelation of the per-type daily count series —
       // Pearson r assembled from exact DECIMAL sums (not the engine's
@@ -5433,11 +5458,10 @@ object SparkEntry {
     * oracle's constant TRUE, same contract as the recall gates. */
   private def kcoreGate(s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.operators.Analytics
-    // One materialization serves both consumers (the peel loop and the
-    // certificate join) — the groupBy+explode+distinct edge build is the
-    // only corpus-wide pass here and would otherwise run twice.
-    val edges = org.apache.spark.sql.graft.Bridge
-      .localCheckpointFreshStats(Analytics.coOrderEdges(Tables.lineitem(s, dir)))
+    // The persisted artifact serves both consumers (the peel loop and the
+    // certificate join) — the groupBy+explode+distinct edge build runs
+    // once per session, not once per consumer per query.
+    val edges = coOrderEdgesArtifact(s, dir)
     val kc = Analytics.kCore(edges, k)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     val info = kc.select(col("node"), col("peel_round"), col("core"))
