@@ -285,27 +285,34 @@ object Dedup {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
-  /** The LIVE index rows — base minus pending deletes, the static side
-    * every consumer ([[minhashIndexCandidates]], [[graft.streaming
-    * .StreamingDedup.classifyNear]]) reads. A fully-tombstoned index
-    * compacts to a zero-row base with no schema-carrying files; that is an
-    * EMPTY index, not a broken one. */
+  /** The LIVE index rows — base ∪ streamed segment, minus pending
+    * deletes: the static side every consumer ([[minhashIndexCandidates]],
+    * [[graft.streaming.StreamingDedup.classifyNear]]) reads. A
+    * fully-tombstoned index compacts to a zero-row base with no
+    * schema-carrying files, and a zero-batch stream run leaves only an
+    * empty sink log; either reads as "no rows here", not an error. */
   def minhashIndexRows(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val base =
-      try spark.read.parquet(s"$dir/index")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(
-              StructField("bucket", IntegerType),
-              StructField("c_id", LongType),
-              StructField("c_sig", ArrayType(LongType)))))
-      }
-    Tombstones.drop(base, dir, "c_id")
+    def readIf(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) None
+      else
+        try Some(spark.read.parquet(p))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    val base = (readIf(s"$dir/index") ++ readIf(s"$dir/index-stream"))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("bucket", IntegerType),
+          StructField("c_id", LongType),
+          StructField("c_sig", ArrayType(LongType))))))
+    // the anti-join moves its key first — re-project to the stable order
+    Tombstones.drop(base, dir, "c_id").select("bucket", "c_id", "c_sig")
   }
 
   /** Append a corpus batch under the index's STORED parameters (partition
@@ -321,6 +328,48 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/index")
   }
 
+  /** Continuous-ingest version of [[minhashIndexAppend]] — the
+    * [[graft.operators.SimilaritySearch.ivfIndexAppendStream]] contract on
+    * the LSH family: drain a parquet directory of arriving documents into
+    * the index as a Structured Streaming job (Trigger.AvailableNow +
+    * checkpoint → re-invoking with the same checkpoint ingests ONLY files
+    * that arrived since the last run). Banding under the STORED parameters
+    * is a pure per-document projection (shingle → signature → band keys),
+    * so the whole build runs inside the stream — no state store, no
+    * corpus rescan.
+    *
+    * Streamed rows land in a separate `index-stream/` segment (a
+    * streaming parquet sink owns its directory through the
+    * `_spark_metadata` commit log — sharing the batch `index/` dir would
+    * hide the batch files from readers); [[minhashIndexRows]] unions base
+    * + stream and [[minhashIndexCompact]] folds the segment back. The
+    * `maxBucket` cap is an AGGREGATION and cannot run inside an
+    * append-mode stream, so streamed rows are uncapped until compaction —
+    * the same per-segment-invariant LSM reasoning as the batch append's
+    * per-batch cap; candidate-join consumers keep their own caps as the
+    * backstop. */
+  def minhashIndexAppendStream(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      arrivalsDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (numPerm, bands, _) = minhashIndexMeta(spark, indexDir)
+    val raw = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(arrivalsDir)
+    val q = bandedBuckets(raw, numPerm, bands)
+      .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$indexDir/index-stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Logical delete of corpus documents: O(ids) tombstone append, applied
     * by every read through [[minhashIndexRows]] and physically at
     * [[minhashIndexCompact]] (the [[Tombstones]] contract — takedowns and
@@ -328,20 +377,27 @@ object Dedup {
   def minhashIndexDelete(ids: DataFrame, dir: String): Unit =
     Tombstones.delete(ids, dir)
 
-  /** Major compaction: apply pending deletes physically (one base rewrite)
-    * and clear the tombstone segment. No-op without tombstones. */
+  /** Major compaction: fold the streamed segment back into the base and
+    * apply pending deletes physically (one rewrite covers both — the
+    * [[graft.operators.SimilaritySearch.ivfIndexCompact]] lifecycle
+    * close). Runs when either a streamed segment or tombstones exist; the
+    * source CHECKPOINT is untouched, so a later
+    * [[minhashIndexAppendStream]] still skips already-ingested files. */
   def minhashIndexCompact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    if (Tombstones.read(spark, dir).isEmpty) return
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/index-stream")
+    val hasStream = fs.exists(streamPath)
+    if (!hasStream && Tombstones.read(spark, dir).isEmpty) return
     val tmp = s"$dir/index-compacting"
     minhashIndexRows(spark, dir).write.mode("overwrite").parquet(tmp)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index"), true)
     fs.rename(
       new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"$dir/index"))
+    if (hasStream) fs.delete(streamPath, true)
     Tombstones.clear(spark, dir)
   }
 
@@ -942,18 +998,73 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val base =
-      try spark.read.parquet(s"$dir/survivors")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(
-              StructField("vec_id", LongType),
-              StructField("embedding", ArrayType(FloatType)),
-              StructField("cluster", LongType))))
+    def readIf(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) None
+      else
+        try Some(spark.read.parquet(p).select("vec_id", "embedding", "cluster"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    val base = (readIf(s"$dir/survivors") ++ readIf(s"$dir/survivors-stream"))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("cluster", LongType)))))
+    // the anti-join moves its key first — re-project to the stable order
+    Tombstones.drop(base, dir, "vec_id").select("vec_id", "embedding", "cluster")
+  }
+
+  /** Continuous-ingest version of [[semanticIndexAppend]] — arriving
+    * vectors are deduped against the cumulative LIVE survivor set under
+    * the index's frozen on-disk model, one micro-batch at a time. The
+    * per-batch work (cell assignment, vs-base and vs-batch cosine joins)
+    * is a stateful computation over the index, not a pure projection, so
+    * it runs through foreachBatch calling the EXACT batch operator —
+    * single-sourced with [[semanticDedupAppend]] — and commits each
+    * batch's survivors as `survivors-stream/epoch=N` under the
+    * inflight-staging/rename discipline (at-least-once delivery, replayed
+    * epochs skipped: the [[graft.streaming.StreamingRollup]] contract).
+    * Batch N+1 reads batch N's committed survivors as part of the base,
+    * so the stream is cumulative exactly like chained batch appends.
+    * [[semanticIndexCompact]] folds the segment back into the
+    * cell-partitioned base. */
+  def semanticIndexAppendStream(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      arrivalsDir: String,
+      checkpoint: String,
+      threshold: Double = 0.4,
+      quantScale: Int = 4096): Unit = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val model = semanticIndexModel(spark, indexDir)
+    require(model.nonEmpty, s"semantic index at $indexDir has an empty model")
+    val raw = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .parquet(arrivalsDir)
+    val q = raw.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val dst = Paths.get(s"$indexDir/survivors-stream/epoch=$epoch")
+        if (!Files.exists(dst)) {
+          Files.createDirectories(Paths.get(s"$indexDir/survivors-stream"))
+          val tmp = s"$indexDir/survivors-stream/.inflight-epoch=$epoch"
+          semanticDedupAppend(
+            semanticIndexSurvivors(spark, indexDir), batch, model, threshold, quantScale)
+            .join(batch.select("vec_id", "embedding"), Seq("vec_id"))
+            .select("vec_id", "embedding", "cluster")
+            .write.mode("overwrite").parquet(tmp)
+          Files.move(Paths.get(tmp), dst)
+          ()
+        }
       }
-    Tombstones.drop(base, dir, "vec_id")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Logical delete of indexed survivors: O(ids) tombstone append, applied
@@ -965,15 +1076,19 @@ object Dedup {
   def semanticIndexDelete(ids: DataFrame, dir: String): Unit =
     Tombstones.delete(ids, dir)
 
-  /** Major compaction: apply pending deletes physically (one
-    * cell-partitioned survivor rewrite) and clear the tombstone segment.
-    * No-op without tombstones. */
+  /** Major compaction: fold the streamed survivor segment back into the
+    * cell-partitioned base and apply pending deletes physically (one
+    * rewrite covers both). Runs when either a streamed segment or
+    * tombstones exist; the source checkpoint is untouched, so a later
+    * [[semanticIndexAppendStream]] still skips already-ingested files. */
   def semanticIndexCompact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    if (Tombstones.read(spark, dir).isEmpty) return
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/survivors-stream")
+    val hasStream = fs.exists(streamPath)
+    if (!hasStream && Tombstones.read(spark, dir).isEmpty) return
     val tmp = s"$dir/survivors-compacting"
     semanticIndexSurvivors(spark, dir)
       .select("vec_id", "embedding", "cluster")
@@ -982,6 +1097,7 @@ object Dedup {
     fs.rename(
       new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"$dir/survivors"))
+    if (hasStream) fs.delete(streamPath, true)
     Tombstones.clear(spark, dir)
   }
 

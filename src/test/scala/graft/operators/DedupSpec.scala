@@ -406,6 +406,80 @@ class DedupSpec extends SparkSpec {
     assert(cands().contains(3L))
   }
 
+  test("minhash index streaming append: streamed segment equals the batch append; " +
+    "checkpoint resume skips processed files; compaction folds it into the base") {
+    val docs5 = docs
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mh-stream").toString
+    val (idxA, idxB, arrivals, ckpt) =
+      (s"$baseDir/a", s"$baseDir/b", s"$baseDir/in", s"$baseDir/ckpt")
+    Dedup.minhashIndexBuild(docs.filter(col("doc_id") <= 2), idxA)
+    Dedup.minhashIndexBuild(docs.filter(col("doc_id") <= 2), idxB)
+    // batch path on A, streamed path on B — same stored parameters
+    Dedup.minhashIndexAppend(docs.filter(col("doc_id") >= 3), idxA)
+    docs5.filter(col("doc_id") >= 3).coalesce(1).write.mode("append").parquet(arrivals)
+    Dedup.minhashIndexAppendStream(spark, idxB, arrivals, ckpt)
+    def rows(idx: String): Set[(Int, Long, Seq[Long])] =
+      Dedup.minhashIndexRows(spark, idx).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSet
+    assert(rows(idxB) === rows(idxA))
+    assert(rows(idxB).exists(_._2 == 3L))
+    // same checkpoint, no new files -> nothing ingested twice
+    val n = Dedup.minhashIndexRows(spark, idxB).count()
+    Dedup.minhashIndexAppendStream(spark, idxB, arrivals, ckpt)
+    assert(Dedup.minhashIndexRows(spark, idxB).count() === n)
+    // tombstones apply across base AND stream segment; compaction folds both
+    Dedup.minhashIndexDelete(Seq(3L).toDF("doc_id"), idxB)
+    val live = rows(idxB)
+    assert(!live.exists(_._2 == 3L))
+    Dedup.minhashIndexCompact(spark, idxB)
+    assert(!new java.io.File(s"$idxB/index-stream").exists())
+    assert(!new java.io.File(s"$idxB/tombstones").exists())
+    assert(rows(idxB) === live)
+  }
+
+  test("semantic index streaming append: cumulative across epochs, equal to " +
+    "chained batch appends; replay skipped; compaction folds the segment") {
+    val baseVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val b1 = Seq((11L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b2 = Seq(
+      (12L, Array(0.0f, 0.001f, 1.0f, 0.0f)), // dup of STREAMED survivor 11
+      (13L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    def withLabel(df: org.apache.spark.sql.DataFrame) = df.withColumn("label", lit(0))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-sem-stream").toString
+    val (idxA, idxB, arrivals, ckpt) =
+      (s"$baseDir/a", s"$baseDir/b", s"$baseDir/in", s"$baseDir/ckpt")
+    Dedup.semanticIndexBuild(baseVecs, idxA, k = 2, rounds = 2, threshold = 0.99)
+    Dedup.semanticIndexBuild(baseVecs, idxB, k = 2, rounds = 2, threshold = 0.99)
+    // batch chain on A
+    Dedup.semanticIndexAppend(b1, idxA, threshold = 0.99)
+    Dedup.semanticIndexAppend(b2, idxA, threshold = 0.99)
+    // streamed chain on B: two drains -> two epochs, the second must see
+    // the first's committed survivors (cumulative)
+    withLabel(b1).coalesce(1).write.mode("append").parquet(arrivals)
+    Dedup.semanticIndexAppendStream(spark, idxB, arrivals, ckpt, threshold = 0.99)
+    withLabel(b2).coalesce(1).write.mode("append").parquet(arrivals)
+    Dedup.semanticIndexAppendStream(spark, idxB, arrivals, ckpt, threshold = 0.99)
+    def ids(idx: String): Set[Long] =
+      Dedup.semanticIndexSurvivors(spark, idx)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ids(idxB) === ids(idxA))
+    assert(ids(idxB) === Set(0L, 2L, 11L, 13L))
+    // replay with the same checkpoint: nothing re-appended
+    Dedup.semanticIndexAppendStream(spark, idxB, arrivals, ckpt, threshold = 0.99)
+    assert(ids(idxB) === Set(0L, 2L, 11L, 13L))
+    // compaction folds the streamed segment into the cell-partitioned base
+    Dedup.semanticIndexCompact(spark, idxB)
+    assert(!new java.io.File(s"$idxB/survivors-stream").exists())
+    assert(ids(idxB) === Set(0L, 2L, 11L, 13L))
+  }
+
   test("minhash index: compacting a fully-tombstoned index reads back as EMPTY, not broken") {
     val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-empty").toString
     Dedup.minhashIndexBuild(docs, idx)
