@@ -142,4 +142,40 @@ class StreamingDedupSpec extends SparkSpec {
     drainSem()
     assert(spark.read.parquet(out).count() === 4)
   }
+
+  test("classifyNear over the PERSISTED live index: a corpus takedown flips the " +
+    "next classification to kept") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sneard-idx").toString
+    val (idx, src, out, ckpt) = (s"$base/idx", s"$base/docs", s"$base/out", s"$base/ckpt")
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog and runs far away into the green hills " +
+        "while the silver moon rises slowly above the quiet valley where the old stone bridge " +
+        "crosses the winding river near the sleeping village tonight"
+    graft.operators.Dedup.minhashIndexBuild(
+      Seq((1000L, corpusText)).toDF("doc_id", "text"), idx, numPerm = 16, bands = 8)
+    def classify(): Unit =
+      DailyIngest.runIncremental(
+        StreamingDedup.classifyNear(
+          StreamingDedup.readDocuments(spark, src),
+          graft.operators.Dedup.minhashIndexRows(spark, idx),
+          0.5,
+          bands = 8),
+        out,
+        ckpt)
+    writeDocs(src, Seq(41L -> corpusText))
+    classify()
+    val first = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 41L)
+      .head().getAs[String]("status")
+    assert(first === "near_dup")
+    // takedown of the corpus doc: the live index loses it, so the SAME
+    // content arriving later is now kept — nothing live suppresses it
+    graft.operators.Dedup.minhashIndexDelete(Seq(1000L).toDF("doc_id"), idx)
+    writeDocs(src, Seq(42L -> corpusText))
+    classify()
+    val second = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 42L)
+      .head().getAs[String]("status")
+    assert(second === "kept")
+  }
 }
