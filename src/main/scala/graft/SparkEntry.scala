@@ -136,6 +136,36 @@ object SparkEntry {
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
         .distinct())
 
+  /** Session-persisted ANN index artifacts, built ONCE per SF dir for the
+    * NON-MUTATING consumers (gates that search but never tombstone or
+    * compact — at corpus scale the index is prebuilt and serving only
+    * reads it; rebuilding per query was the anti-pattern the R6 scale
+    * probe itself called out). The delete-lifecycle gates keep their
+    * private rebuilds: they mutate. */
+  private def ivfIndexArtifact(s: SparkSession, dir: String): String = {
+    val d = sessionIndexDir(artifactKey("ivf-art", dir))
+    indexDirs.synchronized {
+      if (!new java.io.File(s"$d/_built").exists()) {
+        graft.operators.SimilaritySearch
+          .ivfIndexBuild(Tables.embeddings(s, dir), d, nlist = 8, iters = 2)
+        new java.io.File(s"$d/_built").createNewFile()
+      }
+    }
+    d
+  }
+
+  private def ivfPqIndexArtifact(s: SparkSession, dir: String): String = {
+    val d = sessionIndexDir(artifactKey("ivfpq-art", dir))
+    indexDirs.synchronized {
+      if (!new java.io.File(s"$d/_built").exists()) {
+        graft.operators.SimilaritySearch
+          .ivfPqIndexBuild(Tables.embeddings(s, dir), d)
+        new java.io.File(s"$d/_built").createNewFile()
+      }
+    }
+    d
+  }
+
   /** One-row ANN recall gate: `(n_exact, recall_ok)` where n_exact is the
     * exact top-10 row count (oracle-recomputable in DuckDB) and recall_ok
     * asserts |approx ∩ exact| / n_exact ≥ floor. Turns the engine-specific
@@ -2979,8 +3009,7 @@ object SparkEntry {
       // scan is partition-pruned to the probed cells (PlanShapeSpec).
       "q_ann_ivf_index_gate" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val idx = sessionIndexDir("ivf-idx")
-        SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
+        val idx = ivfIndexArtifact(s, dir)
         val q = e.filter(col("vec_id") < 8)
         val viaIndex = SimilaritySearch.ivfIndexSearch(s, idx, q, 10, nprobe = 2)
         val inMem = SimilaritySearch.ivfTopK(q, e, 10, nlist = 8, nprobe = 2)
@@ -2999,8 +3028,7 @@ object SparkEntry {
       // the ONLY approximation the composition adds).
       "q_ann_ivfpq_gate" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val idx = sessionIndexDir("ivfpq-idx")
-        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val idx = ivfPqIndexArtifact(s, dir)
         val q = e.filter(col("vec_id") < 8)
         val pairs = (df: org.apache.spark.sql.DataFrame) => df.select("q_id", "n_id")
         val viaAll = SimilaritySearch.ivfPqIndexSearch(s, idx, q, 10, nprobe = 8)
@@ -3154,8 +3182,7 @@ object SparkEntry {
       // in SimilarityAndMultimodalSpec (PartitionFilters on both scans).
       "q_hybrid_persisted_gate" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val idx = sessionIndexDir("hyb-idx")
-        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val idx = ivfPqIndexArtifact(s, dir)
         val q = e.filter(col("vec_id") < 8)
         val pred = col("label") =!= 3
         def lane(hits: org.apache.spark.sql.DataFrame) =
@@ -3190,9 +3217,8 @@ object SparkEntry {
       "q_serve_stream_gate" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         val io = java.nio.file.Files.createTempDirectory("graft-serve-gate").toString
-        val (idx, arrivals, out, ckpt) =
-          (s"$io/idx", s"$io/in", s"$io/out", s"$io/ckpt")
-        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val (arrivals, out, ckpt) = (s"$io/in", s"$io/out", s"$io/ckpt")
+        val idx = ivfPqIndexArtifact(s, dir) // serving READS the prebuilt index
         val q = e.filter(col("vec_id") < 8)
         q.coalesce(1).write.mode("append").parquet(arrivals)
         graft.streaming.StreamingSearch
