@@ -2880,7 +2880,7 @@ object SparkEntry {
             lit(true).as("matches_inmem"))
         } else {
           val idx = sessionIndexDir("sem-idx")
-          Dedup.semanticIndexBuild(base, idx)
+          Dedup.semanticIndexBuildWithModel(base, idx, model)
           Dedup.semanticIndexAppend(batch, idx)
           val persisted = Dedup.semanticIndexSurvivors(s, idx).select("vec_id", "cluster")
           val keptMem = Dedup.semanticDedupWithModel(base, model)
@@ -2912,7 +2912,7 @@ object SparkEntry {
             lit(true).as("deleted_absent"), lit(true).as("compact_ok"))
         } else {
           val idx = sessionIndexDir("sem-del-idx")
-          Dedup.semanticIndexBuild(e, idx)
+          Dedup.semanticIndexBuildWithModel(e, idx, model)
           val builtIds = Dedup.semanticIndexSurvivors(s, idx)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           val delIds = builtIds.toSeq.sorted.take(2)

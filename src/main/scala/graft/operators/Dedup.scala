@@ -966,11 +966,22 @@ object Dedup {
       k: Int = 8,
       rounds: Int = 2,
       threshold: Double = 0.4,
+      quantScale: Int = 4096): Unit =
+    semanticIndexBuildWithModel(
+      embeddings, dir, semanticModel(embeddings, k, rounds, quantScale), threshold, quantScale)
+
+  /** [[semanticIndexBuild]] under a model the caller already trained —
+    * callers that pre-check the model for emptiness (the gate pattern)
+    * would otherwise pay Lloyd training twice. */
+  def semanticIndexBuildWithModel(
+      embeddings: DataFrame,
+      dir: String,
+      model: Seq[(Long, Array[Double])],
+      threshold: Double = 0.4,
       quantScale: Int = 4096): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     Tombstones.clear(spark, dir) // a rebuild invalidates prior deletes
-    val model = semanticModel(embeddings, k, rounds, quantScale)
     model.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     semanticDedupWithModel(embeddings, model, threshold, quantScale)

@@ -860,4 +860,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"replicate sums not map-side combined:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"CI table not broadcast:\n$p")
   }
+
+  test("graph queries read the persisted edge artifact, never a fresh base-table projection") {
+    // q_pagerank's trade graph derives from orders×lineitem and
+    // q_communities' co-order graph from lineitem — after the artifact
+    // change, neither base table may appear in the executed plan: the one
+    // materialization per (graph, SF) is the point, and a regression here
+    // means every graph query pays the projection again.
+    val pr = plan("q_pagerank")
+    assert(!pr.contains("orders.parquet") && !pr.contains("lineitem.parquet"),
+      s"q_pagerank re-projects the trade graph from base tables:\n$pr")
+    val lpa = plan("q_communities")
+    assert(!lpa.contains("lineitem.parquet"),
+      s"q_communities re-projects the co-order graph from lineitem:\n$lpa")
+  }
 }

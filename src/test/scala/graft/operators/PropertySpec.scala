@@ -385,4 +385,38 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === model)
     }
   }
+
+  test("tombstone lifecycle invariants: live view == base minus deleted ids at any " +
+    "delete set; delete idempotent; compact preserves the live view and empties the segment") {
+    val corpusGen = Gen.listOfN(30, Gen.choose(0L, 19L)).map(_.distinct)
+    val deleteGen = Gen.listOfN(12, Gen.choose(0L, 25L)).map(_.distinct)
+    forAllSamples(Gen.zip(corpusGen, deleteGen), n = 8) { case (ids, dels) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ts-prop").toString
+      val base = ids.map(i => (i, i * 7)).toDF("vec_id", "payload")
+      base.write.mode("overwrite").parquet(s"$dir/base")
+      def live(): Set[Long] =
+        Tombstones.drop(spark.read.parquet(s"$dir/base"), dir, "vec_id")
+          .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(live() === ids.toSet)
+      if (dels.nonEmpty) {
+        Tombstones.delete(dels.toDF("vec_id"), dir)
+        // exact set semantics: ids never present delete to a no-op
+        assert(live() === ids.toSet -- dels)
+        // deleting the same ids again changes nothing (append-only segment,
+        // distinct applied at read)
+        Tombstones.delete(dels.toDF("vec_id"), dir)
+        assert(live() === ids.toSet -- dels)
+        // compact-style physical apply preserves the live view exactly
+        val tmp = s"$dir/base2"
+        Tombstones.drop(spark.read.parquet(s"$dir/base"), dir, "vec_id")
+          .write.mode("overwrite").parquet(tmp)
+        Tombstones.clear(spark, dir)
+        val applied =
+          try spark.read.parquet(tmp).collect().map(_.getAs[Long]("vec_id")).toSet
+          catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[Long] }
+        assert(applied === ids.toSet -- dels)
+        assert(Tombstones.read(spark, dir).isEmpty)
+      }
+    }
+  }
 }
