@@ -3039,6 +3039,21 @@ object SparkEntry {
           .withColumn("matches_pq_all_cells", lit(diff == 0L))
       }),
 
+      // ANN: the PRUNED persisted IVF×PQ search itself, FULLY ORACLED —
+      // coarse probe (nprobe=2 of 8 cells) → ADC over probed-cell codes →
+      // exact re-rank of the top-200 ADC survivors. DuckDB replays the
+      // whole composition (shared coarse-Lloyd CTEs × the prefixed PQ
+      // chain), so the flagship serving path is hash-verified end-to-end;
+      // the gate above keeps the all-cells≡pqTopK equivalence and the
+      // recall floor.
+      "q_ann_ivfpq" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch
+          .ivfPqIndexSearch(
+            s, ivfPqIndexArtifact(s, dir), e.filter(col("vec_id") < 8), 10, nprobe = 2)
+          .orderBy("q_id", "rank")
+      }),
+
       // Persisted-index DELETE lifecycle gate: build the session IVF index,
       // tombstone two ids, and assert (a) no deleted id surfaces, (b) the
       // tombstoned search equals the pre-delete search at an inflated k
@@ -5845,6 +5860,47 @@ object SparkEntry {
     * mi-ascending left fold (`list_reduce` ≡ Spark's `reduce(_ + _)` over
     * the LUT adds; an unordered SUM() would be merge-order-dependent), the
     * top-100 approximate cut, and the exact cosine re-rank. */
+  /** PQ MODEL CTE chain (per-subspace quantized-Lloyd codebooks + code
+    * assignment), name-prefixable so it can compose with the coarse-IVF
+    * chain (whose CTE names it would otherwise collide with). Emits
+    * `{p}e, {p}nm, {p}es, {p}c0..c2, {p}a1..a2, {p}s1..s2, {p}codes`. */
+  private def pqModelCtes(p: String): String = {
+    val rounds = (1 to 2).map { k =>
+      val prev = s"${p}c${k - 1}"
+      s"""${p}a$k AS (SELECT vec_id, mi, pos FROM (
+         |        SELECT ${p}es.vec_id, ${p}es.mi, $prev.pos,
+         |               row_number() OVER (PARTITION BY ${p}es.vec_id, ${p}es.mi
+         |                 ORDER BY list_inner_product(${p}es.sv, $prev.cv) DESC,
+         |                          $prev.pos DESC) AS rn
+         |        FROM ${p}es JOIN $prev USING (mi)) WHERE rn = 1),
+         |${p}s$k AS (SELECT mi, pos, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
+         |       FROM (SELECT ${p}a$k.mi, ${p}a$k.pos, unnest(${p}es.q) AS qx, unnest(range(1, 9)) AS i
+         |             FROM ${p}es JOIN ${p}a$k USING (vec_id, mi))
+         |       GROUP BY 1, 2, 3),
+         |${p}c$k AS (SELECT mi,
+         |              CAST(row_number() OVER (PARTITION BY mi ORDER BY pos0) - 1
+         |                   AS INTEGER) AS pos, cv
+         |       FROM (SELECT mi, pos AS pos0, list(CAST(sx AS DOUBLE) / n / 4096 ORDER BY i) AS cv
+         |             FROM ${p}s$k GROUP BY mi, pos))""".stripMargin
+    }.mkString(",\n")
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${p}nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM ${p}e),
+       |${p}es AS (SELECT vec_id, mi, v[mi*8+1 : mi*8+8] AS sv,
+       |              list_transform(v[mi*8+1 : mi*8+8],
+       |                             x -> CAST(floor(x * 4096) AS BIGINT)) AS q
+       |       FROM ${p}e CROSS JOIN (SELECT unnest(range(0, 8)) AS mi)),
+       |${p}c0 AS (SELECT mi,
+       |              CAST(row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
+       |                   AS INTEGER) AS pos, sv AS cv
+       |       FROM ${p}es WHERE vec_id IN (SELECT vec_id FROM ${p}e ORDER BY vec_id LIMIT 16)),
+       |$rounds,
+       |${p}codes AS (SELECT vec_id, mi, pos FROM (
+       |        SELECT ${p}es.vec_id, ${p}es.mi, ${p}c2.pos,
+       |               row_number() OVER (PARTITION BY ${p}es.vec_id, ${p}es.mi
+       |                 ORDER BY list_inner_product(${p}es.sv, ${p}c2.cv) DESC, ${p}c2.pos DESC) AS rn
+       |        FROM ${p}es JOIN ${p}c2 USING (mi)) WHERE rn = 1)""".stripMargin
+  }
+
   /** Shared PQ-search CTE chain (per-subspace quantized-Lloyd codebooks +
     * fixed-fold ADC + exact survivor re-rank, ending at ranked CTE `pqr`)
     * — q_ann_pq cuts it at rank ≤ 10; the persisted-hybrid gate takes a
@@ -5852,40 +5908,7 @@ object SparkEntry {
   private lazy val PqSearchCtesSql: String = AnnPqCtes._1
   private lazy val AnnPqOracleSql: String = AnnPqCtes._2
   private lazy val AnnPqCtes: (String, String) = {
-    val rounds = (1 to 2).map { k =>
-      val prev = s"c${k - 1}"
-      s"""a$k AS (SELECT vec_id, mi, pos FROM (
-         |        SELECT es.vec_id, es.mi, $prev.pos,
-         |               row_number() OVER (PARTITION BY es.vec_id, es.mi
-         |                 ORDER BY list_inner_product(es.sv, $prev.cv) DESC,
-         |                          $prev.pos DESC) AS rn
-         |        FROM es JOIN $prev USING (mi)) WHERE rn = 1),
-         |s$k AS (SELECT mi, pos, i, sum(qx) AS sx, CAST(count(*) AS BIGINT) AS n
-         |       FROM (SELECT a$k.mi, a$k.pos, unnest(es.q) AS qx, unnest(range(1, 9)) AS i
-         |             FROM es JOIN a$k USING (vec_id, mi))
-         |       GROUP BY 1, 2, 3),
-         |c$k AS (SELECT mi,
-         |              CAST(row_number() OVER (PARTITION BY mi ORDER BY pos0) - 1
-         |                   AS INTEGER) AS pos, cv
-         |       FROM (SELECT mi, pos AS pos0, list(CAST(sx AS DOUBLE) / n / 4096 ORDER BY i) AS cv
-         |             FROM s$k GROUP BY mi, pos))""".stripMargin
-    }.mkString(",\n")
-    val ctes = s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |nm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |es AS (SELECT vec_id, mi, v[mi*8+1 : mi*8+8] AS sv,
-       |              list_transform(v[mi*8+1 : mi*8+8],
-       |                             x -> CAST(floor(x * 4096) AS BIGINT)) AS q
-       |       FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS mi)),
-       |c0 AS (SELECT mi,
-       |              CAST(row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
-       |                   AS INTEGER) AS pos, sv AS cv
-       |       FROM es WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-       |$rounds,
-       |codes AS (SELECT vec_id, mi, pos FROM (
-       |        SELECT es.vec_id, es.mi, c2.pos,
-       |               row_number() OVER (PARTITION BY es.vec_id, es.mi
-       |                 ORDER BY list_inner_product(es.sv, c2.cv) DESC, c2.pos DESC) AS rn
-       |        FROM es JOIN c2 USING (mi)) WHERE rn = 1),
+    val ctes = s"""${pqModelCtes("")},
        |adc AS (SELECT q_id, n_id, list_reduce(list(ip ORDER BY mi), (a, b) -> a + b) AS adc
        |        FROM (SELECT qs.vec_id AS q_id, codes.vec_id AS n_id, codes.mi AS mi,
        |                     list_inner_product(qs.sv, c2.cv) AS ip
@@ -5917,6 +5940,55 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     (ctes, search)
   }
+
+  /** FULL replay of the PRUNED persisted IVF×PQ search (q_ann_ivfpq — the
+    * flagship serving path, previously gate-asserted only): the shared
+    * coarse quantized-Lloyd chain (IvfModelCtesSql — the exact model
+    * ivfPqIndexBuild trains, nlist=8/iters=2) probes nprobe=2 cells per
+    * query; the PREFIXED PQ chain (pqModelCtes("p") — full-corpus
+    * training, exactly as the build trains codebooks) ADC-ranks ONLY
+    * probed-cell members; the top-200 ADC survivors re-rank by exact
+    * cosine. Tie-breaks mirror ivfPqIndexSearch: (approx desc, n_id) at
+    * the survivor cut, (sim desc, n_id) at the final cut, fixed-order
+    * IEEE ADC fold on both engines. */
+  private lazy val AnnIvfPqOracleSql: String =
+    s"""WITH $IvfModelCtesSql,
+       |${pqModelCtes("p")},
+       |probe AS (SELECT q_id, cl FROM (
+       |        SELECT e.vec_id AS q_id, c2.cl,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY list_inner_product(e.v, c2.cv) DESC, c2.cl ASC) AS rn
+       |        FROM e CROSS JOIN c2 WHERE e.vec_id < 8) WHERE rn <= 2),
+       |cand AS (SELECT pr.q_id, a3.vec_id AS n_id
+       |         FROM probe pr JOIN a3 ON a3.cl = pr.cl
+       |         WHERE a3.vec_id <> pr.q_id),
+       |kadc AS (SELECT q_id, n_id, list_reduce(list(ip ORDER BY mi), (a, b) -> a + b) AS adc
+       |        FROM (SELECT cd.q_id, cd.n_id, pcodes.mi AS mi,
+       |                     list_inner_product(qs.sv, pc2.cv) AS ip
+       |              FROM cand cd
+       |              JOIN pcodes ON pcodes.vec_id = cd.n_id
+       |              JOIN pc2 ON pc2.mi = pcodes.mi AND pc2.pos = pcodes.pos
+       |              JOIN pes qs ON qs.mi = pcodes.mi AND qs.vec_id = cd.q_id)
+       |        GROUP BY q_id, n_id),
+       |ksur AS (SELECT q_id, n_id FROM (
+       |         SELECT kadc.q_id, kadc.n_id,
+       |                row_number() OVER (PARTITION BY kadc.q_id
+       |                  ORDER BY kadc.adc / (nq.nrm * nn2.nrm) DESC, kadc.n_id) AS arank
+       |         FROM kadc
+       |         JOIN nm nq ON nq.vec_id = kadc.q_id
+       |         JOIN nm nn2 ON nn2.vec_id = kadc.n_id) WHERE arank <= 200)
+       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+       |  SELECT s.q_id, s.n_id,
+       |         list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) AS sim,
+       |         row_number() OVER (PARTITION BY s.q_id
+       |           ORDER BY list_inner_product(eq.v, en.v) / (nq.nrm * nn2.nrm) DESC,
+       |                    s.n_id) AS rank
+       |  FROM ksur s
+       |  JOIN e eq ON eq.vec_id = s.q_id
+       |  JOIN e en ON en.vec_id = s.n_id
+       |  JOIN nm nq ON nq.vec_id = s.q_id
+       |  JOIN nm nn2 ON nn2.vec_id = s.n_id)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   /** [[graft.operators.TextIndex.distinctiveTermsBy]] over the semantic
     * cells: the shared quantized-Lloyd assignment joined to documents
@@ -6943,6 +7015,7 @@ object SparkEntry {
     "q_ann_ivf" -> AnnIvfOracleSql,
     // Per-subspace quantized-Lloyd + fixed-fold ADC replay (AnnPqOracleSql).
     "q_ann_pq" -> AnnPqOracleSql,
+    "q_ann_ivfpq" -> AnnIvfPqOracleSql,
     // Shared IVF model CTEs + the replayable Knuth-hash lottery.
     "q_diverse_sample" -> DiverseSampleOracleSql,
     // Shared IVF model CTEs + the c-TF-IDF class SQL with cell classes.
