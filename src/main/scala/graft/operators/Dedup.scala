@@ -377,10 +377,14 @@ object Dedup {
   def minhashIndexDelete(ids: DataFrame, dir: String): Unit =
     Tombstones.delete(ids, dir)
 
-  /** Major compaction: fold the streamed segment back into the base and
-    * apply pending deletes physically (one rewrite covers both — the
+  /** Major compaction: fold the streamed segment back into the base,
+    * apply pending deletes physically, and RESTORE the build-time
+    * `maxBucket` invariant (per-batch/uncapped-stream appends can push a
+    * bucket over the cap; a compacted index equals a fresh
+    * [[minhashIndexBuild]] of the live corpus, which would drop that
+    * bucket) — one rewrite covers all three, the
     * [[graft.operators.SimilaritySearch.ivfIndexCompact]] lifecycle
-    * close). Runs when either a streamed segment or tombstones exist; the
+    * close. Runs when either a streamed segment or tombstones exist; the
     * source CHECKPOINT is untouched, so a later
     * [[minhashIndexAppendStream]] still skips already-ingested files. */
   def minhashIndexCompact(
@@ -391,8 +395,10 @@ object Dedup {
     val streamPath = new org.apache.hadoop.fs.Path(s"$dir/index-stream")
     val hasStream = fs.exists(streamPath)
     if (!hasStream && Tombstones.read(spark, dir).isEmpty) return
+    val (_, _, maxBucket) = minhashIndexMeta(spark, dir)
     val tmp = s"$dir/index-compacting"
-    minhashIndexRows(spark, dir).write.mode("overwrite").parquet(tmp)
+    capBuckets(minhashIndexRows(spark, dir), Seq("bucket"), maxBucket)
+      .write.mode("overwrite").parquet(tmp)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index"), true)
     fs.rename(
       new org.apache.hadoop.fs.Path(tmp),

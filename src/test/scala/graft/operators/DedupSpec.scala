@@ -480,6 +480,26 @@ class DedupSpec extends SparkSpec {
     assert(ids(idxB) === Set(0L, 2L, 11L, 13L))
   }
 
+  test("minhash compaction restores the maxBucket invariant that uncapped " +
+    "streamed appends can violate (compacted index == fresh build of the live corpus)") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mh-cap").toString
+    val (idx, arrivals, ckpt) = (s"$baseDir/idx", s"$baseDir/in", s"$baseDir/ckpt")
+    // identical text => identical band buckets for every doc id
+    Dedup.minhashIndexBuild(Seq((1L, base)).toDF("doc_id", "text"), idx, maxBucket = 2)
+    Seq((2L, base), (3L, base))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("append").parquet(arrivals)
+    Dedup.minhashIndexAppendStream(spark, idx, arrivals, ckpt)
+    // uncapped until compaction: every bucket now holds 3 members (> cap 2)
+    assert(Dedup.minhashIndexRows(spark, idx).count() === 12L) // 3 docs x 4 bands
+    Dedup.minhashIndexCompact(spark, idx)
+    // a fresh build of the 3-doc corpus at cap 2 would drop every bucket —
+    // compaction must converge to the same state
+    assert(Dedup.minhashIndexRows(spark, idx).count() === 0L)
+  }
+
   test("minhash index: compacting a fully-tombstoned index reads back as EMPTY, not broken") {
     val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-empty").toString
     Dedup.minhashIndexBuild(docs, idx)
