@@ -2919,7 +2919,9 @@ object SparkEntry {
           Dedup.semanticIndexDelete(delIds.toDF("vec_id"), idx)
           val liveIds = Dedup.semanticIndexSurvivors(s, idx)
             .select("vec_id").collect().map(_.getLong(0)).toSet
-          val physicalRemain = s.read.parquet(s"$idx/survivors")
+          val physicalRemain = s.read.parquet(
+            graft.operators.IndexManifest.liveTableDir(
+              s, idx, graft.operators.IndexManifest.Layouts.semantic, "survivors"))
             .filter(col("vec_id").isin(delIds: _*)).count() == delIds.size.toLong
           Dedup.semanticIndexCompact(s, idx)
           val compactIds = Dedup.semanticIndexSurvivors(s, idx)
@@ -2929,7 +2931,9 @@ object SparkEntry {
             lit(liveIds.size.toLong).as("n_live"),
             lit(liveIds == builtIds -- delIds && physicalRemain).as("deleted_absent"),
             lit(compactIds == liveIds
-              && !new java.io.File(s"$idx/tombstones").exists()).as("compact_ok"))
+              && !new java.io.File(
+                s"$idx/${graft.operators.IndexManifest.liveTombstones(s, idx)}")
+                .exists()).as("compact_ok"))
         }
       }),
 
@@ -4504,7 +4508,9 @@ object SparkEntry {
         // empty-corpus build leaves a schema-less index dir: physical
         // presence is vacuously "kept" (there is nothing to keep)
         val physicalRemain =
-          try s.read.parquet(s"$idx/index")
+          try s.read.parquet(
+            graft.operators.IndexManifest.liveTableDir(
+              s, idx, graft.operators.IndexManifest.Layouts.minhash, "index"))
             .filter(col("c_id").isin(deleted: _*)).count() > 0
           catch { case _: org.apache.spark.sql.AnalysisException => liveDocs.isEmpty }
         val probeHits = Dedup.minhashIndexCandidates(docs.filter(col("doc_id") < 5), idx)
@@ -4519,7 +4525,9 @@ object SparkEntry {
             && physicalRemain).as("deleted_absent"),
           lit(liveRows == liveDocs.size * 4L).as("rows_per_band_ok"),
           lit(compactDocs == liveDocs && compactRows == liveRows
-            && !new java.io.File(s"$idx/tombstones").exists()).as("compact_ok"))
+            && !new java.io.File(
+              s"$idx/${graft.operators.IndexManifest.liveTombstones(s, idx)}")
+              .exists()).as("compact_ok"))
       }),
 
       // Blocked entity-resolution self-join: customer-name pairs within one

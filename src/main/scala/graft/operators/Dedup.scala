@@ -136,7 +136,7 @@ object Dedup {
     * 0.57 s vs 0.72 s — the double signature evaluation costs more than the
     * buffering even under heavy skew, and the gap widens with corpus size
     * since the anti-join form re-tokenizes the whole corpus. */
-  private def capBuckets(keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+  private[graft] def capBuckets(keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     keyed
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
@@ -252,15 +252,18 @@ object Dedup {
   /** Persist the corpus LSH index on disk with the full
     * build/append/delete/compact lifecycle (the [[graft.operators
     * .SimilaritySearch.ivfIndexBuild]] discipline applied to the minhash
-    * family). Layout under `dir`:
+    * family). Logical tables under `dir`, resolved through the
+    * generation-numbered [[IndexManifest]] (physical dirs are
+    * generation-suffixed; the manifest commit is the atomic cut-over):
     *
-    *  - `meta/`: one row (num_perm, bands, max_bucket) — appends and
+    *  - `meta`: one row (num_perm, bands, max_bucket) — appends and
     *    queries MUST band under the build parameters or buckets never
     *    collide, so the index carries them;
-    *  - `index/`: the (bucket, c_id, c_sig) rows of [[minhashIndex]];
-    *  - `tombstones/`: pending logical deletes ([[Tombstones]]).
+    *  - `index`: the (bucket, c_id, c_sig) rows of [[minhashIndex]];
+    *  - tombstone segment: pending logical deletes ([[Tombstones]]).
     *
-    * A rebuild clears stale tombstones — it starts from a clean slate. */
+    * A rebuild commits a fresh generation — stale tombstones and old
+    * segments vanish in the same manifest bump. */
   def minhashIndexBuild(
       corpus: DataFrame,
       dir: String,
@@ -269,18 +272,25 @@ object Dedup {
       maxBucket: Int = 2000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Tombstones.clear(spark, dir)
+    val layout = IndexManifest.Layouts.minhash
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
     Seq((numPerm, bands, maxBucket))
       .toDF("num_perm", "bands", "max_bucket")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(next.tableDir(dir, "meta"))
     minhashIndex(corpus, numPerm, bands, maxBucket)
-      .write.mode("overwrite").parquet(s"$dir/index")
+      .write.mode("overwrite").parquet(next.tableDir(dir, "index"))
+    IndexManifest.commit(spark, dir, next, layout)
   }
+
+  private def minhashState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexManifest.State =
+    IndexManifest.resolve(spark, dir, IndexManifest.Layouts.minhash)
 
   private def minhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta")
+    val r = spark.read.parquet(minhashState(spark, dir).tableDir(dir, "meta"))
       .select("num_perm", "bands", "max_bucket").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
@@ -295,6 +305,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val st = minhashState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -303,7 +314,7 @@ object Dedup {
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    val base = (readIf(s"$dir/index") ++ readIf(s"$dir/index-stream"))
+    val base = (readIf(st.tableDir(dir, "index")) ++ readIf(st.streamDir(dir)))
       .reduceLeftOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -312,7 +323,7 @@ object Dedup {
           StructField("c_id", LongType),
           StructField("c_sig", ArrayType(LongType))))))
     // the anti-join moves its key first — re-project to the stable order
-    Tombstones.drop(base, dir, "c_id").select("bucket", "c_id", "c_sig")
+    Tombstones.drop(base, dir, "c_id", st.tombstones).select("bucket", "c_id", "c_sig")
   }
 
   /** Append a corpus batch under the index's STORED parameters (partition
@@ -325,7 +336,7 @@ object Dedup {
     val spark = batch.sparkSession
     val (numPerm, bands, maxBucket) = minhashIndexMeta(spark, dir)
     minhashIndex(batch, numPerm, bands, maxBucket)
-      .write.mode("append").parquet(s"$dir/index")
+      .write.mode("append").parquet(minhashState(spark, dir).tableDir(dir, "index"))
   }
 
   /** Continuous-ingest version of [[minhashIndexAppend]] — the
@@ -362,7 +373,7 @@ object Dedup {
       .select(col("bucket"), col("doc_id").as("c_id"), col("sig").as("c_sig"))
       .writeStream
       .format("parquet")
-      .option("path", s"$indexDir/index-stream")
+      .option("path", minhashState(spark, indexDir).streamDir(indexDir))
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -375,7 +386,7 @@ object Dedup {
     * [[minhashIndexCompact]] (the [[Tombstones]] contract — takedowns and
     * licensing retractions never force an index rebuild). */
   def minhashIndexDelete(ids: DataFrame, dir: String): Unit =
-    Tombstones.delete(ids, dir)
+    Tombstones.delete(ids, dir, minhashState(ids.sparkSession, dir).tombstones)
 
   /** Major compaction: fold the streamed segment back into the base,
     * apply pending deletes physically, and RESTORE the build-time
@@ -386,25 +397,28 @@ object Dedup {
     * [[graft.operators.SimilaritySearch.ivfIndexCompact]] lifecycle
     * close. Runs when either a streamed segment or tombstones exist; the
     * source CHECKPOINT is untouched, so a later
-    * [[minhashIndexAppendStream]] still skips already-ingested files. */
+    * [[minhashIndexAppendStream]] still skips already-ingested files.
+    *
+    * Crash consistency ([[IndexManifest]]): the folded base is written to
+    * the NEXT generation's dir first, then one manifest commit swaps
+    * base + stream + tombstone segments atomically — a crash before the
+    * commit leaves the old generation fully live (never a silently-empty
+    * index), a crash after it leaves the new one (never double-counted
+    * folded rows). */
   def minhashIndexCompact(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/index-stream")
-    val hasStream = fs.exists(streamPath)
-    if (!hasStream && Tombstones.read(spark, dir).isEmpty) return
+    val layout = IndexManifest.Layouts.minhash
+    val prev = IndexManifest.resolve(spark, dir, layout)
+    val hasStream = fs.exists(new org.apache.hadoop.fs.Path(prev.streamDir(dir)))
+    if (!hasStream && Tombstones.read(spark, dir, prev.tombstones).isEmpty) return
     val (_, _, maxBucket) = minhashIndexMeta(spark, dir)
-    val tmp = s"$dir/index-compacting"
+    val next = layout.advance(prev, carry = Set("meta"))
     capBuckets(minhashIndexRows(spark, dir), Seq("bucket"), maxBucket)
-      .write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/index"), true)
-    fs.rename(
-      new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/index"))
-    if (hasStream) fs.delete(streamPath, true)
-    Tombstones.clear(spark, dir)
+      .write.mode("overwrite").parquet(next.tableDir(dir, "index"))
+    IndexManifest.commit(spark, dir, next, layout)
   }
 
   /** Batch near-dup candidates of `batch` against the persisted index:
@@ -413,12 +427,23 @@ object Dedup {
     * MinHash components (the [[graft.streaming.StreamingDedup
     * .classifyNear]] estimate, batch-shaped). Corpus text is never
     * rescanned; the estimate is identical from any colliding band, so the
-    * pair dedup is value-stable. */
+    * pair dedup is value-stable.
+    *
+    * The `maxBucket` cap is enforced over the LIVE rows here (not only at
+    * build/compaction): per-batch and streamed appends can push a bucket
+    * over the cap between compactions, and an uncapped hot bucket would
+    * fan every colliding probe out by its full size. The live rows are
+    * first pruned to the batch's own buckets (a semi-join — whole buckets
+    * survive, so the per-bucket count stays exact), which bounds the cap's
+    * window aggregation to exactly the rows the join was about to touch. */
   def minhashIndexCandidates(batch: DataFrame, dir: String): DataFrame = {
     val spark = batch.sparkSession
-    val (numPerm, bands, _) = minhashIndexMeta(spark, dir)
-    bandedBuckets(batch, numPerm, bands)
-      .join(minhashIndexRows(spark, dir), Seq("bucket"))
+    val (numPerm, bands, maxBucket) = minhashIndexMeta(spark, dir)
+    val banded = bandedBuckets(batch, numPerm, bands)
+    val probedLive = minhashIndexRows(spark, dir)
+      .join(banded.select("bucket").distinct(), Seq("bucket"), "left_semi")
+    banded
+      .join(capBuckets(probedLive, Seq("bucket"), maxBucket), Seq("bucket"))
       .filter(col("doc_id") =!= col("c_id"))
       .select(
         col("doc_id"),
@@ -987,20 +1012,28 @@ object Dedup {
       quantScale: Int = 4096): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Tombstones.clear(spark, dir) // a rebuild invalidates prior deletes
+    val layout = IndexManifest.Layouts.semantic
+    // a rebuild commits a fresh generation — prior deletes vanish with it
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
     model.toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+      .coalesce(1).write.mode("overwrite").parquet(next.tableDir(dir, "model"))
     semanticDedupWithModel(embeddings, model, threshold, quantScale)
       .join(embeddings.select("vec_id", "embedding"), Seq("vec_id"))
       .select("vec_id", "embedding", "cluster")
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/survivors")
+      .write.mode("overwrite").partitionBy("cluster").parquet(next.tableDir(dir, "survivors"))
+    IndexManifest.commit(spark, dir, next, layout)
   }
+
+  private def semanticState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexManifest.State =
+    IndexManifest.resolve(spark, dir, IndexManifest.Layouts.semantic)
 
   /** The index's frozen model (model-sized collect). */
   def semanticIndexModel(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, Array[Double])] =
-    spark.read.parquet(s"$dir/model")
+    spark.read.parquet(semanticState(spark, dir).tableDir(dir, "model"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
@@ -1015,6 +1048,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val st = semanticState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1023,7 +1057,7 @@ object Dedup {
         try Some(spark.read.parquet(p).select("vec_id", "embedding", "cluster"))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    val base = (readIf(s"$dir/survivors") ++ readIf(s"$dir/survivors-stream"))
+    val base = (readIf(st.tableDir(dir, "survivors")) ++ readIf(st.streamDir(dir)))
       .reduceLeftOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1032,7 +1066,8 @@ object Dedup {
           StructField("embedding", ArrayType(FloatType)),
           StructField("cluster", LongType)))))
     // the anti-join moves its key first — re-project to the stable order
-    Tombstones.drop(base, dir, "vec_id").select("vec_id", "embedding", "cluster")
+    Tombstones.drop(base, dir, "vec_id", st.tombstones)
+      .select("vec_id", "embedding", "cluster")
   }
 
   /** Continuous-ingest version of [[semanticIndexAppend]] — arriving
@@ -1056,7 +1091,6 @@ object Dedup {
       checkpoint: String,
       threshold: Double = 0.4,
       quantScale: Int = 4096): Unit = {
-    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val model = semanticIndexModel(spark, indexDir)
     require(model.nonEmpty, s"semantic index at $indexDir has an empty model")
@@ -1065,17 +1099,19 @@ object Dedup {
       .parquet(arrivalsDir)
     val q = raw.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val dst = Paths.get(s"$indexDir/survivors-stream/epoch=$epoch")
-        if (!Files.exists(dst)) {
-          Files.createDirectories(Paths.get(s"$indexDir/survivors-stream"))
-          val tmp = s"$indexDir/survivors-stream/.inflight-epoch=$epoch"
+        // resolved per batch: a compaction between micro-batches moves the
+        // live stream segment, and the epoch must land in the current one
+        val streamDir = semanticState(spark, indexDir).streamDir(indexDir)
+        val dst = s"$streamDir/epoch=$epoch"
+        if (!DirCommit.exists(spark, dst)) {
+          DirCommit.mkdirs(spark, streamDir)
+          val tmp = s"$streamDir/.inflight-epoch=$epoch"
           semanticDedupAppend(
             semanticIndexSurvivors(spark, indexDir), batch, model, threshold, quantScale)
             .join(batch.select("vec_id", "embedding"), Seq("vec_id"))
             .select("vec_id", "embedding", "cluster")
             .write.mode("overwrite").parquet(tmp)
-          Files.move(Paths.get(tmp), dst)
-          ()
+          DirCommit.commitDir(spark, tmp, dst)
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -1091,7 +1127,7 @@ object Dedup {
     * model stays frozen: deleting training vectors does not retrain
     * centroids, exactly like deleting rows from any ANN index. */
   def semanticIndexDelete(ids: DataFrame, dir: String): Unit =
-    Tombstones.delete(ids, dir)
+    Tombstones.delete(ids, dir, semanticState(ids.sparkSession, dir).tombstones)
 
   /** Major compaction: fold the streamed survivor segment back into the
     * cell-partitioned base and apply pending deletes physically (one
@@ -1103,19 +1139,19 @@ object Dedup {
       dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/survivors-stream")
-    val hasStream = fs.exists(streamPath)
-    if (!hasStream && Tombstones.read(spark, dir).isEmpty) return
-    val tmp = s"$dir/survivors-compacting"
+    val layout = IndexManifest.Layouts.semantic
+    val prev = IndexManifest.resolve(spark, dir, layout)
+    val hasStream = fs.exists(new org.apache.hadoop.fs.Path(prev.streamDir(dir)))
+    if (!hasStream && Tombstones.read(spark, dir, prev.tombstones).isEmpty) return
+    // next generation's base written first; ONE manifest commit then swaps
+    // base + stream + tombstones atomically (the [[IndexManifest]] close of
+    // the old delete-then-rename crash windows)
+    val next = layout.advance(prev, carry = Set("model"))
     semanticIndexSurvivors(spark, dir)
       .select("vec_id", "embedding", "cluster")
-      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/survivors"), true)
-    fs.rename(
-      new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/survivors"))
-    if (hasStream) fs.delete(streamPath, true)
-    Tombstones.clear(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(next.tableDir(dir, "survivors"))
+    IndexManifest.commit(spark, dir, next, layout)
   }
 
   /** Dedup a batch of arrivals against the persisted index under its
@@ -1133,7 +1169,8 @@ object Dedup {
     semanticDedupAppend(semanticIndexSurvivors(spark, dir), batch, model, threshold, quantScale)
       .join(batch.select("vec_id", "embedding"), Seq("vec_id"))
       .select("vec_id", "embedding", "cluster")
-      .write.mode("append").partitionBy("cluster").parquet(s"$dir/survivors")
+      .write.mode("append").partitionBy("cluster")
+      .parquet(semanticState(spark, dir).tableDir(dir, "survivors"))
   }
 
   /** Semantic benchmark decontamination: every (benchmark, corpus) vector

@@ -6,22 +6,28 @@ import org.apache.spark.sql.functions._
 /** LSM tombstone discipline shared by every persisted index family
   * (IVF / IVF×PQ in [[SimilaritySearch]], the minhash LSH and
   * semantic-dedup indexes in [[Dedup]]): a logical delete appends ids to
-  * an `tombstones/` segment under the index dir — O(ids) regardless of
+  * a tombstone segment under the index dir — O(ids) regardless of
   * corpus size, no index file touched — every read-side consumer
   * anti-joins them out, and the family's compaction applies them
-  * physically then clears the segment. The shape mirrors
-  * [[graft.kv.LogStructuredTable]]'s delete markers, applied to index
-  * artifacts instead of KV rows.
+  * physically. The shape mirrors [[graft.kv.LogStructuredTable]]'s delete
+  * markers, applied to index artifacts instead of KV rows.
+  *
+  * The segment's physical dir name comes from the index's
+  * [[IndexManifest]] state (generation-suffixed; legacy indexes resolve
+  * to the fixed `tombstones/` name) — clearing after a compaction is no
+  * longer a delete-in-place but a manifest bump to a fresh segment name,
+  * so the crash window between "deletes applied physically" and
+  * "segment cleared" is gone: one manifest commit swaps both.
   *
   * Contract (identical across families): ids are global — a tombstone
   * hides EVERY row of that id, including rows appended after the delete,
   * until a compaction clears it; re-inserting a deleted id therefore
-  * requires compacting first. Rebuilds clear stale tombstones. The anti
-  * join carries no broadcast hint: AQE broadcasts the segment while it is
-  * small (the expected state — compaction bounds it) and degrades to a
-  * shuffled anti join rather than a driver OOM if deletes pile up.
+  * requires compacting first. Rebuilds start from a fresh segment. The
+  * anti join carries no broadcast hint: AQE broadcasts the segment while
+  * it is small (the expected state — compaction bounds it) and degrades
+  * to a shuffled anti join rather than a driver OOM if deletes pile up.
   *
-  * Compaction trigger heuristic: compact when `tombstones/` row count
+  * Compaction trigger heuristic: compact when the segment's row count
   * exceeds ~1% of the base (the anti-join build side stops being
   * trivially broadcastable long before that at corpus scale) or after a
   * fixed number of stream epochs — whichever comes first. Deletes are
@@ -29,43 +35,62 @@ import org.apache.spark.sql.functions._
   * knob (probed rows ∪ tombstones per search).
   */
 private[graft] object Tombstones {
-  private val Segment = "tombstones"
+  val DefaultSegment = "tombstones"
 
-  private def fsPath(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$Segment")
+  private def fsPath(spark: org.apache.spark.sql.SparkSession, dir: String, segment: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$segment")
     (p, p.getFileSystem(spark.sessionState.newHadoopConf()))
   }
 
   /** Logical delete: append the ids (first column, cast to long) to the
     * tombstone segment under a canonical `ts_id` column. */
-  def delete(ids: DataFrame, dir: String): Unit =
+  def delete(ids: DataFrame, dir: String, segment: String = DefaultSegment): Unit =
     ids.select(col(ids.columns.head).cast("long").as("ts_id"))
-      .write.mode("append").parquet(s"$dir/$Segment")
+      .write.mode("append").parquet(s"$dir/$segment")
 
   /** The tombstone set, or None when the segment doesn't exist or holds
-    * no schema-carrying files (an empty-DataFrame write). */
+    * no schema-carrying files (an empty-DataFrame write). Pre-round-7
+    * IVF/IVF×PQ segments wrote the id column as `n_id`; read both
+    * (mergeSchema — the segment is KB-sized) so an index persisted by
+    * the old version keeps its pending deletes instead of throwing on
+    * the renamed column. */
   def read(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
-    val (p, fs) = fsPath(spark, dir)
+      dir: String,
+      segment: String = DefaultSegment): Option[DataFrame] = {
+    val (p, fs) = fsPath(spark, dir, segment)
     if (!fs.exists(p)) None
     else
-      try Some(spark.read.parquet(s"$dir/$Segment"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      try {
+        val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/$segment")
+        val id =
+          if (df.columns.contains("ts_id") && df.columns.contains("n_id"))
+            coalesce(col("ts_id"), col("n_id"))
+          else if (df.columns.contains("ts_id")) col("ts_id")
+          else col(df.columns.head)
+        Some(df.select(id.cast("long").as("ts_id")))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
   /** Anti-join pending deletes out of `rows` on `idCol` — a no-op plan
     * when no tombstones exist. Apply AFTER any cell/bucket pruning so the
     * check touches pruned rows only. */
-  def drop(rows: DataFrame, dir: String, idCol: String): DataFrame =
-    read(rows.sparkSession, dir).fold(rows)(t =>
+  def drop(
+      rows: DataFrame,
+      dir: String,
+      idCol: String,
+      segment: String = DefaultSegment): DataFrame =
+    read(rows.sparkSession, dir, segment).fold(rows)(t =>
       rows.join(
         t.select(col("ts_id").as(idCol)).distinct(),
         Seq(idCol),
         "left_anti"))
 
-  def clear(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val (p, fs) = fsPath(spark, dir)
+  def clear(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      segment: String = DefaultSegment): Unit = {
+    val (p, fs) = fsPath(spark, dir, segment)
     if (fs.exists(p)) fs.delete(p, true)
   }
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generation-numbered manifest for every persisted index directory — the
+  * single source of truth for "what is the live state of this index".
+  *
+  * Before round 8 each family resolved its state from N existence probes
+  * (base dir? stream segment? tombstones?) and compaction committed by
+  * delete-then-rename, which left two crash windows: a crash between
+  * `delete(base)` and `rename(tmp, base)` made readers silently treat the
+  * missing base as an EMPTY index, and a crash between the rename and the
+  * stream-segment delete double-counted folded rows. The manifest closes
+  * both the Iceberg/Delta way: segment data is written FIRST under
+  * generation-suffixed names that no current reader looks at, and the
+  * mutation commits by atomically creating ONE new manifest file naming
+  * the complete next state — base tables, stream segment, tombstone
+  * segment, all at once. A crash before the manifest write leaves the old
+  * generation fully live (its dirs untouched); a crash after it leaves
+  * the new generation fully live (orphan dirs from the old one are
+  * ignored by name and swept by the next commit's GC).
+  *
+  * Layout under an index root:
+  *  - `manifest/gen-000000042.manifest` — properties-style lines
+  *    (`generation=…`, `stream=…`, `tombstones=…`, `table.<name>=<dir>`);
+  *    readers take the HIGHEST generation present. A new manifest file is
+  *    staged dot-prefixed and renamed into place — and because each
+  *    generation is a fresh filename, the commit is atomic on object
+  *    stores too (create, not overwrite; the rename-onto-existing caveat
+  *    never arises).
+  *  - `<table>-g042/` etc. — the segment dirs the live manifest names.
+  *
+  * Indexes persisted before the manifest era carry none: [[resolve]]
+  * falls back to the family's fixed legacy names as generation 0, so old
+  * on-disk indexes stay readable, and their first lifecycle mutation
+  * migrates them (commits generation 1 and GCs the legacy dirs).
+  *
+  * Concurrency contract (unchanged from the pre-manifest lifecycle):
+  * lifecycle mutations on one index are single-writer — the exists-check
+  * on the generation filename turns a concurrent second writer into a
+  * loud error instead of silent last-write-wins. Readers never block.
+  * Scope: the manifest gives SEGMENT-level consistency; a batch append
+  * into a live segment dir still relies on the parquet job commit for
+  * file-level atomicity, exactly as any Spark parquet append does.
+  */
+private[graft] object IndexManifest {
+
+  /** The live state of an index dir: physical dir name (relative to the
+    * index root) for each logical table, the streamed segment, and the
+    * tombstone segment. */
+  final case class State(
+      generation: Long,
+      tables: Map[String, String],
+      stream: String,
+      tombstones: String) {
+    def tableDir(root: String, name: String): String = s"$root/${tables(name)}"
+    def streamDir(root: String): String = s"$root/$stream"
+  }
+
+  /** A family's segment layout: logical table names plus the stream-segment
+    * base name. Doubles as the legacy (pre-manifest) physical layout. */
+  final case class Layout(tables: Seq[String], streamBase: String) {
+    def legacyState: State =
+      State(0L, tables.map(t => t -> t).toMap, streamBase, "tombstones")
+    def names: Seq[String] = tables :+ streamBase :+ "tombstones"
+    /** The fully-renamed next generation: every mutable segment moves to a
+      * generation-suffixed dir; `carry` keeps named static tables (models)
+      * at their current dirs instead. */
+    def advance(prev: State, carry: Set[String] = Set.empty): State =
+      State(
+        prev.generation + 1,
+        tables.map { t =>
+          t -> (if (carry(t)) prev.tables(t) else genName(t, prev.generation + 1))
+        }.toMap,
+        genName(streamBase, prev.generation + 1),
+        genName("tombstones", prev.generation + 1))
+  }
+
+  object Layouts {
+    val minhash: Layout = Layout(Seq("meta", "index"), "index-stream")
+    val semantic: Layout = Layout(Seq("model", "survivors"), "survivors-stream")
+    val ivf: Layout = Layout(Seq("centroids", "vectors"), "vectors-stream")
+    val ivfpq: Layout =
+      Layout(Seq("centroids", "codebooks", "codes", "vectors"), "arrivals-stream")
+  }
+
+  def genName(logical: String, gen: Long): String = f"$logical%s-g$gen%03d"
+
+  private val Dir = "manifest"
+  private val GenFile = """gen-(\d+)\.manifest""".r
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def genPath(root: String, gen: Long): Path =
+    new Path(f"$root/$Dir/gen-$gen%09d.manifest")
+
+  private def render(s: State): String = {
+    val tables = s.tables.toSeq.sortBy(_._1).map { case (k, v) => s"table.$k=$v" }
+    (Seq(s"generation=${s.generation}", s"stream=${s.stream}",
+      s"tombstones=${s.tombstones}") ++ tables).mkString("", "\n", "\n")
+  }
+
+  private def parse(text: String): State = {
+    val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+      val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+    }.toMap
+    State(
+      kv("generation").toLong,
+      kv.collect { case (k, v) if k.startsWith("table.") => k.stripPrefix("table.") -> v },
+      kv("stream"),
+      kv("tombstones"))
+  }
+
+  /** The committed state, or None when the index carries no manifest
+    * (legacy layout or nothing built yet). Readers take the highest
+    * generation — a half-written `.tmp-` stage file never matches. */
+  def read(spark: SparkSession, root: String): Option[State] = {
+    val dir = new Path(s"$root/$Dir")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) None
+    else {
+      val gens = fs.listStatus(dir).flatMap(st =>
+        st.getPath.getName match {
+          case GenFile(g) => Some(g.toLong)
+          case _ => None
+        })
+      if (gens.isEmpty) None
+      else {
+        val p = genPath(root, gens.max)
+        val in = fs.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+          Some(parse(new String(bytes.toByteArray, UTF_8)))
+        } finally in.close()
+      }
+    }
+  }
+
+  /** The live state: the committed manifest, else the family's legacy
+    * fixed-name layout at generation 0. */
+  def resolve(spark: SparkSession, root: String, layout: Layout): State =
+    read(spark, root).getOrElse(layout.legacyState)
+
+  /** Resolve one logical table to its live physical dir — for gates and
+    * specs that assert physical segment state. */
+  def liveTableDir(spark: SparkSession, root: String, layout: Layout, table: String): String =
+    resolve(spark, root, layout).tableDir(root, table)
+
+  /** The live tombstone segment name, family-agnostic (every family's
+    * manifest carries one; a manifest-less index uses the legacy fixed
+    * name) — for the delete/read paths shared across index families. */
+  def liveTombstones(spark: SparkSession, root: String): String =
+    read(spark, root).map(_.tombstones).getOrElse(Tombstones.DefaultSegment)
+
+  /** THE commit point of every lifecycle mutation: atomically publish
+    * `state` as the live generation, then garbage-collect segment dirs no
+    * longer referenced (legacy names and older generations — including
+    * orphans a crashed earlier attempt left behind). All data dirs named
+    * by `state` must be fully written before calling. */
+  def commit(spark: SparkSession, root: String, state: State, layout: Layout): Unit = {
+    val p = genPath(root, state.generation)
+    val fs = fsOf(spark, p)
+    fs.mkdirs(new Path(s"$root/$Dir"))
+    if (fs.exists(p))
+      sys.error(
+        s"index at $root already has a generation-${state.generation} manifest — " +
+          "lifecycle mutations are single-writer; refusing to overwrite")
+    val tmp = new Path(s"$root/$Dir/.tmp-gen-${state.generation}")
+    val out = fs.create(tmp, true)
+    try out.write(render(state).getBytes(UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p))
+      sys.error(s"manifest commit failed: rename($tmp, $p) returned false")
+    gc(spark, root, state, layout)
+  }
+
+  /** Drop every segment dir that matches a family name (legacy or any
+    * generation) but is not referenced by the live state, and thin the
+    * manifest history to the last two generations. Best-effort: a crash
+    * here just leaves orphans for the next commit's sweep. */
+  private def gc(spark: SparkSession, root: String, live: State, layout: Layout): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val referenced = live.tables.values.toSet + live.stream + live.tombstones
+    val legacyNames = layout.names.toSet
+    val genPattern =
+      ("^(?:" + layout.names.map(java.util.regex.Pattern.quote).mkString("|") + ")-g\\d+$").r
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (!referenced(n) && st.isDirectory &&
+        (legacyNames(n) || genPattern.matches(n)))
+        fs.delete(st.getPath, true)
+    }
+    val mdir = new Path(s"$root/$Dir")
+    fs.listStatus(mdir).foreach { st =>
+      st.getPath.getName match {
+        case GenFile(g) if g.toLong < live.generation - 1 => fs.delete(st.getPath, false)
+        case n if n.startsWith(".tmp-") => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+}

@@ -363,33 +363,44 @@ object SimilaritySearch {
       iters: Int = 2): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    clearTombstones(spark, dir) // a rebuild invalidates prior deletes
+    val layout = IndexManifest.Layouts.ivf
+    // a rebuild commits a fresh generation — prior deletes vanish with it
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
     val c = withNorm(candidates, "n_id", "nv", "nn")
     val centroids = trainCentroids(c, nlist, iters)
     centroids.toSeq
       .toDF("cid", "vec")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(next.tableDir(dir, "centroids"))
     val assigned =
       if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0) // empty corpus → empty index
       else c.withColumn("cell", assign(centroids, "nv"))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "vectors"))
+    IndexManifest.commit(spark, dir, next, layout)
   }
+
+  private def ivfState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexManifest.State =
+    IndexManifest.resolve(spark, dir, IndexManifest.Layouts.ivf)
 
   /** Assign a new batch under the index's frozen centroid model and append
     * its rows (partition-append; existing cells' files are untouched). */
   def ivfIndexAppend(newVectors: DataFrame, dir: String): Unit = {
-    val centroids = readCentroids(newVectors.sparkSession, dir)
+    val spark = newVectors.sparkSession
+    val centroids = readCentroids(spark, dir, ivfState(spark, dir))
     require(centroids.nonEmpty, s"ivf index at $dir has an empty centroid model")
     withNorm(newVectors, "n_id", "nv", "nn")
       .withColumn("cell", assign(centroids, "nv"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      .write.mode("append").partitionBy("cell")
+      .parquet(ivfState(spark, dir).tableDir(dir, "vectors"))
   }
 
   private def readCentroids(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Array[(Int, Array[Double])] =
-    spark.read.parquet(s"$dir/centroids")
+      dir: String,
+      state: IndexManifest.State): Array[(Int, Array[Double])] =
+    spark.read.parquet(state.tableDir(dir, "centroids"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
@@ -416,7 +427,8 @@ object SimilaritySearch {
       arrivalsDir: String,
       checkpoint: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val centroids = readCentroids(spark, indexDir)
+    val st = ivfState(spark, indexDir)
+    val centroids = readCentroids(spark, indexDir, st)
     require(centroids.nonEmpty, s"ivf index at $indexDir has an empty centroid model")
     val raw = spark.readStream
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
@@ -428,7 +440,7 @@ object SimilaritySearch {
     val q = assigned.writeStream
       .format("parquet")
       .partitionBy("cell")
-      .option("path", s"$indexDir/vectors-stream")
+      .option("path", st.streamDir(indexDir))
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -449,10 +461,11 @@ object SimilaritySearch {
     * it. Re-inserting a deleted id therefore requires compacting first
     * (versioned tombstones would need per-row sequence numbers the index
     * deliberately doesn't carry). [[ivfIndexBuild]]/[[ivfPqIndexBuild]]
-    * clear stale tombstones — a rebuild starts from a clean slate. The
-    * anti join carries no broadcast hint: AQE broadcasts the segment while
-    * it is small (the expected state — compaction bounds it) and degrades
-    * to a shuffled anti join rather than a driver OOM if deletes pile up.
+    * commit a fresh [[IndexManifest]] generation — a rebuild starts from
+    * a clean slate. The anti join carries no broadcast hint: AQE
+    * broadcasts the segment while it is small (the expected state —
+    * compaction bounds it) and degrades to a shuffled anti join rather
+    * than a driver OOM if deletes pile up.
     *
     * When to compact: deletes stay correct at ANY tombstone volume (the
     * R7ScaleBench heavy-tombstone probe measures search under 30%
@@ -462,55 +475,57 @@ object SimilaritySearch {
     * stream-epoch fold the index was due anyway, whichever first
     * ([[Tombstones]] has the shared heuristic note). */
   def indexDelete(ids: DataFrame, dir: String): Unit =
-    Tombstones.delete(ids, dir)
+    Tombstones.delete(
+      ids, dir, IndexManifest.liveTombstones(ids.sparkSession, dir))
 
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] =
-    Tombstones.read(spark, dir)
+    Tombstones.read(spark, dir, IndexManifest.liveTombstones(spark, dir))
 
   private def dropTombstoned(
       rows: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    Tombstones.drop(rows, dir, "n_id")
-
-  private[operators] def clearTombstones(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
-    Tombstones.clear(spark, dir)
+    Tombstones.drop(rows, dir, "n_id", IndexManifest.liveTombstones(spark, dir))
 
   /** Major compaction: fold the streamed segment back into the base (the
     * LSM lifecycle close — after enough stream epochs the union's
     * two-branch scan and the stream segment's small files are worth one
     * rewrite) and apply any [[indexDelete]] tombstones physically. Runs
-    * when either a streamed segment or tombstones exist. Write-ahead to a
-    * temp dir then swap, so a crash leaves either the old segments or the
-    * new base, never a half state (the swap window itself is the same
-    * non-atomic-rename caveat as [[graft.kv.LogStructuredTable]]'s
-    * compaction, documented there). The source CHECKPOINT is untouched — a
-    * later [[ivfIndexAppendStream]] with the same checkpoint still skips
-    * already-ingested files. */
+    * when either a streamed segment or tombstones exist.
+    *
+    * Crash consistency ([[IndexManifest]]): the folded base is written
+    * under the NEXT generation's name first, then one atomic manifest
+    * commit swaps base + stream + tombstone segments together — a crash
+    * before the commit leaves the old generation fully live, a crash
+    * after it the new one; the old delete-then-rename window (missing
+    * base silently read as an empty index) is gone. The source CHECKPOINT
+    * is untouched — a later [[ivfIndexAppendStream]] with the same
+    * checkpoint still skips already-ingested files. */
   def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/vectors-stream")
+    val layout = IndexManifest.Layouts.ivf
+    val prev = IndexManifest.resolve(spark, dir, layout)
+    val streamPath = new org.apache.hadoop.fs.Path(prev.streamDir(dir))
     val fs = streamPath.getFileSystem(conf)
     val hasStream = fs.exists(streamPath)
     if (!hasStream && readTombstones(spark, dir).isEmpty) return
+    val next = layout.advance(prev, carry = Set("centroids"))
     indexVectorsOpt(spark, dir) match {
       case None =>
         // Nothing readable (empty-corpus build): tombstones have nothing
-        // to apply to — clear them and leave the zero-row base untouched.
-        clearTombstones(spark, dir)
+        // to apply to — the manifest bump below retires them and leaves
+        // the (carried) zero-row base name untouched.
+        IndexManifest.commit(
+          spark, dir, next.copy(tables = next.tables + ("vectors" -> prev.tables("vectors"))),
+          layout)
       case Some(all) =>
-        val tmp = s"$dir/vectors-compacting"
         dropTombstoned(all, spark, dir)
           .select("n_id", "nv", "nn", "cell")
-          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/vectors"))
-        if (hasStream) fs.delete(streamPath, true)
-        clearTombstones(spark, dir)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(next.tableDir(dir, "vectors"))
+        IndexManifest.commit(spark, dir, next, layout)
     }
   }
 
@@ -522,6 +537,7 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
+    val st = ivfState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       if (!path.getFileSystem(conf).exists(path)) None
@@ -533,7 +549,7 @@ object SimilaritySearch {
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    (readIf(s"$dir/vectors") ++ readIf(s"$dir/vectors-stream"))
+    (readIf(st.tableDir(dir, "vectors")) ++ readIf(st.streamDir(dir)))
       .reduceLeftOption(_ unionByName _)
   }
 
@@ -549,7 +565,7 @@ object SimilaritySearch {
       k: Int,
       nprobe: Int = 2): DataFrame = {
     import spark.implicits._
-    val centroids = readCentroids(spark, dir)
+    val centroids = readCentroids(spark, dir, ivfState(spark, dir))
     if (centroids.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
     val q = withNorm(queries, "q_id", "qv", "qn")
@@ -613,23 +629,26 @@ object SimilaritySearch {
       pqIters: Int = 2): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    clearTombstones(spark, dir) // a rebuild invalidates prior deletes
+    val layout = IndexManifest.Layouts.ivfpq
+    // a rebuild commits a fresh generation — prior deletes vanish with it
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
     val c = withNorm(candidates, "n_id", "nv", "nn")
     val centroids = trainCentroids(c, nlist, iters)
     centroids.toSeq
       .toDF("cid", "vec")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(next.tableDir(dir, "centroids"))
     val books = pqTrain(candidates, m, dim, pqNlist, pqIters)
     books.zipWithIndex
       .flatMap { case (cb, mi) => cb.map { case (pos, v) => (mi, pos, v.toSeq) } }
       .toDF("mi", "pos", "vec")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+      .write.mode("overwrite").parquet(next.tableDir(dir, "codebooks"))
     val assigned =
       if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0)
       else c.withColumn("cell", assign(centroids, "nv"))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(next.tableDir(dir, "vectors"))
     val codes =
       if (centroids.isEmpty || books.exists(_.isEmpty))
         pqEncode(candidates.limit(0), Seq(Array((0, Array(0.0)))), dim)
@@ -639,9 +658,17 @@ object SimilaritySearch {
         // column-pruned (n_id, cell) read-back instead of re-evaluating the
         // nlist×dim assign kernel over the corpus a second time
         pqEncode(candidates, books, dim)
-          .join(spark.read.parquet(s"$dir/vectors").select("n_id", "cell"), Seq("n_id"))
-    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+          .join(
+            spark.read.parquet(next.tableDir(dir, "vectors")).select("n_id", "cell"),
+            Seq("n_id"))
+    codes.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "codes"))
+    IndexManifest.commit(spark, dir, next, layout)
   }
+
+  private def ivfPqState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexManifest.State =
+    IndexManifest.resolve(spark, dir, IndexManifest.Layouts.ivfpq)
 
   /** Append a batch to the IVF×PQ index under its FROZEN models: arrivals
     * are cell-assigned by the stored coarse centroids and PQ-encoded by the
@@ -656,18 +683,19 @@ object SimilaritySearch {
     * projections) with `codes-stream`/`vectors-stream` segments. */
   def ivfPqIndexAppend(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val centroids = readCentroids(spark, dir)
-    val cbs = readCodebooks(spark, dir)
+    val st = ivfPqState(spark, dir)
+    val centroids = readCentroids(spark, dir, st)
+    val cbs = readCodebooks(spark, dir, st)
     require(
       centroids.nonEmpty && cbs.nonEmpty,
       s"ivfpq index at $dir has an empty model")
     val dim = cbs.size * cbs.head.head._2.length // m × sub
     val assigned = withNorm(newVectors, "n_id", "nv", "nn")
       .withColumn("cell", assign(centroids, "nv"))
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    assigned.write.mode("append").partitionBy("cell").parquet(st.tableDir(dir, "vectors"))
     pqEncode(newVectors, cbs, dim)
       .join(assigned.select("n_id", "cell"), Seq("n_id"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("cell").parquet(st.tableDir(dir, "codes"))
   }
 
   /** Continuous-ingest version of [[ivfPqIndexAppend]] — the
@@ -695,8 +723,9 @@ object SimilaritySearch {
       arrivalsDir: String,
       checkpoint: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val centroids = readCentroids(spark, indexDir)
-    val cbs = readCodebooks(spark, indexDir)
+    val st = ivfPqState(spark, indexDir)
+    val centroids = readCentroids(spark, indexDir, st)
+    val cbs = readCodebooks(spark, indexDir, st)
     require(
       centroids.nonEmpty && cbs.nonEmpty,
       s"ivfpq index at $indexDir has an empty model")
@@ -717,7 +746,7 @@ object SimilaritySearch {
     val q = assigned.writeStream
       .format("parquet")
       .partitionBy("cell")
-      .option("path", s"$indexDir/arrivals-stream")
+      .option("path", st.streamDir(indexDir))
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -729,42 +758,53 @@ object SimilaritySearch {
     * tables (the [[ivfIndexCompact]] LSM lifecycle close, applied to both
     * sides of the composed index) and apply any [[indexDelete]] tombstones
     * physically to BOTH tables. Runs when either a streamed segment or
-    * tombstones exist. Write-ahead to temp dirs then swap, so a crash
-    * leaves either the old segments or the new base. The source checkpoint
-    * is untouched — a later [[ivfPqIndexAppendStream]] with the same
+    * tombstones exist.
+    *
+    * Crash consistency ([[IndexManifest]]): both next-generation tables
+    * are fully written BEFORE the single manifest commit that swaps
+    * vectors + codes + stream + tombstones together — the round-7 "crash
+    * between the two swaps" mixed state can no longer be produced by this
+    * compaction (a crash leaves the previous generation fully live). The
+    * mixed-state loud error below remains as a defense against external
+    * damage (a manually deleted segment dir). The source checkpoint is
+    * untouched — a later [[ivfPqIndexAppendStream]] with the same
     * checkpoint still skips already-ingested files. */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val streamPath = new org.apache.hadoop.fs.Path(s"$dir/arrivals-stream")
+    val layout = IndexManifest.Layouts.ivfpq
+    val prev = IndexManifest.resolve(spark, dir, layout)
+    val streamPath = new org.apache.hadoop.fs.Path(prev.streamDir(dir))
     val fs = streamPath.getFileSystem(conf)
     val hasStream = fs.exists(streamPath)
     if (!hasStream && readTombstones(spark, dir).isEmpty) return
+    val next = layout.advance(prev, carry = Set("centroids", "codebooks"))
     (segmentUnionOpt(spark, dir, "vectors"), segmentUnionOpt(spark, dir, "codes")) match {
       case (Some(vecs), Some(codes)) =>
-        val m = readCodebooks(spark, dir).size
-        def swap(table: String, df: DataFrame): Unit = {
-          val tmp = s"$dir/$table-compacting"
-          df.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table"), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/$table"))
-        }
-        swap("vectors", dropTombstoned(vecs, spark, dir).select("n_id", "nv", "nn", "cell"))
-        swap(
-          "codes",
-          dropTombstoned(codes, spark, dir)
-            .select(col("n_id") +: col("nn") +:
-              (0 until m).map(i => col(s"code$i")) :+ col("cell"): _*))
-        if (hasStream) fs.delete(streamPath, true)
-        clearTombstones(spark, dir)
+        val m = readCodebooks(spark, dir, prev).size
+        dropTombstoned(vecs, spark, dir)
+          .select("n_id", "nv", "nn", "cell")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(next.tableDir(dir, "vectors"))
+        dropTombstoned(codes, spark, dir)
+          .select(col("n_id") +: col("nn") +:
+            (0 until m).map(i => col(s"code$i")) :+ col("cell"): _*)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(next.tableDir(dir, "codes"))
+        IndexManifest.commit(spark, dir, next, layout)
       case (None, None) =>
         // Nothing readable (empty-corpus build): tombstones have nothing
-        // to apply to — clear them and leave the zero-row base untouched.
-        clearTombstones(spark, dir)
+        // to apply to — the manifest bump retires them and carries the
+        // (zero-row) base names forward.
+        IndexManifest.commit(
+          spark, dir,
+          next.copy(tables = next.tables +
+            ("vectors" -> prev.tables("vectors")) + ("codes" -> prev.tables("codes"))),
+          layout)
       case (v, c) =>
-        // Exactly one side readable — a crash between the two swaps of a
-        // prior compact. Clearing tombstones here would silently drop
-        // pending deletes on the readable side; fail loudly instead and
-        // leave the segment intact so the delete is never lost.
+        // Exactly one side readable — cannot arise from this compaction's
+        // single-commit protocol; something external damaged a segment.
+        // Clearing tombstones here would silently drop pending deletes on
+        // the readable side; fail loudly instead.
         sys.error(
           s"ivfpq index at $dir is in a mixed state (vectors readable=" +
             s"${v.isDefined}, codes readable=${c.isDefined}); rebuild via " +
@@ -780,6 +820,7 @@ object SimilaritySearch {
       dir: String,
       table: String): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
+    val st = ivfPqState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       if (!path.getFileSystem(conf).exists(path)) None
@@ -787,8 +828,8 @@ object SimilaritySearch {
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    val base = readIf(s"$dir/$table")
-    val stream = readIf(s"$dir/arrivals-stream")
+    val base = readIf(st.tableDir(dir, table))
+    val stream = readIf(st.streamDir(dir))
       .map(s => base.fold(s)(b => s.select(b.columns.map(col): _*)))
     (base ++ stream).reduceLeftOption(_ unionByName _)
   }
@@ -802,8 +843,9 @@ object SimilaritySearch {
 
   private def readCodebooks(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[Array[(Int, Array[Double])]] = {
-    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+      dir: String,
+      state: IndexManifest.State): Seq[Array[(Int, Array[Double])]] = {
+    val rows = spark.read.parquet(state.tableDir(dir, "codebooks")).collect()
     rows
       .groupBy(_.getInt(0))
       .toSeq
@@ -827,8 +869,9 @@ object SimilaritySearch {
       nprobe: Int = 2,
       rerank: Int = 200): DataFrame = {
     import spark.implicits._
-    val centroids = readCentroids(spark, dir)
-    val books = readCodebooks(spark, dir).map(_.map(_._2))
+    val st = ivfPqState(spark, dir)
+    val centroids = readCentroids(spark, dir, st)
+    val books = readCodebooks(spark, dir, st).map(_.map(_._2))
     if (centroids.isEmpty || books.isEmpty || books.exists(_.isEmpty))
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
     val m = books.size

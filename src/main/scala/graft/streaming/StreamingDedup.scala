@@ -65,18 +65,27 @@ object StreamingDedup {
     * Boundary: duplicates of OTHER STREAMED docs are not caught here —
     * that is [[classify]]'s exact stage or a periodic index refresh;
     * stream-vs-stream NEAR-dedup needs a watermarked similarity join that
-    * no bounded state can express exactly. */
+    * no bounded state can express exactly.
+    *
+    * The `maxBucket` cap is enforced on the index side HERE, not only at
+    * index build time: a live index fed by per-batch/streamed appends can
+    * hold buckets past the cap until its next compaction, and an uncapped
+    * hot bucket would fan every colliding arrival out by its full size.
+    * The cap is one window count over the static side (re-evaluated per
+    * micro-batch with the rest of the static plan — cache the index
+    * DataFrame across batches if that matters). */
   def classifyNear(
       documents: DataFrame,
       index: DataFrame,
       threshold: Double = 0.5,
       numPerm: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val banded = graft.operators.Dedup.bandedBuckets(documents, numPerm, bands)
     val est = banded
-      .join(index, Seq("bucket"))
+      .join(graft.operators.Dedup.capBuckets(index, Seq("bucket"), maxBucket), Seq("bucket"))
       .select(
         col("doc_id"),
         (size(filter(zip_with(col("sig"), col("c_sig"), (a, b) => a === b), x => x))

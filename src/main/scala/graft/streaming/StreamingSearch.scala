@@ -1,11 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.SimilaritySearch
+import graft.operators.{DirCommit, SimilaritySearch}
 
 /** Continuous query serving against the persisted IVF×PQ index — the
   * search-side completion of the streaming index story (ingest:
@@ -15,7 +14,7 @@ import graft.operators.SimilaritySearch
   * Trigger.AvailableNow + checkpoint, each micro-batch is answered by the
   * EXACT batch operator ([[SimilaritySearch.ivfPqIndexSearch]] under the
   * index's frozen models), and the per-batch answers land epoch-keyed
-  * under `outDir/epoch=N/`.
+  * under `outDir/epochs/epoch=N/`.
   *
   * Why foreachBatch rather than a pure stream-static plan: per-query
   * top-k needs the probed-cell collect (a model-sized driver list that
@@ -28,10 +27,21 @@ import graft.operators.SimilaritySearch
   *
   * Exactly-once: foreachBatch delivers at-least-once, so results commit
   * under the [[StreamingRollup]] epoch discipline — the batch id names
-  * the directory, a replay targets an existing directory and is skipped,
-  * and a partially-written first attempt can't be mistaken for complete
+  * the directory, a replay targets an existing directory (or one already
+  * folded below the [[EpochLog]] mark) and is skipped, and a
+  * partially-written first attempt can't be mistaken for complete
   * because the batch stages to a dot-prefixed temp dir and the rename is
-  * the commit point.
+  * the commit point. All directory I/O goes through the Hadoop
+  * FileSystem API ([[graft.operators.DirCommit]]), so the out dir can
+  * live on HDFS-style shared storage with the index.
+  *
+  * Retention: a serving tier answering forever accrues one epoch dir per
+  * micro-batch; [[compactAnswers]] folds epochs up to a watermark into
+  * one base segment (epoch preserved as a data column — `answers()` rows
+  * are unchanged by a fold) and bounds the directory count, the same LSM
+  * close the index families got. Crash consistency rides the
+  * [[EpochLog]] generation file, and the monotone mark keeps late
+  * replays of folded epochs out.
   *
   * Scale shape: per micro-batch cost is the batch operator's — probed
   * cells only on both the 8-byte code scan and the survivor re-rank, the
@@ -40,6 +50,8 @@ import graft.operators.SimilaritySearch
   * (append/delete/compact) interleave safely between micro-batches: each
   * batch reads the index state at its own start. */
 object StreamingSearch {
+
+  private def epochsDir(outDir: String): String = s"$outDir/epochs"
 
   /** Streaming source over a query-vector parquet directory (the
     * embeddings arrival schema). */
@@ -50,7 +62,8 @@ object StreamingSearch {
 
   /** Drain arriving queries, answer each micro-batch against the index,
     * and stop — checkpointed, so a re-run answers only queries that
-    * arrived since the last run; a replayed epoch is skipped. */
+    * arrived since the last run; a replayed (or already-folded) epoch is
+    * skipped. */
   def serveAvailableNow(
       spark: SparkSession,
       indexDir: String,
@@ -62,15 +75,14 @@ object StreamingSearch {
       rerank: Int = 200): Unit = {
     val q = readQueries(spark, queriesDir).writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val dst = Paths.get(s"$outDir/epoch=$epoch")
-        if (!Files.exists(dst)) {
-          Files.createDirectories(Paths.get(outDir))
-          val tmp = s"$outDir/.inflight-epoch=$epoch"
+        val dst = s"${epochsDir(outDir)}/epoch=$epoch"
+        if (epoch > EpochLog.state(spark, outDir).mark && !DirCommit.exists(spark, dst)) {
+          DirCommit.mkdirs(spark, epochsDir(outDir))
+          val tmp = s"${epochsDir(outDir)}/.inflight-epoch=$epoch"
           SimilaritySearch
             .ivfPqIndexSearch(spark, indexDir, batch, k, nprobe, rerank)
             .write.mode(SaveMode.Overwrite).parquet(tmp)
-          Files.move(Paths.get(tmp), dst)
-          ()
+          DirCommit.commitDir(spark, tmp, dst)
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -79,23 +91,68 @@ object StreamingSearch {
     q.awaitTermination()
   }
 
-  /** All committed answers: `(q_id, n_id, rank, sim, epoch)`. Zero-batch
+  /** All committed answers: `(q_id, n_id, rank, sim, epoch)` — the folded
+    * base (if any) plus every live epoch above the fold mark. Zero-batch
     * runs leave only the checkpoint — an absent or empty out dir reads as
     * no answers yet, the [[graft.operators.Dedup.minhashIndexRows]]
     * empty-index contract. */
   def answers(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    try spark.read.parquet(outDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("q_id", LongType),
-            StructField("n_id", LongType),
-            StructField("rank", LongType),
-            StructField("sim", DoubleType),
-            StructField("epoch", IntegerType))))
+    val st = EpochLog.state(spark, outDir)
+    def readIf(p: String): Option[DataFrame] =
+      if (!DirCommit.exists(spark, p)) None
+      else
+        try Some(spark.read.parquet(p))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val cols = Seq("q_id", "n_id", "rank", "sim", "epoch")
+    val base = readIf(st.baseDir(outDir).getOrElse(s"$outDir/__none__"))
+    val live = readIf(epochsDir(outDir))
+      .map(_.filter(col("epoch") > st.mark))
+    (base.map(_.select(cols.map(col): _*)) ++ live.map(_.select(cols.map(col): _*)))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("q_id", LongType),
+          StructField("n_id", LongType),
+          StructField("rank", LongType),
+          StructField("sim", DoubleType),
+          StructField("epoch", IntegerType)))))
+  }
+
+  /** Fold every epoch at or below `max(epoch) − keepLast` into one base
+    * segment (epoch kept as a data column — `answers()` is unchanged by a
+    * fold) and delete the folded dirs: LSM retention for the serving
+    * output. `keepLast` leaves the newest epochs unfolded so the hot tail
+    * stays cheap to append next to. Crash-consistent via [[EpochLog]]:
+    * the state-file commit atomically swaps base + mark; a crash before
+    * it leaves the old state fully live, after it the folded dirs are
+    * ignored (and swept) by mark. */
+  def compactAnswers(spark: SparkSession, outDir: String, keepLast: Int = 0): Unit = {
+    val st = EpochLog.state(spark, outDir)
+    val es = EpochLog.epochs(spark, epochsDir(outDir)).filter(_ > st.mark)
+    if (es.isEmpty) return
+    val fold = es.dropRight(keepLast)
+    if (fold.isEmpty) return
+    val cols = Seq("q_id", "n_id", "rank", "sim", "epoch")
+    val folded = spark.read
+      .option("basePath", epochsDir(outDir)) // keep the epoch partition column
+      .parquet(fold.map(e => s"${epochsDir(outDir)}/epoch=$e"): _*)
+      .withColumn("epoch", col("epoch").cast("int"))
+      .select(cols.map(col): _*)
+    val withBase = st.baseDir(outDir) match {
+      case Some(b) if DirCommit.exists(spark, b) =>
+        spark.read.parquet(b).select(cols.map(col): _*).unionByName(folded)
+      case _ => folded
     }
+    val nextGen = st.gen + 1
+    val nextBase = f"base-$nextGen%09d"
+    withBase.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$nextBase")
+    EpochLog.commit(
+      spark,
+      outDir,
+      EpochLog.State(nextGen, math.max(st.mark, fold.max), Some(nextBase)),
+      fold.map(e => s"${epochsDir(outDir)}/epoch=$e"),
+      st.base)
   }
 }

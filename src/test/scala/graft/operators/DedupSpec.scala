@@ -7,6 +7,18 @@ import graft.SparkSpec
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  // Physical-state assertions resolve segment dirs through the live
+  // manifest — the generation-suffixed layout moves on every build/compact.
+  private def mhDir(idx: String, t: String): String =
+    IndexManifest.liveTableDir(spark, idx, IndexManifest.Layouts.minhash, t)
+  private def semDir(idx: String, t: String): String =
+    IndexManifest.liveTableDir(spark, idx, IndexManifest.Layouts.semantic, t)
+  private def liveStream(idx: String, layout: IndexManifest.Layout): String =
+    IndexManifest.resolve(spark, idx, layout).streamDir(idx)
+  private def liveTombs(idx: String): String =
+    s"$idx/${IndexManifest.liveTombstones(spark, idx)}"
+  private def dirExists(p: String): Boolean = new java.io.File(p).exists()
+
   private val base =
     "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
 
@@ -394,11 +406,11 @@ class DedupSpec extends SparkSpec {
     val after = cands()
     assert(!after.contains(0L))
     assert(after === before - 0L)
-    assert(spark.read.parquet(s"$idx/index").filter(col("c_id") === 0L).count() > 0L)
+    assert(spark.read.parquet(mhDir(idx, "index")).filter(col("c_id") === 0L).count() > 0L)
     // compaction applies physically and clears the segment; answers unchanged
     Dedup.minhashIndexCompact(spark, idx)
-    assert(spark.read.parquet(s"$idx/index").filter(col("c_id") === 0L).count() === 0L)
-    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(spark.read.parquet(mhDir(idx, "index")).filter(col("c_id") === 0L).count() === 0L)
+    assert(!dirExists(liveTombs(idx)))
     assert(cands() === after)
     // rebuild invalidates stale tombstones
     Dedup.minhashIndexDelete(Seq(3L).toDF("doc_id"), idx)
@@ -434,8 +446,8 @@ class DedupSpec extends SparkSpec {
     val live = rows(idxB)
     assert(!live.exists(_._2 == 3L))
     Dedup.minhashIndexCompact(spark, idxB)
-    assert(!new java.io.File(s"$idxB/index-stream").exists())
-    assert(!new java.io.File(s"$idxB/tombstones").exists())
+    assert(!dirExists(liveStream(idxB, IndexManifest.Layouts.minhash)))
+    assert(!dirExists(liveTombs(idxB)))
     assert(rows(idxB) === live)
   }
 
@@ -476,7 +488,7 @@ class DedupSpec extends SparkSpec {
     assert(ids(idxB) === Set(0L, 2L, 11L, 13L))
     // compaction folds the streamed segment into the cell-partitioned base
     Dedup.semanticIndexCompact(spark, idxB)
-    assert(!new java.io.File(s"$idxB/survivors-stream").exists())
+    assert(!dirExists(liveStream(idxB, IndexManifest.Layouts.semantic)))
     assert(ids(idxB) === Set(0L, 2L, 11L, 13L))
   }
 
@@ -525,7 +537,7 @@ class DedupSpec extends SparkSpec {
     // takedown of survivor 0: live view loses it instantly
     Dedup.semanticIndexDelete(Seq(0L).toDF("vec_id"), idx)
     assert(ids() === Set(2L))
-    assert(spark.read.parquet(s"$idx/survivors").filter(col("vec_id") === 0L).count() === 1L)
+    assert(spark.read.parquet(semDir(idx, "survivors")).filter(col("vec_id") === 0L).count() === 1L)
     // an arrival that duplicated ONLY the retracted survivor is now kept —
     // the semantics a takedown wants (nothing live suppresses it)
     val b1 = Seq((10L, Array(1.0f, 0.002f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
@@ -533,8 +545,8 @@ class DedupSpec extends SparkSpec {
     assert(ids() === Set(2L, 10L))
     // physical apply + clean segment; answers unchanged
     Dedup.semanticIndexCompact(spark, idx)
-    assert(spark.read.parquet(s"$idx/survivors").filter(col("vec_id") === 0L).count() === 0L)
-    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(spark.read.parquet(semDir(idx, "survivors")).filter(col("vec_id") === 0L).count() === 0L)
+    assert(!dirExists(liveTombs(idx)))
     assert(ids() === Set(2L, 10L))
     // retract everything: the compacted index is EMPTY, not broken
     Dedup.semanticIndexDelete(Seq(2L, 10L).toDF("vec_id"), idx)

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crash-consistency contract of the generation-numbered [[IndexManifest]]
+  * across all four persisted index families: segment data written without
+  * the manifest bump is INVISIBLE (a killed compaction leaves the old
+  * generation fully live, never a silently-empty or mixed index), the next
+  * real mutation recovers by overwriting the orphan and committing, and a
+  * manifest-less (pre-round-8) index resolves through the legacy fixed
+  * names until its first mutation migrates it. */
+class IndexManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base + " extra"),
+    (2L, "completely different content about spark query engines and columnar execution plans"),
+    (3L, base + " probe text")
+  ).toDF("doc_id", "text")
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 0.9f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-manifest-$tag").toString
+
+  private def gen(idx: String): Long =
+    IndexManifest.read(spark, idx).map(_.generation).getOrElse(0L)
+
+  test("minhash: garbage next-gen base without a manifest bump is invisible; " +
+    "the real compact recovers over it") {
+    val idx = tmp("mh")
+    Dedup.minhashIndexBuild(docs.filter(col("doc_id") <= 2), idx)
+    Dedup.minhashIndexAppend(docs.filter(col("doc_id") === 3), idx)
+    Dedup.minhashIndexDelete(Seq(0L).toDF("doc_id"), idx)
+    def rows(): Set[(Int, Long)] =
+      Dedup.minhashIndexRows(spark, idx).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val live = rows()
+    assert(gen(idx) === 1L)
+    // a compaction killed between its segment write and the manifest
+    // commit: the next generation's base exists, full of garbage
+    Seq((12345, 999L, Seq(1L, 2L, 3L, 4L)))
+      .toDF("bucket", "c_id", "c_sig")
+      .write.mode("overwrite").parquet(s"$idx/${IndexManifest.genName("index", 2L)}")
+    assert(rows() === live, "reader must still serve the OLD generation")
+    assert(gen(idx) === 1L)
+    // recovery: the real compact overwrites the orphan and commits gen 2
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(gen(idx) === 2L)
+    assert(rows() === live)
+    assert(!rows().exists(_._2 == 999L), "the garbage rows must be gone")
+    assert(!new java.io.File(s"$idx/${IndexManifest.genName("index", 1L)}").exists(),
+      "gen-1 base must be GC'd after the gen-2 commit")
+  }
+
+  test("semantic: garbage next-gen survivors without a manifest bump are invisible") {
+    val idx = tmp("sem")
+    Dedup.semanticIndexBuild(vecs, idx, k = 2, rounds = 1)
+    Dedup.semanticIndexDelete(Seq(0L).toDF("vec_id"), idx)
+    def ids(): Set[Long] =
+      Dedup.semanticIndexSurvivors(spark, idx).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val live = ids()
+    Seq((999L, Seq(1.0f, 0f, 0f, 0f), 0L))
+      .toDF("vec_id", "embedding", "cluster")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$idx/${IndexManifest.genName("survivors", 2L)}")
+    assert(ids() === live)
+    Dedup.semanticIndexCompact(spark, idx)
+    assert(gen(idx) === 2L)
+    assert(ids() === live)
+  }
+
+  test("ivf: garbage next-gen vectors without a manifest bump are invisible") {
+    val idx = tmp("ivf")
+    SimilaritySearch.ivfIndexBuild(vecs, idx, nlist = 2, iters = 1)
+    SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), idx)
+    def res(): Set[(Long, Long)] =
+      SimilaritySearch.ivfIndexSearch(spark, idx, vecs.filter(col("vec_id") === 0L), 3, nprobe = 2)
+        .select("n_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = res()
+    assert(!live.exists(_._1 == 4L))
+    Seq((999L, Seq(1.0, 0.0, 0.0, 0.0), 1.0, 0))
+      .toDF("n_id", "nv", "nn", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/${IndexManifest.genName("vectors", 2L)}")
+    assert(res() === live)
+    SimilaritySearch.ivfIndexCompact(spark, idx)
+    assert(gen(idx) === 2L)
+    assert(res() === live)
+  }
+
+  test("ivfpq: a crash after writing only ONE of the two next-gen tables " +
+    "leaves the old generation fully live — never a mixed state") {
+    val idx = tmp("ivfpq")
+    SimilaritySearch.ivfPqIndexBuild(vecs, idx, nlist = 2, iters = 1, m = 2, dim = 4, pqNlist = 2)
+    SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), idx)
+    def res(): Set[Long] =
+      SimilaritySearch
+        .ivfPqIndexSearch(spark, idx, vecs.filter(col("vec_id") === 0L), 3, nprobe = 2)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+    val live = res()
+    assert(!live.contains(4L))
+    // the round-7 nightmare: one table's next generation written, the other
+    // not, then a crash — with the manifest unbumped BOTH stay invisible
+    Seq((999L, Seq(1.0, 0.0, 0.0, 0.0), 1.0, 0))
+      .toDF("n_id", "nv", "nn", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/${IndexManifest.genName("vectors", 2L)}")
+    assert(res() === live, "half-written next generation must be invisible")
+    assert(gen(idx) === 1L)
+    SimilaritySearch.ivfPqIndexCompact(spark, idx)
+    assert(gen(idx) === 2L)
+    assert(res() === live)
+    assert(!new java.io.File(s"$idx/${IndexManifest.genName("vectors", 1L)}").exists())
+    assert(!new java.io.File(s"$idx/${IndexManifest.genName("codes", 1L)}").exists())
+  }
+
+  test("legacy manifest-less index resolves fixed names; first mutation migrates and GCs them") {
+    val idx = tmp("legacy")
+    // hand-build the pre-round-8 on-disk layout: fixed dir names, no manifest
+    Seq((16, 4, 2000)).toDF("num_perm", "bands", "max_bucket")
+      .coalesce(1).write.parquet(s"$idx/meta")
+    Dedup.minhashIndex(docs).write.parquet(s"$idx/index")
+    def rows(): Set[Long] =
+      Dedup.minhashIndexRows(spark, idx).select("c_id").collect().map(_.getLong(0)).toSet
+    assert(rows() === Set(0L, 1L, 2L, 3L), "legacy layout must read without a manifest")
+    assert(IndexManifest.read(spark, idx).isEmpty)
+    // first lifecycle mutation migrates: delete + compact commit generation 1
+    Dedup.minhashIndexDelete(Seq(0L).toDF("doc_id"), idx)
+    assert(rows() === Set(1L, 2L, 3L), "tombstone in the legacy segment applies")
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(gen(idx) === 1L)
+    assert(rows() === Set(1L, 2L, 3L))
+    assert(!new java.io.File(s"$idx/index").exists(), "legacy base GC'd after migration")
+    assert(new java.io.File(s"$idx/meta").exists(), "carried static table keeps its legacy dir")
+  }
+
+  test("pre-round-7 tombstone segments wrote n_id: pending deletes still apply") {
+    val idx = tmp("oldts")
+    SimilaritySearch.ivfIndexBuild(vecs, idx, nlist = 2, iters = 1)
+    // an old-version delete: the id column named n_id, not ts_id
+    val seg = IndexManifest.liveTombstones(spark, idx)
+    Seq(4L).toDF("n_id").write.mode("append").parquet(s"$idx/$seg")
+    val hits = SimilaritySearch
+      .ivfIndexSearch(spark, idx, vecs.filter(col("vec_id") === 3L), 3, nprobe = 2)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(4L), "old-format tombstone must hide the id")
+    // and a MIXED segment (old n_id file + new ts_id append) applies both
+    SimilaritySearch.indexDelete(Seq(1L).toDF("vec_id"), idx)
+    val hits2 = SimilaritySearch
+      .ivfIndexSearch(spark, idx, vecs.filter(col("vec_id") === 0L), 4, nprobe = 2)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(!hits2.contains(4L) && !hits2.contains(1L))
+  }
+
+  test("manifest commit refuses a duplicate generation (single-writer guard)") {
+    val idx = tmp("dup")
+    Dedup.minhashIndexBuild(docs, idx)
+    val layout = IndexManifest.Layouts.minhash
+    val st = IndexManifest.resolve(spark, idx, layout)
+    val err = intercept[RuntimeException] {
+      IndexManifest.commit(spark, idx, st, layout)
+    }
+    assert(err.getMessage.contains("single-writer"))
+  }
+}

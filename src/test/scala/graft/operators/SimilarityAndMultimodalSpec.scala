@@ -15,6 +15,16 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     (4L, Array(1.0f, 0.05f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  // Physical-state assertions resolve segment dirs through the live
+  // manifest — the generation-suffixed layout moves on every build/compact.
+  private def liveDir(idx: String, layout: IndexManifest.Layout, t: String): String =
+    IndexManifest.liveTableDir(spark, idx, layout, t)
+  private def liveStream(idx: String, layout: IndexManifest.Layout): String =
+    IndexManifest.resolve(spark, idx, layout).streamDir(idx)
+  private def liveTombs(idx: String): String =
+    s"$idx/${IndexManifest.liveTombstones(spark, idx)}"
+  private def dirExists(p: String): Boolean = new java.io.File(p).exists()
+
   test("brute-force top-k: correct neighbor order, self excluded, k respected") {
     val out = SimilaritySearch
       .bruteForceTopK(vecs.filter(col("vec_id") === 0L), vecs, 2)
@@ -293,11 +303,11 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       pairs(SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 2)) ===
         pairs(SimilaritySearch.ivfTopK(q, emb, 5, nlist = 4, nprobe = 2)))
     // append: a clone of query 0's vector lands in its cell and surfaces at rank 1
-    val centroidsBefore = spark.read.parquet(s"$idx/centroids").collect().toSeq
+    val centroidsBefore = spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivf, "centroids")).collect().toSeq
     val clone = emb.filter(col("vec_id") === 0L)
       .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
     SimilaritySearch.ivfIndexAppend(clone, idx)
-    assert(spark.read.parquet(s"$idx/centroids").collect().toSeq === centroidsBefore)
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivf, "centroids")).collect().toSeq === centroidsBefore)
     val after = SimilaritySearch
       .ivfIndexSearch(spark, idx, emb.filter(col("vec_id") === 0L), 3, nprobe = 2)
       .collect()
@@ -325,14 +335,14 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(res(idxB) === res(idxA))
     assert(res(idxB).nonEmpty)
     // same checkpoint, no new files -> nothing appended twice
-    val nBefore = spark.read.parquet(s"$idxB/vectors").count()
+    val nBefore = spark.read.parquet(liveDir(idxB, IndexManifest.Layouts.ivf, "vectors")).count()
     SimilaritySearch.ivfIndexAppendStream(spark, idxB, arrivals, ckpt)
-    assert(spark.read.parquet(s"$idxB/vectors").count() === nBefore)
+    assert(spark.read.parquet(liveDir(idxB, IndexManifest.Layouts.ivf, "vectors")).count() === nBefore)
     // compaction folds the stream segment into the base: answers unchanged,
     // segment gone, and the untouched checkpoint still skips old files
     val before = res(idxB)
     SimilaritySearch.ivfIndexCompact(spark, idxB)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxB/vectors-stream")))
+    assert(!dirExists(liveStream(idxB, IndexManifest.Layouts.ivf)))
     assert(res(idxB) === before)
     SimilaritySearch.ivfIndexAppendStream(spark, idxB, arrivals, ckpt) // no-op again
     assert(res(idxB) === before)
@@ -371,10 +381,10 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(after.map(_._1) === before.map(_._1).filterNot(_ == 4L))
     assert(after.map(_._2) === (1L to after.size.toLong))
     // logical until compaction: the physical row is still in the index
-    assert(spark.read.parquet(s"$idx/vectors").filter(col("n_id") === 4L).count() === 1L)
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivf, "vectors")).filter(col("n_id") === 4L).count() === 1L)
     SimilaritySearch.ivfIndexCompact(spark, idx)
-    assert(spark.read.parquet(s"$idx/vectors").filter(col("n_id") === 4L).count() === 0L)
-    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivf, "vectors")).filter(col("n_id") === 4L).count() === 0L)
+    assert(!dirExists(liveTombs(idx)))
     assert(res() === after) // physically-applied result identical
     // rebuild invalidates stale tombstones: id 4 is findable again
     SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), idx)
@@ -394,9 +404,9 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n_id"))
     assert(!after.contains(victim))
     SimilaritySearch.ivfPqIndexCompact(spark, idx)
-    assert(spark.read.parquet(s"$idx/codes").filter(col("n_id") === victim).count() === 0L)
-    assert(spark.read.parquet(s"$idx/vectors").filter(col("n_id") === victim).count() === 0L)
-    assert(!new java.io.File(s"$idx/tombstones").exists())
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivfpq, "codes")).filter(col("n_id") === victim).count() === 0L)
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivfpq, "vectors")).filter(col("n_id") === victim).count() === 0L)
+    assert(!dirExists(liveTombs(idx)))
     val afterCompact = SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 8)
       .collect().map(_.getAs[Long]("n_id"))
     assert(afterCompact.sorted.toSeq === after.sorted.toSeq)
@@ -453,15 +463,15 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(top()._1 === 999999L)
     assert(top()._2 > 0.9999)
     // same checkpoint, no new files → nothing ingested twice
-    val nBefore = spark.read.parquet(s"$idx/arrivals-stream").count()
+    val nBefore = spark.read.parquet(liveStream(idx, IndexManifest.Layouts.ivfpq)).count()
     SimilaritySearch.ivfPqIndexAppendStream(spark, idx, arrivals, ckpt.toString)
-    assert(spark.read.parquet(s"$idx/arrivals-stream").count() === nBefore)
+    assert(spark.read.parquet(liveStream(idx, IndexManifest.Layouts.ivfpq)).count() === nBefore)
     // compaction: segment folded into both base tables, answers unchanged
     val before = top()
     SimilaritySearch.ivfPqIndexCompact(spark, idx)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/arrivals-stream")))
+    assert(!dirExists(liveStream(idx, IndexManifest.Layouts.ivfpq)))
     assert(top() === before)
-    assert(spark.read.parquet(s"$idx/codes").filter(col("n_id") === 999999L).count() === 1)
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivfpq, "codes")).filter(col("n_id") === 999999L).count() === 1)
     // checkpoint survives compaction: ingesting again is still a no-op
     SimilaritySearch.ivfPqIndexAppendStream(spark, idx, arrivals, ckpt.toString)
     assert(top() === before)
@@ -471,8 +481,8 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
     SimilaritySearch.ivfPqIndexBuild(emb.filter(col("vec_id") < 400), idx)
-    val booksBefore = spark.read.parquet(s"$idx/codebooks").collect().toSet
-    val centsBefore = spark.read.parquet(s"$idx/centroids").collect().toSet
+    val booksBefore = spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivfpq, "codebooks")).collect().toSet
+    val centsBefore = spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivf, "centroids")).collect().toSet
     // append a clone of vector 0 with a new id — it must become rank 1 for
     // query 0 through the appended code/vector segments
     val clone = emb.filter(col("vec_id") === 0L)
@@ -484,10 +494,10 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_id") === 999999L)
     assert(out.head.getAs[Double]("sim") > 0.9999)
     // frozen models: append touched neither centroids nor codebooks
-    assert(spark.read.parquet(s"$idx/codebooks").collect().toSet === booksBefore)
-    assert(spark.read.parquet(s"$idx/centroids").collect().toSet === centsBefore)
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivfpq, "codebooks")).collect().toSet === booksBefore)
+    assert(spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivf, "centroids")).collect().toSet === centsBefore)
     // all appended ids present in both segments
-    val appended = spark.read.parquet(s"$idx/codes").filter(col("n_id") >= 400).count()
+    val appended = spark.read.parquet(liveDir(idx, IndexManifest.Layouts.ivfpq, "codes")).filter(col("n_id") >= 400).count()
     assert(appended === emb.filter(col("vec_id") >= 400).count() + 1)
   }
 
@@ -618,12 +628,12 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     SimilaritySearch.ivfPqIndexBuild(vecs, idx, nlist = 2, iters = 2, m = 3, dim = 3, pqNlist = 2)
     SimilaritySearch.indexDelete(Seq(1L).toDF("vec_id"), idx)
     // simulate a crash between the two swaps of a prior compact: one table gone
-    val codes = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    val codes = new org.apache.hadoop.fs.Path(liveDir(idx, IndexManifest.Layouts.ivfpq, "codes"))
     codes.getFileSystem(spark.sessionState.newHadoopConf()).delete(codes, true)
     val err = intercept[RuntimeException] {
       SimilaritySearch.ivfPqIndexCompact(spark, idx)
     }
     assert(err.getMessage.contains("mixed state"))
-    assert(new java.io.File(s"$idx/tombstones").exists(), "tombstones must survive the refusal")
+    assert(dirExists(liveTombs(idx)), "tombstones must survive the refusal")
   }
 }

@@ -58,6 +58,25 @@ class StreamingRollupSpec extends SparkSpec {
     assert(answer(StreamingRollup.dayRollup(spark, out)) === before)
   }
 
+  test("watermark fold (keepLast): the hot tail stays unfolded, the answer is " +
+    "unchanged, and the mark rises only to the fold boundary") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rollup-wm").toString + "/t"
+    val ev = Tables.events(spark, dir)
+    (0 to 3).foreach { i =>
+      StreamingRollup.appendBatch(out, ev.filter(col("event_id") % 4 === i), i.toLong)
+    }
+    val before = answer(StreamingRollup.dayRollup(spark, out))
+    StreamingRollup.compactDays(spark, out, keepLast = 2)
+    assert(StreamingRollup.compactedThrough(out) === 1L, "mark stops at the watermark")
+    assert(answer(StreamingRollup.dayRollup(spark, out)) === before)
+    val hot = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("epoch="))
+    assert(hot.toSet === Set("epoch=2", "epoch=3"), s"hot tail must survive, got ${hot.toSeq}")
+    // the next full fold merges base + hot tail; answer still identical
+    StreamingRollup.compactDays(spark, out)
+    assert(StreamingRollup.compactedThrough(out) === 3L)
+    assert(answer(StreamingRollup.dayRollup(spark, out)) === before)
+  }
+
   test("histogram rollup: streamed epochs equal the batch rebuild BIT-EXACTLY; compaction too") {
     val out = java.nio.file.Files.createTempDirectory("graft-rollup").toString + "/h"
     val ev = Tables.events(spark, dir)

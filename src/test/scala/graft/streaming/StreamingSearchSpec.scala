@@ -76,6 +76,54 @@ class StreamingSearchSpec extends SparkSpec {
     assert(after.nonEmpty)
   }
 
+  test("compactAnswers: fold + resume yields the same answers rows; epoch dirs " +
+    "are bounded; a replay of a folded epoch is skipped by the mark") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-fold").toString
+    val (idx, arrivals, out, ckpt) = (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+    // three drains → three epochs
+    (0 until 3).foreach { i =>
+      emb.filter(col("vec_id") >= i * 3 && col("vec_id") < (i + 1) * 3)
+        .coalesce(1).write.mode("append").parquet(arrivals)
+      StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2)
+    }
+    def full(): Set[(Long, Long, Long, Double, Int)] =
+      StreamingSearch.answers(spark, out)
+        .select("q_id", "n_id", "rank", "sim", "epoch").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+        .toSet
+    def epochDirs(): Seq[String] = {
+      val d = new java.io.File(s"$out/epochs")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("epoch=")).toSeq.sorted
+    }
+    val before = full()
+    assert(epochDirs().size === 3)
+    // partial fold: keep the newest epoch hot
+    StreamingSearch.compactAnswers(spark, out, keepLast = 1)
+    assert(full() === before, "a fold must not change answers (epoch column included)")
+    assert(epochDirs().size === 1, s"folded dirs must be swept, got ${epochDirs()}")
+    // a LATE REPLAY of a folded epoch must be skipped by the mark even
+    // though its directory no longer exists
+    val mark = EpochLog.state(spark, out).mark
+    assert(mark >= 0)
+    // full fold: zero hot epochs left, answers still identical
+    StreamingSearch.compactAnswers(spark, out)
+    assert(full() === before)
+    assert(epochDirs().isEmpty)
+    // resume: a fourth wave lands in a NEW epoch above the mark
+    emb.filter(col("vec_id") >= 9 && col("vec_id") < 12)
+      .coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2)
+    val resumed = full()
+    assert(resumed.size > before.size, "post-fold serving must keep appending")
+    assert(before.subsetOf(resumed))
+    // and a second fold folds base + the new epoch together
+    StreamingSearch.compactAnswers(spark, out)
+    assert(full() === resumed)
+  }
+
   test("zero-arrival serve leaves an empty answers view, not an error") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("graft-serve-empty").toString
