@@ -3147,6 +3147,35 @@ object SparkEntry {
             lit(nFilled == nQ).as("fill_ok"))
       }),
 
+      // Filtered vector search with the pre/post lane pick AUTOMATED from
+      // one measured-selectivity aggregate (filteredTopKAuto): under the
+      // SELECTIVE predicate (label IN (3,9), ~20% < the 1/inflate
+      // crossover) auto must take the exact pre-filter lane; under the
+      // LOOSE one (label <> 3, ~90%) the index-reusing post-filter lane.
+      // auto_pre_ok / auto_post_ok assert bit-equality against the
+      // directly-invoked lane on THIS data; the emitted rows are auto's
+      // own selective-lane answer, hash-verified against the exact
+      // filtered brute-force SQL.
+      "q_ann_filtered_auto" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val tight = col("label").isin(3, 9)
+        val loose = col("label") =!= 3
+        def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+          df.select("q_id", "n_id", "rank").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val preOk =
+          keyed(SimilaritySearch.filteredTopKAuto(q, e, tight, 10)) ==
+            keyed(SimilaritySearch.filteredTopK(q, e, tight, 10))
+        val postOk =
+          keyed(SimilaritySearch.filteredTopKAuto(q, e, loose, 10)) ==
+            keyed(SimilaritySearch.filteredTopKPost(q, e, loose, 10))
+        SimilaritySearch.filteredTopKAuto(q, e, tight, 10)
+          .withColumn("auto_pre_ok", lit(preOk))
+          .withColumn("auto_post_ok", lit(postOk))
+          .orderBy("q_id", "rank")
+      }),
+
       // Hybrid retrieval: BM25 lane (top-20 literal-term hits) × vector
       // lane (top-20 cosine neighbors per query), fused per query by
       // reciprocal-rank fusion — the standard hybrid-search combiner.
@@ -6845,6 +6874,24 @@ object SparkEntry {
         |      FROM s)
         |SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok, TRUE AS fill_ok
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Auto-lane filtered search: the selective-lane rows replay as exact
+    // filtered brute force (identical CTEs to q_ann_filtered); the two
+    // lane-pick assertions are Spark-side (TRUE expected — a wrong lane
+    // pick or a lane-mismatch hash-mismatches here).
+    "q_ann_filtered_auto" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+        |      FROM embeddings WHERE label IN (3, 9)),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, rank, sim, TRUE AS auto_pre_ok, TRUE AS auto_post_ok
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Hybrid RRF: both lanes replay (the q_ann_bruteforce cosine CTEs at
     // top-20 + the q_bm25_topk scoring CTEs at LIMIT 20, replicated per
     // query id); the fused score is a fixed two-term IEEE double sum

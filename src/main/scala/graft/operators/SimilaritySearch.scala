@@ -1175,6 +1175,43 @@ object SimilaritySearch {
       nprobe: Int = 2): DataFrame =
     postFilter(ivfTopK(queries, candidates, k * inflate, nlist, nprobe), candidates, pred, k)
 
+  /** Filtered top-k with the pre/post strategy pick AUTOMATED from measured
+    * selectivity — the [[graft.operators.Joins.joinProfile]] discipline
+    * (spend one cheap aggregate to choose the expensive plan) applied to
+    * the filtered-vector-search crossover that [[filteredTopK]] and
+    * [[filteredTopKPost]] document in prose: pre-filter is exact and wins
+    * while the predicate keeps under ~1/inflate of the corpus (the
+    * filtered scan is smaller than the inflated index probe); past it the
+    * post-filter lane reuses the unfiltered index and never re-scans the
+    * corpus per predicate.
+    *
+    * The profile is ONE column-pruned, map-side-combined aggregate over
+    * the predicate column (`count` + conditional count — no data rows
+    * moved, the cheapest measurement that answers the question); its two
+    * longs collect to the driver and pick the lane. At corpus scale the
+    * aggregate reads just the predicate column's pages — amortize it by
+    * caching per-predicate selectivities if the same filter serves many
+    * query batches. */
+  def filteredTopKAuto(
+      queries: DataFrame,
+      candidates: DataFrame,
+      pred: Column,
+      k: Int,
+      inflate: Int = 4,
+      nlist: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    val prof = candidates
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(pred, lit(1))).as("n_pass"))
+      .head()
+    val (n, pass) = (prof.getLong(0), prof.getLong(1))
+    // crossover at selectivity 1/inflate; ties (including an empty corpus)
+    // go to the exact pre-filter lane
+    if (pass * inflate.toLong <= n) filteredTopK(queries, candidates, pred, k)
+    else filteredTopKPost(queries, candidates, pred, k, inflate, nlist, nprobe)
+  }
+
   /** The post-filter tail as a composable step: apply a metadata predicate
     * to ANY inflated ANN hit list `(q_id, n_id, …, sim)` and re-rank/cut to
     * `k`. In production this composes onto the PERSISTED index searches —

@@ -61,6 +61,28 @@ class PlanShapeSpec extends SparkSpec {
       s"label predicate not pushed to the scan:\n$p")
   }
 
+  test("filteredTopKAuto: each auto-picked lane keeps its pruning — pushed " +
+    "predicate on the pre lane, cell probe + broadcast hit list on the post lane") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+    // selective predicate → exact pre-filter lane: the predicate must reach
+    // the scan, and no IVF cell-probe explode may appear
+    val pre = graft.operators.SimilaritySearch
+      .filteredTopKAuto(q, e, col("label").isin(3, 9), 10)
+      .queryExecution.executedPlan.toString
+    assert(pre.contains("PushedFilters: [") && pre.contains("In(label"),
+      s"pre lane lost its scan pushdown:\n$pre")
+    assert(!pre.contains("Generate"), s"selective predicate picked the index lane:\n$pre")
+    // loose predicate → post-filter lane over the index plan: the cell
+    // explode proves the IVF lane ran, the hit list joins by broadcast
+    val post = graft.operators.SimilaritySearch
+      .filteredTopKAuto(q, e, col("label") =!= 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(post.contains("Generate"), s"loose predicate picked the scan lane:\n$post")
+    assert(post.contains("BroadcastHashJoin"), s"hit list not broadcast:\n$post")
+  }
+
   test("q_hybrid_rrf: lanes fuse head-sized — text lane broadcast, no cartesian") {
     val p = plan("q_hybrid_rrf")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")

@@ -119,6 +119,25 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(post.sorted.toSeq === exact.sorted.toSeq)
   }
 
+  test("filteredTopKAuto: measured selectivity picks the exact lane below the " +
+    "crossover and the index lane above it; each equals its direct invocation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tight = col("label").isin(3, 9) // ~21% < 1/inflate = 25%
+    assert(
+      keyed(SimilaritySearch.filteredTopKAuto(q, emb, tight, 10)) ===
+        keyed(SimilaritySearch.filteredTopK(q, emb, tight, 10)))
+    val loose = col("label") =!= 3 // ~91% > 25%
+    assert(
+      keyed(SimilaritySearch.filteredTopKAuto(q, emb, loose, 10)) ===
+        keyed(SimilaritySearch.filteredTopKPost(q, emb, loose, 10)))
+    // the empty corpus ties to the exact lane and yields an empty answer
+    assert(SimilaritySearch.filteredTopKAuto(q, emb.limit(0), tight, 10).count() === 0L)
+  }
+
   test("postFilter composes onto the persisted IVF index: equals the in-memory post path") {
     // Same deterministic model (ivfIndexBuild freezes what ivfTopK trains),
     // so the persisted-index hit list post-filters to the identical result —
