@@ -136,6 +136,50 @@ object SparkEntry {
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
         .distinct())
 
+  /** The SYMMETRIZED trade graph as a BUCKETED, per-bucket-SORTED table —
+    * the persisted-adjacency serving shape for the iterative graph
+    * operators: bucketed by `src` with the bucket count matching
+    * `spark.sql.shuffle.partitions`, so every PageRank/PPR round's
+    * edges⋈ranks join and the out-degree aggregate read bucket-aligned
+    * partitions with NO edge-side exchange
+    * ([[graft.operators.Analytics.pageRank]] `checkpointEdges = false`
+    * mode; exchange-count drop guarded in PlanShapeSpec). Built once per
+    * (graph, SF) session from the plain edge artifact; at corpus scale
+    * the one-time bucketed write replaces a per-round shuffle of the
+    * whole edge list. */
+  private def symBucketedArtifact(s: SparkSession, table: String)(
+      build: => DataFrame): DataFrame = {
+    val name = table.replaceAll("[^A-Za-z0-9_]", "_")
+    indexDirs.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        // a prior JVM's warehouse dir survives while the in-memory catalog
+        // does not — clear the stale location or the CREATE path refuses it
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build.write.mode("overwrite").bucketBy(32, "src").sortBy("src").saveAsTable(name)
+      }
+    }
+    s.table(name)
+  }
+
+  private def tradeEdgesSymBucketedArtifact(s: SparkSession, dir: String): DataFrame =
+    symBucketedArtifact(s, s"graft_trade_sym_${artifactKey("trade", dir)}") {
+      val pairs = tradeEdgesArtifact(s, dir)
+      pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+  /** The symmetrized co-order graph as a bucketed adjacency (the
+    * [[tradeEdgesSymBucketedArtifact]] shape for the LPA/BFS rounds);
+    * derives from the same single co-order edge materialization. */
+  private def coOrderSymBucketedArtifact(s: SparkSession, dir: String): DataFrame =
+    symBucketedArtifact(s, s"graft_coorder_sym_${artifactKey("coorder", dir)}") {
+      val pairs = coOrderEdgesArtifact(s, dir)
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    }
+
   /** Session-persisted ANN index artifacts, built ONCE per SF dir for the
     * NON-MUTATING consumers (gates that search but never tombstone or
     * compact — at corpus scale the index is prebuilt and serving only
@@ -1154,10 +1198,11 @@ object SparkEntry {
     // quality signal (link centrality gating documents into the training
     // mix) and the second iterative-graph operator next to q_dedup_clusters.
     "q_pagerank" -> ((s, dir) => {
-      val pairs = tradeEdgesArtifact(s, dir)
-      // prefixes differ, so the reversed set is disjoint — no re-distinct
-      val edges = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Analytics.pageRank(edges, iters = 5)
+      // the symmetrized graph reads from the bucketed adjacency table:
+      // no edge-side exchange in any of the 5 rounds (checkpointEdges off
+      // keeps the scan's outputPartitioning alive)
+      graft.operators.Analytics
+        .pageRank(tradeEdgesSymBucketedArtifact(s, dir), iters = 5, checkpointEdges = false)
         .orderBy(col("pr_micro").desc, col("node"))
         .limit(20)
     }),
@@ -1167,13 +1212,13 @@ object SparkEntry {
     // proximity to the seed set (seed-anchored corpus selection). Same
     // integer contract and unrolled-CTE oracle as q_pagerank.
     "q_ppr" -> ((s, dir) => {
-      val pairs = tradeEdgesArtifact(s, dir)
-      val edges = pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = tradeEdgesSymBucketedArtifact(s, dir)
       val seeds = edges
         .select(col("src").as("node"))
         .filter(col("node").startsWith("c") && expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0"))
         .distinct()
-      graft.operators.Analytics.personalizedPageRank(edges, seeds, iters = 5)
+      graft.operators.Analytics
+        .personalizedPageRank(edges, seeds, iters = 5, checkpointEdges = false)
         .orderBy(col("pr_micro").desc, col("node"))
         .limit(20)
     }),
@@ -4775,8 +4820,10 @@ object SparkEntry {
       // unrolled CTEs (the PageRank contract applied to community
       // detection).
       "q_communities" -> ((s, dir) =>
+        // LPA rounds over the bucketed symmetrized adjacency: no edge-side
+        // exchange per round (PlanShapeSpec guards the round shape)
         graft.operators.Analytics
-          .labelPropagation(coOrderEdgesArtifact(s, dir), 3)
+          .labelPropagationOnAdjacency(coOrderSymBucketedArtifact(s, dir), 3)
           .orderBy("node")),
 
       // Gaps-and-islands: per-user activity streaks over event days. The
@@ -5061,12 +5108,11 @@ object SparkEntry {
       // filter and the peel loop (the kcoreGate pattern).
       "q_bfs_dist" -> ((s, dir) => {
         import graft.operators.Analytics
-        val edges = coOrderEdgesArtifact(s, dir)
-        val seeds = edges.select(col("a").as("node"))
-          .union(edges.select(col("b").as("node")))
+        val sym = coOrderSymBucketedArtifact(s, dir)
+        val seeds = sym.select(col("src").as("node"))
           .distinct()
           .filter(col("node") % 97 === 0)
-        Analytics.bfsDistances(edges, seeds, 3).orderBy("node")
+        Analytics.bfsDistancesOnAdjacency(sym, seeds, 3).orderBy("node")
       }),
 
       // Degree distribution of the co-order graph, log2-binned: the

@@ -239,13 +239,33 @@ object Analytics {
     *
     * Output: `(node, pr_micro)` — final rank in micro-units, one row per
     * node that has at least one out-edge.
-    */
-  def pageRank(edges: DataFrame, iters: Int = 5, ckptEvery: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-    val deg = e
+    *
+    * `checkpointEdges = false` is the BUCKETED-ADJACENCY mode: pass edges
+    * read from a table bucketed (and sorted) by `src` with the bucket
+    * count matching `spark.sql.shuffle.partitions`, and skip the edge and
+    * degree checkpoints — a local checkpoint erases the scan's
+    * outputPartitioning, which is exactly what bucketing buys. Each
+    * round's edges⋈ranks join and the degree re-derivation then read
+    * bucket-aligned partitions with NO edge-side exchange (plan-guarded
+    * in PlanShapeSpec); the trade is one extra column-pruned (src, dst)
+    * bucket scan per round, the right side of the ledger at corpus scale
+    * where an edge shuffle moves the whole graph and a bucket scan reads
+    * only pages. */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 5,
+      ckptEvery: Int = 2,
+      checkpointEdges: Boolean = true): DataFrame = {
+    val eRaw = edges.select(col("src"), col("dst"))
+    val e =
+      if (checkpointEdges) eRaw.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+      else eRaw
+    val degRaw = e
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
-      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+    val deg =
+      if (checkpointEdges) degRaw.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+      else degRaw
     var ranks = deg.select(col("node"), lit(prScale).as("pr"), col("deg"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
@@ -267,8 +287,10 @@ object Analytics {
     // edge and degree blocks served their last join and can go now —
     // holding them across repeated constructions (bench warm + timed
     // passes, verify) accumulates executor storage for nothing
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(e)
-    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(deg)
+    if (checkpointEdges) {
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(e)
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(deg)
+    }
     ranks.select(col("node"), col("pr").as("pr_micro"))
   }
 
@@ -294,10 +316,12 @@ object Analytics {
       edges: DataFrame,
       seeds: DataFrame,
       iters: Int = 5,
-      ckptEvery: Int = 2): DataFrame = {
+      ckptEvery: Int = 2,
+      checkpointEdges: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val e = edges.select(col("src"), col("dst")).transform(Bridge.localCheckpointFreshStats)
-    val deg = e
+    val eRaw = edges.select(col("src"), col("dst"))
+    val e = if (checkpointEdges) eRaw.transform(Bridge.localCheckpointFreshStats) else eRaw
+    val degRaw = e
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
       .join(
@@ -305,7 +329,7 @@ object Analytics {
         Seq("node"),
         "left")
       .select(col("node"), col("deg"), coalesce(col("t"), lit(0L)).as("t"))
-      .transform(Bridge.localCheckpointFreshStats)
+    val deg = if (checkpointEdges) degRaw.transform(Bridge.localCheckpointFreshStats) else degRaw
     var ranks = deg.select(
       col("node"),
       when(col("t") > 0, lit(prScale)).otherwise(lit(0L)).as("pr"),
@@ -333,8 +357,10 @@ object Analytics {
         ranks = round
       }
     }
-    Bridge.freeLocalCheckpoint(e)
-    Bridge.freeLocalCheckpoint(deg)
+    if (checkpointEdges) {
+      Bridge.freeLocalCheckpoint(e)
+      Bridge.freeLocalCheckpoint(deg)
+    }
     ranks.filter(col("pr") > 0).select(col("node"), col("pr").as("pr_micro"))
   }
 
@@ -908,6 +934,23 @@ object Analytics {
       .select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .transform(Bridge.localCheckpointFreshStats)
+    val dist = bfsCore(sym, seeds, rounds)
+    Bridge.freeLocalCheckpoint(sym)
+    dist
+  }
+
+  /** [[bfsDistances]] over a PRE-SYMMETRIZED persisted adjacency `(src,
+    * dst)` — pass a table bucketed (and sorted) by `src` with the bucket
+    * count matching `spark.sql.shuffle.partitions` and each round's
+    * edges⋈distances join reads bucket-aligned partitions with no
+    * edge-side exchange (no local checkpoint here: it would erase the
+    * scan's outputPartitioning, the [[pageRank]] `checkpointEdges = false`
+    * reasoning). */
+  def bfsDistancesOnAdjacency(sym: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame =
+    bfsCore(sym.select(col("src"), col("dst")), seeds, rounds)
+
+  private def bfsCore(sym: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     var dist = seeds
       .select(col("node"), lit(0L).as("dist"))
       .transform(Bridge.localCheckpointFreshStats)
@@ -916,7 +959,6 @@ object Analytics {
       Bridge.freeLocalCheckpoint(dist)
       dist = relaxed
     }
-    Bridge.freeLocalCheckpoint(sym)
     dist
   }
 
@@ -937,6 +979,20 @@ object Analytics {
       .select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .transform(Bridge.localCheckpointFreshStats)
+    val labels = lpaCore(sym, rounds)
+    Bridge.freeLocalCheckpoint(sym)
+    labels
+  }
+
+  /** [[labelPropagation]] over a PRE-SYMMETRIZED persisted adjacency
+    * `(src, dst)` — the bucketed-table mode ([[bfsDistancesOnAdjacency]]
+    * contract): each round's sym⋈labels join and the initial node scan
+    * read bucket-aligned partitions with no edge-side exchange. */
+  def labelPropagationOnAdjacency(sym: DataFrame, rounds: Int = 3): DataFrame =
+    lpaCore(sym.select(col("src"), col("dst")), rounds)
+
+  private def lpaCore(sym: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     var labels = sym
       .select(col("src").as("node"))
       .distinct()
@@ -954,7 +1010,6 @@ object Analytics {
       Bridge.freeLocalCheckpoint(labels)
       labels = next
     }
-    Bridge.freeLocalCheckpoint(sym)
     labels.select(col("node"), col("lab").as("community"))
   }
 

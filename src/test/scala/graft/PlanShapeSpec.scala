@@ -61,6 +61,35 @@ class PlanShapeSpec extends SparkSpec {
       s"label predicate not pushed to the scan:\n$p")
   }
 
+  test("pageRank round over the bucketed adjacency: strictly fewer exchanges " +
+    "than over plain edges — the edge side joins bucket-aligned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-psr-plain").toString
+    val pairs = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    pairs.write.mode("overwrite").parquet(plainDir)
+    // a prior JVM's warehouse dir survives while the in-memory catalog
+    // does not — clear the stale location before the CREATE
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "psr_bucketed_edges")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!spark.catalog.tableExists("psr_bucketed_edges") && fs.exists(loc))
+      fs.delete(loc, true)
+    pairs.write.mode("overwrite").bucketBy(32, "src").sortBy("src")
+      .saveAsTable("psr_bucketed_edges")
+    def roundExchanges(e: DataFrame): Int = {
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("deg"))
+      val ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("deg"))
+      exchanges(graft.operators.Analytics.pageRankRound(e, deg, ranks)
+        .queryExecution.executedPlan.toString)
+    }
+    val plain = roundExchanges(spark.read.parquet(plainDir))
+    val bucketed = roundExchanges(spark.table("psr_bucketed_edges"))
+    assert(bucketed < plain,
+      s"bucketed round must shuffle strictly less (bucketed=$bucketed, plain=$plain)")
+  }
+
   test("filteredTopKAuto: each auto-picked lane keeps its pruning — pushed " +
     "predicate on the pre lane, cell probe + broadcast hit list on the post lane") {
     import org.apache.spark.sql.functions.col
