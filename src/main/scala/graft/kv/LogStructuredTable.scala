@@ -36,9 +36,24 @@ import org.apache.spark.sql.functions._
   */
 class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
 
-  private val basePath = s"$warehouse/$name/base"
+  private val root = s"$warehouse/$name"
   private val logPath = s"$warehouse/$name/log"
   private val schemaCols = Seq("row_key", "family", "qualifier", "value")
+
+  /** Live state via the shared generation log ([[graft.streaming.EpochLog]]
+    * — the round-8 crash-atomic commit discipline): the state file names
+    * the live base segment and carries the compaction high-water mark, so
+    * [[compact]] commits base + mark + log retirement in ONE atomic file
+    * create instead of the old delete-base → rename → delete-logs → write-
+    * marker sequence (whose crash windows left a missing base or a stale
+    * mark that let replayed epochs shadow compacted values). A table
+    * without a state file resolves to the legacy fixed `base/` dir and the
+    * legacy `_compacted_through` marker; its first compaction migrates it. */
+  private def lsmState: graft.streaming.EpochLog.State =
+    graft.streaming.EpochLog.state(spark, root)
+
+  private def basePath: String =
+    lsmState.baseDir(root).getOrElse(s"$root/base")
 
   def baseDir: String = basePath
   def logDir: String = logPath
@@ -77,8 +92,15 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
     (bytesUnder(basePath), bytesUnder(logPath), logSeqs().size, compactedThrough)
   }
 
-  /** Sequence numbers already on disk, ascending. Base is seq 0. */
-  private def logSeqs(): Seq[Long] = {
+  /** LIVE sequence numbers, ascending — log dirs above the compaction
+    * mark. Base is seq 0. Folded dirs a crashed compaction's GC left
+    * behind sit at or below the mark and are ignored (their cells are in
+    * the base), so a reader is consistent in every crash window. */
+  private def logSeqs(): Seq[Long] =
+    rawLogSeqs().filter(_ > compactedThrough)
+
+  /** Every `seq=` dir on disk, folded or not. */
+  private def rawLogSeqs(): Seq[Long] = {
     val d = new java.io.File(logPath)
     if (!d.exists()) Seq.empty
     else
@@ -147,10 +169,15 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
   }
 
   /** Highest sequence folded into the base by [[compact]]; 0 before any
-    * compaction. One tiny driver-side marker file. */
+    * compaction. From the generation state file; a pre-round-8 table
+    * falls back to its legacy `_compacted_through` marker. */
   def compactedThrough: Long = {
-    val m = Paths.get(s"$warehouse/$name/_compacted_through")
-    if (Files.exists(m)) Files.readString(m).trim.toLong else 0L
+    val st = lsmState
+    if (st.base.isDefined) math.max(0L, st.mark)
+    else {
+      val m = Paths.get(s"$warehouse/$name/_compacted_through")
+      if (Files.exists(m)) Files.readString(m).trim.toLong else 0L
+    }
   }
 
   /** All cell versions with their sequence: base at seq 0 plus every log. */
@@ -256,23 +283,37 @@ class LogStructuredTable(spark: SparkSession, warehouse: String, name: String) {
       .limit(maxVersions)
 
   /** Major compaction: fold logs into the base, drop shadowed cells and
-    * tombstones physically, clear the log. One shuffle by cell key over
-    * base+logs; the view is unchanged. */
+    * tombstones physically, retire the folded log dirs. One shuffle by
+    * cell key over base+logs; the view is unchanged.
+    *
+    * Crash-atomic via the generation state file: the folded base is
+    * written under the NEXT generation's name first, then one atomic
+    * state-file create swaps base + high-water mark together — a crash
+    * before it leaves the old base and logs fully live; a crash after it
+    * leaves lingering folded log dirs that [[logSeqs]] ignores by mark
+    * (and the next commit's GC sweeps). The mark also keeps a replayed
+    * [[putLogEpoch]] of a folded epoch from shadowing compacted values. */
   def compact(): Unit = {
+    import graft.streaming.EpochLog
     val seqs = logSeqs()
     if (seqs.isEmpty) return
-    val tmp = s"$warehouse/$name/base.tmp"
-    readView().write.mode(SaveMode.Overwrite).parquet(tmp)
-    import scala.jdk.CollectionConverters._
-    def deleteTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    deleteTree(Paths.get(basePath))
-    Files.move(Paths.get(tmp), Paths.get(basePath))
-    deleteTree(Paths.get(logPath))
-    // High-water mark for [[putLogEpoch]]: replays of epochs at or below
-    // this are already in the base and must not re-append.
-    Files.writeString(Paths.get(s"$warehouse/$name/_compacted_through"), seqs.max.toString)
+    val prev = lsmState
+    val nextGen = prev.gen + 1
+    val nextBase = f"base-g$nextGen%09d"
+    readView().write.mode(SaveMode.Overwrite).parquet(s"$root/$nextBase")
+    val newMark = math.max(prev.mark, seqs.max)
+    // sweep everything at or below the new mark — including folded dirs a
+    // crashed earlier compaction's GC left behind
+    val retire = rawLogSeqs().filter(_ <= newMark)
+    EpochLog.commit(
+      spark,
+      root,
+      EpochLog.State(nextGen, newMark, Some(nextBase)),
+      retire.map(s => s"$logPath/seq=$s"),
+      Some(prev.base.getOrElse("base")))
+    // the legacy marker is superseded by the state file; best-effort tidy
+    Files.deleteIfExists(Paths.get(s"$warehouse/$name/_compacted_through"))
+    ()
   }
 }
 

@@ -95,7 +95,9 @@ class LogStructuredTableSpec extends SparkSpec {
     val before = t.readView().orderBy("row_key", "qualifier").collect().toSeq
     t.compact()
     assert(t.readView().orderBy("row_key", "qualifier").collect().toSeq === before)
-    assert(!Files.exists(Paths.get(t.logDir)))
+    val liveLogDirs =
+      Option(new java.io.File(t.logDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(liveLogDirs.isEmpty, s"folded log dirs must be swept, got $liveLogDirs")
     // physical: the compacted base holds exactly the live cells — no "1",
     // no r2 row, no null values anywhere
     val base = spark.read.parquet(t.baseDir)
@@ -252,6 +254,37 @@ class LogStructuredTableSpec extends SparkSpec {
       val got = t.readView().collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
       assert(got === expect, s"trial $trial")
     }
+  }
+
+  test("compaction crash windows: a next-gen base without the state commit is " +
+    "invisible; after the commit, lingering folded logs are ignored by mark") {
+    val t = fresh("crash")
+    t.putLog(cells(("r1", "cf", "a", "1"), ("r2", "cf", "a", "2")))
+    t.putLog(cells(("r1", "cf", "a", "10")))
+    val before = t.readView().orderBy("row_key", "qualifier").collect().toSeq
+    // window 1 — crash between the base write and the state commit: the
+    // half-written next generation must be invisible
+    cells(("zz", "cf", "a", "999")).withColumn("bogus", lit(1))
+      .write.mode("overwrite").parquet(s"${t.baseDir}/../base-g000000001")
+    assert(t.readView().orderBy("row_key", "qualifier").collect().toSeq === before)
+    // recovery: the real compact overwrites the orphan and commits
+    t.compact()
+    assert(t.readView().orderBy("row_key", "qualifier").collect().toSeq === before)
+    assert(t.readView().filter(col("row_key") === "zz").count() === 0L)
+    // window 2 — crash between the state commit and the log GC: a folded
+    // log dir reappears below the mark and must be ignored, and a replayed
+    // epoch at or below the mark must not re-append
+    cells(("r1", "cf", "a", "1")).withColumn("seq", lit(1L))
+      .write.mode("overwrite").parquet(s"${t.logDir}/seq=1")
+    assert(t.readView().orderBy("row_key", "qualifier").collect().toSeq === before)
+    t.putLogEpoch(cells(("r1", "cf", "a", "stale")), epoch = 0L) // seq 1 <= mark
+    assert(t.readView().orderBy("row_key", "qualifier").collect().toSeq === before)
+    // and the next compact sweeps the lingering folded dir
+    t.putLog(cells(("r4", "cf", "a", "4")))
+    t.compact()
+    assert(
+      Option(new java.io.File(t.logDir).listFiles()).map(_.toSeq).getOrElse(Seq.empty).isEmpty)
+    assert(t.readView().count() === before.size + 1L)
   }
 
   test("view equals WideColumnTable.put semantics for the same batch sequence") {
