@@ -4569,6 +4569,39 @@ object SparkEntry {
       // both engines encode that by construction. Head-sized results are
       // collected eagerly BEFORE compaction (the mutation-gate rule: the
       // tombstoned plans read files compaction deletes).
+      // Self-applying compaction trigger (minhashIndexMaybeCompact): one
+      // tombstone over the banded base (≪1%) must HOLD OFF — no generation
+      // bump, pending delete still logically applied — and a 5% delete
+      // wave must FIRE, folding physically and retiring the tombstones.
+      // n_docs_live is the post-fire live count, recomputed by DuckDB as
+      // shingleable docs minus the deleted set; the three booleans are
+      // in-engine assertions (TRUE expected).
+      "q_index_autocompact_gate" -> ((s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("mh-autocompact-idx")
+        Dedup.minhashIndexBuild(docs, idx)
+        def genOf(): Long =
+          graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        val g0 = genOf()
+        Dedup.minhashIndexDelete(Seq(1L).toDF("doc_id"), idx)
+        val heldOff = !Dedup.minhashIndexMaybeCompact(s, idx) && genOf() == g0
+        val liveAfterHold = Dedup.minhashIndexRows(s, idx)
+          .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+        val wave = docs.select("doc_id").filter(col("doc_id") % 20 === 0)
+        Dedup.minhashIndexDelete(wave, idx)
+        val fired = Dedup.minhashIndexMaybeCompact(s, idx) && genOf() == g0 + 1
+        val live = Dedup.minhashIndexRows(s, idx)
+          .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+        val tombClear = !new java.io.File(
+          s"$idx/${graft.operators.IndexManifest.liveTombstones(s, idx)}").exists()
+        s.range(1).select(
+          lit(live.size.toLong).as("n_docs_live"),
+          lit(heldOff && !liveAfterHold.contains(1L)).as("hold_ok"),
+          lit(fired && live.forall(id => id % 20 != 0 && id != 1L)).as("fire_ok"),
+          lit(tombClear).as("tomb_clear_ok"))
+      }),
+
       "q_minhash_index_delete_gate" -> ((s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
@@ -7844,6 +7877,14 @@ object SparkEntry {
          |       TRUE AS rows_per_band_ok, TRUE AS compact_ok
          |FROM (SELECT doc_id, len($ToksSql) AS nt FROM documents)
          |WHERE nt >= 3 AND doc_id NOT IN (10, 11)""".stripMargin,
+    // Autocompact gate: live docs after the 5% delete wave (plus the
+    // held-off single delete, still logically applied) — shingleable docs
+    // minus the deleted set; the booleans are Spark-side assertions.
+    "q_index_autocompact_gate" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs_live, TRUE AS hold_ok,
+         |       TRUE AS fire_ok, TRUE AS tomb_clear_ok
+         |FROM (SELECT doc_id, len($ToksSql) AS nt FROM documents)
+         |WHERE nt >= 3 AND doc_id % 20 <> 0 AND doc_id <> 1""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
         |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),

@@ -421,6 +421,26 @@ object Dedup {
     IndexManifest.commit(spark, dir, next, layout)
   }
 
+  /** Apply the [[CompactionTrigger]] heuristic to the minhash index:
+    * compact when pending tombstones exceed `ratio` of the base rows or
+    * the streamed segment exceeds `streamRatio` of them. Returns whether
+    * a compaction ran. */
+  def minhashIndexMaybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      ratio: Double = 0.01,
+      streamRatio: Double = 0.25): Boolean = {
+    val st = minhashState(spark, dir)
+    val due = CompactionTrigger.due(
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "index")),
+      CompactionTrigger.rowsIn(spark, st.streamDir(dir)),
+      Tombstones.read(spark, dir, st.tombstones).fold(0L)(_.count()),
+      ratio,
+      streamRatio)
+    if (due) minhashIndexCompact(spark, dir)
+    due
+  }
+
   /** Batch near-dup candidates of `batch` against the persisted index:
     * the batch bands under the STORED parameters, equi-joins live index
     * rows on `bucket`, and estimates Jaccard as the fraction of agreeing
@@ -1152,6 +1172,24 @@ object Dedup {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(next.tableDir(dir, "survivors"))
     IndexManifest.commit(spark, dir, next, layout)
+  }
+
+  /** [[CompactionTrigger]] applied to the semantic-dedup index (the
+    * [[minhashIndexMaybeCompact]] contract). */
+  def semanticIndexMaybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      ratio: Double = 0.01,
+      streamRatio: Double = 0.25): Boolean = {
+    val st = semanticState(spark, dir)
+    val due = CompactionTrigger.due(
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "survivors")),
+      CompactionTrigger.rowsIn(spark, st.streamDir(dir)),
+      Tombstones.read(spark, dir, st.tombstones).fold(0L)(_.count()),
+      ratio,
+      streamRatio)
+    if (due) semanticIndexCompact(spark, dir)
+    due
   }
 
   /** Dedup a batch of arrivals against the persisted index under its

@@ -94,3 +94,40 @@ private[graft] object Tombstones {
     if (fs.exists(p)) fs.delete(p, true)
   }
 }
+
+/** The documented compaction-trigger heuristic, decided from measured
+  * segment sizes instead of left as prose (the [[graft.operators
+  * .SimilaritySearch.filteredTopKAuto]] discipline applied to the
+  * lifecycle knob): each family's `maybeCompact` counts its live base,
+  * streamed segment, and pending tombstones — three cheap counts, the
+  * tombstone/stream ones over segments compaction is meant to bound —
+  * and compacts when pending deletes exceed ~1% of the base (the point
+  * where the read-side anti-join's build stops being trivially
+  * broadcastable at corpus scale) or the streamed segment has grown past
+  * a quarter of the base (the union's two-branch scan and small files
+  * are worth one rewrite). Deletes are CORRECT at any volume; this is
+  * purely the read-cost knob, now self-applying. */
+private[graft] object CompactionTrigger {
+
+  /** Rows under a segment path; 0 for absent dirs and schema-less
+    * (empty-write / zero-batch sink) dirs. */
+  def rowsIn(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else
+      try spark.read.parquet(path).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+  }
+
+  def due(
+      baseRows: Long,
+      streamRows: Long,
+      tombstoneRows: Long,
+      ratio: Double,
+      streamRatio: Double): Boolean =
+    if (baseRows == 0L) streamRows > 0L || tombstoneRows > 0L
+    else
+      tombstoneRows.toDouble > ratio * baseRows ||
+        streamRows.toDouble > streamRatio * baseRows
+}

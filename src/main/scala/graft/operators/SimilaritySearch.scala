@@ -529,6 +529,44 @@ object SimilaritySearch {
     }
   }
 
+  /** Apply the [[CompactionTrigger]] heuristic to the IVF index: compact
+    * when pending tombstones exceed `ratio` of the base rows or the
+    * streamed segment exceeds `streamRatio` of them. Returns whether a
+    * compaction ran. */
+  def ivfIndexMaybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      ratio: Double = 0.01,
+      streamRatio: Double = 0.25): Boolean = {
+    val st = ivfState(spark, dir)
+    val due = CompactionTrigger.due(
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "vectors")),
+      CompactionTrigger.rowsIn(spark, st.streamDir(dir)),
+      readTombstones(spark, dir).fold(0L)(_.count()),
+      ratio,
+      streamRatio)
+    if (due) ivfIndexCompact(spark, dir)
+    due
+  }
+
+  /** [[CompactionTrigger]] applied to the IVF×PQ index (base size read
+    * from the 8-byte code table — the side every search scans). */
+  def ivfPqIndexMaybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      ratio: Double = 0.01,
+      streamRatio: Double = 0.25): Boolean = {
+    val st = ivfPqState(spark, dir)
+    val due = CompactionTrigger.due(
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "codes")),
+      CompactionTrigger.rowsIn(spark, st.streamDir(dir)),
+      readTombstones(spark, dir).fold(0L)(_.count()),
+      ratio,
+      streamRatio)
+    if (due) ivfPqIndexCompact(spark, dir)
+    due
+  }
+
   /** Base + streamed segments of the index, unioned (either may not exist
     * yet on a freshly-built or stream-only index); None when NEITHER is
     * readable — an empty-corpus build writes a zero-row base whose parquet

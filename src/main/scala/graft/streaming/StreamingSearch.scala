@@ -128,6 +128,23 @@ object StreamingSearch {
     * the state-file commit atomically swaps base + mark; a crash before
     * it leaves the old state fully live, after it the folded dirs are
     * ignored (and swept) by mark. */
+  /** Self-applying retention (the
+    * [[graft.operators.CompactionTrigger]] discipline on the serving
+    * output): fold once the live epoch-dir count exceeds `maxEpochs`,
+    * keeping the newest `keepLast` hot. One directory listing decides.
+    * Returns whether a fold ran. */
+  def maybeCompactAnswers(
+      spark: SparkSession,
+      outDir: String,
+      maxEpochs: Int = 64,
+      keepLast: Int = 8): Boolean = {
+    val st = EpochLog.state(spark, outDir)
+    val live = EpochLog.epochs(spark, epochsDir(outDir)).count(_ > st.mark)
+    val due = live > maxEpochs
+    if (due) compactAnswers(spark, outDir, keepLast)
+    due
+  }
+
   def compactAnswers(spark: SparkSession, outDir: String, keepLast: Int = 0): Unit = {
     val st = EpochLog.state(spark, outDir)
     val es = EpochLog.epochs(spark, epochsDir(outDir)).filter(_ > st.mark)

@@ -166,6 +166,33 @@ class IndexManifestSpec extends SparkSpec {
     assert(!hits2.contains(4L) && !hits2.contains(1L))
   }
 
+  test("maybeCompact: the measured trigger holds off below the tombstone " +
+    "ratio and fires above it; reads identical either way") {
+    val idx = tmp("trigger")
+    Dedup.minhashIndexBuild(docs, idx) // 4 docs × 4 bands = 16 base rows
+    def live(): Set[Long] =
+      Dedup.minhashIndexRows(spark, idx).select("c_id").collect().map(_.getLong(0)).toSet
+    // one tombstone over 16 rows = 6% — above the default 1%, so it fires;
+    // first verify a high ratio holds off
+    Dedup.minhashIndexDelete(Seq(3L).toDF("doc_id"), idx)
+    val expected = live()
+    assert(!Dedup.minhashIndexMaybeCompact(spark, idx, ratio = 0.5), "6% < 50% must hold off")
+    assert(gen(idx) === 1L, "holding off must not bump the generation")
+    assert(live() === expected)
+    assert(Dedup.minhashIndexMaybeCompact(spark, idx), "6% > 1% must compact")
+    assert(gen(idx) === 2L)
+    assert(live() === expected)
+    assert(!Dedup.minhashIndexMaybeCompact(spark, idx), "nothing pending after the fold")
+
+    val ivfIdx = tmp("trigger-ivf")
+    SimilaritySearch.ivfIndexBuild(vecs, ivfIdx, nlist = 2, iters = 1) // 5 base rows
+    SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), ivfIdx) // 20%
+    assert(!SimilaritySearch.ivfIndexMaybeCompact(spark, ivfIdx, ratio = 0.5))
+    assert(SimilaritySearch.ivfIndexMaybeCompact(spark, ivfIdx))
+    assert(gen(ivfIdx) === 2L)
+    assert(!SimilaritySearch.ivfIndexMaybeCompact(spark, ivfIdx))
+  }
+
   test("manifest commit refuses a duplicate generation (single-writer guard)") {
     val idx = tmp("dup")
     Dedup.minhashIndexBuild(docs, idx)

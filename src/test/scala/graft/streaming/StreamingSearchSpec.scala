@@ -122,6 +122,16 @@ class StreamingSearchSpec extends SparkSpec {
     // and a second fold folds base + the new epoch together
     StreamingSearch.compactAnswers(spark, out)
     assert(full() === resumed)
+    // the self-applying trigger: under the cap it holds off, over it it folds
+    emb.filter(col("vec_id") >= 12 && col("vec_id") < 15)
+      .coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2)
+    val withHot = full()
+    assert(!StreamingSearch.maybeCompactAnswers(spark, out, maxEpochs = 8))
+    assert(epochDirs().size === 1, "held-off fold must leave the hot epoch")
+    assert(StreamingSearch.maybeCompactAnswers(spark, out, maxEpochs = 0, keepLast = 0))
+    assert(epochDirs().isEmpty)
+    assert(full() === withHot)
   }
 
   test("zero-arrival serve leaves an empty answers view, not an error") {
