@@ -186,6 +186,20 @@ object SparkEntry {
     * reads it; rebuilding per query was the anti-pattern the R6 scale
     * probe itself called out). The delete-lifecycle gates keep their
     * private rebuilds: they mutate. */
+  /** Session-built persisted TEXT index per SF dir — the BM25 lane's
+    * analog of the ANN index artifacts: non-mutating consumers search the
+    * prebuilt postings instead of re-tokenizing the corpus per query. */
+  private def textIndexArtifact(s: SparkSession, dir: String): String = {
+    val d = sessionIndexDir(artifactKey("text-art", dir))
+    indexDirs.synchronized {
+      if (!new java.io.File(s"$d/_built").exists()) {
+        graft.operators.TextSearchIndex.build(Tables.documents(s, dir), d)
+        new java.io.File(s"$d/_built").createNewFile()
+      }
+    }
+    d
+  }
+
   private def ivfIndexArtifact(s: SparkSession, dir: String): String = {
     val d = sessionIndexDir(artifactKey("ivf-art", dir))
     indexDirs.synchronized {
@@ -3281,8 +3295,12 @@ object SparkEntry {
         def lane(hits: org.apache.spark.sql.DataFrame) =
           SimilaritySearch.postFilter(hits, e, pred, 20)
             .select(col("q_id"), col("n_id").as("id"), col("rank"))
-        val txt = graft.operators.TextIndex
-          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 20)
+        // the text lane serves from the persisted inverted index too
+        // (round 8): BOTH hybrid lanes now read prebuilt artifacts — the
+        // parity contract makes it bit-equal to the bm25TopK lane, so the
+        // oracle replay is unchanged
+        val txt = graft.operators.TextSearchIndex
+          .search(s, textIndexArtifact(s, dir), Bm25Terms, 20)
           .select(col("doc_id").as("id"), col("rk").as("rank"))
         val qids = q.select(col("vec_id").as("q_id"))
         def fused(v: org.apache.spark.sql.DataFrame) =
@@ -4569,6 +4587,71 @@ object SparkEntry {
       // both engines encode that by construction. Head-sized results are
       // collected eagerly BEFORE compaction (the mutation-gate rule: the
       // tombstoned plans read files compaction deletes).
+      // Persisted-inverted-index BM25 search: the session-built postings
+      // table serves the same query q_bm25_topk answers by re-tokenizing
+      // the corpus — identical scoring tree (frozen stats = the full
+      // corpus here), so the SAME oracle SQL hash-verifies it. The scan
+      // touches only the query terms' posting slices (term-sorted table,
+      // pushed tok IN filter).
+      "q_text_index_search" -> ((s, dir) =>
+        graft.operators.TextSearchIndex
+          .search(s, textIndexArtifact(s, dir), Bm25Terms, 10)),
+
+      // Phrase search served from the SAME persisted postings (positional
+      // column): TextIndex.phraseSearch's scaladoc names the materialized
+      // postings table as its own 100 TB shape — this is that shape. Each
+      // term reads its posting slice, stored positions adjacency-join;
+      // identical (doc_id, n_matches) contract, so q_phrase_search's
+      // oracle replays it verbatim.
+      "q_text_index_phrase" -> ((s, dir) =>
+        graft.operators.TextSearchIndex
+          .phraseSearch(s, textIndexArtifact(s, dir), "vector table")
+          .orderBy("doc_id")),
+
+      // Full lifecycle of the persisted text index, oracled end-to-end:
+      // build on the EVEN documents (freezing their length stats), verify
+      // bit-parity with the in-memory bm25TopK at build, append the odd
+      // documents (df moves immediately, stats stay frozen), tombstone
+      // doc_id % 10 = 4 (retraction: out of hit lists AND df at the next
+      // query), compact physically (answers unchanged, tombstones
+      // retired). Emitted rows = the post-delete top-10 under the frozen
+      // even-corpus stats; DuckDB recomputes them independently.
+      "q_text_index_lifecycle_gate" -> ((s, dir) => {
+        import s.implicits._
+        import graft.operators.TextSearchIndex
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("text-idx-gate")
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        TextSearchIndex.build(even, idx)
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        def hitDocs(): Set[Long] =
+          TextSearchIndex.search(s, idx, Bm25Terms, 1000000).collect()
+            .map(_.getLong(1)).toSet
+        val parityOk =
+          rows(TextSearchIndex.search(s, idx, Bm25Terms, 10)) ==
+            rows(graft.operators.TextIndex.bm25TopK(even, Bm25Terms, 10))
+        TextSearchIndex.append(docs.filter(col("doc_id") % 2 === 1), idx)
+        val appendOk = hitDocs().exists(_ % 2 == 1)
+        TextSearchIndex.delete(docs.select("doc_id").filter(col("doc_id") % 10 === 4), idx)
+        val afterDelete = hitDocs()
+        val retractOk = afterDelete.nonEmpty && !afterDelete.exists(_ % 10 == 4)
+        val top10 = rows(TextSearchIndex.search(s, idx, Bm25Terms, 10))
+        TextSearchIndex.compact(s, idx)
+        val compactOk = hitDocs() == afterDelete &&
+          rows(TextSearchIndex.search(s, idx, Bm25Terms, 10)) == top10 &&
+          !new java.io.File(
+            s"$idx/${graft.operators.IndexManifest.liveTombstones(s, idx)}").exists()
+        import s.implicits._
+        top10.toDF("rk", "doc_id", "score", "n_hit")
+          .withColumn("parity_ok", lit(parityOk))
+          .withColumn("append_ok", lit(appendOk))
+          .withColumn("retract_ok", lit(retractOk))
+          .withColumn("compact_ok", lit(compactOk))
+          .orderBy("rk")
+      }),
+
       // Self-applying compaction trigger (minhashIndexMaybeCompact): one
       // tombstone over the banded base (≪1%) must HOLD OFF — no generation
       // bump, pending delete still logically applied — and a 5% delete
@@ -7811,6 +7894,66 @@ object SparkEntry {
          |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
          |       doc_id, score, n_hit
+         |FROM r ORDER BY rk""".stripMargin,
+    // Persisted text index search: the postings table serves exactly what
+    // bm25TopK computes from raw text — same oracle replay, term for term.
+    "q_text_index_search" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit
+         |FROM r ORDER BY rk""".stripMargin,
+    // Phrase search from the persisted positional postings — the emitted
+    // rows are the same contract as q_phrase_search, so the oracle is the
+    // same token-array adjacency replay.
+    "q_text_index_phrase" ->
+      s"""WITH w AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |             CAST(len(list_filter(range(1, len(toks)),
+         |                                  i -> toks[i] = 'vector' AND toks[i+1] = 'table'))
+         |                  AS BIGINT) AS n_matches
+         |      FROM w)
+         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
+    // Text-index lifecycle gate: the post-delete ranking under the FROZEN
+    // even-corpus length stats (g restricted to doc_id % 2 = 0 — the
+    // build set), tf/df over the live set (all docs minus the tombstoned
+    // doc_id % 10 = 4); the booleans are Spark-side assertions.
+    "q_text_index_lifecycle_gate" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl
+         |      FROM d WHERE doc_id % 2 = 0),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t WHERE doc_id % 10 <> 4)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit, TRUE AS parity_ok, TRUE AS append_ok,
+         |       TRUE AS retract_ok, TRUE AS compact_ok
          |FROM r ORDER BY rk""".stripMargin,
     // PRF term selection: the shared prologue replays the seed BM25 pass,
     // the feedback cut, and the integer nano-unit term weights (the

@@ -85,6 +85,7 @@ private[graft] object IndexManifest {
     val ivf: Layout = Layout(Seq("centroids", "vectors"), "vectors-stream")
     val ivfpq: Layout =
       Layout(Seq("centroids", "codebooks", "codes", "vectors"), "arrivals-stream")
+    val text: Layout = Layout(Seq("stats", "postings"), "postings-stream")
   }
 
   def genName(logical: String, gen: Long): String = f"$logical%s-g$gen%03d"

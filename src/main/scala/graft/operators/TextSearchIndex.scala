@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Persisted inverted text index — the fifth index family under the
+  * [[IndexManifest]] lifecycle (build / append / appendStream /
+  * delete(tombstone) / compact / maybeCompact), serving the BM25 lane the
+  * way the ANN families serve the vector lane: the corpus is tokenized
+  * ONCE into a postings table and every query scans only its own terms'
+  * postings, instead of re-tokenizing the corpus per query the way the
+  * in-memory [[TextIndex.bm25TopK]] does.
+  *
+  * Logical tables (physical dirs generation-suffixed by the manifest):
+  *  - `stats`: one row `(n_docs, sum_dl)` — the length-normalization
+  *    constants, FROZEN at build exactly like the ANN families' centroid
+  *    models: appends score under the build-time normalization (drift in
+  *    average document length degrades scores gracefully; rebuild when it
+  *    warrants). Term rarity is NOT frozen — `df` is computed at query
+  *    time from the live postings of just the query's terms, so appends
+  *    and deletes move idf immediately and exactly.
+  *  - `postings`: `(tok, doc_id, tf, dl, positions)` — one row per
+  *    (document, term), document length denormalized so scoring never
+  *    joins a lengths table, word positions stored so phrase queries
+  *    serve from the index too. Written repartitioned + sorted by `tok`,
+  *    so a
+  *    `tok IN (query terms)` scan prunes at parquet row-group granularity
+  *    (min/max stats) — the 100 TB shape: a query reads its terms'
+  *    posting slices, never the corpus.
+  *
+  * Parity contract: on a freshly-built index, [[search]] reproduces
+  * [[TextIndex.bm25TopK]] bit-for-bit — same tf/df/dl values, the same
+  * linear-idf scoring expression tree, the same round-12 →
+  * DECIMAL(30,12) → round-4 summation (spec-pinned). Deletes retract
+  * immediately: a tombstoned document leaves both the hit list and the
+  * df counts at the next query. */
+object TextSearchIndex {
+
+  private val layout = IndexManifest.Layouts.text
+
+  private def state(spark: SparkSession, dir: String): IndexManifest.State =
+    IndexManifest.resolve(spark, dir, layout)
+
+  /** The postings rows of a document batch: `(tok, doc_id, tf, dl,
+    * positions)` — positions are the 0-based token offsets of `tok` in
+    * the document, making the table WORD-POSITIONAL: phrase queries align
+    * adjacent terms from the index without re-tokenizing the corpus.
+    * Parquet is columnar, so BM25 scans that never touch `positions`
+    * don't pay for it (ReadSchema plan-guarded).
+    *
+    * Computed ROW-LOCALLY (per-token counts via higher-order functions,
+    * not a groupBy) so the same projection runs inside an append-mode
+    * stream; exactly equal to the explode+count form because every
+    * document arrives whole in one row. `tf` stays a stored count rather
+    * than `size(positions)` at read: the scoring scan must not need the
+    * wide column to know the count. */
+  private def postingsOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(array_distinct(col("toks"))).as("tok"),
+        col("toks"))
+      .select(
+        col("tok"),
+        col("doc_id"),
+        size(filter(col("toks"), t => t === col("tok"))).cast("long").as("tf"),
+        col("dl"),
+        filter(
+          sequence(lit(0), size(col("toks")) - 1),
+          i => element_at(col("toks"), i + 1) === col("tok"))
+          .cast("array<long>")
+          .as("positions"))
+
+  /** Build the index: freeze the normalization stats, write the postings
+    * sorted by term, commit the next manifest generation (prior deletes
+    * vanish with it). */
+  def build(documents: DataFrame, dir: String): Unit = {
+    val spark = documents.sparkSession
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(next.tableDir(dir, "stats"))
+    postingsOf(documents)
+      .repartition(col("tok")).sortWithinPartitions("tok")
+      .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
+    IndexManifest.commit(spark, dir, next, layout)
+  }
+
+  /** Append a document batch: its postings land in the live base (term
+    * rarity shifts immediately — df is live); the frozen stats are
+    * untouched. */
+  def append(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    postingsOf(batch)
+      .repartition(col("tok")).sortWithinPartitions("tok")
+      .write.mode("append").parquet(state(spark, dir).tableDir(dir, "postings"))
+  }
+
+  /** Continuous ingest (the [[graft.operators.Dedup
+    * .minhashIndexAppendStream]] contract on the text family): drain a
+    * documents parquet dir into the postings-stream segment —
+    * [[postingsOf]] is a pure projection, so the whole build runs inside
+    * the stream; no state store, no corpus rescan. [[compact]] folds the
+    * segment back. */
+  def appendStream(
+      spark: SparkSession,
+      indexDir: String,
+      arrivalsDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(arrivalsDir)
+    val q = postingsOf(raw).writeStream
+      .format("parquet")
+      .option("path", state(spark, indexDir).streamDir(indexDir))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Logical delete of documents: O(ids) tombstone append; the doc leaves
+    * hit lists AND df counts at the next query ([[Tombstones]]). */
+  def delete(ids: DataFrame, dir: String): Unit =
+    Tombstones.delete(ids, dir, state(ids.sparkSession, dir).tombstones)
+
+  private val postingCols = Seq("tok", "doc_id", "tf", "dl", "positions")
+
+  /** Live postings — base ∪ streamed segment, pending deletes NOT yet
+    * applied (consumers drop them AFTER term pruning). Full width
+    * including `positions`; scoring consumers project it away and the
+    * columnar scan never reads it. */
+  private def livePostings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val st = state(spark, dir)
+    def readIf(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) None
+      else
+        try Some(spark.read.parquet(p).select(postingCols.map(col): _*))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    (readIf(st.tableDir(dir, "postings")) ++ readIf(st.streamDir(dir)))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("tok", StringType),
+          StructField("doc_id", LongType),
+          StructField("tf", LongType),
+          StructField("dl", LongType),
+          StructField("positions", ArrayType(LongType))))))
+  }
+
+  /** Major compaction: fold the streamed segment into the term-sorted
+    * base and apply tombstones physically — one [[IndexManifest]] commit
+    * swaps postings + stream + tombstones (stats carried). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val prev = IndexManifest.resolve(spark, dir, layout)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasStream = fs.exists(new org.apache.hadoop.fs.Path(prev.streamDir(dir)))
+    if (!hasStream && Tombstones.read(spark, dir, prev.tombstones).isEmpty) return
+    val next = layout.advance(prev, carry = Set("stats"))
+    Tombstones.drop(livePostings(spark, dir), dir, "doc_id", prev.tombstones)
+      .select(postingCols.map(col): _*)
+      .repartition(col("tok")).sortWithinPartitions("tok")
+      .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
+    IndexManifest.commit(spark, dir, next, layout)
+  }
+
+  /** [[CompactionTrigger]] applied to the text family. */
+  def maybeCompact(
+      spark: SparkSession,
+      dir: String,
+      ratio: Double = 0.01,
+      streamRatio: Double = 0.25): Boolean = {
+    val st = state(spark, dir)
+    val due = CompactionTrigger.due(
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "postings")),
+      CompactionTrigger.rowsIn(spark, st.streamDir(dir)),
+      Tombstones.read(spark, dir, st.tombstones).fold(0L)(_.count()),
+      ratio,
+      streamRatio)
+    if (due) compact(spark, dir)
+    due
+  }
+
+  /** Exact consecutive-token phrase search served from the persisted
+    * positional postings — the materialized form of
+    * [[TextIndex.phraseSearch]]'s own 100 TB prescription ("the postings
+    * table is the thing you'd materialize"): per-query cost is
+    * Σ|postings(term_i)|, corpus-size-independent. Each term's posting
+    * slice (pushed `tok =` filter over the term-sorted table) explodes
+    * its stored positions and adjacency equi-joins align
+    * `pos_i = pos_0 + i`; tombstones anti-joined after the term pruning.
+    * Same `(doc_id, n_matches)` contract as the in-memory operator. */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: String): DataFrame = {
+    val terms = phrase.trim.split("\\s+").toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val st = state(spark, dir)
+    val live = livePostings(spark, dir)
+    def hits(t: String) = Tombstones.drop(
+      live.filter(col("tok") === t), dir, "doc_id", st.tombstones)
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+    val aligned = terms.zipWithIndex.tail.foldLeft(hits(terms.head)) {
+      case (acc, (t, i)) =>
+        acc.join(
+          hits(t).select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    aligned.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_matches"))
+  }
+
+  /** BM25 top-k against the persisted index: the query terms' posting
+    * slices are the ONLY rows scanned (pushed `tok IN` filter over the
+    * term-sorted table; tombstones anti-joined AFTER that pruning), df
+    * aggregates over those slices, and the frozen stats ride as two
+    * literals. Identical scoring expression tree and summation contract
+    * as [[TextIndex.bm25TopK]] — a freshly-built index reproduces it
+    * bit-for-bit. */
+  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    val st = state(spark, dir)
+    val statsRow = spark.read.parquet(st.tableDir(dir, "stats")).head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    val hits = Tombstones.drop(
+      livePostings(spark, dir).filter(col("tok").isin(terms: _*)),
+      dir, "doc_id", st.tombstones)
+    val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(df), "tok")
+      .withColumn(
+        "sc",
+        ((lit(nDocs).cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(2.2) /
+            (col("tf") + lit(0.3) +
+              lit(0.9) * (col("dl") / (lit(sumDl).cast("double") / lit(nDocs))))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_hit"),
+        round(sum(round(col("sc"), 12).cast("decimal(30,12)")).cast("double"), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn(
+        "rk",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select("rk", "doc_id", "score", "n_hit")
+  }
+}

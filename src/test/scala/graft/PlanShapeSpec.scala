@@ -112,6 +112,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(post.contains("BroadcastHashJoin"), s"hit list not broadcast:\n$post")
   }
 
+  test("q_text_index_search: the query terms reach the postings scan as a " +
+    "pushed filter — a search reads posting slices, never the corpus — and " +
+    "the positional column is pruned from the scoring scan") {
+    val p = plan("q_text_index_search")
+    assert(p.contains("PushedFilters: [") && p.contains("In(tok"),
+      s"term predicate not pushed to the postings scan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"persisted search must not re-tokenize the corpus:\n$p")
+    assert(!p.contains("positions"),
+      s"BM25 scoring must not read the positional column:\n$p")
+  }
+
+  test("q_text_index_phrase: each term's posting slice arrives via a pushed " +
+    "equality filter; no corpus scan, no cartesian") {
+    val p = plan("q_text_index_phrase")
+    assert(p.contains("EqualTo(tok,vector") || p.contains("EqualTo(tok, vector"),
+      s"term equality not pushed to the postings scan:\n$p")
+    assert(!p.contains("documents.parquet"), s"phrase must serve from the index:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("q_hybrid_rrf: lanes fuse head-sized — text lane broadcast, no cartesian") {
     val p = plan("q_hybrid_rrf")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")

@@ -15,6 +15,99 @@ class TextIndexSpec extends SparkSpec {
     (3L, "", "src1")
   ).toDF("doc_id", "text", "source")
 
+  test("TextSearchIndex: freshly-built search reproduces bm25TopK bit-for-bit; " +
+    "append moves df, delete retracts, compact preserves, trigger self-applies") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    val terms = Seq("apple", "banana")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    TextSearchIndex.build(docs, idx)
+    assert(
+      rows(TextSearchIndex.search(spark, idx, terms, 10)) ===
+        rows(TextIndex.bm25TopK(docs, terms, 10)))
+    // append: a new apple-heavy doc is findable; df(apple) moved 2 → 3, so
+    // surviving docs' scores change too (live idf under frozen stats)
+    val before = rows(TextSearchIndex.search(spark, idx, terms, 10))
+    TextSearchIndex.append(
+      Seq((9L, "apple apple apple", "srcX")).toDF("doc_id", "text", "source"), idx)
+    val after = rows(TextSearchIndex.search(spark, idx, terms, 10))
+    assert(after.exists(_._2 == 9L))
+    assert(after.filterNot(_._2 == 9L).map(_._2).toSet.subsetOf(before.map(_._2).toSet + 9L))
+    // delete: doc 0 leaves the hit list at the next query
+    TextSearchIndex.delete(Seq(0L).toDF("doc_id"), idx)
+    val postDel = rows(TextSearchIndex.search(spark, idx, terms, 10))
+    assert(!postDel.exists(_._2 == 0L) && postDel.nonEmpty)
+    // trigger: 1 tombstone over the postings base — hold off at 50%, fire
+    // at the point it genuinely exceeds
+    assert(!TextSearchIndex.maybeCompact(spark, idx, ratio = 0.5))
+    assert(rows(TextSearchIndex.search(spark, idx, terms, 10)) === postDel)
+    assert(TextSearchIndex.maybeCompact(spark, idx, ratio = 0.001))
+    assert(rows(TextSearchIndex.search(spark, idx, terms, 10)) === postDel)
+    assert(!TextSearchIndex.maybeCompact(spark, idx, ratio = 0.001))
+  }
+
+  test("TextSearchIndex.phraseSearch: positional postings reproduce the " +
+    "in-memory phrase operator; appends join in, deletes retract, compact preserves") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-phrase").toString
+    val corpus = Seq(
+      (0L, "apple banana cherry apple banana", "s"),
+      (1L, "banana apple banana apple", "s"),
+      (2L, "apple apple banana", "s"),
+      (3L, "banana", "s")
+    ).toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    TextSearchIndex.build(corpus, idx)
+    assert(
+      rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana")) ===
+        rows(TextIndex.phraseSearch(corpus, "apple banana")))
+    // multi-occurrence counting and a 3-token phrase
+    assert(
+      rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana")) ===
+        Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+    assert(
+      rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana cherry")) ===
+        Seq((0L, 1L)))
+    // append: new doc's phrases are findable immediately
+    TextSearchIndex.append(
+      Seq((9L, "apple banana apple banana", "s")).toDF("doc_id", "text", "source"), idx)
+    assert(
+      rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana"))
+        .contains((9L, 2L)))
+    // delete retracts from phrase results too; compact preserves them
+    TextSearchIndex.delete(Seq(0L).toDF("doc_id"), idx)
+    val postDel = rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana"))
+    assert(postDel === Seq((1L, 1L), (2L, 1L), (9L, 2L)))
+    TextSearchIndex.compact(spark, idx)
+    assert(rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana")) === postDel)
+  }
+
+  test("TextSearchIndex streaming append: streamed postings equal the batch " +
+    "append; checkpoint resume skips processed files; compaction folds") {
+    val base = java.nio.file.Files.createTempDirectory("graft-textidx-stream").toString
+    val (idxA, idxB, arrivals, ckpt) = (s"$base/a", s"$base/b", s"$base/in", s"$base/ckpt")
+    val docs5 = docs
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    TextSearchIndex.build(docs5.filter(col("doc_id") <= 1), idxA)
+    TextSearchIndex.build(docs5.filter(col("doc_id") <= 1), idxB)
+    TextSearchIndex.append(docs5.filter(col("doc_id") >= 2), idxA)
+    docs5.filter(col("doc_id") >= 2).coalesce(1).write.mode("append").parquet(arrivals)
+    TextSearchIndex.appendStream(spark, idxB, arrivals, ckpt)
+    def res(idx: String): Seq[(Long, Long, Double, Long)] =
+      TextSearchIndex.search(spark, idx, Seq("apple", "banana"), 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(res(idxB) === res(idxA))
+    assert(res(idxB).exists(_._2 == 2L))
+    // same checkpoint, no new files → nothing ingested twice
+    val n = res(idxB)
+    TextSearchIndex.appendStream(spark, idxB, arrivals, ckpt)
+    assert(res(idxB) === n)
+    TextSearchIndex.compact(spark, idxB)
+    assert(res(idxB) === n)
+  }
+
   test("tfIdfTopK: rare terms outrank common ones, k respected, empty doc absent") {
     val out = TextIndex.tfIdfTopK(docs, 2).collect()
     // doc 3 has no tokens -> contributes no rows
