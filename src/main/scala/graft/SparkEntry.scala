@@ -4652,6 +4652,72 @@ object SparkEntry {
           .orderBy("rk")
       }),
 
+      // Self-applying REBUILD trigger on the text family: frozen BM25
+      // stats stale as the corpus grows, so maybeRebuild measures
+      // doc-count growth + avgdl drift vs the build-time trained_on
+      // manifest prop. Build on the even docs, append the odds (growth
+      // ≈ 1.0): a ratio-2.0 probe must HOLD OFF (generation unchanged,
+      // scores still frozen-even-stats), a ratio-0.5 probe must FIRE —
+      // an O(corpus) retrain whose post-state is bit-equal to a fresh
+      // full-corpus build, which is exactly what q_text_index_search's
+      // oracle replays. Emitted rows: the post-rebuild top-10, DuckDB-
+      // recomputed under FULL-corpus stats.
+      "q_text_index_rebuild_gate" -> ((s, dir) => {
+        import graft.operators.TextSearchIndex
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("text-rebuild-idx")
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        TextSearchIndex.build(even, idx)
+        def genOf(): Long =
+          graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        val g0 = genOf()
+        TextSearchIndex.append(docs.filter(col("doc_id") % 2 === 1), idx)
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        val frozenScored = rows(TextSearchIndex.search(s, idx, Bm25Terms, 10))
+        val held = !TextSearchIndex.maybeRebuild(docs, idx, growthRatio = 2.0, driftRatio = 2.0)
+        val heldOk = held && genOf() == g0 &&
+          rows(TextSearchIndex.search(s, idx, Bm25Terms, 10)) == frozenScored
+        val fired = TextSearchIndex.maybeRebuild(docs, idx, growthRatio = 0.5, driftRatio = 2.0)
+        val firedOk = fired && genOf() == g0 + 1
+        val freshDir = sessionIndexDir("text-rebuild-fresh")
+        TextSearchIndex.build(docs, freshDir)
+        val post = rows(TextSearchIndex.search(s, idx, Bm25Terms, 10))
+        val parityOk = post == rows(TextSearchIndex.search(s, freshDir, Bm25Terms, 10))
+        TextSearchIndex.search(s, idx, Bm25Terms, 10)
+          .withColumn("held_ok", lit(heldOk))
+          .withColumn("fired_ok", lit(firedOk))
+          .withColumn("parity_ok", lit(parityOk))
+          .orderBy("rk")
+      }),
+
+      // Self-applying REBUILD trigger on the IVF family: the frozen Lloyd
+      // model's trained_on rides the manifest; append the odd half (live
+      // ≈ 2× trained) — ratio-2.0 holds off, ratio-0.5 fires an
+      // O(corpus) retrain over the caller's full corpus. Post-rebuild the
+      // index search IS ivfTopK over the full corpus bit-for-bit (same
+      // deterministic integer-quantized model), so the emitted rows
+      // hash-verify against the same unrolled-Lloyd CTEs as q_ann_ivf.
+      "q_ann_ivf_rebuild_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("ivf-rebuild-idx")
+        SimilaritySearch.ivfIndexBuild(e.filter(col("vec_id") % 2 === 0), idx)
+        def genOf(): Long =
+          graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        val g0 = genOf()
+        SimilaritySearch.ivfIndexAppend(e.filter(col("vec_id") % 2 === 1), idx)
+        val heldOk = !SimilaritySearch.ivfIndexMaybeRebuild(e, idx, ratio = 2.0) &&
+          genOf() == g0
+        val firedOk = SimilaritySearch.ivfIndexMaybeRebuild(e, idx, ratio = 0.5) &&
+          genOf() == g0 + 1
+        SimilaritySearch
+          .ivfIndexSearch(s, idx, e.filter(col("vec_id") < 8), 10, nprobe = 2)
+          .withColumn("held_ok", lit(heldOk))
+          .withColumn("fired_ok", lit(firedOk))
+          .orderBy("q_id", "rank")
+      }),
+
       // Self-applying compaction trigger (minhashIndexMaybeCompact): one
       // tombstone over the banded base (≪1%) must HOLD OFF — no generation
       // bump, pending delete still logically applied — and a 5% delete
@@ -7928,6 +7994,40 @@ object SparkEntry {
          |                  AS BIGINT) AS n_matches
          |      FROM w)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
+    // Text-index rebuild gate: the post-rebuild state is a fresh
+    // full-corpus build, so the oracle is q_text_index_search's replay
+    // plus the in-engine trigger assertions.
+    "q_text_index_rebuild_gate" ->
+      s"""SELECT t.*, TRUE AS held_ok, TRUE AS fired_ok, TRUE AS parity_ok
+         |FROM (
+         |WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit
+         |FROM r ORDER BY rk
+         |) t""".stripMargin,
+    // IVF rebuild gate: post-rebuild search == ivfTopK over the full
+    // corpus (same deterministic model), so the oracle is q_ann_ivf's
+    // unrolled-Lloyd replay plus the trigger assertions.
+    "q_ann_ivf_rebuild_gate" ->
+      s"""SELECT t.*, TRUE AS held_ok, TRUE AS fired_ok
+         |FROM (
+         |$AnnIvfOracleSql
+         |) t""".stripMargin,
     // Text-index lifecycle gate: the post-delete ranking under the FROZEN
     // even-corpus length stats (g restricted to doc_id % 2 = 0 — the
     // build set), tf/df over the live set (all docs minus the tombstoned

@@ -1041,7 +1041,35 @@ object Dedup {
       .join(embeddings.select("vec_id", "embedding"), Seq("vec_id"))
       .select("vec_id", "embedding", "cluster")
       .write.mode("overwrite").partitionBy("cluster").parquet(next.tableDir(dir, "survivors"))
-    IndexManifest.commit(spark, dir, next, layout)
+    val trained = spark.read.parquet(next.tableDir(dir, "survivors")).count()
+    IndexManifest.commit(
+      spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
+  }
+
+  /** [[RebuildTrigger]] applied to the semantic-dedup index: retrain the
+    * frozen centroid model over `embeddings` (the caller's CURRENT
+    * corpus) when the live survivor set has grown/shrunk past `ratio` of
+    * the build-time set — the point where cell balance under the stale
+    * model degrades the within-cell dedup's pruning. Dedup decisions stay
+    * exact under the frozen model at any drift (the incremental
+    * contract); this is the model-quality knob, self-applying. */
+  def semanticIndexMaybeRebuild(
+      embeddings: DataFrame,
+      dir: String,
+      k: Int = 8,
+      rounds: Int = 2,
+      threshold: Double = 0.4,
+      quantScale: Int = 4096,
+      ratio: Double = 0.5): Boolean = {
+    val spark = embeddings.sparkSession
+    val st = semanticState(spark, dir)
+    val live =
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "survivors")) +
+        CompactionTrigger.rowsIn(spark, st.streamDir(dir)) -
+        Tombstones.read(spark, dir, st.tombstones).fold(0L)(_.count())
+    val due = RebuildTrigger.due(RebuildTrigger.trainedOn(st), live, ratio)
+    if (due) semanticIndexBuild(embeddings, dir, k, rounds, threshold, quantScale)
+    due
   }
 
   private def semanticState(

@@ -131,3 +131,33 @@ private[graft] object CompactionTrigger {
       tombstoneRows.toDouble > ratio * baseRows ||
         streamRows.toDouble > streamRatio * baseRows
 }
+
+/** The REBUILD trigger — the staleness analog of [[CompactionTrigger]]
+  * for the families that freeze a data-fitted model at build time (IVF /
+  * IVF×PQ centroids+codebooks, semantic-dedup centroids, the text
+  * index's length-normalization stats). Compaction folds segments but
+  * deliberately never retrains: appends and deletes are served exactly
+  * under the FROZEN model, degrading only in efficiency (centroid
+  * balance) or score calibration (avgdl) as the live corpus drifts from
+  * the training corpus. Each family's `maybeRebuild` measures that drift
+  * as |live − trained_on| / trained_on — live rows from the same cheap
+  * counts the compaction trigger uses, trained_on recorded as a manifest
+  * property at every (re)build — and retrains when it exceeds the ratio.
+  * A rebuild is the one O(corpus) lifecycle mutation; the trigger exists
+  * so it runs when the model has measurably staled, not on a schedule.
+  * Correctness is NEVER at stake — this is the model-quality knob,
+  * self-applying. */
+private[graft] object RebuildTrigger {
+  val TrainedOnProp = "trained_on"
+
+  /** Pre-props manifests (or legacy indexes) carry no trained_on: treat
+    * as never-due — the operator keeps its pre-trigger behavior rather
+    * than forcing an O(corpus) retrain on first probe. */
+  def due(trainedOn: Option[Long], liveRows: Long, ratio: Double): Boolean =
+    trainedOn.exists(t =>
+      if (t == 0L) liveRows > 0L
+      else math.abs(liveRows - t).toDouble > ratio * t)
+
+  def trainedOn(state: IndexManifest.State): Option[Long] =
+    state.props.get(TrainedOnProp).map(_.toLong)
+}

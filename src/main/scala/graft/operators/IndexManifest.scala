@@ -49,15 +49,21 @@ import org.apache.spark.sql.SparkSession
 private[graft] object IndexManifest {
 
   /** The live state of an index dir: physical dir name (relative to the
-    * index root) for each logical table, the streamed segment, and the
-    * tombstone segment. */
+    * index root) for each logical table, the streamed segment, the
+    * tombstone segment, and free-form properties (`prop.<k>=<v>` lines —
+    * e.g. `trained_on`, the row count a family's frozen model was fitted
+    * over, which the rebuild trigger compares against live rows). Props
+    * ride every generation commit; pre-props manifests parse with an
+    * empty map. */
   final case class State(
       generation: Long,
       tables: Map[String, String],
       stream: String,
-      tombstones: String) {
+      tombstones: String,
+      props: Map[String, String] = Map.empty) {
     def tableDir(root: String, name: String): String = s"$root/${tables(name)}"
     def streamDir(root: String): String = s"$root/$stream"
+    def withProp(k: String, v: String): State = copy(props = props + (k -> v))
   }
 
   /** A family's segment layout: logical table names plus the stream-segment
@@ -76,7 +82,8 @@ private[graft] object IndexManifest {
           t -> (if (carry(t)) prev.tables(t) else genName(t, prev.generation + 1))
         }.toMap,
         genName(streamBase, prev.generation + 1),
-        genName("tombstones", prev.generation + 1))
+        genName("tombstones", prev.generation + 1),
+        prev.props)
   }
 
   object Layouts {
@@ -101,8 +108,9 @@ private[graft] object IndexManifest {
 
   private def render(s: State): String = {
     val tables = s.tables.toSeq.sortBy(_._1).map { case (k, v) => s"table.$k=$v" }
+    val props = s.props.toSeq.sortBy(_._1).map { case (k, v) => s"prop.$k=$v" }
     (Seq(s"generation=${s.generation}", s"stream=${s.stream}",
-      s"tombstones=${s.tombstones}") ++ tables).mkString("", "\n", "\n")
+      s"tombstones=${s.tombstones}") ++ tables ++ props).mkString("", "\n", "\n")
   }
 
   private def parse(text: String): State = {
@@ -113,7 +121,8 @@ private[graft] object IndexManifest {
       kv("generation").toLong,
       kv.collect { case (k, v) if k.startsWith("table.") => k.stripPrefix("table.") -> v },
       kv("stream"),
-      kv("tombstones"))
+      kv("tombstones"),
+      kv.collect { case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v })
   }
 
   /** The committed state, or None when the index carries no manifest

@@ -376,7 +376,48 @@ object SimilaritySearch {
       if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0) // empty corpus → empty index
       else c.withColumn("cell", assign(centroids, "nv"))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "vectors"))
-    IndexManifest.commit(spark, dir, next, layout)
+    val trained = spark.read.parquet(next.tableDir(dir, "vectors")).count()
+    IndexManifest.commit(
+      spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
+  }
+
+  /** Centroid-model staleness of the persisted IVF index: |live −
+    * trained_on| / trained_on, live rows from the same cheap counts the
+    * compaction trigger uses (base + stream − pending tombstones). */
+  def ivfIndexStaleness(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Double] = {
+    val st = ivfState(spark, dir)
+    RebuildTrigger.trainedOn(st).map { t =>
+      val live =
+        CompactionTrigger.rowsIn(spark, st.tableDir(dir, "vectors")) +
+          CompactionTrigger.rowsIn(spark, st.streamDir(dir)) -
+          Tombstones.read(spark, dir, st.tombstones).fold(0L)(_.count())
+      if (t == 0L) { if (live > 0L) 1.0 else 0.0 }
+      else math.abs(live - t).toDouble / t
+    }
+  }
+
+  /** [[RebuildTrigger]] applied to the IVF index: retrain the frozen
+    * Lloyd model over `candidates` (the caller's CURRENT corpus) when the
+    * live row count has drifted past `ratio` of the training set — the
+    * point where frozen-model cell balance measurably degrades probe
+    * efficiency. Appends/deletes stay EXACT under the frozen model at any
+    * drift; this is the model-quality knob, self-applying. A pre-props
+    * (round ≤8) index never fires — rebuild it once to opt in. */
+  def ivfIndexMaybeRebuild(
+      candidates: DataFrame,
+      dir: String,
+      nlist: Int = 8,
+      iters: Int = 2,
+      ratio: Double = 0.5): Boolean = {
+    val spark = candidates.sparkSession
+    val st = ivfState(spark, dir)
+    val live =
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "vectors")) +
+        CompactionTrigger.rowsIn(spark, st.streamDir(dir)) -
+        Tombstones.read(spark, dir, st.tombstones).fold(0L)(_.count())
+    val due = RebuildTrigger.due(RebuildTrigger.trainedOn(st), live, ratio)
+    if (due) ivfIndexBuild(candidates, dir, nlist, iters)
+    due
   }
 
   private def ivfState(
@@ -567,6 +608,32 @@ object SimilaritySearch {
     due
   }
 
+  /** [[RebuildTrigger]] applied to the IVF×PQ index — same contract as
+    * [[ivfIndexMaybeRebuild]], retraining BOTH frozen models (coarse
+    * centroids and PQ codebooks) when live rows drift past `ratio` of the
+    * training set: quantization error for arrivals far from the training
+    * distribution is the cost the trigger bounds. */
+  def ivfPqIndexMaybeRebuild(
+      candidates: DataFrame,
+      dir: String,
+      nlist: Int = 8,
+      iters: Int = 2,
+      m: Int = 8,
+      dim: Int = 64,
+      pqNlist: Int = 16,
+      pqIters: Int = 2,
+      ratio: Double = 0.5): Boolean = {
+    val spark = candidates.sparkSession
+    val st = ivfPqState(spark, dir)
+    val live =
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "codes")) +
+        CompactionTrigger.rowsIn(spark, st.streamDir(dir)) -
+        readTombstones(spark, dir).fold(0L)(_.count())
+    val due = RebuildTrigger.due(RebuildTrigger.trainedOn(st), live, ratio)
+    if (due) ivfPqIndexBuild(candidates, dir, nlist, iters, m, dim, pqNlist, pqIters)
+    due
+  }
+
   /** Base + streamed segments of the index, unioned (either may not exist
     * yet on a freshly-built or stream-only index); None when NEITHER is
     * readable — an empty-corpus build writes a zero-row base whose parquet
@@ -700,7 +767,9 @@ object SimilaritySearch {
             spark.read.parquet(next.tableDir(dir, "vectors")).select("n_id", "cell"),
             Seq("n_id"))
     codes.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "codes"))
-    IndexManifest.commit(spark, dir, next, layout)
+    val trained = spark.read.parquet(next.tableDir(dir, "codes")).count()
+    IndexManifest.commit(
+      spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
   }
 
   private def ivfPqState(

@@ -92,7 +92,9 @@ object TextSearchIndex {
     postingsOf(documents)
       .repartition(col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
-    IndexManifest.commit(spark, dir, next, layout)
+    val nDocs = spark.read.parquet(next.tableDir(dir, "stats")).head().getLong(0)
+    IndexManifest.commit(
+      spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, nDocs.toString), layout)
   }
 
   /** Append a document batch: its postings land in the live base (term
@@ -179,6 +181,51 @@ object TextSearchIndex {
       .repartition(col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
     IndexManifest.commit(spark, dir, next, layout)
+  }
+
+  /** Frozen-stats staleness of the live index: `(n_docs_live,
+    * avgdl_live)` vs the build-time `(trained_on, avgdl_frozen)` as two
+    * relative drifts. One two-column (doc_id, dl) aggregate over the
+    * live postings — a maintenance probe, not a query cost; at corpus
+    * scale you'd run it at the compaction cadence. */
+  def staleness(spark: SparkSession, dir: String): (Double, Double) = {
+    val st = state(spark, dir)
+    val statsRow = spark.read.parquet(st.tableDir(dir, "stats")).head()
+    val (nFrozen, sumFrozen) = (statsRow.getLong(0), statsRow.getLong(1))
+    val live = Tombstones.drop(
+      livePostings(spark, dir).select("doc_id", "dl"), dir, "doc_id", st.tombstones)
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).cast("long"), coalesce(sum("dl"), lit(0L)))
+      .head()
+    val (nLive, sumLive) = (live.getLong(0), live.getLong(1))
+    val growth =
+      if (nFrozen == 0L) { if (nLive > 0L) 1.0 else 0.0 }
+      else math.abs(nLive - nFrozen).toDouble / nFrozen
+    val avgFrozen = if (nFrozen == 0L) 0.0 else sumFrozen.toDouble / nFrozen
+    val avgLive = if (nLive == 0L) 0.0 else sumLive.toDouble / nLive
+    val drift =
+      if (avgFrozen == 0.0) { if (avgLive > 0.0) 1.0 else 0.0 }
+      else math.abs(avgLive - avgFrozen) / avgFrozen
+    (growth, drift)
+  }
+
+  /** [[RebuildTrigger]] applied to the text family: retrain (re-freeze
+    * the normalization stats over `documents`, the caller's CURRENT
+    * corpus) when the live corpus has grown/shrunk past `growthRatio` of
+    * the build set or average document length has drifted past
+    * `driftRatio` — the two ways frozen BM25 stats miscalibrate. The
+    * rebuild is [[build]]: one generation commit, pending tombstones
+    * retired with it (the new corpus is the caller's truth). */
+  def maybeRebuild(
+      documents: DataFrame,
+      dir: String,
+      growthRatio: Double = 0.5,
+      driftRatio: Double = 0.2): Boolean = {
+    val spark = documents.sparkSession
+    val (growth, drift) = staleness(spark, dir)
+    val due = growth > growthRatio || drift > driftRatio
+    if (due) build(documents, dir)
+    due
   }
 
   /** [[CompactionTrigger]] applied to the text family. */

@@ -193,6 +193,74 @@ class IndexManifestSpec extends SparkSpec {
     assert(!SimilaritySearch.ivfIndexMaybeCompact(spark, ivfIdx))
   }
 
+  test("manifest props round-trip: trained_on survives parse and rides " +
+    "advance() across mutations; pre-props manifests read as empty") {
+    val idx = tmp("props")
+    val layout = IndexManifest.Layouts.ivf
+    val s1 = layout.advance(layout.legacyState).withProp("trained_on", "42")
+    // data dirs must exist before commit GC runs; stats table not needed here
+    new java.io.File(s"$idx/${s1.tables("vectors")}").mkdirs()
+    IndexManifest.commit(spark, idx, s1, layout)
+    val read1 = IndexManifest.read(spark, idx).get
+    assert(read1.props === Map("trained_on" -> "42"))
+    assert(RebuildTrigger.trainedOn(read1) === Some(42L))
+    // a compaction-style advance carries props unless overwritten
+    val s2 = layout.advance(read1, carry = Set("centroids"))
+    assert(s2.props === Map("trained_on" -> "42"))
+    // a rebuild-style overwrite replaces it
+    assert(s2.withProp("trained_on", "99").props("trained_on") === "99")
+    // pre-props manifest text (no prop. lines) parses with an empty map
+    assert(layout.legacyState.props === Map.empty)
+    assert(RebuildTrigger.trainedOn(layout.legacyState) === None)
+    assert(!RebuildTrigger.due(None, 1000000L, 0.01), "legacy index never fires")
+    assert(RebuildTrigger.due(Some(10L), 16L, 0.5))
+    assert(!RebuildTrigger.due(Some(10L), 15L, 0.5))
+    assert(RebuildTrigger.due(Some(10L), 4L, 0.5), "shrinkage is drift too")
+    assert(RebuildTrigger.due(Some(0L), 1L, 0.5), "empty training set: any data is due")
+  }
+
+  test("ivfpq + semantic maybeRebuild: hold off below the growth ratio, " +
+    "fire above it, retrained state answers like a fresh build") {
+    val pq = tmp("pq-rebuild")
+    val evens = vecs.filter(col("vec_id") % 2 === 0)
+    SimilaritySearch.ivfPqIndexBuild(evens, pq, nlist = 2, m = 2, dim = 4, pqNlist = 4)
+    val g0 = gen(pq)
+    SimilaritySearch.ivfPqIndexAppend(vecs.filter(col("vec_id") % 2 === 1), pq)
+    assert(!SimilaritySearch.ivfPqIndexMaybeRebuild(
+      vecs, pq, nlist = 2, m = 2, dim = 4, pqNlist = 4, ratio = 2.0))
+    assert(gen(pq) === g0)
+    assert(SimilaritySearch.ivfPqIndexMaybeRebuild(
+      vecs, pq, nlist = 2, m = 2, dim = 4, pqNlist = 4, ratio = 0.5))
+    assert(gen(pq) === g0 + 1)
+    val fresh = tmp("pq-fresh")
+    SimilaritySearch.ivfPqIndexBuild(vecs, fresh, nlist = 2, m = 2, dim = 4, pqNlist = 4)
+    def top(d: String): Seq[(Long, Long, Long)] =
+      SimilaritySearch.ivfPqIndexSearch(spark, d, vecs.filter(col("vec_id") <= 1), 3, nprobe = 2)
+        .select("q_id", "n_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(top(pq) === top(fresh), "post-rebuild index must equal a fresh full build")
+
+    // threshold ≈ 1 so the odd arrivals (near-dups of the evens) SURVIVE
+    // the append — the trigger measures survivor-set growth
+    val sem = tmp("sem-rebuild")
+    Dedup.semanticIndexBuild(evens, sem, k = 2, rounds = 1, threshold = 0.9999)
+    val sg0 = gen(sem)
+    Dedup.semanticIndexAppend(vecs.filter(col("vec_id") % 2 === 1), sem, threshold = 0.9999)
+    assert(!Dedup.semanticIndexMaybeRebuild(
+      vecs, sem, k = 2, rounds = 1, threshold = 0.9999, ratio = 5.0))
+    assert(gen(sem) === sg0)
+    assert(Dedup.semanticIndexMaybeRebuild(
+      vecs, sem, k = 2, rounds = 1, threshold = 0.9999, ratio = 0.1))
+    assert(gen(sem) === sg0 + 1)
+    // retrained over the full corpus: survivors equal a fresh build's
+    val freshSem = tmp("sem-fresh")
+    Dedup.semanticIndexBuild(vecs, freshSem, k = 2, rounds = 1, threshold = 0.9999)
+    def surv(d: String): Set[Long] =
+      Dedup.semanticIndexSurvivors(spark, d).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(surv(sem) === surv(freshSem))
+  }
+
   test("manifest commit refuses a duplicate generation (single-writer guard)") {
     val idx = tmp("dup")
     Dedup.minhashIndexBuild(docs, idx)

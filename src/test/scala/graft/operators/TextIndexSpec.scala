@@ -46,6 +46,32 @@ class TextIndexSpec extends SparkSpec {
     assert(!TextSearchIndex.maybeCompact(spark, idx, ratio = 0.001))
   }
 
+  test("TextSearchIndex staleness: growth and avgdl drift measured vs frozen " +
+    "stats; maybeRebuild holds/fires on them and re-freezes") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-stale").toString
+    val two = docs.filter(col("doc_id") <= 1)
+    TextSearchIndex.build(two, idx)
+    val (g0, d0) = TextSearchIndex.staleness(spark, idx)
+    assert(g0 === 0.0 && d0 === 0.0)
+    // +1 doc over a 2-doc build set: growth 0.5; its length moves avgdl
+    TextSearchIndex.append(
+      Seq((7L, "apple apple apple apple apple apple apple apple", "s"))
+        .toDF("doc_id", "text", "source"), idx)
+    val (g1, d1) = TextSearchIndex.staleness(spark, idx)
+    assert(g1 === 0.5 && d1 > 0.0)
+    val full = two.unionByName(
+      Seq((7L, "apple apple apple apple apple apple apple apple", "s"))
+        .toDF("doc_id", "text", "source"))
+    assert(!TextSearchIndex.maybeRebuild(full, idx, growthRatio = 1.0, driftRatio = 10.0))
+    assert(TextSearchIndex.maybeRebuild(full, idx, growthRatio = 0.4, driftRatio = 10.0))
+    val (g2, d2) = TextSearchIndex.staleness(spark, idx)
+    assert(g2 === 0.0 && d2 === 0.0, "rebuild re-freezes the stats over the live corpus")
+    // deletes count as drift too (shrinkage)
+    TextSearchIndex.delete(Seq(7L).toDF("doc_id"), idx)
+    val (g3, _) = TextSearchIndex.staleness(spark, idx)
+    assert(math.abs(g3 - 1.0 / 3.0) < 1e-9)
+  }
+
   test("TextSearchIndex.phraseSearch: positional postings reproduce the " +
     "in-memory phrase operator; appends join in, deletes retract, compact preserves") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textidx-phrase").toString
