@@ -4702,11 +4702,15 @@ object SparkEntry {
       "q_ann_ivf_rebuild_gate" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir)
         val idx = sessionIndexDir("ivf-rebuild-idx")
-        SimilaritySearch.ivfIndexBuild(e.filter(col("vec_id") % 2 === 0), idx)
+        val evens = e.filter(col("vec_id") % 2 === 0)
+        SimilaritySearch.ivfIndexBuild(evens, idx)
         def genOf(): Long =
           graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
         val g0 = genOf()
-        SimilaritySearch.ivfIndexAppend(e.filter(col("vec_id") % 2 === 1), idx)
+        // an empty corpus builds an empty (centroid-less) model there is
+        // nothing to assign appends under — the trigger path still runs
+        if (!evens.isEmpty)
+          SimilaritySearch.ivfIndexAppend(e.filter(col("vec_id") % 2 === 1), idx)
         val heldOk = !SimilaritySearch.ivfIndexMaybeRebuild(e, idx, ratio = 2.0) &&
           genOf() == g0
         val firedOk = SimilaritySearch.ivfIndexMaybeRebuild(e, idx, ratio = 0.5) &&

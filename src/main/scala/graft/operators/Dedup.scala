@@ -1041,7 +1041,7 @@ object Dedup {
       .join(embeddings.select("vec_id", "embedding"), Seq("vec_id"))
       .select("vec_id", "embedding", "cluster")
       .write.mode("overwrite").partitionBy("cluster").parquet(next.tableDir(dir, "survivors"))
-    val trained = spark.read.parquet(next.tableDir(dir, "survivors")).count()
+    val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "survivors"))
     IndexManifest.commit(
       spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
   }

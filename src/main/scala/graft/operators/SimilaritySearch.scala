@@ -376,7 +376,9 @@ object SimilaritySearch {
       if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0) // empty corpus → empty index
       else c.withColumn("cell", assign(centroids, "nv"))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "vectors"))
-    val trained = spark.read.parquet(next.tableDir(dir, "vectors")).count()
+    // rowsIn, not a bare read: an empty-corpus build writes a zero-row
+    // segment with no schema-carrying files
+    val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "vectors"))
     IndexManifest.commit(
       spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
   }
@@ -767,7 +769,7 @@ object SimilaritySearch {
             spark.read.parquet(next.tableDir(dir, "vectors")).select("n_id", "cell"),
             Seq("n_id"))
     codes.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "codes"))
-    val trained = spark.read.parquet(next.tableDir(dir, "codes")).count()
+    val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "codes"))
     IndexManifest.commit(
       spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
   }

@@ -279,10 +279,21 @@ object TextSearchIndex {
     * as [[TextIndex.bm25TopK]] — a freshly-built index reproduces it
     * bit-for-bit. */
   def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
     val st = state(spark, dir)
     val statsRow = spark.read.parquet(st.tableDir(dir, "stats")).head()
     val nDocs = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
+    // an empty-corpus index has no normalization constants to score
+    // under (avgdl is 0/0) — and no possible hits
+    if (nDocs == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("rk", LongType),
+          StructField("doc_id", LongType),
+          StructField("score", DoubleType),
+          StructField("n_hit", LongType))))
     val hits = Tombstones.drop(
       livePostings(spark, dir).filter(col("tok").isin(terms: _*)),
       dir, "doc_id", st.tombstones)
