@@ -3248,8 +3248,11 @@ object SparkEntry {
         val vec = SimilaritySearch
           .bruteForceTopK(e.filter(col("vec_id") < 8), e, 20)
           .select(col("q_id"), col("n_id").as("id"), col("rank"))
-        val txt = graft.operators.TextIndex
-          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 20)
+        // text lane from the persisted inverted index (round 8): the
+        // fresh-build parity contract makes it bit-equal to bm25TopK, so
+        // the oracle replay is unchanged
+        val txt = graft.operators.TextSearchIndex
+          .search(s, textIndexArtifact(s, dir), Bm25Terms, 20)
           .select(col("doc_id").as("id"), col("rk").as("rank"))
         val qids = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"))
         SimilaritySearch
@@ -3268,8 +3271,10 @@ object SparkEntry {
         val vec = SimilaritySearch
           .bruteForceTopK(e.filter(col("vec_id") < 8), e, 20)
           .select(col("q_id"), col("n_id").as("id"), col("sim").as("score"))
-        val txt = graft.operators.TextIndex
-          .bm25TopK(Tables.documents(s, dir), Bm25Terms, 20)
+        // text lane from the persisted inverted index — same parity
+        // contract as q_hybrid_rrf's lane swap
+        val txt = graft.operators.TextSearchIndex
+          .search(s, textIndexArtifact(s, dir), Bm25Terms, 20)
           .select(col("doc_id").as("id"), col("score"))
         val qids = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"))
         SimilaritySearch
@@ -4650,6 +4655,42 @@ object SparkEntry {
           .withColumn("retract_ok", lit(retractOk))
           .withColumn("compact_ok", lit(compactOk))
           .orderBy("rk")
+      }),
+
+      // Streaming TEXT query serving — the BM25 lane's q_serve_stream_gate:
+      // term-set queries drain through serveTextAvailableNow against the
+      // prebuilt postings artifact (the EXACT batch searchTerms operator,
+      // single-sourced), epoch-committed. Emitted rows are the FULL served
+      // answers for two fixed queries, recomputed independently by DuckDB
+      // (multi-query BM25 CTEs over the corpus — frozen stats = full
+      // corpus here); the booleans assert batch equality and that a
+      // checkpoint resume answers nothing twice.
+      "q_serve_text_gate" -> ((s, dir) => {
+        import s.implicits._
+        val io = java.nio.file.Files.createTempDirectory("graft-serve-text-gate").toString
+        val (arrivals, out, ckpt) = (s"$io/in", s"$io/out", s"$io/ckpt")
+        val idx = textIndexArtifact(s, dir)
+        val queries = Seq(
+          (1L, Seq("filter", "stream", "vector")),
+          (2L, Seq("vector", "table"))).toDF("q_id", "toks")
+        queries.coalesce(1).write.mode("append").parquet(arrivals)
+        graft.streaming.StreamingSearch
+          .serveTextAvailableNow(s, idx, arrivals, out, ckpt, k = 10)
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double, Long)] =
+          df.select("q_id", "rk", "doc_id", "score", "n_hit").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+            .toSet
+        val served = rows(graft.streaming.StreamingSearch.textAnswers(s, out))
+        val batch = rows(graft.operators.TextSearchIndex.searchTerms(s, idx, queries, 10))
+        graft.streaming.StreamingSearch
+          .serveTextAvailableNow(s, idx, arrivals, out, ckpt, k = 10)
+        val resumed = rows(graft.streaming.StreamingSearch.textAnswers(s, out))
+        val p = new org.apache.hadoop.fs.Path(io)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        served.toSeq.sorted.toDF("q_id", "rk", "doc_id", "score", "n_hit")
+          .withColumn("matches_batch", lit(served == batch))
+          .withColumn("resume_noop", lit(resumed == served))
+          .orderBy("q_id", "rk")
       }),
 
       // Self-applying REBUILD trigger on the text family: frozen BM25
@@ -7998,6 +8039,35 @@ object SparkEntry {
          |                  AS BIGINT) AS n_matches
          |      FROM w)
          |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
+    // Streaming text serving gate: the two fixed term-set queries' BM25
+    // answers, replayed by the same CTEs as q_text_index_search but
+    // multi-query — a VALUES query-terms table joins the hit rows, rank
+    // windows per q_id. The booleans are Spark-side assertions.
+    "q_serve_text_gate" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |qt AS (SELECT CAST(q_id AS BIGINT) AS q_id, tok
+         |       FROM (VALUES (1, 'filter'), (1, 'stream'), (1, 'vector'),
+         |                    (2, 'vector'), (2, 'table')) AS v(q_id, tok)),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT qt.q_id, tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM qt JOIN tf USING (tok) JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, score, n_hit,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |      FROM a)
+         |SELECT q_id, rk, doc_id, score, n_hit,
+         |       TRUE AS matches_batch, TRUE AS resume_noop
+         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     // Text-index rebuild gate: the post-rebuild state is a fresh
     // full-corpus build, so the oracle is q_text_index_search's replay
     // plus the in-engine trigger assertions.

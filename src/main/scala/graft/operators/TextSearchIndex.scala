@@ -245,6 +245,66 @@ object TextSearchIndex {
     due
   }
 
+  /** Multi-query BM25 over the persisted index — the serving-batch form
+    * of [[search]]: `queries` is `(q_id, toks ARRAY<STRING>)`, one row
+    * per query, and every query in the batch is answered by ONE pass
+    * over the union of their posting slices. The batch's term vocabulary
+    * (head-sized for a serving micro-batch) is collected so the postings
+    * scan keeps the literal `tok IN` pushdown; per-term df and the
+    * frozen stats are shared across queries (df is a per-term global —
+    * the same value every query would compute alone), and the per-query
+    * fan-out is a broadcast join on the hit rows, never on the corpus.
+    * For a single query this reproduces [[search]] bit-for-bit
+    * (spec-pinned): identical scoring tree, per-query rank window in
+    * place of the global sort+limit. Returns
+    * `(q_id, rk, doc_id, score, n_hit)`. */
+  def searchTerms(spark: SparkSession, dir: String, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("q_id", LongType),
+        StructField("rk", LongType),
+        StructField("doc_id", LongType),
+        StructField("score", DoubleType),
+        StructField("n_hit", LongType))))
+    val st = state(spark, dir)
+    val statsRow = spark.read.parquet(st.tableDir(dir, "stats")).head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    if (nDocs == 0L) return empty
+    val qt = queries
+      .select(col("q_id").cast("long").as("q_id"), explode(col("toks")).as("tok"))
+      .distinct()
+    val terms = qt.select("tok").distinct().collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) return empty
+    val hits = Tombstones.drop(
+      livePostings(spark, dir).filter(col("tok").isin(terms: _*)),
+      dir, "doc_id", st.tombstones)
+    val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(df), "tok")
+      .join(broadcast(qt), Seq("tok"))
+      .withColumn(
+        "sc",
+        ((lit(nDocs).cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(2.2) /
+            (col("tf") + lit(0.3) +
+              lit(0.9) * (col("dl") / (lit(sumDl).cast("double") / lit(nDocs))))))
+      .groupBy("q_id", "doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_hit"),
+        round(sum(round(col("sc"), 12).cast("decimal(30,12)")).cast("double"), 4)
+          .as("score"))
+      .withColumn(
+        "rk",
+        row_number()
+          .over(Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "doc_id", "score", "n_hit")
+  }
+
   /** Exact consecutive-token phrase search served from the persisted
     * positional postings — the materialized form of
     * [[TextIndex.phraseSearch]]'s own 100 TB prescription ("the postings

@@ -91,33 +91,100 @@ object StreamingSearch {
     q.awaitTermination()
   }
 
+  /** Streaming source over a term-set query parquet directory. */
+  def readTermQueries(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("q_id BIGINT, toks ARRAY<STRING>")
+      .parquet(dir)
+
+  /** [[serveAvailableNow]] for the TEXT lane: drain arriving `(q_id,
+    * toks)` term-set queries and answer each micro-batch with the exact
+    * batch operator ([[graft.operators.TextSearchIndex.searchTerms]] —
+    * one pass over the batch's posting slices, frozen stats, live df)
+    * under the identical epoch-commit/retention/crash discipline. With
+    * both lanes served this way, a hybrid tier is two drains over the
+    * same arrival stream fused downstream ([[graft.operators
+    * .SimilaritySearch.rrfFuse]] on the two answer tables). */
+  def serveTextAvailableNow(
+      spark: SparkSession,
+      indexDir: String,
+      queriesDir: String,
+      outDir: String,
+      checkpoint: String,
+      k: Int = 10): Unit = {
+    val q = readTermQueries(spark, queriesDir).writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val dst = s"${epochsDir(outDir)}/epoch=$epoch"
+        if (epoch > EpochLog.state(spark, outDir).mark && !DirCommit.exists(spark, dst)) {
+          DirCommit.mkdirs(spark, epochsDir(outDir))
+          val tmp = s"${epochsDir(outDir)}/.inflight-epoch=$epoch"
+          graft.operators.TextSearchIndex
+            .searchTerms(spark, indexDir, batch, k)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+          DirCommit.commitDir(spark, tmp, dst)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The vector serving tier's answer schema. */
+  private val VectorAnswerSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("q_id", LongType),
+      StructField("n_id", LongType),
+      StructField("rank", LongType),
+      StructField("sim", DoubleType),
+      StructField("epoch", IntegerType)))
+  }
+
+  /** The text serving tier's answer schema ([[graft.operators
+    * .TextSearchIndex.searchTerms]] columns + epoch). */
+  private val TextAnswerSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("q_id", LongType),
+      StructField("rk", LongType),
+      StructField("doc_id", LongType),
+      StructField("score", DoubleType),
+      StructField("n_hit", LongType),
+      StructField("epoch", IntegerType)))
+  }
+
   /** All committed answers: `(q_id, n_id, rank, sim, epoch)` — the folded
     * base (if any) plus every live epoch above the fold mark. Zero-batch
     * runs leave only the checkpoint — an absent or empty out dir reads as
     * no answers yet, the [[graft.operators.Dedup.minhashIndexRows]]
     * empty-index contract. */
-  def answers(spark: SparkSession, outDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
+  def answers(spark: SparkSession, outDir: String): DataFrame =
+    answersWith(spark, outDir, VectorAnswerSchema)
+
+  /** [[answers]] for a text serving dir: `(q_id, rk, doc_id, score,
+    * n_hit, epoch)`. */
+  def textAnswers(spark: SparkSession, outDir: String): DataFrame =
+    answersWith(spark, outDir, TextAnswerSchema)
+
+  private def answersWith(
+      spark: SparkSession,
+      outDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val st = EpochLog.state(spark, outDir)
     def readIf(p: String): Option[DataFrame] =
       if (!DirCommit.exists(spark, p)) None
       else
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val cols = Seq("q_id", "n_id", "rank", "sim", "epoch")
+    val cols = schema.fieldNames.toSeq
     val base = readIf(st.baseDir(outDir).getOrElse(s"$outDir/__none__"))
     val live = readIf(epochsDir(outDir))
       .map(_.filter(col("epoch") > st.mark))
     (base.map(_.select(cols.map(col): _*)) ++ live.map(_.select(cols.map(col): _*)))
       .reduceLeftOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("q_id", LongType),
-          StructField("n_id", LongType),
-          StructField("rank", LongType),
-          StructField("sim", DoubleType),
-          StructField("epoch", IntegerType)))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   /** Fold every epoch at or below `max(epoch) − keepLast` into one base
@@ -137,21 +204,25 @@ object StreamingSearch {
       spark: SparkSession,
       outDir: String,
       maxEpochs: Int = 64,
-      keepLast: Int = 8): Boolean = {
+      keepLast: Int = 8,
+      cols: Seq[String] = VectorAnswerSchema.fieldNames.toSeq): Boolean = {
     val st = EpochLog.state(spark, outDir)
     val live = EpochLog.epochs(spark, epochsDir(outDir)).count(_ > st.mark)
     val due = live > maxEpochs
-    if (due) compactAnswers(spark, outDir, keepLast)
+    if (due) compactAnswers(spark, outDir, keepLast, cols)
     due
   }
 
-  def compactAnswers(spark: SparkSession, outDir: String, keepLast: Int = 0): Unit = {
+  def compactAnswers(
+      spark: SparkSession,
+      outDir: String,
+      keepLast: Int = 0,
+      cols: Seq[String] = VectorAnswerSchema.fieldNames.toSeq): Unit = {
     val st = EpochLog.state(spark, outDir)
     val es = EpochLog.epochs(spark, epochsDir(outDir)).filter(_ > st.mark)
     if (es.isEmpty) return
     val fold = es.dropRight(keepLast)
     if (fold.isEmpty) return
-    val cols = Seq("q_id", "n_id", "rank", "sim", "epoch")
     val folded = spark.read
       .option("basePath", epochsDir(outDir)) // keep the epoch partition column
       .parquet(fold.map(e => s"${epochsDir(outDir)}/epoch=$e"): _*)

@@ -108,6 +108,30 @@ class TextIndexSpec extends SparkSpec {
     assert(rows(TextSearchIndex.phraseSearch(spark, idx, "apple banana")) === postDel)
   }
 
+  test("TextSearchIndex.searchTerms: single-query parity with search(); a " +
+    "multi-query batch answers each query as if alone; deletes apply") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-terms").toString
+    TextSearchIndex.build(docs, idx)
+    def single(terms: Seq[String]): Seq[(Long, Long, Double, Long)] =
+      TextSearchIndex.search(spark, idx, terms, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def multi(qs: Seq[(Long, Seq[String])]): Map[Long, Seq[(Long, Long, Double, Long)]] =
+      TextSearchIndex.searchTerms(spark, idx, qs.toDF("q_id", "toks"), 10)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    val qs = Seq(1L -> Seq("apple", "banana"), 2L -> Seq("cherry"))
+    val m = multi(qs)
+    assert(m(1L) === single(Seq("apple", "banana")),
+      "batched query 1 must equal its solo search bit-for-bit")
+    assert(m(2L) === single(Seq("cherry")))
+    // duplicate terms in a query count once (term-set semantics)
+    assert(multi(Seq(1L -> Seq("apple", "apple", "banana")))(1L) ===
+      single(Seq("apple", "banana")))
+    TextSearchIndex.delete(Seq(0L).toDF("doc_id"), idx)
+    assert(!multi(qs)(1L).exists(_._2 == 0L))
+  }
+
   test("TextSearchIndex streaming append: streamed postings equal the batch " +
     "append; checkpoint resume skips processed files; compaction folds") {
     val base = java.nio.file.Files.createTempDirectory("graft-textidx-stream").toString

@@ -134,6 +134,51 @@ class StreamingSearchSpec extends SparkSpec {
     assert(full() === withHot)
   }
 
+  test("text lane serving: streamed term-set queries equal the batch " +
+    "searchTerms; resume answers only new arrivals; text fold preserves rows") {
+    import graft.operators.TextSearchIndex
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-text").toString
+    val (idx, arrivals, out, ckpt) = (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    TextSearchIndex.build(docs, idx)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double, Long)] =
+      df.select("q_id", "rk", "doc_id", "score", "n_hit").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+    val w1 = Seq((1L, Seq("filter", "stream", "vector"))).toDF("q_id", "toks")
+    w1.coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveTextAvailableNow(spark, idx, arrivals, out, ckpt, k = 5)
+    val served1 = rows(StreamingSearch.textAnswers(spark, out))
+    assert(served1 === rows(TextSearchIndex.searchTerms(spark, idx, w1, 5)))
+    assert(served1.nonEmpty)
+    // same checkpoint, no new arrivals → nothing re-answered
+    StreamingSearch.serveTextAvailableNow(spark, idx, arrivals, out, ckpt, k = 5)
+    assert(rows(StreamingSearch.textAnswers(spark, out)) === served1)
+    // a second wave answers only the new query, cumulatively correct
+    val w2 = Seq((2L, Seq("vector", "table"))).toDF("q_id", "toks")
+    w2.coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveTextAvailableNow(spark, idx, arrivals, out, ckpt, k = 5)
+    val both = rows(StreamingSearch.textAnswers(spark, out))
+    assert(both === rows(TextSearchIndex.searchTerms(spark, idx, w1.unionByName(w2), 5)))
+    // the text-schema fold preserves answers and bounds dirs
+    StreamingSearch.compactAnswers(
+      spark, out, keepLast = 0,
+      cols = Seq("q_id", "rk", "doc_id", "score", "n_hit", "epoch"))
+    assert(rows(StreamingSearch.textAnswers(spark, out)) === both)
+    assert(!new java.io.File(s"$out/epochs").exists() ||
+      new java.io.File(s"$out/epochs").listFiles()
+        .count(_.getName.startsWith("epoch=")) === 0)
+    // an index delete takes effect on the NEXT micro-batch
+    val victim = both.head._3
+    TextSearchIndex.delete(Seq(victim).toDF("doc_id"), idx)
+    Seq((3L, Seq("filter", "stream", "vector"))).toDF("q_id", "toks")
+      .coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveTextAvailableNow(spark, idx, arrivals, out, ckpt, k = 5)
+    val after = rows(StreamingSearch.textAnswers(spark, out))
+    assert(!after.exists(r => r._1 == 3L && r._3 == victim),
+      "the tombstoned doc must not appear in post-delete answers")
+  }
+
   test("zero-arrival serve leaves an empty answers view, not an error") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("graft-serve-empty").toString
