@@ -179,6 +179,44 @@ class StreamingSearchSpec extends SparkSpec {
       "the tombstoned doc must not appear in post-delete answers")
   }
 
+  test("hybrid streaming tier: the two lanes' served answers fuse (RRF) to " +
+    "exactly the batch-operator fusion — serving is composition-transparent") {
+    import graft.operators.TextSearchIndex
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-hybrid").toString
+    val vIdx = s"$base/vidx"; val tIdx = s"$base/tidx"
+    SimilaritySearch.ivfPqIndexBuild(emb, vIdx)
+    TextSearchIndex.build(docs, tIdx)
+    // one arrival stream, two drains: vector queries + their term sets
+    val vq = emb.filter(col("vec_id") < 4)
+    val tq = Seq(
+      (0L, Seq("filter", "stream", "vector")), (1L, Seq("filter", "stream", "vector")),
+      (2L, Seq("filter", "stream", "vector")), (3L, Seq("filter", "stream", "vector"))
+    ).toDF("q_id", "toks")
+    vq.coalesce(1).write.mode("append").parquet(s"$base/vin")
+    tq.coalesce(1).write.mode("append").parquet(s"$base/tin")
+    StreamingSearch.serveAvailableNow(
+      spark, vIdx, s"$base/vin", s"$base/vout", s"$base/vckpt", k = 10, nprobe = 2)
+    StreamingSearch.serveTextAvailableNow(
+      spark, tIdx, s"$base/tin", s"$base/tout", s"$base/tckpt", k = 10)
+    def fuse(vec: org.apache.spark.sql.DataFrame, txt: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.rrfFuse(
+        vec.select(col("q_id"), col("n_id").as("id"), col("rank")),
+        txt.select(col("q_id"), col("doc_id").as("id"), col("rk").as("rank")),
+        5)
+        .select("q_id", "id", "rank", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val served = fuse(
+      StreamingSearch.answers(spark, s"$base/vout"),
+      StreamingSearch.textAnswers(spark, s"$base/tout"))
+    val batch = fuse(
+      SimilaritySearch.ivfPqIndexSearch(spark, vIdx, vq, 10, nprobe = 2),
+      TextSearchIndex.searchTerms(spark, tIdx, tq, 10))
+    assert(served === batch)
+    assert(served.nonEmpty)
+  }
+
   test("zero-arrival serve leaves an empty answers view, not an error") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("graft-serve-empty").toString
