@@ -72,7 +72,9 @@ object StreamingSearch {
       checkpoint: String,
       k: Int = 10,
       nprobe: Int = 2,
-      rerank: Int = 200): Unit = {
+      rerank: Int = 200,
+      maxEpochs: Int = 64,
+      keepLast: Int = 8): Unit = {
     val q = readQueries(spark, queriesDir).writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val dst = s"${epochsDir(outDir)}/epoch=$epoch"
@@ -89,6 +91,10 @@ object StreamingSearch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // retention is part of the serving loop, not a separate chore: each
+    // drain ends with the self-applying fold check (one directory listing
+    // when under the cap)
+    maybeCompactAnswers(spark, outDir, maxEpochs, keepLast)
   }
 
   /** Streaming source over a term-set query parquet directory. */
@@ -111,7 +117,9 @@ object StreamingSearch {
       queriesDir: String,
       outDir: String,
       checkpoint: String,
-      k: Int = 10): Unit = {
+      k: Int = 10,
+      maxEpochs: Int = 64,
+      keepLast: Int = 8): Unit = {
     val q = readTermQueries(spark, queriesDir).writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val dst = s"${epochsDir(outDir)}/epoch=$epoch"
@@ -128,6 +136,8 @@ object StreamingSearch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    maybeCompactAnswers(
+      spark, outDir, maxEpochs, keepLast, TextAnswerSchema.fieldNames.toSeq)
   }
 
   /** The vector serving tier's answer schema. */

@@ -217,6 +217,25 @@ class StreamingSearchSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("retention runs inside the serving loop: a drain with a zero epoch " +
+    "cap folds its own output; answers unchanged") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-serve-auto").toString
+    val (idx, arrivals, out, ckpt) = (s"$base/idx", s"$base/in", s"$base/out", s"$base/ckpt")
+    SimilaritySearch.ivfPqIndexBuild(emb, idx)
+    emb.filter(col("vec_id") < 4).coalesce(1).write.mode("append").parquet(arrivals)
+    StreamingSearch.serveAvailableNow(
+      spark, idx, arrivals, out, ckpt, k = 5, nprobe = 2, maxEpochs = 0, keepLast = 0)
+    val epochDir = new java.io.File(s"$out/epochs")
+    assert(!epochDir.exists() ||
+      epochDir.listFiles().count(_.getName.startsWith("epoch=")) === 0,
+      "the drain must have folded its own epoch")
+    assert(
+      pairs(StreamingSearch.answers(spark, out)) ===
+        pairs(SimilaritySearch
+          .ivfPqIndexSearch(spark, idx, emb.filter(col("vec_id") < 4), 5, nprobe = 2)))
+  }
+
   test("zero-arrival serve leaves an empty answers view, not an error") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = java.nio.file.Files.createTempDirectory("graft-serve-empty").toString
