@@ -41,6 +41,19 @@ object TextSearchIndex {
 
   private val layout = IndexManifest.Layouts.text
 
+  /** Postings are RANGE-partitioned by term into this many buckets (an
+    * EXPLICIT count: AQE would otherwise coalesce the range shuffle into
+    * a few wide files whose min/max term stats prune nothing —
+    * measured in TextIndexScaleBench). Range, not hash: a hash layout
+    * scatters the term space so every file's [min,max] spans the whole
+    * alphabet and a `tok IN` scan reads ALL row groups; range buckets
+    * keep each file's term interval disjoint, so the scan's row-group
+    * stats skip every bucket holding none of the query's terms. At
+    * corpus scale, size this so buckets are multi-row-group files —
+    * within-file `sortWithinPartitions` then prunes at row-group
+    * granularity too. */
+  private val TermBuckets = 32
+
   private def state(spark: SparkSession, dir: String): IndexManifest.State =
     IndexManifest.resolve(spark, dir, layout)
 
@@ -90,7 +103,7 @@ object TextSearchIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(next.tableDir(dir, "stats"))
     postingsOf(documents)
-      .repartition(col("tok")).sortWithinPartitions("tok")
+      .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
     val nDocs = spark.read.parquet(next.tableDir(dir, "stats")).head().getLong(0)
     IndexManifest.commit(
@@ -103,7 +116,7 @@ object TextSearchIndex {
   def append(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
     postingsOf(batch)
-      .repartition(col("tok")).sortWithinPartitions("tok")
+      .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("append").parquet(state(spark, dir).tableDir(dir, "postings"))
   }
 
@@ -178,7 +191,7 @@ object TextSearchIndex {
     val next = layout.advance(prev, carry = Set("stats"))
     Tombstones.drop(livePostings(spark, dir), dir, "doc_id", prev.tombstones)
       .select(postingCols.map(col): _*)
-      .repartition(col("tok")).sortWithinPartitions("tok")
+      .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
     IndexManifest.commit(spark, dir, next, layout)
   }
