@@ -4722,14 +4722,15 @@ object SparkEntry {
           rows(TextSearchIndex.search(s, idx, Bm25Terms, 10)) == frozenScored
         val fired = TextSearchIndex.maybeRebuild(docs, idx, growthRatio = 0.5, driftRatio = 2.0)
         val firedOk = fired && genOf() == g0 + 1
-        val freshDir = sessionIndexDir("text-rebuild-fresh")
-        TextSearchIndex.build(docs, freshDir)
-        val post = rows(TextSearchIndex.search(s, idx, Bm25Terms, 10))
-        val parityOk = post == rows(TextSearchIndex.search(s, freshDir, Bm25Terms, 10))
+        // fresh-build parity needs no in-engine twin: the emitted rows ARE
+        // the post-rebuild search, and the oracle replays a fresh
+        // full-corpus build — the hash compare IS the parity check. (A
+        // third full build here was the bench's slowest single query.)
+        val (g2, d2) = TextSearchIndex.staleness(s, idx)
         TextSearchIndex.search(s, idx, Bm25Terms, 10)
           .withColumn("held_ok", lit(heldOk))
           .withColumn("fired_ok", lit(firedOk))
-          .withColumn("parity_ok", lit(parityOk))
+          .withColumn("refrozen_ok", lit(g2 == 0.0 && d2 == 0.0))
           .orderBy("rk")
       }),
 
@@ -8072,7 +8073,7 @@ object SparkEntry {
     // full-corpus build, so the oracle is q_text_index_search's replay
     // plus the in-engine trigger assertions.
     "q_text_index_rebuild_gate" ->
-      s"""SELECT t.*, TRUE AS held_ok, TRUE AS fired_ok, TRUE AS parity_ok
+      s"""SELECT t.*, TRUE AS held_ok, TRUE AS fired_ok, TRUE AS refrozen_ok
          |FROM (
          |WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
