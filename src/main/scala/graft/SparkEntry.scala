@@ -4797,6 +4797,79 @@ object SparkEntry {
           lit(tombClear).as("tomb_clear_ok"))
       }),
 
+      // SNAPSHOT (time-travel) reads over the generation manifest: build
+      // the text index on the EVEN documents (gen N), rebuild over the
+      // full corpus (gen N+1 — new postings AND new frozen stats), then
+      // serve BOTH states at once: searchAsOf pins the retained prior
+      // generation and must reproduce the even-corpus ranking exactly
+      // (its frozen stats, its postings), while the live search answers
+      // under the full corpus. DuckDB recomputes each lane independently
+      // from the matching corpus slice. snaps_ok asserts the retention
+      // window is exactly {prior, live} and that an EXPIRED generation
+      // errors loudly instead of answering from the wrong state.
+      "q_index_snapshot_gate" -> ((s, dir) => {
+        import graft.operators.{IndexManifest, TextSearchIndex}
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("text-snapshot-idx")
+        TextSearchIndex.build(docs.filter(col("doc_id") % 2 === 0), idx)
+        val g1 = IndexManifest.read(s, idx).get.generation
+        TextSearchIndex.build(docs, idx) // the rebuild: gen g1+1 goes live
+        val snaps = IndexManifest.snapshots(s, idx)
+        val expiredLoud =
+          try { TextSearchIndex.searchAsOf(s, idx, Bm25Terms, 10, g1 - 1).count(); false }
+          catch { case e: RuntimeException => e.getMessage.contains("retains no generation") }
+        val snapsOk = snaps == Seq(g1, g1 + 1) && expiredLoud &&
+          IndexManifest.readAt(s, idx, g1 + 1).exists(_.generation == g1 + 1)
+        TextSearchIndex.searchAsOf(s, idx, Bm25Terms, 10, g1)
+          .withColumn("lane", lit("snapshot"))
+          .unionByName(
+            TextSearchIndex.search(s, idx, Bm25Terms, 10)
+              .withColumn("lane", lit("live")))
+          .withColumn("snaps_ok", lit(snapsOk))
+          .select("lane", "rk", "doc_id", "score", "n_hit", "snaps_ok")
+          .orderBy("lane", "rk")
+      }),
+
+      // One-call maintenance sweep (IndexMaintenance.sweep) across a
+      // two-index fleet: the text index was built on the evens and
+      // appended the odds (growth ≈ 1.0), so its REBUILD trigger fires
+      // inside the sweep — an O(corpus) retrain whose post-state is a
+      // fresh full-corpus build, which is what the oracle replays; the
+      // minhash index carries one tombstone (≪1% of the banded base), so
+      // its compaction trigger HOLDS while the delete stays logically
+      // applied. Emitted rows: the post-sweep text search; the booleans
+      // pin the per-index reports (fired/held/failed) and that the held
+      // index's tombstone still masks its doc.
+      "q_index_maintenance_gate" -> ((s, dir) => {
+        import s.implicits._
+        import graft.operators.{IndexMaintenance => IM, IndexManifest, TextSearchIndex}
+        val docs = Tables.documents(s, dir)
+        val txt = sessionIndexDir("maint-text-idx")
+        val mh = sessionIndexDir("maint-mh-idx")
+        TextSearchIndex.build(docs.filter(col("doc_id") % 2 === 0), txt)
+        TextSearchIndex.append(docs.filter(col("doc_id") % 2 === 1), txt)
+        Dedup.minhashIndexBuild(docs, mh)
+        Dedup.minhashIndexDelete(Seq(1L).toDF("doc_id"), mh)
+        def genOf(d: String): Long =
+          IndexManifest.read(s, d).map(_.generation).getOrElse(0L)
+        val (tg0, mg0) = (genOf(txt), genOf(mh))
+        val reports = IM.sweep(s, Seq(
+          IM.TextIndexReg(txt, () => docs, growthRatio = 0.5),
+          IM.MinhashIndex(mh)))
+        val (tr, mr) = (reports.head, reports(1))
+        val firedOk = tr.rebuilt && !tr.compacted && tr.failed.isEmpty &&
+          genOf(txt) == tg0 + 1 && tr.generation == tg0 + 1
+        val heldOk = !mr.rebuilt && !mr.compacted && mr.failed.isEmpty &&
+          genOf(mh) == mg0
+        val maskedOk = !Dedup.minhashIndexRows(s, mh)
+          .select("c_id").distinct().collect().map(_.getLong(0)).toSet.contains(1L)
+        TextSearchIndex.search(s, txt, Bm25Terms, 10)
+          .withColumn("text_fired_ok", lit(firedOk))
+          .withColumn("mh_held_ok", lit(heldOk))
+          .withColumn("tomb_applied_ok", lit(maskedOk))
+          .orderBy("rk")
+      }),
+
       "q_minhash_index_delete_gate" -> ((s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
@@ -8203,6 +8276,66 @@ object SparkEntry {
          |       TRUE AS fire_ok, TRUE AS tomb_clear_ok
          |FROM (SELECT doc_id, len($ToksSql) AS nt FROM documents)
          |WHERE nt >= 3 AND doc_id % 20 <> 0 AND doc_id <> 1""".stripMargin,
+    // Snapshot gate: two independent BM25 replays — the snapshot lane over
+    // the EVEN documents only (that generation's whole world: corpus,
+    // frozen stats, postings), the live lane over the full corpus — with
+    // the lane literal distinguishing them. snaps_ok is a Spark-side
+    // assertion on the retention window.
+    "q_index_snapshot_gate" ->
+      s"""WITH t0 AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |lanes AS (SELECT 'snapshot' AS lane UNION ALL SELECT 'live'),
+         |t AS (SELECT lane, doc_id, toks FROM lanes, t0
+         |      WHERE lane = 'live' OR doc_id % 2 = 0),
+         |d AS (SELECT lane, doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT lane, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(dl) AS BIGINT) AS sum_dl FROM d GROUP BY 1),
+         |tf AS (SELECT lane, doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT lane, doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2, 3),
+         |df AS (SELECT lane, tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1, 2),
+         |s AS (SELECT tf.lane, tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (lane, tok) JOIN d USING (lane, doc_id)
+         |           JOIN g USING (lane)),
+         |a AS (SELECT lane, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1, 2),
+         |r AS (SELECT lane, doc_id, score, n_hit,
+         |             CAST(row_number() OVER (PARTITION BY lane
+         |                                     ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |      FROM a)
+         |SELECT lane, rk, doc_id, score, n_hit, TRUE AS snaps_ok
+         |FROM r WHERE rk <= 10 ORDER BY lane, rk""".stripMargin,
+    // Maintenance-sweep gate: the post-sweep text index is a fresh
+    // full-corpus build (the sweep's rebuild trigger fired), so the
+    // oracle is the full-corpus BM25 replay; the report booleans are
+    // Spark-side assertions.
+    "q_index_maintenance_gate" ->
+      s"""SELECT t.*, TRUE AS text_fired_ok, TRUE AS mh_held_ok,
+         |       TRUE AS tomb_applied_ok
+         |FROM (
+         |WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit
+         |FROM r ORDER BY rk
+         |) t""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
         |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),

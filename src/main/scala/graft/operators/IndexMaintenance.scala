@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-call maintenance sweep over a fleet of persisted indexes — the
+  * entry point a cluster scheduler runs at a fixed cadence so the
+  * self-applying lifecycle knobs actually get applied: each registered
+  * index is probed with its family's [[RebuildTrigger]] first (a rebuild
+  * commits a fresh generation and retires streams + tombstones wholesale,
+  * so a due rebuild subsumes the compaction check) and its
+  * [[CompactionTrigger]] otherwise. Every probe is the family's own
+  * `maybeRebuild` / `maybeCompact` — the sweep adds NO second copy of any
+  * trigger arithmetic, it only sequences the existing single-index knobs
+  * and reports what fired.
+  *
+  * Cost model (the reason a sweep is safe to run often): a probe that
+  * holds off costs a handful of segment-count aggregates per index —
+  * column-pruned counts, no corpus scan. The O(corpus) work (a retrain,
+  * a fold) happens only when the measured trigger says it is due, which
+  * is exactly the contract each knob already had alone. Rebuild corpora
+  * are passed as thunks: the probe may build the DataFrame (plan
+  * construction only), but its data is scanned ONLY when a retrain
+  * actually fires — registering a 100 TB corpus costs nothing on a
+  * quiet sweep.
+  *
+  * Failure isolation: one index's failed mutation (e.g. a lost
+  * single-writer race on the generation file — sweeps may run
+  * concurrently with ingest) is reported as `failed` on its row and the
+  * sweep moves on; every index's manifest commit is atomic, so a failed
+  * sweep row never leaves that index inconsistent, and the next sweep
+  * retries it.
+  */
+object IndexMaintenance {
+
+  /** An index registered for maintenance: its dir plus the family-shaped
+    * knobs. `corpus` thunks supply the CURRENT corpus a due rebuild
+    * retrains over; families without a fitted model (minhash) take none
+    * and never rebuild. */
+  sealed trait Registration {
+    def dir: String
+    def family: String
+  }
+
+  final case class MinhashIndex(
+      dir: String,
+      compactRatio: Double = 0.01,
+      streamRatio: Double = 0.25) extends Registration {
+    def family: String = "minhash"
+  }
+
+  final case class SemanticIndex(
+      dir: String,
+      corpus: () => DataFrame,
+      k: Int = 8,
+      rounds: Int = 2,
+      threshold: Double = 0.4,
+      quantScale: Int = 4096,
+      rebuildRatio: Double = 0.5,
+      compactRatio: Double = 0.01,
+      streamRatio: Double = 0.25) extends Registration {
+    def family: String = "semantic"
+  }
+
+  final case class IvfIndex(
+      dir: String,
+      corpus: () => DataFrame,
+      nlist: Int = 8,
+      iters: Int = 2,
+      rebuildRatio: Double = 0.5,
+      compactRatio: Double = 0.01,
+      streamRatio: Double = 0.25) extends Registration {
+    def family: String = "ivf"
+  }
+
+  final case class IvfPqIndex(
+      dir: String,
+      corpus: () => DataFrame,
+      nlist: Int = 8,
+      iters: Int = 2,
+      m: Int = 8,
+      dim: Int = 64,
+      pqNlist: Int = 16,
+      pqIters: Int = 2,
+      rebuildRatio: Double = 0.5,
+      compactRatio: Double = 0.01,
+      streamRatio: Double = 0.25) extends Registration {
+    def family: String = "ivfpq"
+  }
+
+  final case class TextIndexReg(
+      dir: String,
+      corpus: () => DataFrame,
+      growthRatio: Double = 0.5,
+      driftRatio: Double = 0.2,
+      compactRatio: Double = 0.01,
+      streamRatio: Double = 0.25) extends Registration {
+    def family: String = "text"
+  }
+
+  /** What one sweep did to one index. `generation` is the live manifest
+    * generation AFTER the sweep (0 = still legacy/unbuilt). */
+  final case class Report(
+      dir: String,
+      family: String,
+      rebuilt: Boolean,
+      compacted: Boolean,
+      generation: Long,
+      failed: Option[String])
+
+  /** Probe every registered index once, in order; apply whatever its
+    * triggers say is due. Returns one [[Report]] per registration. */
+  def sweep(spark: SparkSession, indexes: Seq[Registration]): Seq[Report] =
+    indexes.map { reg =>
+      try {
+        val rebuilt = reg match {
+          case r: SemanticIndex =>
+            Dedup.semanticIndexMaybeRebuild(
+              r.corpus(), r.dir, r.k, r.rounds, r.threshold, r.quantScale, r.rebuildRatio)
+          case r: IvfIndex =>
+            SimilaritySearch.ivfIndexMaybeRebuild(
+              r.corpus(), r.dir, r.nlist, r.iters, r.rebuildRatio)
+          case r: IvfPqIndex =>
+            SimilaritySearch.ivfPqIndexMaybeRebuild(
+              r.corpus(), r.dir, r.nlist, r.iters, r.m, r.dim,
+              r.pqNlist, r.pqIters, r.rebuildRatio)
+          case r: TextIndexReg =>
+            TextSearchIndex.maybeRebuild(r.corpus(), r.dir, r.growthRatio, r.driftRatio)
+          case _: MinhashIndex => false
+        }
+        val compacted = !rebuilt && (reg match {
+          case r: MinhashIndex =>
+            Dedup.minhashIndexMaybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
+          case r: SemanticIndex =>
+            Dedup.semanticIndexMaybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
+          case r: IvfIndex =>
+            SimilaritySearch.ivfIndexMaybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
+          case r: IvfPqIndex =>
+            SimilaritySearch.ivfPqIndexMaybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
+          case r: TextIndexReg =>
+            TextSearchIndex.maybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
+        })
+        val gen = IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)
+        Report(reg.dir, reg.family, rebuilt, compacted, gen, None)
+      } catch {
+        case e: Throwable =>
+          val gen = try IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)
+            catch { case _: Throwable => -1L }
+          Report(reg.dir, reg.family, rebuilt = false, compacted = false, gen,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
+    }
+}

@@ -125,31 +125,66 @@ private[graft] object IndexManifest {
       kv.collect { case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v })
   }
 
+  /** Generations retained per index: the live one plus this many
+    * predecessors — BOTH the manifest file and every segment dir it
+    * references survive that long, so (a) a reader that resolved its
+    * state just before a concurrent compaction's GC keeps scanning real
+    * files instead of dying mid-query (readers never block; this is what
+    * makes that safe), and (b) [[readAt]] can pin the previous
+    * generation: reproduce yesterday's search after a rebuild retrained
+    * the model, audit exactly what a compaction folded. The disk cost is
+    * one extra base copy between lifecycle mutations — the standard
+    * snapshot-retention trade; raise it for longer time travel, never
+    * below 1 (a reader mid-scan at the commit instant needs the
+    * outgoing generation intact). */
+  val RetainedPriorGenerations = 1
+
+  private def genNumbers(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$Dir")
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir).flatMap(st =>
+        st.getPath.getName match {
+          case GenFile(g) => Some(g.toLong)
+          case _ => None
+        }).toSeq.sorted
+  }
+
+  private def readGen(fs: FileSystem, root: String, gen: Long): Option[State] = {
+    val p = genPath(root, gen)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        Some(parse(new String(bytes.toByteArray, UTF_8)))
+      } finally in.close()
+    }
+  }
+
   /** The committed state, or None when the index carries no manifest
     * (legacy layout or nothing built yet). Readers take the highest
     * generation — a half-written `.tmp-` stage file never matches. */
   def read(spark: SparkSession, root: String): Option[State] = {
-    val dir = new Path(s"$root/$Dir")
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) None
-    else {
-      val gens = fs.listStatus(dir).flatMap(st =>
-        st.getPath.getName match {
-          case GenFile(g) => Some(g.toLong)
-          case _ => None
-        })
-      if (gens.isEmpty) None
-      else {
-        val p = genPath(root, gens.max)
-        val in = fs.open(p)
-        try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
-          Some(parse(new String(bytes.toByteArray, UTF_8)))
-        } finally in.close()
-      }
-    }
+    val fs = fsOf(spark, new Path(root))
+    genNumbers(fs, root).lastOption.flatMap(readGen(fs, root, _))
   }
+
+  /** The generations currently pinnable by [[readAt]], oldest first —
+    * the live one and up to [[RetainedPriorGenerations]] predecessors
+    * (older manifests and their segments are GC'd at commit). */
+  def snapshots(spark: SparkSession, root: String): Seq[Long] =
+    genNumbers(fsOf(spark, new Path(root)), root)
+
+  /** Pin a specific retained generation — the time-travel read: the
+    * returned state's segment dirs are exactly the files that generation
+    * committed, immutable since (mutations only ever ADD dirs and swap
+    * the manifest pointer). None when that generation has been GC'd (or
+    * never existed): snapshot reads are explicitly bounded by the
+    * retention window, never silently redirected to another state. */
+  def readAt(spark: SparkSession, root: String, gen: Long): Option[State] =
+    readGen(fsOf(spark, new Path(root)), root, gen)
 
   /** The live state: the committed manifest, else the family's legacy
     * fixed-name layout at generation 0. */
@@ -190,13 +225,22 @@ private[graft] object IndexManifest {
   }
 
   /** Drop every segment dir that matches a family name (legacy or any
-    * generation) but is not referenced by the live state, and thin the
-    * manifest history to the last two generations. Best-effort: a crash
-    * here just leaves orphans for the next commit's sweep. */
+    * generation) but is not referenced by a RETAINED manifest (the live
+    * one plus [[RetainedPriorGenerations]] predecessors — keeping the
+    * prior generation's segments is what makes [[readAt]] snapshots and
+    * in-flight readers safe across this very GC), and thin the manifest
+    * history to the retained window. Best-effort: a crash here just
+    * leaves orphans for the next commit's sweep. Legacy (manifest-less)
+    * dirs are the one exception: no gen-0 manifest exists to pin them,
+    * so a migration commit sweeps them immediately. */
   private def gc(spark: SparkSession, root: String, live: State, layout: Layout): Unit = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val referenced = live.tables.values.toSet + live.stream + live.tombstones
+    val oldestKept = live.generation - RetainedPriorGenerations
+    val retained = live +: (oldestKept until live.generation)
+      .flatMap(g => readGen(fs, root, g))
+    val referenced = retained
+      .flatMap(s => s.tables.values.toSet + s.stream + s.tombstones).toSet
     val legacyNames = layout.names.toSet
     val genPattern =
       ("^(?:" + layout.names.map(java.util.regex.Pattern.quote).mkString("|") + ")-g\\d+$").r
@@ -209,7 +253,7 @@ private[graft] object IndexManifest {
     val mdir = new Path(s"$root/$Dir")
     fs.listStatus(mdir).foreach { st =>
       st.getPath.getName match {
-        case GenFile(g) if g.toLong < live.generation - 1 => fs.delete(st.getPath, false)
+        case GenFile(g) if g.toLong < oldestKept => fs.delete(st.getPath, false)
         case n if n.startsWith(".tmp-") => fs.delete(st.getPath, false)
         case _ => ()
       }

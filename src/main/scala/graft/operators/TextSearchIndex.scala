@@ -156,9 +156,17 @@ object TextSearchIndex {
     * applied (consumers drop them AFTER term pruning). Full width
     * including `positions`; scoring consumers project it away and the
     * columnar scan never reads it. */
-  private def livePostings(spark: SparkSession, dir: String): DataFrame = {
+  private def livePostings(spark: SparkSession, dir: String): DataFrame =
+    postingsAt(spark, dir, state(spark, dir))
+
+  /** The postings a given manifest state names — [[livePostings]] is this
+    * at the live state; [[searchAsOf]] passes a pinned snapshot state
+    * instead (same plan, older files). */
+  private def postingsAt(
+      spark: SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame = {
     import org.apache.spark.sql.types._
-    val st = state(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -351,9 +359,36 @@ object TextSearchIndex {
     * literals. Identical scoring expression tree and summation contract
     * as [[TextIndex.bm25TopK]] — a freshly-built index reproduces it
     * bit-for-bit. */
-  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
+    searchState(spark, dir, state(spark, dir), terms, k)
+
+  /** [[search]] pinned to a RETAINED manifest generation
+    * ([[IndexManifest.readAt]]) — the time-travel read: reproduce the
+    * ranking a past generation served (its frozen stats, its postings,
+    * its pending tombstones) after a rebuild or compaction moved the
+    * live index on. Fails loudly when the generation has left the
+    * retention window: a snapshot query must never silently answer from
+    * a different state. */
+  def searchAsOf(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k: Int,
+      generation: Long): DataFrame = {
+    val st = IndexManifest.readAt(spark, dir, generation).getOrElse(
+      sys.error(
+        s"text index at $dir retains no generation-$generation manifest " +
+          s"(snapshots: ${IndexManifest.snapshots(spark, dir).mkString(",")})"))
+    searchState(spark, dir, st, terms, k)
+  }
+
+  private def searchState(
+      spark: SparkSession,
+      dir: String,
+      st: IndexManifest.State,
+      terms: Seq[String],
+      k: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    val st = state(spark, dir)
     val statsRow = spark.read.parquet(st.tableDir(dir, "stats")).head()
     val nDocs = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)
@@ -368,7 +403,7 @@ object TextSearchIndex {
           StructField("score", DoubleType),
           StructField("n_hit", LongType))))
     val hits = Tombstones.drop(
-      livePostings(spark, dir).filter(col("tok").isin(terms: _*)),
+      postingsAt(spark, dir, st).filter(col("tok").isin(terms: _*)),
       dir, "doc_id", st.tombstones)
     val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
     hits

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract of the one-call [[IndexMaintenance.sweep]]: each registered
+  * index is probed with its own family triggers (rebuild first — a
+  * retrain subsumes the compaction — then compaction), quiet indexes are
+  * untouched, a due knob fires exactly as it would standalone, and one
+  * index's failure is isolated to its report row. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base + " vector stream filter"),
+    (2L, "completely different content about spark query engines and vector execution"),
+    (3L, base + " filter probe"),
+    (4L, "vector vector stream filter table scan"),
+    (5L, base + " table stream")
+  ).toDF("doc_id", "text")
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 0.9f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-maint-$tag").toString
+
+  private def gen(idx: String): Long =
+    IndexManifest.read(spark, idx).map(_.generation).getOrElse(0L)
+
+  test("quiet fleet: nothing fires, generations unchanged, corpus unscanned") {
+    val txt = tmp("quiet-text")
+    val mh = tmp("quiet-mh")
+    val ivf = tmp("quiet-ivf")
+    TextSearchIndex.build(docs, txt)
+    Dedup.minhashIndexBuild(docs, mh)
+    SimilaritySearch.ivfIndexBuild(vecs, ivf, nlist = 2, iters = 1)
+    val gens = Seq(txt, mh, ivf).map(gen)
+    // a corpus thunk whose SCAN would blow up: a quiet probe must never
+    // force data through it (plan construction alone is fine)
+    val poisoned = () => docs.filter(
+      udf(() => sys.error("corpus scanned on a quiet sweep"): Boolean).apply())
+    val reports = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(txt, poisoned),
+      IndexMaintenance.MinhashIndex(mh),
+      IndexMaintenance.IvfIndex(ivf, poisoned, nlist = 2, iters = 1)))
+    assert(reports.forall(r => !r.rebuilt && !r.compacted && r.failed.isEmpty))
+    assert(Seq(txt, mh, ivf).map(gen) === gens)
+  }
+
+  test("due knobs fire inside the sweep exactly as standalone: text rebuild " +
+    "(growth past ratio), minhash compaction (delete wave), ivf hold") {
+    val txt = tmp("due-text")
+    val mh = tmp("due-mh")
+    val ivf = tmp("due-ivf")
+    TextSearchIndex.build(docs.filter(col("doc_id") % 2 === 0), txt)
+    TextSearchIndex.append(docs.filter(col("doc_id") % 2 === 1), txt) // growth ≈ 1.0
+    Dedup.minhashIndexBuild(docs, mh)
+    Dedup.minhashIndexDelete(docs.select("doc_id").filter(col("doc_id") % 2 === 0), mh) // 50%
+    SimilaritySearch.ivfIndexBuild(vecs, ivf, nlist = 2, iters = 1)
+    val (tg, mg, ig) = (gen(txt), gen(mh), gen(ivf))
+    val reports = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(txt, () => docs, growthRatio = 0.5),
+      IndexMaintenance.MinhashIndex(mh),
+      IndexMaintenance.IvfIndex(ivf, () => vecs, nlist = 2, iters = 1)))
+    val byDir = reports.map(r => r.dir -> r).toMap
+    assert(byDir(txt).rebuilt && !byDir(txt).compacted && gen(txt) === tg + 1)
+    assert(byDir(txt).generation === tg + 1, "report carries the post-sweep generation")
+    assert(!byDir(mh).rebuilt && byDir(mh).compacted && gen(mh) === mg + 1)
+    assert(!byDir(ivf).rebuilt && !byDir(ivf).compacted && gen(ivf) === ig)
+    // post-rebuild text state is a fresh full-corpus build
+    val fresh = tmp("due-fresh")
+    TextSearchIndex.build(docs, fresh)
+    def top(d: String) = TextSearchIndex.search(spark, d, Seq("vector", "stream"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top(txt) === top(fresh))
+    // the compacted minhash retired its tombstones and keeps masking
+    val live = Dedup.minhashIndexRows(spark, mh)
+      .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(live.forall(_ % 2 == 1))
+    // a second sweep is a no-op: the knobs restored their invariants
+    val again = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(txt, () => docs, growthRatio = 0.5),
+      IndexMaintenance.MinhashIndex(mh),
+      IndexMaintenance.IvfIndex(ivf, () => vecs, nlist = 2, iters = 1)))
+    assert(again.forall(r => !r.rebuilt && !r.compacted && r.failed.isEmpty))
+  }
+
+  test("failure isolation: a broken registration reports failed and the " +
+    "sweep continues to the rest") {
+    val broken = tmp("broken") // an empty dir: no stats table to probe
+    val mh = tmp("iso-mh")
+    Dedup.minhashIndexBuild(docs, mh)
+    Dedup.minhashIndexDelete(docs.select("doc_id").filter(col("doc_id") % 2 === 0), mh)
+    val mg = gen(mh)
+    val reports = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(broken, () => docs),
+      IndexMaintenance.MinhashIndex(mh)))
+    assert(reports.head.failed.nonEmpty, "probing a dir with no index must fail loudly")
+    assert(!reports.head.rebuilt && !reports.head.compacted)
+    assert(reports(1).failed.isEmpty && reports(1).compacted && gen(mh) === mg + 1,
+      "the failure must not stop the rest of the fleet")
+  }
+}

@@ -61,8 +61,19 @@ class IndexManifestSpec extends SparkSpec {
     assert(gen(idx) === 2L)
     assert(rows() === live)
     assert(!rows().exists(_._2 == 999L), "the garbage rows must be gone")
+    // snapshot retention: the outgoing generation's segments survive ONE
+    // commit (readers mid-scan + readAt time travel), then the next
+    // commit's GC sweeps them
+    assert(new java.io.File(s"$idx/${IndexManifest.genName("index", 1L)}").exists(),
+      "gen-1 base must be RETAINED after the gen-2 commit (snapshot window)")
+    assert(IndexManifest.readAt(spark, idx, 1L).exists(_.generation == 1L))
+    Dedup.minhashIndexDelete(Seq(1L).toDF("doc_id"), idx)
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(gen(idx) === 3L)
     assert(!new java.io.File(s"$idx/${IndexManifest.genName("index", 1L)}").exists(),
-      "gen-1 base must be GC'd after the gen-2 commit")
+      "gen-1 base must be GC'd once it leaves the retention window")
+    assert(IndexManifest.readAt(spark, idx, 1L).isEmpty,
+      "an expired snapshot reads as None, never a redirect")
   }
 
   test("semantic: garbage next-gen survivors without a manifest bump are invisible") {
@@ -124,8 +135,13 @@ class IndexManifestSpec extends SparkSpec {
     SimilaritySearch.ivfPqIndexCompact(spark, idx)
     assert(gen(idx) === 2L)
     assert(res() === live)
-    assert(!new java.io.File(s"$idx/${IndexManifest.genName("vectors", 1L)}").exists())
-    assert(!new java.io.File(s"$idx/${IndexManifest.genName("codes", 1L)}").exists())
+    // both gen-1 tables sit inside the retention window after the gen-2
+    // commit — the snapshot keeps the PAIR, never a mixed half
+    assert(new java.io.File(s"$idx/${IndexManifest.genName("vectors", 1L)}").exists())
+    assert(new java.io.File(s"$idx/${IndexManifest.genName("codes", 1L)}").exists())
+    val snap = IndexManifest.readAt(spark, idx, 1L).get
+    assert(snap.tables("vectors") === IndexManifest.genName("vectors", 1L))
+    assert(snap.tables("codes") === IndexManifest.genName("codes", 1L))
   }
 
   test("legacy manifest-less index resolves fixed names; first mutation migrates and GCs them") {

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Snapshot (time-travel) contract of the [[IndexManifest]] retention
+  * window: the outgoing generation's manifest AND segment dirs survive
+  * exactly [[IndexManifest.RetainedPriorGenerations]] further commits, so
+  * a pinned [[TextSearchIndex.searchAsOf]] reproduces the old ranking
+  * after a rebuild, an in-flight reader that resolved its state just
+  * before a concurrent compaction keeps scanning real files, and an
+  * EXPIRED generation fails loudly instead of answering from the wrong
+  * state. */
+class IndexSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base + " vector stream filter"),
+    (2L, "completely different content about spark query engines and vector execution"),
+    (3L, base + " filter probe"),
+    (4L, "vector vector stream filter table scan"),
+    (5L, base + " table stream")
+  ).toDF("doc_id", "text")
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 0.9f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-snapshot-$tag").toString
+
+  private val terms = Seq("vector", "stream", "filter")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+  test("searchAsOf reproduces the pre-rebuild ranking; live search moves on") {
+    val idx = tmp("text")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    TextSearchIndex.build(even, idx)
+    val g1 = IndexManifest.read(spark, idx).get.generation
+    val before = rows(TextSearchIndex.search(spark, idx, terms, 10))
+    TextSearchIndex.build(docs, idx) // rebuild: new corpus AND new frozen stats
+    assert(rows(TextSearchIndex.searchAsOf(spark, idx, terms, 10, g1)) === before,
+      "the pinned generation must serve its own postings and frozen stats")
+    val fresh = tmp("text-fresh")
+    TextSearchIndex.build(docs, fresh)
+    assert(rows(TextSearchIndex.search(spark, idx, terms, 10)) ===
+      rows(TextSearchIndex.search(spark, fresh, terms, 10)),
+      "the live search answers under the rebuilt full-corpus state")
+    assert(IndexManifest.snapshots(spark, idx) === Seq(g1, g1 + 1))
+  }
+
+  test("a snapshot pins pending tombstones too: asOf before a compaction " +
+    "sees the delete logically, not physically") {
+    val idx = tmp("text-del")
+    TextSearchIndex.build(docs, idx)
+    TextSearchIndex.delete(Seq(4L).toDF("doc_id"), idx)
+    val g1 = IndexManifest.read(spark, idx).get.generation
+    val withPending = rows(TextSearchIndex.search(spark, idx, terms, 10))
+    assert(!withPending.exists(_._2 == 4L))
+    TextSearchIndex.compact(spark, idx) // applies the tombstone physically
+    assert(rows(TextSearchIndex.searchAsOf(spark, idx, terms, 10, g1)) === withPending,
+      "the old generation still anti-joins its own tombstone segment")
+    assert(rows(TextSearchIndex.search(spark, idx, terms, 10)) === withPending,
+      "compaction changes no answers")
+  }
+
+  test("an expired generation errors loudly and names the retained window") {
+    val idx = tmp("text-exp")
+    TextSearchIndex.build(docs.filter(col("doc_id") % 2 === 0), idx)
+    val g1 = IndexManifest.read(spark, idx).get.generation
+    TextSearchIndex.build(docs.filter(col("doc_id") % 3 === 0), idx)
+    TextSearchIndex.build(docs, idx) // g1 now outside the retention window
+    val err = intercept[RuntimeException] {
+      TextSearchIndex.searchAsOf(spark, idx, terms, 10, g1)
+    }
+    assert(err.getMessage.contains("retains no generation"))
+    assert(err.getMessage.contains(s"${g1 + 1},${g1 + 2}"),
+      "the error must list what IS retained")
+    assert(IndexManifest.readAt(spark, idx, g1).isEmpty)
+  }
+
+  test("family-agnostic: a reader's resolved state survives one concurrent " +
+    "compaction (segments intact), expires after two") {
+    val idx = tmp("ivf")
+    SimilaritySearch.ivfIndexBuild(vecs, idx, nlist = 2, iters = 1)
+    val layout = IndexManifest.Layouts.ivf
+    val pinned = IndexManifest.resolve(spark, idx, layout) // the in-flight reader
+    val pinnedRows = spark.read.parquet(pinned.tableDir(idx, "vectors")).count()
+    // concurrent mutation: delete + compact commits the next generation
+    SimilaritySearch.indexDelete(Seq(4L).toDF("vec_id"), idx)
+    SimilaritySearch.ivfIndexCompact(spark, idx)
+    assert(spark.read.parquet(pinned.tableDir(idx, "vectors")).count() === pinnedRows,
+      "the reader's files must still exist after the commit's GC")
+    // a second mutation pushes the pinned generation out of the window
+    SimilaritySearch.indexDelete(Seq(3L).toDF("vec_id"), idx)
+    SimilaritySearch.ivfIndexCompact(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pinned.tableDir(idx, "vectors"))),
+      "segments leave disk only when their generation leaves the retention window")
+  }
+}
