@@ -3011,6 +3011,48 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
+      // Recall-targeted auto-nprobe — the self-applying-knob discipline
+      // (filteredTopKAuto, maybeCompact, maybeRebuild) applied to the ANN
+      // lane's last hand-set parameter: ivfIndexCalibrate measures the
+      // recall/nprobe curve on a deterministic sample vs the all-cells
+      // exact answer and rides it on the manifest as props (a metadata-
+      // only commit); ivfIndexSearchAuto then serves any stated recall
+      // target at the cheapest measured width. Emitted rows: the
+      // target-1.0 lane, which BY THE CHOICE RULE probes all cells —
+      // provably exact, so DuckDB replays it as brute-force cosine.
+      // Booleans: measured recall monotone in nprobe, the ≥1.0 target
+      // guard (a sampled 1.0 below nlist is an estimate, never trusted
+      // for an exactness request), the sub-exact pick = the curve's
+      // argmin, and the auto lane bit-equal to the directly-invoked
+      // width it picked.
+      "q_ann_ivf_auto_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("ivf-auto-gate")
+        SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
+        val curve = SimilaritySearch.ivfIndexCalibrate(s, idx, k = 10, nSample = 16)
+        val widths = curve.keys.toSeq.sorted
+        val monotoneOk = widths.zip(widths.drop(1)).forall { case (a, b) =>
+          curve(a) <= curve(b) + 1e-9
+        }
+        val guardOk =
+          SimilaritySearch.ivfIndexChooseNprobe(s, idx, 10, 1.0) == widths.max
+        val np = SimilaritySearch.ivfIndexChooseNprobe(s, idx, 10, 0.5)
+        val pickOk = np == widths.find(w => curve(w) >= 0.5).getOrElse(widths.max)
+        val queries = e.filter(col("vec_id") < 8)
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val laneOk =
+          rows(SimilaritySearch.ivfIndexSearchAuto(s, idx, queries, 10, 0.5)) ==
+            rows(SimilaritySearch.ivfIndexSearch(s, idx, queries, 10, np))
+        SimilaritySearch.ivfIndexSearchAuto(s, idx, queries, 10, targetRecall = 1.0)
+          .withColumn("curve_ok", lit(monotoneOk))
+          .withColumn("guard_ok", lit(guardOk))
+          .withColumn("pick_ok", lit(pickOk))
+          .withColumn("lane_ok", lit(laneOk))
+          .orderBy("q_id", "rank")
+      }),
+
       // ANN: SRP-LSH bucketed + query-directed multiprobe (scale path).
       // Fully oracled since round 6: the mask costs are fixed-order IEEE
       // |projection| sums and the probe order is (cost, mask)-ascending on
@@ -4657,6 +4699,60 @@ object SparkEntry {
           .orderBy("rk")
       }),
 
+      // Atomic replace (upsert) on the persisted text index: ONE manifest
+      // commit retires a document's old postings and serves its new ones —
+      // a reader sees entirely the old corpus or entirely the new one,
+      // never the missing/doubled window a delete-then-append composition
+      // leaves open — and the sanctioned re-add of a deleted id
+      // (generation-scoped tombstones: the replacement segment commits
+      // ABOVE the delete's scope, so only the OLD copies stay hidden).
+      // Build on the evens (freezing their stats), delete doc_id % 10 = 2,
+      // upsert doc_id % 10 = 4 (live replace) ∪ doc_id % 20 = 2
+      // (resurrection) with ' upsertmarker upsertmarker' appended. Emitted
+      // rows: the post-upsert top-10 under the frozen even stats, DuckDB-
+      // recomputed over the replaced corpus; booleans assert the single
+      // generation bump, the marker hit set == the upserted set (old
+      // copies fully retired, new fully serving), deleted-not-upserted ids
+      // still retracted, and compaction preserving all of it.
+      "q_text_index_upsert_gate" -> ((s, dir) => {
+        import graft.operators.TextSearchIndex
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("text-upsert-gate")
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        TextSearchIndex.build(even, idx)
+        def genOf(): Long =
+          graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        TextSearchIndex.delete(docs.select("doc_id").filter(col("doc_id") % 10 === 2), idx)
+        val g1 = genOf()
+        val upserts = even
+          .filter(col("doc_id") % 10 === 4 || col("doc_id") % 20 === 2)
+          .withColumn("text", concat(col("text"), lit(" upsertmarker upsertmarker")))
+        TextSearchIndex.upsert(upserts, idx)
+        val atomicOk = genOf() == g1 + 1
+        val upsertIds = upserts.select("doc_id").collect().map(_.getLong(0)).toSet
+        def hitDocs(terms: Seq[String]): Set[Long] =
+          TextSearchIndex.search(s, idx, terms, 1000000).collect()
+            .map(_.getLong(1)).toSet
+        val markerHits = hitDocs(Seq("upsertmarker"))
+        val replaceOk = markerHits == upsertIds
+        val resurrectOk =
+          !hitDocs(Bm25Terms).exists(id => id % 10 == 2 && id % 20 != 2)
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        val top10 = rows(TextSearchIndex.search(s, idx, Bm25Terms, 10))
+        TextSearchIndex.compact(s, idx)
+        val compactOk = rows(TextSearchIndex.search(s, idx, Bm25Terms, 10)) == top10 &&
+          hitDocs(Seq("upsertmarker")) == markerHits
+        import s.implicits._
+        top10.toDF("rk", "doc_id", "score", "n_hit")
+          .withColumn("atomic_ok", lit(atomicOk))
+          .withColumn("replace_ok", lit(replaceOk))
+          .withColumn("resurrect_ok", lit(resurrectOk))
+          .withColumn("compact_ok", lit(compactOk))
+          .orderBy("rk")
+      }),
+
       // Streaming TEXT query serving — the BM25 lane's q_serve_stream_gate:
       // term-set queries drain through serveTextAvailableNow against the
       // prebuilt postings artifact (the EXACT batch searchTerms operator,
@@ -4868,6 +4964,57 @@ object SparkEntry {
           .withColumn("mh_held_ok", lit(heldOk))
           .withColumn("tomb_applied_ok", lit(maskedOk))
           .orderBy("rk")
+      }),
+
+      // Read-only fleet fsck — the structural audit a serving tier runs
+      // before blaming its indexes: a healthy two-family fleet audits ok
+      // at generation 1; planted crash DEBT (an orphan next-generation
+      // dir + a stale manifest staging file — exactly what the recovery
+      // contract promises to leave and GC later) is surfaced without
+      // failing the verdict; real DAMAGE (the live minhash meta table
+      // deleted out from under the manifest) flips ok to false with the
+      // missing table named. The audit never mutates: generations are
+      // unchanged throughout. n_docs replayed by DuckDB.
+      "q_index_fsck_gate" -> ((s, dir) => {
+        import s.implicits._
+        import graft.operators.{IndexMaintenance => IM, IndexManifest, TextSearchIndex}
+        val docs = Tables.documents(s, dir)
+        val root = sessionIndexDir("fsck-gate")
+        val (txt, mh) = (s"$root/text", s"$root/mh")
+        TextSearchIndex.build(docs, txt)
+        Dedup.minhashIndexBuild(docs, mh)
+        val regs = Seq(IM.TextIndexReg(txt, () => docs), IM.MinhashIndex(mh))
+        def genOf(d: String): Long =
+          IndexManifest.read(s, d).map(_.generation).getOrElse(0L)
+        val gens = Seq(txt, mh).map(genOf)
+        val healthy = IM.fsck(s, regs).map(_._2)
+        val healthyOk = healthy.forall(a => a.ok && !a.unbuilt && a.orphans.isEmpty)
+        // crash debt: orphan next-gen dir + stale staging file on the text
+        // index — reported, verdict stays ok
+        val orphan = IndexManifest.genName("postings-stream", 9)
+        Seq((0L, 1L)).toDF("a", "b").write.mode("overwrite").parquet(s"$txt/$orphan")
+        new java.io.File(s"$txt/manifest").mkdirs()
+        new java.io.File(s"$txt/manifest/.tmp-gen-9").createNewFile()
+        val debt = IM.fsck(s, Seq(regs.head)).head._2
+        val debtOk = debt.ok && debt.orphans == Seq(orphan) && debt.staleTmp == 1
+        // real damage: the live minhash meta table vanishes → not ok
+        val meta = IndexManifest.liveTableDir(s, mh, IndexManifest.Layouts.minhash, "meta")
+        val mp = new org.apache.hadoop.fs.Path(meta)
+        mp.getFileSystem(s.sessionState.newHadoopConf()).delete(mp, true)
+        val damaged = IM.fsck(s, Seq(regs(1))).head._2
+        val damagedOk = !damaged.ok && damaged.missingTables.nonEmpty
+        val readOnlyOk = Seq(txt, mh).map(genOf) == gens
+        // restore the fleet for the next run of this shared session dir
+        Dedup.minhashIndexBuild(docs, mh)
+        val fs = new org.apache.hadoop.fs.Path(s"$txt/$orphan")
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(s"$txt/$orphan"), true)
+        new java.io.File(s"$txt/manifest/.tmp-gen-9").delete()
+        docs.agg(count(lit(1)).cast("long").as("n_docs"))
+          .withColumn("healthy_ok", lit(healthyOk))
+          .withColumn("debt_ok", lit(debtOk))
+          .withColumn("damaged_ok", lit(damagedOk))
+          .withColumn("read_only_ok", lit(readOnlyOk))
       }),
 
       "q_minhash_index_delete_gate" -> ((s, dir) => {
@@ -7173,6 +7320,24 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
         |      FROM s)
         |SELECT q_id, n_id, rank, sim FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // Auto-nprobe gate: the emitted lane is target-recall 1.0, which the
+    // choice rule maps to the all-cells sweep — exact by construction, so
+    // the oracle is the brute-force cosine replay; the calibration-curve
+    // and pick assertions are Spark-side booleans.
+    "q_ann_ivf_auto_gate" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, rank, sim, TRUE AS curve_ok, TRUE AS guard_ok,
+        |       TRUE AS pick_ok, TRUE AS lane_ok
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Delete-lifecycle gate: n_exact recomputed from the brute-force top-k
     // over the corpus minus the tombstoned ids; the three lifecycle flags
     // are Spark-side assertions (TRUE expected).
@@ -8203,6 +8368,42 @@ object SparkEntry {
          |       doc_id, score, n_hit, TRUE AS parity_ok, TRUE AS append_ok,
          |       TRUE AS retract_ok, TRUE AS compact_ok
          |FROM r ORDER BY rk""".stripMargin,
+    // Upsert gate: the post-replace ranking under the FROZEN even-corpus
+    // stats (g over the ORIGINAL even docs — the build set, pre-replace
+    // text). Live set = evens minus the deleted tenth, the resurrected
+    // doc_id % 20 = 2 back in; upserted ids score under their REPLACED
+    // text (dl is live and exact, only n_docs/sum_dl are frozen). The
+    // booleans are Spark-side assertions.
+    "q_text_index_upsert_gate" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |                    CASE WHEN doc_id % 10 = 4 OR doc_id % 20 = 2
+         |                         THEN text || ' upsertmarker upsertmarker'
+         |                         ELSE text END AS text
+         |             FROM documents WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, $ToksSql AS toks FROM raw
+         |      WHERE doc_id % 10 <> 2 OR doc_id % 20 = 2),
+         |torig AS (SELECT CAST(len($ToksSql) AS BIGINT) AS dl
+         |          FROM documents WHERE doc_id % 2 = 0),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM torig),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit, TRUE AS atomic_ok, TRUE AS replace_ok,
+         |       TRUE AS resurrect_ok, TRUE AS compact_ok
+         |FROM r ORDER BY rk""".stripMargin,
     // PRF term selection: the shared prologue replays the seed BM25 pass,
     // the feedback cut, and the integer nano-unit term weights (the
     // floor(x·10⁹+½) quantization — round(·,9) diverges cross-engine on
@@ -8336,6 +8537,13 @@ object SparkEntry {
          |       doc_id, score, n_hit
          |FROM r ORDER BY rk
          |) t""".stripMargin,
+    // Fleet fsck gate: the audit verdicts are Spark-side assertions over
+    // planted filesystem states; the replayable quantity is the corpus
+    // size the fleet indexes.
+    "q_index_fsck_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS healthy_ok,
+        |       TRUE AS debt_ok, TRUE AS damaged_ok, TRUE AS read_only_ok
+        |FROM documents""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
         |           FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),

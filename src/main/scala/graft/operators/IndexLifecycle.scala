@@ -22,7 +22,18 @@ import org.apache.spark.sql.functions._
   * Contract (identical across families): ids are global — a tombstone
   * hides EVERY row of that id, including rows appended after the delete,
   * until a compaction clears it; re-inserting a deleted id therefore
-  * requires compacting first. Rebuilds start from a fresh segment. The
+  * requires compacting first. One refinement (round 8, text family
+  * pilot): a tombstone may be SCOPED to a generation (`ts_gen`) — it then
+  * hides copies only in segments created at or before that generation,
+  * which is what lets [[TextSearchIndex.upsert]] kill a document's old
+  * copies and commit its replacement in ONE manifest generation (the new
+  * segment's higher generation is immune), and lets a deleted id be
+  * re-added without waiting for a compaction. Families that never upsert
+  * keep the unscoped default (`ts_gen = Long.MaxValue`, "kills every
+  * segment") and their behavior is bit-identical to before; tombstone
+  * rows persisted before the column existed read back as unscoped the
+  * same way (missing column coalesces to MaxValue). Rebuilds start from
+  * a fresh segment. The
   * anti join carries no broadcast hint: AQE broadcasts the segment while
   * it is small (the expected state — compaction bounds it) and degrades
   * to a shuffled anti join rather than a driver OOM if deletes pile up.
@@ -43,17 +54,28 @@ private[graft] object Tombstones {
   }
 
   /** Logical delete: append the ids (first column, cast to long) to the
-    * tombstone segment under a canonical `ts_id` column. */
-  def delete(ids: DataFrame, dir: String, segment: String = DefaultSegment): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("ts_id"))
+    * tombstone segment under a canonical `ts_id` column. `asOfGen` scopes
+    * the tombstone to segments created at or before that generation
+    * (see the contract above); the default MaxValue is the unscoped
+    * "kills every segment, present and future" behavior every family
+    * other than the upserting ones uses. */
+  def delete(
+      ids: DataFrame,
+      dir: String,
+      segment: String = DefaultSegment,
+      asOfGen: Long = Long.MaxValue): Unit =
+    ids.select(
+      col(ids.columns.head).cast("long").as("ts_id"),
+      lit(asOfGen).cast("long").as("ts_gen"))
       .write.mode("append").parquet(s"$dir/$segment")
 
-  /** The tombstone set, or None when the segment doesn't exist or holds
-    * no schema-carrying files (an empty-DataFrame write). Pre-round-7
-    * IVF/IVF×PQ segments wrote the id column as `n_id`; read both
-    * (mergeSchema — the segment is KB-sized) so an index persisted by
-    * the old version keeps its pending deletes instead of throwing on
-    * the renamed column. */
+  /** The tombstone set `(ts_id, ts_gen)`, or None when the segment
+    * doesn't exist or holds no schema-carrying files (an empty-DataFrame
+    * write). Pre-round-7 IVF/IVF×PQ segments wrote the id column as
+    * `n_id`; read both (mergeSchema — the segment is KB-sized) so an
+    * index persisted by the old version keeps its pending deletes
+    * instead of throwing on the renamed column. Rows persisted before
+    * the scope column read back unscoped (`ts_gen = MaxValue`). */
   def read(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -68,7 +90,11 @@ private[graft] object Tombstones {
             coalesce(col("ts_id"), col("n_id"))
           else if (df.columns.contains("ts_id")) col("ts_id")
           else col(df.columns.head)
-        Some(df.select(id.cast("long").as("ts_id")))
+        val gen =
+          if (df.columns.contains("ts_gen"))
+            coalesce(col("ts_gen").cast("long"), lit(Long.MaxValue))
+          else lit(Long.MaxValue)
+        Some(df.select(id.cast("long").as("ts_id"), gen.as("ts_gen")))
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
@@ -85,6 +111,28 @@ private[graft] object Tombstones {
         t.select(col("ts_id").as(idCol)).distinct(),
         Seq(idCol),
         "left_anti"))
+
+  /** [[drop]] honoring tombstone scope: a row from a segment created at
+    * generation `rows(genCol)` is hidden only by tombstones with
+    * `ts_gen >=` that generation — rows in segments committed AFTER a
+    * scoped delete (an upsert's replacement copies, a re-added document)
+    * survive it. Unscoped tombstones (`ts_gen = MaxValue`, every family
+    * without upserts, and all pre-scope persisted rows) hide every
+    * segment, so this degenerates to [[drop]] exactly. Same plan shape:
+    * one anti join, no broadcast hint, applied after pruning. */
+  def dropScoped(
+      rows: DataFrame,
+      dir: String,
+      idCol: String,
+      genCol: String,
+      segment: String = DefaultSegment): DataFrame =
+    read(rows.sparkSession, dir, segment).fold(rows) { t =>
+      val ts = t.groupBy("ts_id").agg(max("ts_gen").as("ts_gen"))
+      rows.join(
+        ts,
+        rows(idCol) === ts("ts_id") && ts("ts_gen") >= rows(genCol),
+        "left_anti")
+    }
 
   def clear(
       spark: org.apache.spark.sql.SparkSession,

@@ -107,6 +107,26 @@ object IndexMaintenance {
       generation: Long,
       failed: Option[String])
 
+  private def layoutOf(family: String): IndexManifest.Layout = family match {
+    case "minhash" => IndexManifest.Layouts.minhash
+    case "semantic" => IndexManifest.Layouts.semantic
+    case "ivf" => IndexManifest.Layouts.ivf
+    case "ivfpq" => IndexManifest.Layouts.ivfpq
+    case "text" => IndexManifest.Layouts.text
+    case other => sys.error(s"unknown index family: $other")
+  }
+
+  /** Structural fsck across the fleet — [[IndexManifest.audit]] per
+    * registration, NEVER mutating: is each index servable (manifest
+    * resolves, live segments present and footer-readable), and how much
+    * crash-recovery debt (orphan dirs, stale staging files) is waiting
+    * for the next commit's GC. The read-only sibling of [[sweep]]: run
+    * it first when a serving tier reports errors, run it after an
+    * incident to confirm the recovery contract actually held. Cost per
+    * index: dir listings + one schema resolution per segment. */
+  def fsck(spark: SparkSession, indexes: Seq[Registration]): Seq[(Registration, IndexManifest.Audit)] =
+    indexes.map(reg => reg -> IndexManifest.audit(spark, reg.dir, layoutOf(reg.family)))
+
   /** Probe every registered index once, in order; apply whatever its
     * triggers say is due. Returns one [[Report]] per registration. */
   def sweep(spark: SparkSession, indexes: Seq[Registration]): Seq[Report] =

@@ -97,6 +97,19 @@ private[graft] object IndexManifest {
 
   def genName(logical: String, gen: Long): String = f"$logical%s-g$gen%03d"
 
+  private val GenSuffix = """.*-g(\d+)$""".r
+
+  /** The generation a segment dir was created at, parsed from its
+    * [[genName]] suffix — legacy fixed-name dirs are generation 0. This
+    * is the scope key for generation-scoped tombstones
+    * ([[Tombstones.dropScoped]]): rows carry their segment's creation
+    * generation, and a scoped delete hides only segments at or below
+    * its `ts_gen`. */
+  def segGen(segmentName: String): Long = segmentName match {
+    case GenSuffix(g) => g.toLong
+    case _ => 0L
+  }
+
   private val Dir = "manifest"
   private val GenFile = """gen-(\d+)\.manifest""".r
 
@@ -223,6 +236,82 @@ private[graft] object IndexManifest {
       sys.error(s"manifest commit failed: rename($tmp, $p) returned false")
     gc(spark, root, state, layout)
   }
+
+  /** What [[audit]] found in one index dir. `ok` is the serving-health
+    * verdict: the live state resolves and every segment it names is
+    * present (logical tables) and footer-readable. Orphans and stale tmp
+    * files are NOT failures — they are exactly what the crash-recovery
+    * contract promises to leave behind and what the next commit's GC
+    * sweeps; the audit surfaces them so an operator can see recovery
+    * debt instead of grepping dir listings. */
+  final case class Audit(
+      generation: Long,
+      unbuilt: Boolean,
+      missingTables: Seq[String],
+      unreadable: Seq[String],
+      orphans: Seq[String],
+      staleTmp: Int) {
+    def ok: Boolean = missingTables.isEmpty && unreadable.isEmpty
+  }
+
+  /** Structural fsck of an index dir — the "is this index servable"
+    * probe a maintenance sweep can run without touching data: manifest
+    * parseability, presence of every live-named logical table
+    * (stream/tombstone segments are optional by contract — and a
+    * present-but-schema-less segment is the documented empty state, not
+    * damage), parquet-footer readability of whatever is present, orphan
+    * family dirs awaiting GC, and stale manifest staging files. Cost:
+    * directory listings plus one footer/schema resolution per present
+    * segment — never a data scan. */
+  def audit(spark: SparkSession, root: String, layout: Layout): Audit = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val states = genNumbers(fs, root).flatMap(readGen(fs, root, _))
+    val live = states.lastOption.getOrElse(layout.legacyState)
+    def existsDir(n: String) = fs.exists(new Path(s"$root/$n"))
+    val unbuilt = states.isEmpty && !layout.tables.exists(existsDir)
+    val missing =
+      if (unbuilt) Seq.empty
+      else live.tables.values.toSeq.distinct.filterNot(existsDir)
+    val present =
+      (live.tables.values.toSet + live.stream + live.tombstones).toSeq.filter(existsDir)
+    val unreadable = present.filter { n =>
+      try { spark.read.parquet(s"$root/$n").schema; false }
+      catch {
+        // no schema-carrying files = the documented empty-segment state
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: Throwable => true
+      }
+    }
+    val referenced =
+      (if (states.isEmpty) Seq(layout.legacyState) else states)
+        .flatMap(s => s.tables.values.toSet + s.stream + s.tombstones).toSet
+    val legacyNames = layout.names.toSet
+    val genPattern =
+      ("^(?:" + layout.names.map(java.util.regex.Pattern.quote).mkString("|") + ")-g\\d+$").r
+    val orphans =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && {
+          val n = st.getPath.getName
+          !referenced(n) && (legacyNames(n) || genPattern.matches(n))
+        })
+        .map(_.getPath.getName).sorted
+    val mdir = new Path(s"$root/$Dir")
+    val staleTmp =
+      if (!fs.exists(mdir)) 0
+      else fs.listStatus(mdir).count(_.getPath.getName.startsWith(".tmp-"))
+    Audit(live.generation, unbuilt, missing, unreadable, orphans, staleTmp)
+  }
+
+  /** Metadata-only commit: publish updated props as a new generation
+    * naming the SAME segment dirs (calibration curves, trained_on
+    * refreshes — anything that annotates the index without touching its
+    * data). The data plane is untouched, in-flight readers unaffected
+    * (every dir stays referenced), and the single-writer guard applies
+    * exactly as for data commits. */
+  def commitProps(spark: SparkSession, root: String, state: State, layout: Layout): Unit =
+    commit(spark, root, state.copy(generation = state.generation + 1), layout)
 
   /** Drop every segment dir that matches a family name (legacy or any
     * generation) but is not referenced by a RETAINED manifest (the live

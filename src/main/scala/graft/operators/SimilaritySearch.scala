@@ -706,6 +706,92 @@ object SimilaritySearch {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Calibrate the recall/nprobe trade on the LIVE index — the
+    * [[filteredTopKAuto]] measure-don't-guess discipline applied to the
+    * ANN lane's one hand-set knob. A deterministic hash-ordered sample of
+    * indexed vectors queries its own index at each probe width (1, 2,
+    * 4, … nlist), measured against the all-cells exact answer, and the
+    * curve rides the manifest as props (`recall.k{k}.np{n}`) via a
+    * metadata-only commit ([[IndexManifest.commitProps]]) so serving
+    * reads it for free. Cost: |widths| probed searches of `nSample`
+    * queries over the already-pruned index — a maintenance probe, not a
+    * serving cost; the curve is a property of the frozen model + corpus
+    * shape, so re-run it at the rebuild cadence (exactly when the model
+    * itself is refit). Returns the measured curve. */
+  def ivfIndexCalibrate(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      k: Int = 10,
+      nSample: Int = 16): Map[Int, Double] = {
+    val st = ivfState(spark, dir)
+    val centroids = readCentroids(spark, dir, st)
+    require(centroids.nonEmpty, s"ivf index at $dir has an empty centroid model")
+    val nlist = centroids.length
+    val sample = indexVectorsOpt(spark, dir) match {
+      case None => return Map.empty
+      case Some(all) =>
+        dropTombstoned(all, spark, dir)
+          .select(col("n_id").as("vec_id"), col("nv").as("embedding"))
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(nSample)
+    }
+    val widths =
+      (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++ Iterator(nlist)).toSeq
+    def resultSets(np: Int): Map[Long, Set[Long]] =
+      ivfIndexSearch(spark, dir, sample, k, np)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = resultSets(nlist)
+    val curve = widths.map { np =>
+      val got = if (np == nlist) truth else resultSets(np)
+      val recalls = truth.toSeq.map { case (q, ts) =>
+        if (ts.isEmpty) 1.0
+        else (got.getOrElse(q, Set.empty[Long]) & ts).size.toDouble / ts.size
+      }
+      np -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
+    }.toMap
+    val annotated = curve.foldLeft(st) { case (s2, (np, r)) =>
+      s2.withProp(s"recall.k$k.np$np", f"$r%.4f")
+    }
+    IndexManifest.commitProps(spark, dir, annotated, IndexManifest.Layouts.ivf)
+    curve
+  }
+
+  /** The smallest calibrated probe width whose measured recall meets
+    * `target`. Targets ≥ 1.0 always select the full sweep (nlist): a
+    * measured 1.0 below it is a sample estimate, only all-cells is a
+    * GUARANTEE — the auto lane never silently under-probes an exactness
+    * request. Loud error on an uncalibrated index: falling back to nlist
+    * would silently serve a full-corpus scan at 100 TB. */
+  def ivfIndexChooseNprobe(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      k: Int,
+      target: Double): Int = {
+    val prefix = s"recall.k$k.np"
+    val curve = ivfState(spark, dir).props.collect {
+      case (key, v) if key.startsWith(prefix) => key.stripPrefix(prefix).toInt -> v.toDouble
+    }
+    require(
+      curve.nonEmpty,
+      s"ivf index at $dir has no recall calibration for k=$k — run ivfIndexCalibrate first")
+    val nlist = curve.keys.max
+    if (target >= 1.0) nlist
+    else curve.toSeq.sortBy(_._1).collectFirst { case (np, r) if r >= target => np }
+      .getOrElse(nlist)
+  }
+
+  /** [[ivfIndexSearch]] with the probe width chosen from the calibrated
+    * recall curve instead of hand-set: callers state the recall they
+    * need, the index serves it at the cheapest measured width. */
+  def ivfIndexSearchAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double = 0.9): DataFrame =
+    ivfIndexSearch(spark, dir, queries, k, ivfIndexChooseNprobe(spark, dir, k, targetRecall))
+
   /** IVF×PQ persisted index (Jégou et al., TPAMI 2011 — the composition an
     * actual 100 TB ANN serving path uses): coarse IVF cells give partition
     * pruning, PQ codes give an 8-byte-per-vector ranking scan, and the

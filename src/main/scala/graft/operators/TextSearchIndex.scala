@@ -8,7 +8,8 @@ import graft.functions.TextFunctions.tokens
 
 /** Persisted inverted text index — the fifth index family under the
   * [[IndexManifest]] lifecycle (build / append / appendStream /
-  * delete(tombstone) / compact / maybeCompact), serving the BM25 lane the
+  * delete(tombstone) / upsert(atomic replace) / compact / maybeCompact),
+  * serving the BM25 lane the
   * way the ANN families serve the vector lane: the corpus is tokenized
   * ONCE into a postings table and every query scans only its own terms'
   * postings, instead of re-tokenizing the corpus per query the way the
@@ -145,15 +146,79 @@ object TextSearchIndex {
     q.awaitTermination()
   }
 
-  /** Logical delete of documents: O(ids) tombstone append; the doc leaves
-    * hit lists AND df counts at the next query ([[Tombstones]]). */
-  def delete(ids: DataFrame, dir: String): Unit =
-    Tombstones.delete(ids, dir, state(ids.sparkSession, dir).tombstones)
+  /** Logical delete of documents: O(ids) tombstone append, SCOPED to the
+    * live generation ([[Tombstones.delete]]'s `asOfGen`) — it hides every
+    * copy in the segments that exist now (base, stream, and rows later
+    * appended into those same dirs), but not copies committed by a LATER
+    * [[upsert]], which is what lets a deleted document be re-added
+    * without waiting for a compaction. The doc leaves hit lists AND df
+    * counts at the next query. */
+  def delete(ids: DataFrame, dir: String): Unit = {
+    val st = state(ids.sparkSession, dir)
+    Tombstones.delete(ids, dir, st.tombstones, asOfGen = st.generation)
+  }
+
+  /** Atomic replace — the mutation a re-crawl pipeline needs: for every
+    * `doc_id` in `batch`, the document's old postings stop serving and
+    * its new postings start serving in ONE [[IndexManifest]] commit (a
+    * reader sees entirely the old corpus or entirely the new one, never
+    * a missing or doubled document — the window a delete-then-append
+    * composition leaves open). Also the sanctioned way to re-add a
+    * previously deleted id. New ids insert.
+    *
+    * Mechanics: the base stays untouched (carried); the batch ids are
+    * tombstoned scoped to the CURRENT generation (kills base copies; the
+    * replacement segment commits at generation+1, out of scope), and the
+    * streamed segment is rewritten without the batch ids and with the
+    * new postings. Cost: O(stream + batch) — the stream is the
+    * compaction-bounded L0, so this is an LSM L0 rewrite, never a base
+    * or corpus rewrite; the frozen stats are untouched (appends/upserts
+    * score under build-time normalization until a rebuild). Pending
+    * tombstones are applied physically to the carried stream rows (their
+    * new segment would otherwise outrank the old scoped deletes) and
+    * carried forward clamped to the current generation — they still hide
+    * base copies, never the new segment. */
+  def upsert(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = state(spark, dir)
+    val statsPath = new org.apache.hadoop.fs.Path(prev.tableDir(dir, "stats"))
+    require(
+      statsPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(statsPath),
+      s"text index at $dir has no frozen stats — build before upserting " +
+        "(scores are normalized under build-time stats)")
+    val next = layout.advance(prev, carry = Set("stats", "postings"))
+    val ids = batch.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    // next stream := (carried stream rows, pending deletes applied, batch
+    // ids removed) ∪ the batch's new postings
+    val carried = Tombstones.dropScoped(
+      taggedStream(spark, dir, prev), dir, "doc_id", "seg_gen", prev.tombstones)
+      .drop("seg_gen")
+      .join(ids, Seq("doc_id"), "left_anti")
+      .select(postingCols.map(col): _*)
+    carried.unionByName(postingsOf(batch).select(postingCols.map(col): _*))
+      .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
+      .write.mode("overwrite").parquet(next.streamDir(dir))
+    // next tombstones := carried pending rows (clamped to the current
+    // generation — every segment they must still hide is at or below it)
+    // ∪ the batch ids scoped to the current generation
+    val pending = Tombstones.read(spark, dir, prev.tombstones)
+      .map(_.select(
+        col("ts_id"),
+        least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+    val killed = ids.select(
+      col("doc_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
+    pending.fold(killed)(_ unionByName killed)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")
+    IndexManifest.commit(spark, dir, next, layout)
+  }
 
   private val postingCols = Seq("tok", "doc_id", "tf", "dl", "positions")
 
-  /** Live postings — base ∪ streamed segment, pending deletes NOT yet
-    * applied (consumers drop them AFTER term pruning). Full width
+  /** Live postings — base ∪ streamed segment, each row tagged with its
+    * segment's creation generation (`seg_gen`, the scope key for
+    * generation-scoped tombstones); pending deletes NOT yet applied
+    * (consumers [[pruneDeleted]] AFTER term pruning). Full width
     * including `positions`; scoring consumers project it away and the
     * columnar scan never reads it. */
   private def livePostings(spark: SparkSession, dir: String): DataFrame =
@@ -165,27 +230,53 @@ object TextSearchIndex {
   private def postingsAt(
       spark: SparkSession,
       dir: String,
-      st: IndexManifest.State): DataFrame = {
-    import org.apache.spark.sql.types._
-    def readIf(p: String): Option[DataFrame] = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(path)) None
-      else
-        try Some(spark.read.parquet(p).select(postingCols.map(col): _*))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-    }
-    (readIf(st.tableDir(dir, "postings")) ++ readIf(st.streamDir(dir)))
+      st: IndexManifest.State): DataFrame =
+    (taggedRead(spark, st.tableDir(dir, "postings"),
+      IndexManifest.segGen(st.tables("postings"))) ++
+      taggedRead(spark, st.streamDir(dir), IndexManifest.segGen(st.stream)))
       .reduceLeftOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("tok", StringType),
-          StructField("doc_id", LongType),
-          StructField("tf", LongType),
-          StructField("dl", LongType),
-          StructField("positions", ArrayType(LongType))))))
+      .getOrElse(emptyTagged(spark))
+
+  private def emptyTagged(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("tok", StringType),
+        StructField("doc_id", LongType),
+        StructField("tf", LongType),
+        StructField("dl", LongType),
+        StructField("positions", ArrayType(LongType)),
+        StructField("seg_gen", LongType, nullable = false))))
   }
+
+  private def taggedRead(spark: SparkSession, p: String, gen: Long): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else
+      try Some(spark.read.parquet(p)
+        .select(postingCols.map(col) :+ lit(gen).as("seg_gen"): _*))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** The streamed segment's rows tagged with its creation generation —
+    * empty-schema'd when absent (upsert rewrites it unconditionally). */
+  private def taggedStream(
+      spark: SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame =
+    taggedRead(spark, st.streamDir(dir), IndexManifest.segGen(st.stream))
+      .getOrElse(emptyTagged(spark))
+
+  /** Generation-scoped tombstone application + scope-tag cleanup — every
+    * read-side consumer's pruning step. */
+  private def pruneDeleted(
+      rows: DataFrame,
+      dir: String,
+      st: IndexManifest.State): DataFrame =
+    Tombstones.dropScoped(rows, dir, "doc_id", "seg_gen", st.tombstones)
+      .drop("seg_gen")
 
   /** Major compaction: fold the streamed segment into the term-sorted
     * base and apply tombstones physically — one [[IndexManifest]] commit
@@ -197,7 +288,7 @@ object TextSearchIndex {
     val hasStream = fs.exists(new org.apache.hadoop.fs.Path(prev.streamDir(dir)))
     if (!hasStream && Tombstones.read(spark, dir, prev.tombstones).isEmpty) return
     val next = layout.advance(prev, carry = Set("stats"))
-    Tombstones.drop(livePostings(spark, dir), dir, "doc_id", prev.tombstones)
+    pruneDeleted(livePostings(spark, dir), dir, prev)
       .select(postingCols.map(col): _*)
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
@@ -213,8 +304,8 @@ object TextSearchIndex {
     val st = state(spark, dir)
     val statsRow = spark.read.parquet(st.tableDir(dir, "stats")).head()
     val (nFrozen, sumFrozen) = (statsRow.getLong(0), statsRow.getLong(1))
-    val live = Tombstones.drop(
-      livePostings(spark, dir).select("doc_id", "dl"), dir, "doc_id", st.tombstones)
+    val live = pruneDeleted(
+      livePostings(spark, dir).select("doc_id", "dl", "seg_gen"), dir, st)
       .groupBy("doc_id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).cast("long"), coalesce(sum("dl"), lit(0L)))
       .head()
@@ -299,9 +390,8 @@ object TextSearchIndex {
       .distinct()
     val terms = qt.select("tok").distinct().collect().map(_.getString(0)).toSeq
     if (terms.isEmpty) return empty
-    val hits = Tombstones.drop(
-      livePostings(spark, dir).filter(col("tok").isin(terms: _*)),
-      dir, "doc_id", st.tombstones)
+    val hits = pruneDeleted(
+      livePostings(spark, dir).filter(col("tok").isin(terms: _*)), dir, st)
     val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
     hits
       .join(broadcast(df), "tok")
@@ -340,8 +430,7 @@ object TextSearchIndex {
     require(terms.nonEmpty, "phrase must contain at least one token")
     val st = state(spark, dir)
     val live = livePostings(spark, dir)
-    def hits(t: String) = Tombstones.drop(
-      live.filter(col("tok") === t), dir, "doc_id", st.tombstones)
+    def hits(t: String) = pruneDeleted(live.filter(col("tok") === t), dir, st)
       .select(col("doc_id"), explode(col("positions")).as("pos"))
     val aligned = terms.zipWithIndex.tail.foldLeft(hits(terms.head)) {
       case (acc, (t, i)) =>
@@ -402,9 +491,8 @@ object TextSearchIndex {
           StructField("doc_id", LongType),
           StructField("score", DoubleType),
           StructField("n_hit", LongType))))
-    val hits = Tombstones.drop(
-      postingsAt(spark, dir, st).filter(col("tok").isin(terms: _*)),
-      dir, "doc_id", st.tombstones)
+    val hits = pruneDeleted(
+      postingsAt(spark, dir, st).filter(col("tok").isin(terms: _*)), dir, st)
     val df = hits.groupBy("tok").agg(count(lit(1)).as("df"))
     hits
       .join(broadcast(df), "tok")

@@ -96,6 +96,48 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(again.forall(r => !r.rebuilt && !r.compacted && r.failed.isEmpty))
   }
 
+  test("fsck: a healthy fleet audits ok; a lost segment and a truncated file " +
+    "are flagged; orphans and stale staging are reported as debt, not damage") {
+    val txt = tmp("fsck-text")
+    val ivf = tmp("fsck-ivf")
+    TextSearchIndex.build(docs, txt)
+    SimilaritySearch.ivfIndexBuild(vecs, ivf, nlist = 2, iters = 1)
+    val regs = Seq(
+      IndexMaintenance.TextIndexReg(txt, () => docs),
+      IndexMaintenance.IvfIndex(ivf, () => vecs, nlist = 2, iters = 1))
+    val healthy = IndexMaintenance.fsck(spark, regs).map(_._2)
+    assert(healthy.forall(a => a.ok && !a.unbuilt && a.orphans.isEmpty))
+    assert(healthy.forall(_.generation === 1L))
+    // an unbuilt dir is reported as such, not as damage
+    val eAudit = IndexMaintenance
+      .fsck(spark, Seq(IndexMaintenance.MinhashIndex(tmp("fsck-empty")))).head._2
+    assert(eAudit.unbuilt && eAudit.ok && eAudit.generation === 0L)
+    // crash debt: an orphan next-gen dir and a stale staging file — audit
+    // surfaces both, verdict stays ok (the recovery contract owns them)
+    Seq((0L, 1L)).toDF("a", "b").write
+      .parquet(s"$txt/${IndexManifest.genName("postings-stream", 9)}")
+    val mdir = new java.io.File(s"$txt/manifest"); mdir.mkdirs()
+    new java.io.File(mdir, ".tmp-gen-9").createNewFile()
+    val debt = IndexMaintenance
+      .fsck(spark, Seq(IndexMaintenance.TextIndexReg(txt, () => docs))).head._2
+    assert(debt.ok && debt.orphans === Seq(IndexManifest.genName("postings-stream", 9)))
+    assert(debt.staleTmp === 1)
+    // real damage: the live stats table vanishes → missing + not ok
+    val stats = IndexManifest.liveTableDir(spark, txt, IndexManifest.Layouts.text, "stats")
+    val p = new org.apache.hadoop.fs.Path(stats)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val damaged = IndexMaintenance
+      .fsck(spark, Seq(IndexMaintenance.TextIndexReg(txt, () => docs))).head._2
+    assert(!damaged.ok && damaged.missingTables.nonEmpty)
+    // a truncated parquet footer in a live segment → unreadable + not ok
+    val vdir = IndexManifest.liveTableDir(spark, ivf, IndexManifest.Layouts.ivf, "centroids")
+    val victim = new java.io.File(vdir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(victim.toPath, Array[Byte](1, 2, 3))
+    val torn = IndexMaintenance
+      .fsck(spark, Seq(IndexMaintenance.IvfIndex(ivf, () => vecs, nlist = 2, iters = 1))).head._2
+    assert(!torn.ok && torn.unreadable.nonEmpty)
+  }
+
   test("failure isolation: a broken registration reports failed and the " +
     "sweep continues to the rest") {
     val broken = tmp("broken") // an empty dir: no stats table to probe

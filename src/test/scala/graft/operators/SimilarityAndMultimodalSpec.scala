@@ -333,6 +333,48 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(after.head.getAs[Long]("n_id") === 999999L) // cos=1 clone at rank 1
   }
 
+  test("ivfIndexCalibrate + ivfIndexSearchAuto: recall curve measured onto the " +
+    "manifest (metadata-only commit), pick is cheapest width meeting the " +
+    "target, exactness requests guarded to the full sweep") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-auto").toString
+    SimilaritySearch.ivfIndexBuild(emb, idx, nlist = 4, iters = 2)
+    val g0 = IndexManifest.read(spark, idx).get.generation
+    val baseDirBefore =
+      IndexManifest.read(spark, idx).get.tables("vectors")
+    val curve = SimilaritySearch.ivfIndexCalibrate(spark, idx, k = 5, nSample = 8)
+    val st = IndexManifest.read(spark, idx).get
+    // metadata-only commit: one generation bump, SAME segment dirs
+    assert(st.generation === g0 + 1)
+    assert(st.tables("vectors") === baseDirBefore)
+    assert(curve.keys.toSeq.sorted === Seq(1, 2, 4))
+    curve.foreach { case (np, r) =>
+      assert(math.abs(st.props(s"recall.k5.np$np").toDouble - r) < 5e-5)
+    }
+    // all-cells recall is 1.0 by construction, and the curve is monotone
+    assert(curve(4) === 1.0)
+    assert(curve(1) <= curve(2) + 1e-9 && curve(2) <= curve(4) + 1e-9)
+    // cheapest-width pick; a target ≥ 1.0 always takes the full sweep (a
+    // sampled 1.0 at a lower width is an estimate, not a guarantee)
+    assert(SimilaritySearch.ivfIndexChooseNprobe(spark, idx, 5, 0.0) === 1)
+    assert(SimilaritySearch.ivfIndexChooseNprobe(spark, idx, 5, 1.0) === 4)
+    // uncalibrated k errors loudly instead of silently full-sweeping
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfIndexChooseNprobe(spark, idx, 7, 0.9)
+    }
+    // the auto lane is the directly-invoked search at its chosen width
+    val q = emb.filter(col("vec_id") < 6)
+    val np = SimilaritySearch.ivfIndexChooseNprobe(spark, idx, 5, 0.8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(SimilaritySearch.ivfIndexSearchAuto(spark, idx, q, 5, 0.8)) ===
+      pairs(SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, np)))
+    // the data plane is untouched: post-commit search still equals ivfTopK
+    assert(pairs(SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 2)) ===
+      pairs(SimilaritySearch.ivfTopK(q, emb, 5, nlist = 4, nprobe = 2)))
+  }
+
   test("streaming IVF ingest: streamed appends equal the batch append; checkpoint " +
     "resume skips processed files") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -132,6 +132,97 @@ class TextIndexSpec extends SparkSpec {
     assert(!multi(qs)(1L).exists(_._2 == 0L))
   }
 
+  test("TextSearchIndex.upsert: atomic replace in one generation — old copies " +
+    "out, new copies in, deleted ids resurrect, later deletes still bite") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-upsert").toString
+    def genOf(): Long =
+      IndexManifest.read(spark, idx).map(_.generation).getOrElse(0L)
+    def hitDocs(terms: Seq[String]): Set[Long] =
+      TextSearchIndex.search(spark, idx, terms, 100).collect().map(_.getLong(1)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // upsert before build: nothing to normalize scores under — loud error
+    intercept[IllegalArgumentException] {
+      TextSearchIndex.upsert(Seq((0L, "x", "s")).toDF("doc_id", "text", "source"), idx)
+    }
+    TextSearchIndex.build(docs, idx)
+    val g0 = genOf()
+    val preUpsert = rows(TextSearchIndex.search(spark, idx, Seq("apple", "banana"), 10))
+    // replace doc 0 (was "apple banana apple cherry") with a grape-rich text
+    TextSearchIndex.upsert(
+      Seq((0L, "grape grape banana", "src0")).toDF("doc_id", "text", "source"), idx)
+    assert(genOf() === g0 + 1, "upsert is exactly one generation commit")
+    assert(!hitDocs(Seq("apple")).contains(0L), "old copy's postings stopped serving")
+    assert(hitDocs(Seq("cherry")).isEmpty, "term unique to the old copy hits nothing")
+    assert(hitDocs(Seq("grape")) === Set(0L), "replacement copy serves")
+    assert(hitDocs(Seq("banana")).contains(0L))
+    // the pre-upsert generation is still snapshot-readable (retention = 1)
+    assert(rows(TextSearchIndex.searchAsOf(spark, idx, Seq("apple", "banana"), 10, g0))
+      === preUpsert)
+    // phrase search reads the replacement positions
+    assert(TextSearchIndex.phraseSearch(spark, idx, "grape grape")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+    assert(TextSearchIndex.phraseSearch(spark, idx, "apple banana")
+      .collect().isEmpty)
+    // delete-then-upsert resurrects WITHOUT a compaction (the old contract
+    // required compacting first)
+    TextSearchIndex.delete(Seq(2L).toDF("doc_id"), idx)
+    assert(!hitDocs(Seq("elderberry")).contains(2L))
+    TextSearchIndex.upsert(
+      Seq((2L, "elderberry fig", "src1")).toDF("doc_id", "text", "source"), idx)
+    assert(hitDocs(Seq("elderberry")) === Set(2L), "deleted id re-added by upsert")
+    // a LATER delete still kills the upserted copy (scope moves forward)
+    TextSearchIndex.delete(Seq(2L).toDF("doc_id"), idx)
+    assert(!hitDocs(Seq("elderberry")).contains(2L))
+    // bystander doc untouched through it all; searchTerms shares the pruning
+    assert(hitDocs(Seq("date")) === Set(1L))
+    assert(TextSearchIndex.searchTerms(
+      spark, idx, Seq((7L, Seq("grape", "date"))).toDF("q_id", "toks"), 10)
+      .collect().map(_.getLong(2)).toSet === Set(0L, 1L))
+    // compaction folds the whole state physically; answers unchanged
+    val pre = rows(TextSearchIndex.search(spark, idx, Seq("grape", "banana", "date"), 10))
+    TextSearchIndex.compact(spark, idx)
+    assert(rows(TextSearchIndex.search(spark, idx, Seq("grape", "banana", "date"), 10))
+      === pre)
+    assert(hitDocs(Seq("elderberry")).isEmpty)
+  }
+
+  test("TextSearchIndex.upsert: crash-atomicity (orphan next-gen dirs are " +
+    "invisible and recovered) and legacy unscoped tombstones still bite") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-upcrash").toString
+    TextSearchIndex.build(docs, idx)
+    def hitDocs(terms: Seq[String]): Set[Long] =
+      TextSearchIndex.search(spark, idx, terms, 100).collect().map(_.getLong(1)).toSet
+    val st = IndexManifest.resolve(spark, idx, IndexManifest.Layouts.text)
+    // simulate a crash mid-upsert: next-generation stream + tombstone dirs
+    // fully written, manifest never committed
+    val g = st.generation + 1
+    Seq((0L, 99L)).toDF("ts_id", "ts_gen").write
+      .parquet(s"$idx/${IndexManifest.genName("tombstones", g)}")
+    Seq(("zzz", 0L, 1L, 1L, Seq(0L))).toDF("tok", "doc_id", "tf", "dl", "positions")
+      .write.parquet(s"$idx/${IndexManifest.genName("postings-stream", g)}")
+    assert(hitDocs(Seq("apple")) === Set(0L, 2L),
+      "uncommitted upsert segments must be invisible to readers")
+    assert(hitDocs(Seq("zzz")).isEmpty)
+    // the real upsert overwrites the orphans and commits
+    TextSearchIndex.upsert(
+      Seq((0L, "grape grape", "src0")).toDF("doc_id", "text", "source"), idx)
+    assert(hitDocs(Seq("apple")) === Set(2L))
+    assert(hitDocs(Seq("grape")) === Set(0L))
+    assert(hitDocs(Seq("zzz")).isEmpty, "orphan rows never serve")
+    // legacy compat: a ts_id-only tombstone row (pre-scope on-disk format)
+    // reads as unscoped — hides the id in EVERY live segment...
+    val live = IndexManifest.resolve(spark, idx, IndexManifest.Layouts.text)
+    Seq(1L).toDF("ts_id").write.mode("append")
+      .parquet(s"$idx/${live.tombstones}")
+    assert(!hitDocs(Seq("banana")).contains(1L))
+    // ...and an upsert clamps it while carrying, so the re-added copy serves
+    TextSearchIndex.upsert(
+      Seq((1L, "banana banana", "src0")).toDF("doc_id", "text", "source"), idx)
+    assert(hitDocs(Seq("banana")).contains(1L))
+    assert(hitDocs(Seq("grape")) === Set(0L), "prior upsert's copy carried intact")
+  }
+
   test("TextSearchIndex streaming append: streamed postings equal the batch " +
     "append; checkpoint resume skips processed files; compaction folds") {
     val base = java.nio.file.Files.createTempDirectory("graft-textidx-stream").toString
