@@ -3053,6 +3053,46 @@ object SparkEntry {
           .orderBy("q_id", "rank")
       }),
 
+      // Atomic vector replace (the re-embedding mutation) on the persisted
+      // IVF index: delete vec_id % 10 = 7, then upsert vec_id % 10 = 3
+      // (live replace) ∪ vec_id % 20 = 7 (resurrection) with NEGATED
+      // embeddings — one manifest commit retires the old copies and
+      // serves the new, generation-scoped tombstones keeping the
+      // replacement segment out of the delete's scope. Emitted rows: the
+      // all-cells (exact) search over the post-upsert corpus — DuckDB
+      // replays it as brute-force cosine over the replaced vectors.
+      // Booleans: single generation bump, deleted-not-upserted ids stay
+      // out, compaction preserves everything.
+      "q_ann_ivf_upsert_gate" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("ivf-upsert-gate")
+        SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
+        def genOf(): Long =
+          graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        SimilaritySearch.indexDelete(
+          e.select("vec_id").filter(col("vec_id") % 10 === 7), idx)
+        val g1 = genOf()
+        val ups = e
+          .filter(col("vec_id") % 10 === 3 || col("vec_id") % 20 === 7)
+          .withColumn("embedding", transform(col("embedding"), x => -x))
+        SimilaritySearch.ivfIndexUpsert(ups, idx)
+        val atomicOk = genOf() == g1 + 1
+        val queries = e.filter(col("vec_id") < 8)
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val exact = rows(SimilaritySearch.ivfIndexSearch(s, idx, queries, 10, nprobe = 8))
+        val goneOk = !exact.exists { case (_, n, _, _) => n % 10 == 7 && n % 20 != 7 }
+        SimilaritySearch.ivfIndexCompact(s, idx)
+        val compactOk =
+          rows(SimilaritySearch.ivfIndexSearch(s, idx, queries, 10, nprobe = 8)) == exact
+        SimilaritySearch.ivfIndexSearch(s, idx, queries, 10, nprobe = 8)
+          .withColumn("atomic_ok", lit(atomicOk))
+          .withColumn("gone_ok", lit(goneOk))
+          .withColumn("compact_ok", lit(compactOk))
+          .orderBy("q_id", "rank")
+      }),
+
       // ANN: SRP-LSH bucketed + query-directed multiprobe (scale path).
       // Fully oracled since round 6: the mask costs are fixed-order IEEE
       // |projection| sums and the probe order is (cost, mask)-ascending on
@@ -5050,6 +5090,48 @@ object SparkEntry {
             && !new java.io.File(
               s"$idx/${graft.operators.IndexManifest.liveTombstones(s, idx)}")
               .exists()).as("compact_ok"))
+      }),
+
+      // Atomic replace on the persisted LSH index — the re-crawl
+      // mutation: delete doc 10 and 11, then upsert doc 11 (resurrection)
+      // and doc 20 (live replace) with ' upsertmarker upsertmarker'
+      // appended, ONE manifest commit each. n_docs_live (DuckDB-replayed:
+      // shingleable docs minus the still-deleted 10) plus booleans: the
+      // replaced doc's live signature rows equal a fresh banding of its
+      // NEW text (old signature fully retired), the resurrected doc is
+      // back, the single generation bump, and compaction preserving the
+      // live set.
+      "q_minhash_index_upsert_gate" -> ((s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("mh-upsert-idx")
+        Dedup.minhashIndexBuild(docs, idx)
+        Dedup.minhashIndexDelete(Seq(10L, 11L).toDF("doc_id"), idx)
+        def genOf(): Long =
+          graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        val g1 = genOf()
+        val ups = docs.filter(col("doc_id").isin(11L, 20L))
+          .withColumn("text", concat(col("text"), lit(" upsertmarker upsertmarker")))
+        Dedup.minhashIndexUpsert(ups, idx)
+        val atomicOk = genOf() == g1 + 1
+        def liveRows(): Set[(Int, Long, Seq[Long])] =
+          Dedup.minhashIndexRows(s, idx).collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSet
+        val live = liveRows()
+        val liveDocs = live.map(_._2)
+        val freshBanding = Dedup.minhashIndex(ups).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSet
+        val replaceOk = live.filter(r => r._2 == 20L || r._2 == 11L) == freshBanding
+        val resurrectOk = (!liveDocs.contains(10L)) &&
+          (liveDocs.contains(11L) == freshBanding.exists(_._2 == 11L))
+        Dedup.minhashIndexCompact(s, idx)
+        val compactOk = liveRows() == live
+        s.range(1).select(
+          lit(liveDocs.size.toLong).as("n_docs_live"),
+          lit(atomicOk).as("atomic_ok"),
+          lit(replaceOk).as("replace_ok"),
+          lit(resurrectOk).as("resurrect_ok"),
+          lit(compactOk).as("compact_ok"))
       }),
 
       // Blocked entity-resolution self-join: customer-name pairs within one
@@ -7338,6 +7420,31 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, sim, TRUE AS curve_ok, TRUE AS guard_ok,
         |       TRUE AS pick_ok, TRUE AS lane_ok
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // IVF upsert gate: the emitted lane probes all cells — exact over the
+    // LIVE corpus, so the oracle is brute-force cosine over the replaced
+    // vectors: the deleted tenth out (except the resurrected vec_id % 20
+    // = 7 back in), upserted ids ranked under their NEGATED embeddings.
+    // Queries keep their original vectors (the query side is caller
+    // input, not an index read).
+    "q_ann_ivf_upsert_gate" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS n_id,
+        |             CASE WHEN vec_id % 10 = 3 OR vec_id % 20 = 7
+        |                  THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |                  ELSE CAST(embedding AS DOUBLE[]) END AS nv
+        |      FROM embeddings
+        |      WHERE vec_id % 10 <> 7 OR vec_id % 20 = 7),
+        |s AS (SELECT q_id, n_id,
+        |             list_inner_product(qv, nv) /
+        |               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, sim,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |      FROM s)
+        |SELECT q_id, n_id, rank, sim, TRUE AS atomic_ok, TRUE AS gone_ok,
+        |       TRUE AS compact_ok
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // Delete-lifecycle gate: n_exact recomputed from the brute-force top-k
     // over the corpus minus the tombstoned ids; the three lifecycle flags
     // are Spark-side assertions (TRUE expected).
@@ -8469,6 +8576,19 @@ object SparkEntry {
          |       TRUE AS rows_per_band_ok, TRUE AS compact_ok
          |FROM (SELECT doc_id, len($ToksSql) AS nt FROM documents)
          |WHERE nt >= 3 AND doc_id NOT IN (10, 11)""".stripMargin,
+    // Minhash upsert gate: live docs = shingleable under the REPLACED
+    // text for the upserted ids (11 resurrected, 20 replaced), doc 10
+    // still deleted; the lifecycle booleans are Spark-side assertions.
+    "q_minhash_index_upsert_gate" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |                    CASE WHEN doc_id IN (11, 20)
+         |                         THEN text || ' upsertmarker upsertmarker'
+         |                         ELSE text END AS text
+         |             FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs_live, TRUE AS atomic_ok,
+         |       TRUE AS replace_ok, TRUE AS resurrect_ok, TRUE AS compact_ok
+         |FROM (SELECT doc_id, len($ToksSql) AS nt FROM raw)
+         |WHERE nt >= 3 AND doc_id <> 10""".stripMargin,
     // Autocompact gate: live docs after the 5% delete wave (plus the
     // held-off single delete, still logically applied) — shingleable docs
     // minus the deleted set; the booleans are Spark-side assertions.

@@ -314,16 +314,25 @@ object Dedup {
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    val base = (readIf(st.tableDir(dir, "index")) ++ readIf(st.streamDir(dir)))
+    // rows tagged with their segment's creation generation — the scope
+    // key for generation-scoped tombstones (an upsert's replacement
+    // segment outranks the scoped delete that killed the old copies)
+    val base = (readIf(st.tableDir(dir, "index"))
+      .map(_.withColumn("seg_gen", lit(IndexManifest.segGen(st.tables("index"))))) ++
+      readIf(st.streamDir(dir))
+        .map(_.withColumn("seg_gen", lit(IndexManifest.segGen(st.stream)))))
       .reduceLeftOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
           StructField("bucket", IntegerType),
           StructField("c_id", LongType),
-          StructField("c_sig", ArrayType(LongType))))))
+          StructField("c_sig", ArrayType(LongType)),
+          StructField("seg_gen", LongType, nullable = false)))))
     // the anti-join moves its key first — re-project to the stable order
-    Tombstones.drop(base, dir, "c_id", st.tombstones).select("bucket", "c_id", "c_sig")
+    // (the projection also consumes the scope tag)
+    Tombstones.dropScoped(base, dir, "c_id", "seg_gen", st.tombstones)
+      .select("bucket", "c_id", "c_sig")
   }
 
   /** Append a corpus batch under the index's STORED parameters (partition
@@ -385,8 +394,57 @@ object Dedup {
     * by every read through [[minhashIndexRows]] and physically at
     * [[minhashIndexCompact]] (the [[Tombstones]] contract — takedowns and
     * licensing retractions never force an index rebuild). */
-  def minhashIndexDelete(ids: DataFrame, dir: String): Unit =
-    Tombstones.delete(ids, dir, minhashState(ids.sparkSession, dir).tombstones)
+  def minhashIndexDelete(ids: DataFrame, dir: String): Unit = {
+    // scoped to the live generation — same observable behavior, and a
+    // LATER minhashIndexUpsert's replacement segment can resurrect the id
+    val st = minhashState(ids.sparkSession, dir)
+    Tombstones.delete(ids, dir, st.tombstones, asOfGen = st.generation)
+  }
+
+  /** Atomic replace on the persisted LSH index — the re-crawl mutation
+    * (a document's text changed; its OLD shingle signature must stop
+    * colliding and the NEW one start) in ONE manifest commit, via
+    * generation-scoped tombstones (the [[graft.operators.TextSearchIndex
+    * .upsert]] discipline on this family): base carried, batch ids
+    * tombstoned at the CURRENT generation, streamed segment rewritten at
+    * the next generation (pending deletes applied physically, carried
+    * tombstones clamped) plus the batch banded under the STORED
+    * parameters. O(stream + batch); also the sanctioned re-add of a
+    * deleted id. A non-shingleable replacement (< 3 tokens) indexes no
+    * rows — the upsert then degrades to the delete, correctly. */
+  def minhashIndexUpsert(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val layout = IndexManifest.Layouts.minhash
+    val prev = minhashState(spark, dir)
+    val (numPerm, bands, maxBucket) = minhashIndexMeta(spark, dir)
+    val next = layout.advance(prev, carry = Set("meta", "index"))
+    val ids = batch.select(col("doc_id").cast("long").as("c_id")).distinct()
+    val fresh = minhashIndex(batch, numPerm, bands, maxBucket)
+    val streamPath = new org.apache.hadoop.fs.Path(prev.streamDir(dir))
+    val carried =
+      (if (!streamPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(streamPath))
+        None
+      else
+        try Some(spark.read.parquet(prev.streamDir(dir)))
+        catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map { s =>
+          Tombstones.dropScoped(
+            s.withColumn("seg_gen", lit(IndexManifest.segGen(prev.stream))),
+            dir, "c_id", "seg_gen", prev.tombstones)
+            .drop("seg_gen")
+            .join(ids, Seq("c_id"), "left_anti")
+            .select("bucket", "c_id", "c_sig")
+        }
+    carried.fold(fresh)(_ unionByName fresh)
+      .write.mode("overwrite").parquet(next.streamDir(dir))
+    val killed = ids.select(col("c_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
+    Tombstones.read(spark, dir, prev.tombstones)
+      .map(_.select(col("ts_id"), least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .fold(killed)(_ unionByName killed)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")
+    IndexManifest.commit(spark, dir, next, layout)
+  }
 
   /** Major compaction: fold the streamed segment back into the base,
     * apply pending deletes physically, and RESTORE the build-time

@@ -439,6 +439,56 @@ object SimilaritySearch {
       .parquet(ivfState(spark, dir).tableDir(dir, "vectors"))
   }
 
+  /** Atomic replace on the IVF index — the re-embedding mutation (a doc
+    * re-crawled and re-encoded): for every `vec_id` in `newVectors`, the
+    * old vector stops serving and the new one starts in ONE manifest
+    * commit, via generation-scoped tombstones (the
+    * [[graft.operators.TextSearchIndex.upsert]] discipline on the vector
+    * lane). Base untouched (carried); batch ids tombstoned scoped to the
+    * CURRENT generation; the streamed segment rewritten at the next
+    * generation without the batch ids (pending deletes applied
+    * physically to the carried rows, carried tombstones clamped) plus
+    * the batch assigned under the FROZEN model. Cost: O(stream + batch)
+    * — the LSM L0 rewrite, never the base. Also the sanctioned re-add
+    * of a deleted id. */
+  def ivfIndexUpsert(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val layout = IndexManifest.Layouts.ivf
+    val prev = ivfState(spark, dir)
+    val centroids = readCentroids(spark, dir, prev)
+    require(centroids.nonEmpty, s"ivf index at $dir has an empty centroid model")
+    val next = layout.advance(prev, carry = Set("centroids", "vectors"))
+    val ids = newVectors.select(col("vec_id").cast("long").as("n_id")).distinct()
+    val assigned = withNorm(newVectors, "n_id", "nv", "nn")
+      .withColumn("cell", assign(centroids, "nv"))
+      .select("n_id", "nv", "nn", "cell")
+    val streamPath = new org.apache.hadoop.fs.Path(prev.streamDir(dir))
+    val carried =
+      (if (!streamPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(streamPath))
+        None
+      else
+        try Some(spark.read.parquet(prev.streamDir(dir)))
+        catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map { s =>
+          Tombstones.dropScoped(
+            s.withColumn("seg_gen", lit(IndexManifest.segGen(prev.stream))),
+            dir, "n_id", "seg_gen", prev.tombstones)
+            .drop("seg_gen")
+            .join(ids, Seq("n_id"), "left_anti")
+            .select("n_id", "nv", "nn", "cell")
+        }
+    carried.fold(assigned)(_ unionByName assigned)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(next.streamDir(dir))
+    val killed = ids.select(col("n_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
+    Tombstones.read(spark, dir, prev.tombstones)
+      .map(_.select(col("ts_id"), least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .fold(killed)(_ unionByName killed)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")
+    IndexManifest.commit(spark, dir, next, layout)
+  }
+
   private def readCentroids(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -517,20 +567,33 @@ object SimilaritySearch {
     * anti-join build side broadcast-sized at corpus scale) or at the
     * stream-epoch fold the index was due anyway, whichever first
     * ([[Tombstones]] has the shared heuristic note). */
-  def indexDelete(ids: DataFrame, dir: String): Unit =
+  def indexDelete(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    // scoped to the live generation (hides every copy in the segments
+    // that exist now — same observable behavior as unscoped) so a LATER
+    // upsert's replacement segment is out of scope and can resurrect
     Tombstones.delete(
-      ids, dir, IndexManifest.liveTombstones(ids.sparkSession, dir))
+      ids, dir, IndexManifest.liveTombstones(spark, dir),
+      asOfGen = IndexManifest.read(spark, dir).map(_.generation).getOrElse(0L))
+  }
 
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] =
     Tombstones.read(spark, dir, IndexManifest.liveTombstones(spark, dir))
 
+  /** Generation-scoped tombstone application over segment-tagged rows
+    * ([[Tombstones.dropScoped]]; the tag column is consumed). Untagged
+    * rows fall back to the unscoped drop. */
   private def dropTombstoned(
       rows: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    Tombstones.drop(rows, dir, "n_id", IndexManifest.liveTombstones(spark, dir))
+      dir: String): DataFrame = {
+    val seg = IndexManifest.liveTombstones(spark, dir)
+    if (rows.columns.contains("seg_gen"))
+      Tombstones.dropScoped(rows, dir, "n_id", "seg_gen", seg).drop("seg_gen")
+    else Tombstones.drop(rows, dir, "n_id", seg)
+  }
 
   /** Major compaction: fold the streamed segment back into the base (the
     * LSM lifecycle close — after enough stream epochs the union's
@@ -656,7 +719,13 @@ object SimilaritySearch {
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    (readIf(st.tableDir(dir, "vectors")) ++ readIf(st.streamDir(dir)))
+    // rows tagged with their segment's creation generation — the scope
+    // key for generation-scoped tombstones (an upsert's replacement
+    // segment outranks the scoped delete that killed the old copies)
+    (readIf(st.tableDir(dir, "vectors"))
+      .map(_.withColumn("seg_gen", lit(IndexManifest.segGen(st.tables("vectors"))))) ++
+      readIf(st.streamDir(dir))
+        .map(_.withColumn("seg_gen", lit(IndexManifest.segGen(st.stream)))))
       .reduceLeftOption(_ unionByName _)
   }
 
@@ -893,6 +962,62 @@ object SimilaritySearch {
       .write.mode("append").partitionBy("cell").parquet(st.tableDir(dir, "codes"))
   }
 
+  /** Atomic replace on the IVF×PQ index ([[ivfIndexUpsert]]'s contract on
+    * the composed family): old copies of the batch ids stop serving —
+    * code AND vector rows, both scan stages prune them — and the
+    * replacements (assigned + PQ-encoded under the FROZEN models) start,
+    * in ONE manifest commit. The replacements land in the combined
+    * `arrivals-stream` segment (the [[ivfPqIndexAppendStream]] layout, so
+    * the rewrite has one target regardless of which mutations preceded
+    * it); both base tables are carried untouched. */
+  def ivfPqIndexUpsert(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val layout = IndexManifest.Layouts.ivfpq
+    val prev = ivfPqState(spark, dir)
+    val centroids = readCentroids(spark, dir, prev)
+    val cbs = readCodebooks(spark, dir, prev)
+    require(
+      centroids.nonEmpty && cbs.nonEmpty,
+      s"ivfpq index at $dir has an empty model")
+    val m = cbs.size
+    val dim = m * cbs.head.head._2.length
+    val next = layout.advance(prev, carry = Set("centroids", "codebooks", "vectors", "codes"))
+    val ids = newVectors.select(col("vec_id").cast("long").as("n_id")).distinct()
+    val combined = Seq("n_id", "nv", "nn") ++ (0 until m).map(i => s"code$i") :+ "cell"
+    val fresh = withNorm(newVectors, "n_id", "nv", "nn")
+      .withColumn("cell", assign(centroids, "nv"))
+      .join(
+        pqEncode(newVectors, cbs, dim)
+          .select(col("n_id") +: (0 until m).map(i => col(s"code$i")): _*),
+        Seq("n_id"))
+      .select(combined.map(col): _*)
+    val streamPath = new org.apache.hadoop.fs.Path(prev.streamDir(dir))
+    val carried =
+      (if (!streamPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(streamPath))
+        None
+      else
+        try Some(spark.read.parquet(prev.streamDir(dir)))
+        catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map { s =>
+          Tombstones.dropScoped(
+            s.withColumn("seg_gen", lit(IndexManifest.segGen(prev.stream))),
+            dir, "n_id", "seg_gen", prev.tombstones)
+            .drop("seg_gen")
+            .join(ids, Seq("n_id"), "left_anti")
+            .select(combined.map(col): _*)
+        }
+    carried.fold(fresh)(_ unionByName fresh)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(next.streamDir(dir))
+    val killed = ids.select(col("n_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
+    Tombstones.read(spark, dir, prev.tombstones)
+      .map(_.select(col("ts_id"), least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .fold(killed)(_ unionByName killed)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")
+    IndexManifest.commit(spark, dir, next, layout)
+  }
+
   /** Continuous-ingest version of [[ivfPqIndexAppend]] — the
     * [[ivfIndexAppendStream]] contract for the composed index: drain a
     * parquet directory of arriving vectors into the index as a Structured
@@ -1023,9 +1148,15 @@ object SimilaritySearch {
         try Some(spark.read.parquet(p))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    val base = readIf(st.tableDir(dir, table))
-    val stream = readIf(st.streamDir(dir))
-      .map(s => base.fold(s)(b => s.select(b.columns.map(col): _*)))
+    val baseRaw = readIf(st.tableDir(dir, table))
+    val streamRaw = readIf(st.streamDir(dir))
+      .map(s => baseRaw.fold(s)(b => s.select(b.columns.map(col): _*)))
+    // segment-generation tag: the scope key for generation-scoped
+    // tombstones (consumed by dropTombstoned)
+    val base = baseRaw
+      .map(_.withColumn("seg_gen", lit(IndexManifest.segGen(st.tables(table)))))
+    val stream = streamRaw
+      .map(_.withColumn("seg_gen", lit(IndexManifest.segGen(st.stream))))
     (base ++ stream).reduceLeftOption(_ unionByName _)
   }
 
@@ -1107,8 +1238,12 @@ object SimilaritySearch {
       .withColumn("arank", row_number().over(byApprox))
       .filter(col("arank") <= rerank)
       .select("q_id", "qv", "qn", "n_id")
-    val vectors = segmentUnion(spark, dir, "vectors")
-      .filter(col("cell").isin(cells: _*))
+    // Tombstones pruned here too (not just at the code stage): with
+    // upserts, a LIVE id can have a dead older vector copy in the base —
+    // the survivor join on n_id must see only the replacement row.
+    val vectors = dropTombstoned(
+      segmentUnion(spark, dir, "vectors").filter(col("cell").isin(cells: _*)),
+      spark, dir)
       .select("n_id", "nv", "nn")
     val byExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     survivors

@@ -375,6 +375,98 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       pairs(SimilaritySearch.ivfTopK(q, emb, 5, nlist = 4, nprobe = 2)))
   }
 
+  test("ivfIndexUpsert / ivfPqIndexUpsert: one-commit replace — the old vector " +
+    "leaves BOTH scan stages, the new one serves, deleted ids resurrect " +
+    "without compaction, compaction preserves") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val neg = emb.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    // the replaced corpus, for the exact all-cells cross-check
+    val replaced = emb.filter(col("vec_id") % 10 =!= 3).unionByName(neg)
+    for (pq <- Seq(false, true)) {
+      val idx = java.nio.file.Files.createTempDirectory(s"graft-upsert-pq$pq").toString
+      def build(df: org.apache.spark.sql.DataFrame): Unit =
+        if (pq) SimilaritySearch.ivfPqIndexBuild(df, idx, nlist = 4, iters = 2)
+        else SimilaritySearch.ivfIndexBuild(df, idx, nlist = 4, iters = 2)
+      def upsert(df: org.apache.spark.sql.DataFrame): Unit =
+        if (pq) SimilaritySearch.ivfPqIndexUpsert(df, idx)
+        else SimilaritySearch.ivfIndexUpsert(df, idx)
+      def exact(): Set[(Long, Long, Long)] = pairs(
+        if (pq) SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 4,
+          rerank = 1000000)
+        else SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 4))
+      build(emb)
+      def genOf(): Long = IndexManifest.read(spark, idx).map(_.generation).getOrElse(0L)
+      val g1 = genOf()
+      upsert(neg)
+      assert(genOf() === g1 + 1, s"pq=$pq: upsert is exactly one commit")
+      // all-cells search over the index == a fresh build of the replaced
+      // corpus (deterministic frozen model trained on the SAME full set)
+      val got = exact()
+      val fresh = java.nio.file.Files.createTempDirectory(s"graft-upsert-ref$pq").toString
+      if (pq) SimilaritySearch.ivfPqIndexBuild(replaced, fresh, nlist = 4, iters = 2)
+      else SimilaritySearch.ivfIndexBuild(replaced, fresh, nlist = 4, iters = 2)
+      val want = pairs(
+        if (pq) SimilaritySearch.ivfPqIndexSearch(spark, fresh, q, 5, nprobe = 4,
+          rerank = 1000000)
+        else SimilaritySearch.ivfIndexSearch(spark, fresh, q, 5, nprobe = 4))
+      assert(got === want, s"pq=$pq: upserted index must rank like the replaced corpus")
+      // delete-then-upsert resurrects without a compaction
+      val rid = emb.filter(col("vec_id") % 10 === 4).select("vec_id").limit(1)
+        .collect().headOption.map(_.getLong(0))
+      rid.foreach { id =>
+        SimilaritySearch.indexDelete(Seq(id).toDF("vec_id"), idx)
+        assert(!exact().exists(_._2 == id), s"pq=$pq: delete hides the id")
+        upsert(emb.filter(col("vec_id") === id))
+        assert(exact() === got, s"pq=$pq: re-added original vector restores the ranking")
+      }
+      // compaction folds it all physically; answers unchanged
+      val pre = exact()
+      if (pq) SimilaritySearch.ivfPqIndexCompact(spark, idx)
+      else SimilaritySearch.ivfIndexCompact(spark, idx)
+      assert(exact() === pre, s"pq=$pq: compaction preserves the live view")
+    }
+  }
+
+  test("minhashIndexUpsert: replaced text serves its NEW signature only; " +
+    "deleted ids resurrect; compaction preserves") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs today"),
+      (2L, "sphinx of black quartz judge my vow tonight")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-upsert").toString
+    Dedup.minhashIndexBuild(docs, idx)
+    def live(): Set[(Int, Long, Seq[Long])] =
+      Dedup.minhashIndexRows(spark, idx).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSet
+    def genOf(): Long = IndexManifest.read(spark, idx).map(_.generation).getOrElse(0L)
+    val g1 = genOf()
+    val newDoc = Seq((0L, "completely different replacement text about engines"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexUpsert(newDoc, idx)
+    assert(genOf() === g1 + 1)
+    val after = live()
+    assert(after.filter(_._2 == 0L) === Dedup.minhashIndex(newDoc).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSet,
+      "doc 0 serves exactly its new banding — the old signature is fully retired")
+    assert(after.map(_._2) === Set(0L, 1L, 2L))
+    // delete-then-upsert resurrects; a later delete still bites
+    Dedup.minhashIndexDelete(Seq(1L).toDF("doc_id"), idx)
+    assert(!live().map(_._2).contains(1L))
+    Dedup.minhashIndexUpsert(docs.filter(col("doc_id") === 1L), idx)
+    assert(live().map(_._2).contains(1L), "deleted id re-added by upsert")
+    Dedup.minhashIndexDelete(Seq(1L).toDF("doc_id"), idx)
+    assert(!live().map(_._2).contains(1L), "a later delete kills the upserted copy")
+    val pre = live()
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(live() === pre)
+  }
+
   test("streaming IVF ingest: streamed appends equal the batch append; checkpoint " +
     "resume skips processed files") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
