@@ -4829,6 +4829,43 @@ object SparkEntry {
           .orderBy("q_id", "rk")
       }),
 
+      // Fingerprint-versioned serving cache: repeated hot queries serve
+      // driver-locally (no job) until the index actually changes — and
+      // correctness is by construction, because the cache key is
+      // IndexManifest.fingerprint over the live segments' file listings:
+      // appends and tombstone deletes move it even though they bump no
+      // generation, so a mutation invalidates implicitly with no
+      // writer-side hook. Emitted rows: the post-delete ranking (frozen
+      // full-corpus stats, live set minus the deleted tenth), DuckDB-
+      // recomputed; booleans assert the hit actually hit, the hit equaled
+      // the miss, and the delete invalidated.
+      "q_serving_cache_gate" -> ((s, dir) => {
+        import graft.streaming.ServingCache
+        import graft.operators.TextSearchIndex
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("serving-cache-gate")
+        TextSearchIndex.build(docs, idx)
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        val first = rows(ServingCache.cachedTextSearch(s, idx, Bm25Terms, 10))
+        val (h0, _) = ServingCache.stats
+        val second = rows(ServingCache.cachedTextSearch(s, idx, Bm25Terms, 10))
+        val (h1, _) = ServingCache.stats
+        val hitOk = h1 == h0 + 1 && second == first
+        TextSearchIndex.delete(
+          docs.select("doc_id").filter(col("doc_id") % 10 === 6), idx)
+        val postDelete = rows(ServingCache.cachedTextSearch(s, idx, Bm25Terms, 10))
+        val invalidateOk =
+          postDelete == rows(TextSearchIndex.search(s, idx, Bm25Terms, 10)) &&
+            !postDelete.exists(_._2 % 10 == 6)
+        import s.implicits._
+        postDelete.toDF("rk", "doc_id", "score", "n_hit")
+          .withColumn("hit_ok", lit(hitOk))
+          .withColumn("invalidate_ok", lit(invalidateOk))
+          .orderBy("rk")
+      }),
+
       // Self-applying REBUILD trigger on the text family: frozen BM25
       // stats stale as the corpus grows, so maybeRebuild measures
       // doc-count growth + avgdl drift vs the build-time trained_on
@@ -8414,6 +8451,30 @@ object SparkEntry {
          |SELECT q_id, rk, doc_id, score, n_hit,
          |       TRUE AS matches_batch, TRUE AS resume_noop
          |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // Serving-cache gate: the emitted rows are the post-delete ranking
+    // under the FROZEN full-corpus stats (build set = all docs), live
+    // set minus the deleted tenth; the cache booleans are Spark-side.
+    "q_serving_cache_gate" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t WHERE doc_id % 10 <> 6)
+         |       WHERE tok IN ('filter', 'stream', 'vector') GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |             ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |             * (CAST(tf AS DOUBLE) * 2.2
+         |                / (tf + 0.3 + 0.9 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS sc
+         |      FROM tf JOIN df USING (tok) JOIN d USING (doc_id) CROSS JOIN g),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |             round(CAST(sum(CAST(round(sc, 12) AS DECIMAL(30,12))) AS DOUBLE), 4) AS score
+         |      FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_hit FROM a ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+         |       doc_id, score, n_hit, TRUE AS hit_ok, TRUE AS invalidate_ok
+         |FROM r ORDER BY rk""".stripMargin,
     // Text-index rebuild gate: the post-rebuild state is a fresh
     // full-corpus build, so the oracle is q_text_index_search's replay
     // plus the in-engine trigger assertions.

@@ -1231,7 +1231,18 @@ object Dedup {
     * [[semanticIndexCompact]] — the [[Tombstones]] lifecycle on the
     * semantic-dedup family (takedowns never force a rebuild). Note the
     * model stays frozen: deleting training vectors does not retrain
-    * centroids, exactly like deleting rows from any ANN index. */
+    * centroids, exactly like deleting rows from any ANN index.
+    *
+    * Deliberately NO `semanticIndexUpsert` (the one family without the
+    * atomic-replace mutation the others gained): the survivor set is
+    * HISTORY-DEPENDENT — whether a document is a survivor depends on
+    * which earlier survivor suppressed it, so "replace this doc's
+    * embedding" is not a row swap but a re-classification against the
+    * live survivors, and transitively the docs IT suppressed may need
+    * re-admission, which this index does not record. The sanctioned
+    * composition is [[semanticIndexDelete]] + routing the new version
+    * through [[semanticIndexAppendStream]] (the classification path);
+    * the non-atomic window is exactly the re-classification itself. */
   def semanticIndexDelete(ids: DataFrame, dir: String): Unit =
     Tombstones.delete(ids, dir, semanticState(ids.sparkSession, dir).tombstones)
 

@@ -304,6 +304,43 @@ private[graft] object IndexManifest {
     Audit(live.generation, unbuilt, missing, unreadable, orphans, staleTmp)
   }
 
+  /** A version string for the index's FULL live state — the cache key a
+    * serving tier needs. The manifest generation alone is not one:
+    * appends land in live segment dirs and deletes append tombstone rows
+    * WITHOUT a generation bump, so two reads at the same generation can
+    * legitimately differ. The fingerprint therefore hashes the live
+    * state's recursive file listing (path + length per file, plus the
+    * generation) — any mutation on any path (append, delete, upsert,
+    * compact, rebuild, props) changes it, so equality of fingerprints
+    * implies equality of answers. Cost: one recursive listing of the
+    * live segments — the same metadata walk every UNCACHED query's scan
+    * planning already performs, so a cache keyed on this is never more
+    * expensive than the miss it avoids. */
+  def fingerprint(spark: SparkSession, root: String, layout: Layout): String = {
+    val st = resolve(spark, root, layout)
+    val fs = fsOf(spark, new Path(root))
+    val names = (st.tables.values.toSet + st.stream + st.tombstones).toSeq.sorted
+    val sb = new StringBuilder
+    sb.append(st.generation).append('\n')
+    names.foreach { n =>
+      val p = new Path(s"$root/$n")
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        val files = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          // full path, not just the name: cell-partitioned segments can
+          // repeat a file name across subdirectories
+          files += s"${f.getPath.toUri.getPath}:${f.getLen}"
+        }
+        files.sorted.foreach(l => sb.append(l).append('\n'))
+      } else sb.append(n).append(":absent\n")
+    }
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sb.toString.getBytes(UTF_8))
+    st.generation + "-" + d.take(12).map("%02x".format(_)).mkString
+  }
+
   /** Metadata-only commit: publish updated props as a new generation
     * naming the SAME segment dirs (calibration curves, trained_on
     * refreshes — anything that annotates the index without touching its

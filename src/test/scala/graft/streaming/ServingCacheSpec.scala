@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{SimilaritySearch, TextSearchIndex}
+
+/** Contract of the fingerprint-versioned serving cache: a hit can only
+  * serve what the live index would answer — every mutation class
+  * (append, delete, upsert, compact) moves the fingerprint and so
+  * invalidates implicitly, with no writer-side hook to forget. */
+class ServingCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "banana banana date"),
+    (2L, "apple elderberry"),
+    (3L, "grape apple banana")
+  ).toDF("doc_id", "text")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+  test("hits serve the identical answer with no recompute; every mutation " +
+    "class invalidates implicitly; distinct queries cache separately") {
+    ServingCache.clear()
+    val idx = java.nio.file.Files.createTempDirectory("graft-servingcache").toString
+    TextSearchIndex.build(docs, idx)
+    val terms = Seq("apple", "banana")
+    def cachedSearch() = rows(ServingCache.cachedTextSearch(spark, idx, terms, 10))
+    def direct() = rows(TextSearchIndex.search(spark, idx, terms, 10))
+
+    val (h0, m0) = ServingCache.stats
+    val first = cachedSearch()
+    assert(first === direct())
+    val second = cachedSearch()
+    val (h1, m1) = ServingCache.stats
+    assert(second === first)
+    assert(h1 === h0 + 1 && m1 === m0 + 1, "one miss then one hit")
+    // a different query is its own entry, not a collision
+    assert(rows(ServingCache.cachedTextSearch(spark, idx, Seq("date"), 10)) ===
+      rows(TextSearchIndex.search(spark, idx, Seq("date"), 10)))
+
+    // delete invalidates (no generation bump — the fingerprint moves)
+    TextSearchIndex.delete(Seq(0L).toDF("doc_id"), idx)
+    val postDelete = cachedSearch()
+    assert(!postDelete.exists(_._2 == 0L), "stale hit would still serve doc 0")
+    assert(postDelete === direct())
+    // append invalidates
+    TextSearchIndex.append(Seq((9L, "apple apple apple")).toDF("doc_id", "text"), idx)
+    assert(cachedSearch().exists(_._2 == 9L))
+    // upsert invalidates
+    TextSearchIndex.upsert(Seq((9L, "date date")).toDF("doc_id", "text"), idx)
+    assert(!cachedSearch().exists(_._2 == 9L))
+    // compact preserves answers — and the refreshed entry then HITS
+    val preCompact = cachedSearch()
+    TextSearchIndex.compact(spark, idx)
+    assert(cachedSearch() === preCompact)
+    val (h2, _) = ServingCache.stats
+    assert(cachedSearch() === preCompact)
+    val (h3, _) = ServingCache.stats
+    assert(h3 === h2 + 1, "a quiet index serves from cache")
+  }
+
+  test("vector lane: cached IVF-PQ search equals direct; an index upsert " +
+    "invalidates") {
+    ServingCache.clear()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-servingcache-vec").toString
+    SimilaritySearch.ivfPqIndexBuild(emb, idx, nlist = 4, iters = 2)
+    val q = emb.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def cached() = pairs(
+      ServingCache.cachedVectorSearch(spark, idx, q, 5, queryKey = "q<4", nprobe = 4))
+    val direct = pairs(SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 4))
+    assert(cached() === direct)
+    val (h0, _) = ServingCache.stats
+    assert(cached() === direct)
+    assert(ServingCache.stats._1 === h0 + 1)
+    // replace one vector: the cached answer must not survive
+    val vid = emb.filter(col("vec_id") >= 4).select("vec_id").limit(1)
+      .collect().head.getLong(0)
+    SimilaritySearch.ivfPqIndexUpsert(
+      emb.filter(col("vec_id") === vid)
+        .withColumn("embedding", transform(col("embedding"), x => -x)),
+      idx)
+    assert(cached() ===
+      pairs(SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 4)))
+  }
+}
