@@ -3026,8 +3026,17 @@ object SparkEntry {
       // argmin, and the auto lane bit-equal to the directly-invoked
       // width it picked.
       "q_ann_ivf_auto_gate" -> ((s, dir) => {
+        import s.implicits._
         val e = Tables.embeddings(s, dir)
         val idx = sessionIndexDir("ivf-auto-gate")
+        if (e.isEmpty) {
+          // empty corpus → empty model: nothing to calibrate, no hits
+          Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+            .withColumn("curve_ok", lit(true))
+            .withColumn("guard_ok", lit(true))
+            .withColumn("pick_ok", lit(true))
+            .withColumn("lane_ok", lit(true))
+        } else {
         SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
         val curve = SimilaritySearch.ivfIndexCalibrate(s, idx, k = 10, nSample = 16)
         val widths = curve.keys.toSeq.sorted
@@ -3051,6 +3060,7 @@ object SparkEntry {
           .withColumn("pick_ok", lit(pickOk))
           .withColumn("lane_ok", lit(laneOk))
           .orderBy("q_id", "rank")
+        }
       }),
 
       // Atomic vector replace (the re-embedding mutation) on the persisted
@@ -3064,8 +3074,16 @@ object SparkEntry {
       // Booleans: single generation bump, deleted-not-upserted ids stay
       // out, compaction preserves everything.
       "q_ann_ivf_upsert_gate" -> ((s, dir) => {
+        import s.implicits._
         val e = Tables.embeddings(s, dir)
         val idx = sessionIndexDir("ivf-upsert-gate")
+        if (e.isEmpty) {
+          // empty corpus → empty model: nothing to upsert against
+          Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+            .withColumn("atomic_ok", lit(true))
+            .withColumn("gone_ok", lit(true))
+            .withColumn("compact_ok", lit(true))
+        } else {
         SimilaritySearch.ivfIndexBuild(e, idx, nlist = 8, iters = 2)
         def genOf(): Long =
           graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
@@ -3091,6 +3109,61 @@ object SparkEntry {
           .withColumn("gone_ok", lit(goneOk))
           .withColumn("compact_ok", lit(compactOk))
           .orderBy("q_id", "rank")
+        }
+      }),
+
+      // Auto-nprobe on the COMPOSED serving index (q_ann_ivf_auto_gate's
+      // contract on the IVF×PQ family): the curve is measured at the
+      // serving rerank, so its all-cells 1.0 means "as good as this
+      // configuration gets" — and the target-1.0 lane IS that
+      // configuration's full sweep, which reproduces pqTopK bit-for-bit
+      // (the q_ann_ivfpq_gate identity), so DuckDB replays it through
+      // the PQ CTEs. Booleans as in the IVF gate, plus the snapshot
+      // symmetry check: a calibration is a metadata-only commit, so the
+      // PRIOR generation's search is still pinnable and identical.
+      "q_ann_ivfpq_auto_gate" -> ((s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val idx = sessionIndexDir("ivfpq-auto-gate")
+        if (e.isEmpty) {
+          // empty corpus → empty model: nothing to calibrate, no hits
+          Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
+            .withColumn("curve_ok", lit(true))
+            .withColumn("guard_ok", lit(true))
+            .withColumn("pick_ok", lit(true))
+            .withColumn("lane_ok", lit(true))
+            .withColumn("snapshot_ok", lit(true))
+        } else {
+        SimilaritySearch.ivfPqIndexBuild(e, idx)
+        val queries = e.filter(col("vec_id") < 8)
+        def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val g0 = graft.operators.IndexManifest.read(s, idx).map(_.generation).getOrElse(0L)
+        val preCal = rows(SimilaritySearch.ivfPqIndexSearch(s, idx, queries, 10, nprobe = 8))
+        val curve = SimilaritySearch.ivfPqIndexCalibrate(s, idx, k = 10, nSample = 16)
+        val widths = curve.keys.toSeq.sorted
+        val monotoneOk = widths.zip(widths.drop(1)).forall { case (a, b) =>
+          curve(a) <= curve(b) + 1e-9
+        }
+        val guardOk =
+          SimilaritySearch.ivfPqIndexChooseNprobe(s, idx, 10, 1.0) == widths.max
+        val np = SimilaritySearch.ivfPqIndexChooseNprobe(s, idx, 10, 0.5)
+        val pickOk = np == widths.find(w => curve(w) >= 0.5).getOrElse(widths.max)
+        val laneOk =
+          rows(SimilaritySearch.ivfPqIndexSearchAuto(s, idx, queries, 10, 0.5)) ==
+            rows(SimilaritySearch.ivfPqIndexSearch(s, idx, queries, 10, np))
+        val snapshotOk =
+          rows(SimilaritySearch.ivfPqIndexSearchAsOf(s, idx, queries, 10, g0, nprobe = 8)) ==
+            preCal
+        SimilaritySearch.ivfPqIndexSearchAuto(s, idx, queries, 10, targetRecall = 1.0)
+          .withColumn("curve_ok", lit(monotoneOk))
+          .withColumn("guard_ok", lit(guardOk))
+          .withColumn("pick_ok", lit(pickOk))
+          .withColumn("lane_ok", lit(laneOk))
+          .withColumn("snapshot_ok", lit(snapshotOk))
+          .orderBy("q_id", "rank")
+        }
       }),
 
       // ANN: SRP-LSH bucketed + query-directed multiprobe (scale path).
@@ -7482,6 +7555,16 @@ object SparkEntry {
         |SELECT q_id, n_id, rank, sim, TRUE AS atomic_ok, TRUE AS gone_ok,
         |       TRUE AS compact_ok
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // IVF×PQ auto-nprobe gate: the emitted target-1.0 lane is the full
+    // sweep at the serving rerank == pqTopK (the q_ann_ivfpq_gate
+    // identity), so the oracle is the PQ pipeline replay; the curve /
+    // pick / snapshot assertions are Spark-side booleans.
+    "q_ann_ivfpq_auto_gate" ->
+      s"""SELECT t.*, TRUE AS curve_ok, TRUE AS guard_ok, TRUE AS pick_ok,
+         |       TRUE AS lane_ok, TRUE AS snapshot_ok
+         |FROM (
+         |$AnnPqOracleSql
+         |) t""".stripMargin,
     // Delete-lifecycle gate: n_exact recomputed from the brute-force top-k
     // over the corpus minus the tombstoned ids; the three lifecycle flags
     // are Spark-side assertions (TRUE expected).

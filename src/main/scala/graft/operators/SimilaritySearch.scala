@@ -705,9 +705,14 @@ object SimilaritySearch {
     * dir has no schema to infer. */
   private def indexVectorsOpt(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
+      dir: String): Option[DataFrame] =
+    indexVectorsAt(spark, dir, ivfState(spark, dir))
+
+  private def indexVectorsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
-    val st = ivfState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       if (!path.getFileSystem(conf).exists(path)) None
@@ -739,9 +744,41 @@ object SimilaritySearch {
       dir: String,
       queries: DataFrame,
       k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    ivfIndexSearchState(spark, dir, ivfState(spark, dir), queries, k, nprobe)
+
+  /** [[ivfIndexSearch]] pinned to a RETAINED manifest generation
+    * ([[IndexManifest.readAt]]) — the vector lane's time-travel read
+    * ([[graft.operators.TextSearchIndex.searchAsOf]]'s contract):
+    * reproduce the ranking a past generation served — its frozen model,
+    * its segments, its pending tombstones — after an upsert, compaction
+    * or rebuild moved the live index on. Fails loudly outside the
+    * retention window: a snapshot query must never silently answer from
+    * a different state. */
+  def ivfIndexSearchAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      generation: Long,
+      nprobe: Int = 2): DataFrame =
+    ivfIndexSearchState(
+      spark, dir,
+      IndexManifest.readAt(spark, dir, generation).getOrElse(
+        sys.error(
+          s"ivf index at $dir retains no generation-$generation manifest " +
+            s"(snapshots: ${IndexManifest.snapshots(spark, dir).mkString(",")})")),
+      queries, k, nprobe)
+
+  private def ivfIndexSearchState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
-    val centroids = readCentroids(spark, dir, ivfState(spark, dir))
+    val centroids = readCentroids(spark, dir, st)
     if (centroids.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim")
     val q = withNorm(queries, "q_id", "qv", "qn")
@@ -761,10 +798,11 @@ object SimilaritySearch {
     val cells = probed.select("cell").distinct().as[Int].collect().toSeq
     // A fully-tombstoned index compacts to a zero-row base whose parquet
     // dir carries no schema — that is an EMPTY index, not a broken one.
-    val all = indexVectorsOpt(spark, dir).getOrElse(
+    val all = indexVectorsAt(spark, dir, st).getOrElse(
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim"))
-    val indexed =
-      dropTombstoned(all.filter(col("cell").isin(cells: _*)), spark, dir)
+    val indexed = Tombstones.dropScoped(
+      all.filter(col("cell").isin(cells: _*)), dir, "n_id", "seg_gen", st.tombstones)
+      .drop("seg_gen")
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     indexed
       .join(broadcast(probed), Seq("cell"))
@@ -1138,9 +1176,15 @@ object SimilaritySearch {
   private def segmentUnionOpt(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
+      table: String): Option[DataFrame] =
+    segmentUnionAt(spark, dir, ivfPqState(spark, dir), table)
+
+  private def segmentUnionAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State,
       table: String): Option[DataFrame] = {
     val conf = spark.sessionState.newHadoopConf()
-    val st = ivfPqState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       if (!path.getFileSystem(conf).exists(path)) None
@@ -1193,9 +1237,40 @@ object SimilaritySearch {
       queries: DataFrame,
       k: Int,
       nprobe: Int = 2,
-      rerank: Int = 200): DataFrame = {
+      rerank: Int = 200): DataFrame =
+    ivfPqIndexSearchState(
+      spark, dir, ivfPqState(spark, dir), queries, k, nprobe, rerank)
+
+  /** [[ivfPqIndexSearch]] pinned to a RETAINED manifest generation — the
+    * time-travel read on the composed serving index
+    * ([[ivfIndexSearchAsOf]]'s contract): that generation's coarse model,
+    * codebooks, code/vector segments AND pending tombstones. Fails
+    * loudly outside the retention window. */
+  def ivfPqIndexSearchAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      generation: Long,
+      nprobe: Int = 2,
+      rerank: Int = 200): DataFrame =
+    ivfPqIndexSearchState(
+      spark, dir,
+      IndexManifest.readAt(spark, dir, generation).getOrElse(
+        sys.error(
+          s"ivfpq index at $dir retains no generation-$generation manifest " +
+            s"(snapshots: ${IndexManifest.snapshots(spark, dir).mkString(",")})")),
+      queries, k, nprobe, rerank)
+
+  private def ivfPqIndexSearchState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
     import spark.implicits._
-    val st = ivfPqState(spark, dir)
     val centroids = readCentroids(spark, dir, st)
     val books = readCodebooks(spark, dir, st).map(_.map(_._2))
     if (centroids.isEmpty || books.isEmpty || books.exists(_.isEmpty))
@@ -1223,10 +1298,11 @@ object SimilaritySearch {
     // ADC ranking, and the survivor vector join is keyed by live ids only.
     // A fully-tombstoned index compacts to zero-row bases with no
     // schema-carrying files — an EMPTY index (return no hits), not an error.
-    val allCodes = segmentUnionOpt(spark, dir, "codes").getOrElse(
+    val allCodes = segmentUnionAt(spark, dir, st, "codes").getOrElse(
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim"))
-    val codes = dropTombstoned(
-      allCodes.filter(col("cell").isin(cells: _*)), spark, dir)
+    val codes = Tombstones.dropScoped(
+      allCodes.filter(col("cell").isin(cells: _*)),
+      dir, "n_id", "seg_gen", st.tombstones).drop("seg_gen")
     val adc = (0 until m)
       .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
       .reduce(_ + _)
@@ -1241,9 +1317,11 @@ object SimilaritySearch {
     // Tombstones pruned here too (not just at the code stage): with
     // upserts, a LIVE id can have a dead older vector copy in the base —
     // the survivor join on n_id must see only the replacement row.
-    val vectors = dropTombstoned(
-      segmentUnion(spark, dir, "vectors").filter(col("cell").isin(cells: _*)),
-      spark, dir)
+    val vectors = Tombstones.dropScoped(
+      segmentUnionAt(spark, dir, st, "vectors")
+        .getOrElse(sys.error(s"ivfpq index at $dir has no readable vectors segment"))
+        .filter(col("cell").isin(cells: _*)),
+      dir, "n_id", "seg_gen", st.tombstones).drop("seg_gen")
       .select("n_id", "nv", "nn")
     val byExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     survivors
@@ -1253,6 +1331,91 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
   }
+
+  /** [[ivfIndexCalibrate]]'s contract on the composed index: measure the
+    * recall/nprobe curve of the SERVING CONFIGURATION (this `rerank`) on
+    * a deterministic sample vs the all-cells answer at the same rerank,
+    * and ride it on the manifest via a metadata-only commit. One honest
+    * caveat the IVF family doesn't have: with a finite rerank even the
+    * all-cells sweep is an estimate of exact search (ADC misranking past
+    * the rerank cut), so the recorded 1.0 at nlist means "as good as
+    * this serving configuration gets", not brute-force equality — raise
+    * `rerank` toward the corpus size when that distinction matters. */
+  def ivfPqIndexCalibrate(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      k: Int = 10,
+      nSample: Int = 16,
+      rerank: Int = 200): Map[Int, Double] = {
+    val st = ivfPqState(spark, dir)
+    val centroids = readCentroids(spark, dir, st)
+    require(centroids.nonEmpty, s"ivfpq index at $dir has an empty model")
+    val nlist = centroids.length
+    val sample = segmentUnionAt(spark, dir, st, "vectors") match {
+      case None => return Map.empty
+      case Some(all) =>
+        Tombstones.dropScoped(all, dir, "n_id", "seg_gen", st.tombstones)
+          .drop("seg_gen")
+          .select(col("n_id").as("vec_id"), col("nv").as("embedding"))
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(nSample)
+    }
+    val widths =
+      (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++ Iterator(nlist)).toSeq
+    def resultSets(np: Int): Map[Long, Set[Long]] =
+      ivfPqIndexSearch(spark, dir, sample, k, np, rerank)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = resultSets(nlist)
+    val curve = widths.map { np =>
+      val got = if (np == nlist) truth else resultSets(np)
+      val recalls = truth.toSeq.map { case (q, ts) =>
+        if (ts.isEmpty) 1.0
+        else (got.getOrElse(q, Set.empty[Long]) & ts).size.toDouble / ts.size
+      }
+      np -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
+    }.toMap
+    val annotated = curve.foldLeft(st) { case (s2, (np, r)) =>
+      s2.withProp(s"recall.k$k.np$np", f"$r%.4f")
+    }
+    IndexManifest.commitProps(spark, dir, annotated, IndexManifest.Layouts.ivfpq)
+    curve
+  }
+
+  /** [[ivfIndexChooseNprobe]] on the composed index: smallest calibrated
+    * width meeting `target`; targets ≥ 1.0 take the full sweep; loud on
+    * an uncalibrated index. */
+  def ivfPqIndexChooseNprobe(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      k: Int,
+      target: Double): Int = {
+    val prefix = s"recall.k$k.np"
+    val curve = ivfPqState(spark, dir).props.collect {
+      case (key, v) if key.startsWith(prefix) => key.stripPrefix(prefix).toInt -> v.toDouble
+    }
+    require(
+      curve.nonEmpty,
+      s"ivfpq index at $dir has no recall calibration for k=$k — run ivfPqIndexCalibrate first")
+    val nlist = curve.keys.max
+    if (target >= 1.0) nlist
+    else curve.toSeq.sortBy(_._1).collectFirst { case (np, r) if r >= target => np }
+      .getOrElse(nlist)
+  }
+
+  /** [[ivfPqIndexSearch]] at the probe width the calibrated curve says
+    * meets `targetRecall` — the serving lane states its recall, the
+    * index serves it at the cheapest measured width. */
+  def ivfPqIndexSearchAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double = 0.9,
+      rerank: Int = 200): DataFrame =
+    ivfPqIndexSearch(
+      spark, dir, queries, k,
+      ivfPqIndexChooseNprobe(spark, dir, k, targetRecall), rerank)
 
   /** Product-quantization codebooks (Jégou et al., TPAMI 2011): the `dim`
     * dims split into `m` subspaces, each with its own `nlist`-centroid

@@ -90,6 +90,45 @@ class IndexSnapshotSpec extends SparkSpec {
     assert(IndexManifest.readAt(spark, idx, g1).isEmpty)
   }
 
+  test("vector-lane searchAsOf: an upsert moves the live index, the prior " +
+    "generation still serves the old ranking (model + segments + " +
+    "tombstones), expiry errors loudly — both IVF and IVF×PQ") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wave1 = emb.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val wave2 = emb.filter(col("vec_id") % 10 === 6)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    for (pq <- Seq(false, true)) {
+      val idx = tmp(s"vec-asof-pq$pq")
+      if (pq) SimilaritySearch.ivfPqIndexBuild(emb, idx, nlist = 4, iters = 2)
+      else SimilaritySearch.ivfIndexBuild(emb, idx, nlist = 4, iters = 2)
+      def live() = pairs(
+        if (pq) SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 4,
+          rerank = 1000000)
+        else SimilaritySearch.ivfIndexSearch(spark, idx, q, 5, nprobe = 4))
+      def asOf(g: Long) = pairs(
+        if (pq) SimilaritySearch.ivfPqIndexSearchAsOf(spark, idx, q, 5, g, nprobe = 4,
+          rerank = 1000000)
+        else SimilaritySearch.ivfIndexSearchAsOf(spark, idx, q, 5, g, nprobe = 4))
+      val g1 = IndexManifest.read(spark, idx).get.generation
+      val pre = live()
+      if (pq) SimilaritySearch.ivfPqIndexUpsert(wave1, idx)
+      else SimilaritySearch.ivfIndexUpsert(wave1, idx)
+      val mid = live()
+      assert(mid !== pre, s"pq=$pq: the negated wave must move the ranking")
+      assert(asOf(g1) === pre, s"pq=$pq: the prior generation still serves")
+      if (pq) SimilaritySearch.ivfPqIndexUpsert(wave2, idx)
+      else SimilaritySearch.ivfIndexUpsert(wave2, idx)
+      assert(asOf(g1 + 1) === mid, s"pq=$pq: the retained predecessor serves")
+      val e = intercept[RuntimeException](asOf(g1))
+      assert(e.getMessage.contains("retains no generation"), s"pq=$pq: $e")
+    }
+  }
+
   test("family-agnostic: a reader's resolved state survives one concurrent " +
     "compaction (segments intact), expires after two") {
     val idx = tmp("ivf")
