@@ -132,6 +132,16 @@ object IndexMaintenance {
   def sweep(spark: SparkSession, indexes: Seq[Registration]): Seq[Report] =
     indexes.map { reg =>
       try {
+        // a rebuild replaces the frozen model and drops its recall
+        // calibration with it (stale curves are never served); remember
+        // which k's were calibrated so a fired rebuild re-measures them —
+        // "the curve stales exactly when the model does", automated
+        val calibratedKs = reg match {
+          case _: IvfIndex | _: IvfPqIndex =>
+            SimilaritySearch.recallKs(
+              IndexManifest.read(spark, reg.dir).map(_.props).getOrElse(Map.empty))
+          case _ => Seq.empty
+        }
         val rebuilt = reg match {
           case r: SemanticIndex =>
             Dedup.semanticIndexMaybeRebuild(
@@ -146,6 +156,13 @@ object IndexMaintenance {
           case r: TextIndexReg =>
             TextSearchIndex.maybeRebuild(r.corpus(), r.dir, r.growthRatio, r.driftRatio)
           case _: MinhashIndex => false
+        }
+        if (rebuilt) calibratedKs.foreach { k =>
+          reg match {
+            case _: IvfIndex => SimilaritySearch.ivfIndexCalibrate(spark, reg.dir, k)
+            case _: IvfPqIndex => SimilaritySearch.ivfPqIndexCalibrate(spark, reg.dir, k)
+            case _ => ()
+          }
         }
         val compacted = !rebuilt && (reg match {
           case r: MinhashIndex =>

@@ -379,9 +379,25 @@ object SimilaritySearch {
     // rowsIn, not a bare read: an empty-corpus build writes a zero-row
     // segment with no schema-carrying files
     val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "vectors"))
+    // a (re)build replaces the frozen model, so any recall calibration
+    // measured against the OLD model is dropped with it — serving a
+    // stale curve silently would be the auto-nprobe lane's one lie
     IndexManifest.commit(
-      spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
+      spark, dir,
+      dropRecallProps(next).withProp(RebuildTrigger.TrainedOnProp, trained.toString),
+      layout)
   }
+
+  /** Strip the recall-calibration props (they describe the frozen model
+    * a rebuild is replacing); ks present, for re-calibration after. */
+  private def dropRecallProps(st: IndexManifest.State): IndexManifest.State =
+    st.copy(props = st.props.filter { case (k, _) => !k.startsWith("recall.") })
+
+  private val RecallKey = """recall\.k(\d+)\.np\d+""".r
+
+  /** The k values a props map carries calibration curves for. */
+  private[operators] def recallKs(props: Map[String, String]): Seq[Int] =
+    props.keys.collect { case RecallKey(k) => k.toInt }.toSeq.distinct.sorted
 
   /** Centroid-model staleness of the persisted IVF index: |live −
     * trained_on| / trained_on, live rows from the same cheap counts the
@@ -963,8 +979,11 @@ object SimilaritySearch {
             Seq("n_id"))
     codes.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "codes"))
     val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "codes"))
+    // recall props describe the OLD frozen models — dropped with them
     IndexManifest.commit(
-      spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
+      spark, dir,
+      dropRecallProps(next).withProp(RebuildTrigger.TrainedOnProp, trained.toString),
+      layout)
   }
 
   private def ivfPqState(

@@ -375,6 +375,34 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
       pairs(SimilaritySearch.ivfTopK(q, emb, 5, nlist = 4, nprobe = 2)))
   }
 
+  test("a rebuild drops the recall calibration with the model it described — " +
+    "stale curves are never served — and the sweep re-measures it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-recal").toString
+    SimilaritySearch.ivfIndexBuild(evens, idx, nlist = 4, iters = 2)
+    SimilaritySearch.ivfIndexCalibrate(spark, idx, k = 5, nSample = 8)
+    assert(SimilaritySearch.ivfIndexChooseNprobe(spark, idx, 5, 1.0) === 4)
+    // a manual rebuild retrains the model — the old curve goes with it
+    SimilaritySearch.ivfIndexBuild(emb, idx, nlist = 4, iters = 2)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfIndexChooseNprobe(spark, idx, 5, 0.9)
+    }
+    // the sweep's fired rebuild re-measures the ks that were calibrated
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ivf-recal2").toString
+    SimilaritySearch.ivfIndexBuild(evens, idx2, nlist = 4, iters = 2)
+    SimilaritySearch.ivfIndexCalibrate(spark, idx2, k = 5, nSample = 8)
+    SimilaritySearch.ivfIndexAppend(emb.filter(col("vec_id") % 2 === 1), idx2)
+    val reports = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.IvfIndex(idx2, () => emb, nlist = 4, iters = 2,
+        rebuildRatio = 0.5)))
+    assert(reports.head.rebuilt && reports.head.failed.isEmpty)
+    assert(SimilaritySearch.ivfIndexChooseNprobe(spark, idx2, 5, 1.0) === 4,
+      "the post-rebuild curve is freshly measured, not carried")
+    assert(SimilaritySearch.recallKs(
+      IndexManifest.read(spark, idx2).get.props) === Seq(5))
+  }
+
   test("ivfIndexUpsert / ivfPqIndexUpsert: one-commit replace — the old vector " +
     "leaves BOTH scan stages, the new one serves, deleted ids resurrect " +
     "without compaction, compaction preserves") {
