@@ -70,7 +70,13 @@ object TextSearchIndex {
     * stream; exactly equal to the explode+count form because every
     * document arrives whole in one row. `tf` stays a stored count rather
     * than `size(positions)` at read: the scoring scan must not need the
-    * wide column to know the count. */
+    * wide column to know the count.
+    *
+    * This is the STREAM form only: the per-distinct-token position
+    * filter costs O(len × distinct) per document, which is real CPU at
+    * corpus scale — batch paths use [[postingsOfBatch]] (identical rows,
+    * spec-pinned) and keep this one exclusively where append-mode
+    * streaming forbids aggregation. */
   private def postingsOf(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -90,6 +96,28 @@ object TextSearchIndex {
           .cast("array<long>")
           .as("positions"))
 
+  /** Batch form of [[postingsOf]]: posexplode + one (tok, doc_id)
+    * aggregation instead of the per-distinct-token position filter —
+    * O(tokens) work and one combine-friendly shuffle, vs O(len ×
+    * distinct) row-local CPU. Rows are identical (positions ascending
+    * via sort_array == the HOF form's index-order scan; tf a count;
+    * dl denormalized before the explode): spec-pinned bit-equal. Every
+    * batch mutation (build / append / upsert) uses this; only the
+    * append-mode stream, which cannot aggregate, pays the HOF price. */
+  private def postingsOfBatch(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .groupBy("tok", "doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("tf"),
+        first(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .select("tok", "doc_id", "tf", "dl", "positions")
+
   /** Build the index: freeze the normalization stats, write the postings
     * sorted by term, commit the next manifest generation (prior deletes
     * vanish with it). */
@@ -103,7 +131,7 @@ object TextSearchIndex {
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(next.tableDir(dir, "stats"))
-    postingsOf(documents)
+    postingsOfBatch(documents)
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
     val nDocs = spark.read.parquet(next.tableDir(dir, "stats")).head().getLong(0)
@@ -116,7 +144,7 @@ object TextSearchIndex {
     * untouched. */
   def append(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
-    postingsOf(batch)
+    postingsOfBatch(batch)
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("append").parquet(state(spark, dir).tableDir(dir, "postings"))
   }
@@ -195,7 +223,7 @@ object TextSearchIndex {
       .drop("seg_gen")
       .join(ids, Seq("doc_id"), "left_anti")
       .select(postingCols.map(col): _*)
-    carried.unionByName(postingsOf(batch).select(postingCols.map(col): _*))
+    carried.unionByName(postingsOfBatch(batch).select(postingCols.map(col): _*))
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.streamDir(dir))
     // next tombstones := carried pending rows (clamped to the current

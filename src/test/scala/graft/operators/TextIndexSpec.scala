@@ -241,6 +241,13 @@ class TextIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(res(idxB) === res(idxA))
     assert(res(idxB).exists(_._2 == 2L))
+    // the stream path builds postings with the row-local HOF form, the
+    // batch path with the posexplode+aggregate form — positions must be
+    // bit-equal too (phrase adjacency is the consumer that would notice)
+    def ph(idx: String): Seq[(Long, Long)] =
+      TextSearchIndex.phraseSearch(spark, idx, "apple elderberry").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(ph(idxB) === ph(idxA) && ph(idxA).nonEmpty)
     // same checkpoint, no new files → nothing ingested twice
     val n = res(idxB)
     TextSearchIndex.appendStream(spark, idxB, arrivals, ckpt)
