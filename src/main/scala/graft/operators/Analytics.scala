@@ -242,15 +242,18 @@ object Analytics {
     *
     * `checkpointEdges = false` is the BUCKETED-ADJACENCY mode: pass edges
     * read from a table bucketed (and sorted) by `src` with the bucket
-    * count matching `spark.sql.shuffle.partitions`, and skip the edge and
-    * degree checkpoints — a local checkpoint erases the scan's
+    * count matching `spark.sql.shuffle.partitions`, and skip the EDGE
+    * checkpoint — a local checkpoint erases the scan's
     * outputPartitioning, which is exactly what bucketing buys. Each
-    * round's edges⋈ranks join and the degree re-derivation then read
-    * bucket-aligned partitions with NO edge-side exchange (plan-guarded
-    * in PlanShapeSpec); the trade is one extra column-pruned (src, dst)
-    * bucket scan per round, the right side of the ledger at corpus scale
-    * where an edge shuffle moves the whole graph and a bucket scan reads
-    * only pages. */
+    * round's edges⋈ranks join then reads bucket-aligned partitions with
+    * NO edge-side exchange (plan-guarded in PlanShapeSpec). The DEGREE
+    * table is local-checkpointed in EVERY mode: it is O(nodes) and feeds
+    * every round, and re-deriving it per round in bucketed mode paid an
+    * O(edges) aggregate per round (for [[personalizedPageRank]], plus the
+    * seeds scan and its distinct exchange) — the r8 q_ppr regression.
+    * The checkpointed deg's side of the per-round deg⋈inSum join gains
+    * an O(nodes) exchange, strictly cheaper than what it replaces; the
+    * bucketing win lives on the EDGE side and survives. */
   def pageRank(
       edges: DataFrame,
       iters: Int = 5,
@@ -260,12 +263,10 @@ object Analytics {
     val e =
       if (checkpointEdges) eRaw.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
       else eRaw
-    val degRaw = e
+    val deg = e
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
-    val deg =
-      if (checkpointEdges) degRaw.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
-      else degRaw
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     var ranks = deg.select(col("node"), lit(prScale).as("pr"), col("deg"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
@@ -287,10 +288,8 @@ object Analytics {
     // edge and degree blocks served their last join and can go now —
     // holding them across repeated constructions (bench warm + timed
     // passes, verify) accumulates executor storage for nothing
-    if (checkpointEdges) {
-      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(e)
-      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(deg)
-    }
+    if (checkpointEdges) org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(e)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(deg)
     ranks.select(col("node"), col("pr").as("pr_micro"))
   }
 
@@ -321,7 +320,11 @@ object Analytics {
     import org.apache.spark.sql.graft.Bridge
     val eRaw = edges.select(col("src"), col("dst"))
     val e = if (checkpointEdges) eRaw.transform(Bridge.localCheckpointFreshStats) else eRaw
-    val degRaw = e
+    // deg embeds the seeds scan + distinct besides the degree aggregate;
+    // checkpointed in EVERY mode (see pageRank's scale-shape note) so no
+    // round re-derives any of it — in bucketed mode this was re-running
+    // an edge aggregate AND the seeds subplan per round (r8 regression)
+    val deg = e
       .groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
       .join(
@@ -329,7 +332,7 @@ object Analytics {
         Seq("node"),
         "left")
       .select(col("node"), col("deg"), coalesce(col("t"), lit(0L)).as("t"))
-    val deg = if (checkpointEdges) degRaw.transform(Bridge.localCheckpointFreshStats) else degRaw
+      .transform(Bridge.localCheckpointFreshStats)
     var ranks = deg.select(
       col("node"),
       when(col("t") > 0, lit(prScale)).otherwise(lit(0L)).as("pr"),
@@ -357,10 +360,8 @@ object Analytics {
         ranks = round
       }
     }
-    if (checkpointEdges) {
-      Bridge.freeLocalCheckpoint(e)
-      Bridge.freeLocalCheckpoint(deg)
-    }
+    if (checkpointEdges) Bridge.freeLocalCheckpoint(e)
+    Bridge.freeLocalCheckpoint(deg)
     ranks.filter(col("pr") > 0).select(col("node"), col("pr").as("pr_micro"))
   }
 

@@ -289,8 +289,14 @@ object Dedup {
 
   private def minhashIndexMeta(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(minhashState(spark, dir).tableDir(dir, "meta"))
+      dir: String): (Int, Int, Int) =
+    minhashIndexMetaAt(spark, dir, minhashState(spark, dir))
+
+  private def minhashIndexMetaAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): (Int, Int, Int) = {
+    val r = spark.read.parquet(st.tableDir(dir, "meta"))
       .select("num_perm", "bands", "max_bucket").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
@@ -303,9 +309,17 @@ object Dedup {
     * empty sink log; either reads as "no rows here", not an error. */
   def minhashIndexRows(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    minhashIndexRowsAt(spark, dir, minhashState(spark, dir))
+
+  /** The rows a given manifest state names — [[minhashIndexRows]] at the
+    * live state; the AsOf lane passes a pinned snapshot state instead
+    * (same plan, that generation's segments and pending tombstones). */
+  private def minhashIndexRowsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame = {
     import org.apache.spark.sql.types._
-    val st = minhashState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -395,10 +409,14 @@ object Dedup {
     * [[minhashIndexCompact]] (the [[Tombstones]] contract — takedowns and
     * licensing retractions never force an index rebuild). */
   def minhashIndexDelete(ids: DataFrame, dir: String): Unit = {
-    // scoped to the live generation — same observable behavior, and a
-    // LATER minhashIndexUpsert's replacement segment can resurrect the id
+    // UNSCOPED (ts_gen = MaxValue): the takedown keeps hiding the id in
+    // every future segment (later appends included) until compaction, or
+    // until a minhashIndexUpsert of that very id drops the tombstone —
+    // the one sanctioned re-add path. A live-generation scope would let
+    // an unrelated later upsert open a resurrection window for plain
+    // appends of the deleted id.
     val st = minhashState(ids.sparkSession, dir)
-    Tombstones.delete(ids, dir, st.tombstones, asOfGen = st.generation)
+    Tombstones.delete(ids, dir, st.tombstones)
   }
 
   /** Atomic replace on the persisted LSH index — the re-crawl mutation
@@ -408,7 +426,8 @@ object Dedup {
     * .upsert]] discipline on this family): base carried, batch ids
     * tombstoned at the CURRENT generation, streamed segment rewritten at
     * the next generation (pending deletes applied physically, carried
-    * tombstones clamped) plus the batch banded under the STORED
+    * tombstones kept at their scope minus the batch ids') plus the batch
+    * banded under the STORED
     * parameters. O(stream + batch); also the sanctioned re-add of a
     * deleted id. A non-shingleable replacement (< 3 tokens) indexes no
     * rows — the upsert then degrades to the delete, correctly. */
@@ -437,9 +456,11 @@ object Dedup {
         }
     carried.fold(fresh)(_ unionByName fresh)
       .write.mode("overwrite").parquet(next.streamDir(dir))
+    // carried pending tombstones keep their scope (an unscoped delete
+    // keeps killing future appends); only the batch ids' prior rows drop
     val killed = ids.select(col("c_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
     Tombstones.read(spark, dir, prev.tombstones)
-      .map(_.select(col("ts_id"), least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .map(_.join(ids.select(col("c_id").as("ts_id")), Seq("ts_id"), "left_anti"))
       .fold(killed)(_ unionByName killed)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")
@@ -514,11 +535,40 @@ object Dedup {
     * first pruned to the batch's own buckets (a semi-join — whole buckets
     * survive, so the per-bucket count stays exact), which bounds the cap's
     * window aggregation to exactly the rows the join was about to touch. */
-  def minhashIndexCandidates(batch: DataFrame, dir: String): DataFrame = {
+  def minhashIndexCandidates(batch: DataFrame, dir: String): DataFrame =
+    minhashIndexCandidatesState(
+      batch, dir, minhashState(batch.sparkSession, dir))
+
+  /** [[minhashIndexCandidates]] pinned to a RETAINED manifest generation
+    * ([[IndexManifest.readAt]]) — the dedup family's time-travel read,
+    * the [[graft.operators.TextSearchIndex.searchAsOf]] contract: replay
+    * exactly the candidate set a past generation's index would have
+    * produced — its banding parameters, its segments, its pending
+    * tombstones — after upserts, appends or a compaction moved the live
+    * index on. This is the reproducibility audit a corpus build needs
+    * ("which near-dups did the dedup pass at generation G see?"). Fails
+    * loudly outside the retention window: a snapshot query must never
+    * silently answer from a different state. */
+  def minhashIndexCandidatesAsOf(
+      batch: DataFrame,
+      dir: String,
+      generation: Long): DataFrame = {
     val spark = batch.sparkSession
-    val (numPerm, bands, maxBucket) = minhashIndexMeta(spark, dir)
+    val st = IndexManifest.readAt(spark, dir, generation).getOrElse(
+      sys.error(
+        s"minhash index at $dir retains no generation-$generation manifest " +
+          s"(snapshots: ${IndexManifest.snapshots(spark, dir).mkString(",")})"))
+    minhashIndexCandidatesState(batch, dir, st)
+  }
+
+  private def minhashIndexCandidatesState(
+      batch: DataFrame,
+      dir: String,
+      st: IndexManifest.State): DataFrame = {
+    val spark = batch.sparkSession
+    val (numPerm, bands, maxBucket) = minhashIndexMetaAt(spark, dir, st)
     val banded = bandedBuckets(batch, numPerm, bands)
-    val probedLive = minhashIndexRows(spark, dir)
+    val probedLive = minhashIndexRowsAt(spark, dir, st)
       .join(banded.select("bucket").distinct(), Seq("bucket"), "left_semi")
     banded
       .join(capBuckets(probedLive, Seq("bucket"), maxBucket), Seq("bucket"))
@@ -1152,9 +1202,34 @@ object Dedup {
     * schema-carrying files; that reads back as an EMPTY survivor set. */
   def semanticIndexSurvivors(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    semanticIndexSurvivorsAt(spark, dir, semanticState(spark, dir))
+
+  /** [[semanticIndexSurvivors]] pinned to a RETAINED manifest generation
+    * ([[IndexManifest.readAt]]) — the semantic family's time-travel read
+    * ([[minhashIndexCandidatesAsOf]]'s contract): reproduce exactly the
+    * survivor set a past generation served — its segments, its pending
+    * tombstones — after appends, deletes or a compaction moved the live
+    * index on. The survivor set is history-dependent (the documented
+    * reason this family has no upsert), which makes the snapshot read
+    * the ONLY way to audit what a past corpus build deduped against.
+    * Fails loudly outside the retention window. */
+  def semanticIndexSurvivorsAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      generation: Long): DataFrame = {
+    val st = IndexManifest.readAt(spark, dir, generation).getOrElse(
+      sys.error(
+        s"semantic index at $dir retains no generation-$generation manifest " +
+          s"(snapshots: ${IndexManifest.snapshots(spark, dir).mkString(",")})"))
+    semanticIndexSurvivorsAt(spark, dir, st)
+  }
+
+  private def semanticIndexSurvivorsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame = {
     import org.apache.spark.sql.types._
-    val st = semanticState(spark, dir)
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())

@@ -21,18 +21,22 @@ import org.apache.spark.sql.functions._
   *
   * Contract (identical across families): ids are global — a tombstone
   * hides EVERY row of that id, including rows appended after the delete,
-  * until a compaction clears it; re-inserting a deleted id therefore
-  * requires compacting first. One refinement (round 8, text family
-  * pilot): a tombstone may be SCOPED to a generation (`ts_gen`) — it then
-  * hides copies only in segments created at or before that generation,
-  * which is what lets [[TextSearchIndex.upsert]] kill a document's old
+  * until a compaction clears it or an UPSERT of that very id replaces it.
+  * Plain deletes are therefore always UNSCOPED (`ts_gen = Long.MaxValue`,
+  * "kills every segment, present and future") — the takedown/licensing-
+  * retraction guarantee survives any later unrelated mutation. Scoped
+  * tombstones (`ts_gen` = a generation; hides copies only in segments
+  * created at or before it) are written ONLY by the upserting families'
+  * upsert paths, which is what lets an upsert kill a document's old
   * copies and commit its replacement in ONE manifest generation (the new
-  * segment's higher generation is immune), and lets a deleted id be
-  * re-added without waiting for a compaction. Families that never upsert
-  * keep the unscoped default (`ts_gen = Long.MaxValue`, "kills every
-  * segment") and their behavior is bit-identical to before; tombstone
-  * rows persisted before the column existed read back as unscoped the
-  * same way (missing column coalesces to MaxValue). Rebuilds start from
+  * segment's higher generation is immune). An upsert carries pending
+  * tombstones forward at their ORIGINAL scope and drops only the batch
+  * ids' rows — the one sanctioned re-add path. (Round 9 fix: the previous
+  * discipline — live-generation-scoped deletes plus clamp-on-carry —
+  * opened a resurrection window: delete(X), unrelated upsert bumping the
+  * generation, then a plain append(X) landed above X's scope and served.)
+  * Tombstone rows persisted before the scope column existed read back as
+  * unscoped (missing column coalesces to MaxValue). Rebuilds start from
   * a fresh segment. The
   * anti join carries no broadcast hint: AQE broadcasts the segment while
   * it is small (the expected state — compaction bounds it) and degrades

@@ -128,9 +128,33 @@ object IndexMaintenance {
     indexes.map(reg => reg -> IndexManifest.audit(spark, reg.dir, layoutOf(reg.family)))
 
   /** Probe every registered index once, in order; apply whatever its
-    * triggers say is due. Returns one [[Report]] per registration. */
-  def sweep(spark: SparkSession, indexes: Seq[Registration]): Seq[Report] =
+    * triggers say is due. Returns one [[Report]] per registration.
+    *
+    * Lost single-writer races are retried once (`raceRetries`): a
+    * concurrent ingest committing between this sweep's probe-read and
+    * its commit surfaces as [[IndexManifest.commit]]'s loud
+    * "single-writer" error — the index is untouched (the commit is the
+    * atomic point), and the trigger arithmetic is idempotent and
+    * segment-count-cheap, so one re-read + re-probe against the moved
+    * state makes the scheduler story turnkey. A second loss in the same
+    * sweep reports `failed` honestly (the next cadence retries anyway);
+    * genuine failures (unreadable segments, bad registrations) don't
+    * match the race signature and are never retried. */
+  def sweep(
+      spark: SparkSession,
+      indexes: Seq[Registration],
+      raceRetries: Int = 1): Seq[Report] =
     indexes.map { reg =>
+      var report = sweepOne(spark, reg)
+      var left = raceRetries
+      while (left > 0 && report.failed.exists(_.contains("single-writer"))) {
+        report = sweepOne(spark, reg)
+        left -= 1
+      }
+      report
+    }
+
+  private def sweepOne(spark: SparkSession, reg: Registration): Report = {
       try {
         // a rebuild replaces the frozen model and drops its recall
         // calibration with it (stale curves are never served); remember
@@ -185,5 +209,5 @@ object IndexMaintenance {
           Report(reg.dir, reg.family, rebuilt = false, compacted = false, gen,
             Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
-    }
+  }
 }

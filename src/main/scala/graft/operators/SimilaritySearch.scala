@@ -463,7 +463,8 @@ object SimilaritySearch {
     * lane). Base untouched (carried); batch ids tombstoned scoped to the
     * CURRENT generation; the streamed segment rewritten at the next
     * generation without the batch ids (pending deletes applied
-    * physically to the carried rows, carried tombstones clamped) plus
+    * physically to the carried rows, carried tombstones kept at their
+    * scope minus the batch ids') plus
     * the batch assigned under the FROZEN model. Cost: O(stream + batch)
     * — the LSM L0 rewrite, never the base. Also the sanctioned re-add
     * of a deleted id. */
@@ -496,9 +497,12 @@ object SimilaritySearch {
     carried.fold(assigned)(_ unionByName assigned)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(next.streamDir(dir))
+    // carried pending tombstones keep their scope (an unscoped delete
+    // keeps killing future appends); only the batch ids' prior rows are
+    // dropped — their replacement commits above the scoped kill below
     val killed = ids.select(col("n_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
     Tombstones.read(spark, dir, prev.tombstones)
-      .map(_.select(col("ts_id"), least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .map(_.join(ids.select(col("n_id").as("ts_id")), Seq("ts_id"), "left_anti"))
       .fold(killed)(_ unionByName killed)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")
@@ -567,9 +571,9 @@ object SimilaritySearch {
     *
     * Contract: ids are global — a tombstone hides EVERY row of that id,
     * including ones appended after the delete, until a compaction clears
-    * it. Re-inserting a deleted id therefore requires compacting first
-    * (versioned tombstones would need per-row sequence numbers the index
-    * deliberately doesn't carry). [[ivfIndexBuild]]/[[ivfPqIndexBuild]]
+    * it or an [[ivfIndexUpsert]]/[[ivfPqIndexUpsert]] of that very id
+    * replaces it (the upsert drops the id's pending tombstones — the one
+    * sanctioned re-add path). [[ivfIndexBuild]]/[[ivfPqIndexBuild]]
     * commit a fresh [[IndexManifest]] generation — a rebuild starts from
     * a clean slate. The anti join carries no broadcast hint: AQE
     * broadcasts the segment while it is small (the expected state —
@@ -585,12 +589,13 @@ object SimilaritySearch {
     * ([[Tombstones]] has the shared heuristic note). */
   def indexDelete(ids: DataFrame, dir: String): Unit = {
     val spark = ids.sparkSession
-    // scoped to the live generation (hides every copy in the segments
-    // that exist now — same observable behavior as unscoped) so a LATER
-    // upsert's replacement segment is out of scope and can resurrect
-    Tombstones.delete(
-      ids, dir, IndexManifest.liveTombstones(spark, dir),
-      asOfGen = IndexManifest.read(spark, dir).map(_.generation).getOrElse(0L))
+    // UNSCOPED (ts_gen = MaxValue): hides the id in every segment,
+    // present and future, until compaction — or until an upsert of that
+    // very id drops the tombstone. A live-generation scope here would let
+    // an unrelated later upsert (which bumps the generation) put a
+    // subsequent plain append of the deleted id above the tombstone's
+    // scope — a silent takedown resurrection.
+    Tombstones.delete(ids, dir, IndexManifest.liveTombstones(spark, dir))
   }
 
   private def readTombstones(
@@ -1066,9 +1071,11 @@ object SimilaritySearch {
     carried.fold(fresh)(_ unionByName fresh)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(next.streamDir(dir))
+    // same tombstone carry discipline as ivfIndexUpsert: preserve carried
+    // scopes, drop only the batch ids' prior rows, scoped kill for the batch
     val killed = ids.select(col("n_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
     Tombstones.read(spark, dir, prev.tombstones)
-      .map(_.select(col("ts_id"), least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .map(_.join(ids.select(col("n_id").as("ts_id")), Seq("ts_id"), "left_anti"))
       .fold(killed)(_ unionByName killed)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/${next.tombstones}")

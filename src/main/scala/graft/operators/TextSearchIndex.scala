@@ -174,16 +174,19 @@ object TextSearchIndex {
     q.awaitTermination()
   }
 
-  /** Logical delete of documents: O(ids) tombstone append, SCOPED to the
-    * live generation ([[Tombstones.delete]]'s `asOfGen`) — it hides every
-    * copy in the segments that exist now (base, stream, and rows later
-    * appended into those same dirs), but not copies committed by a LATER
-    * [[upsert]], which is what lets a deleted document be re-added
-    * without waiting for a compaction. The doc leaves hit lists AND df
-    * counts at the next query. */
+  /** Logical delete of documents: O(ids) tombstone append, UNSCOPED
+    * (`ts_gen = MaxValue`) — it hides every copy of the id in every
+    * segment, present AND future (later appends of the same id included),
+    * until a compaction applies it physically or an [[upsert]] of that
+    * very id replaces it (the upsert drops the id's pending tombstones —
+    * the one sanctioned re-add path). A scoped delete here would open a
+    * takedown-resurrection window: an unrelated later upsert bumps the
+    * generation, and a subsequent plain append of the deleted id would
+    * land above the tombstone's scope and silently serve again. The doc
+    * leaves hit lists AND df counts at the next query. */
   def delete(ids: DataFrame, dir: String): Unit = {
     val st = state(ids.sparkSession, dir)
-    Tombstones.delete(ids, dir, st.tombstones, asOfGen = st.generation)
+    Tombstones.delete(ids, dir, st.tombstones)
   }
 
   /** Atomic replace — the mutation a re-crawl pipeline needs: for every
@@ -204,8 +207,11 @@ object TextSearchIndex {
     * score under build-time normalization until a rebuild). Pending
     * tombstones are applied physically to the carried stream rows (their
     * new segment would otherwise outrank the old scoped deletes) and
-    * carried forward clamped to the current generation — they still hide
-    * base copies, never the new segment. */
+    * carried forward UNCHANGED except for the batch ids, whose prior
+    * tombstones are dropped (their replacement commits above the scoped
+    * kill written here; clamping every carried row instead would shrink
+    * an unscoped delete's scope and let a later plain append of that
+    * deleted id serve again — the resurrection window this used to have). */
   def upsert(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
     val prev = state(spark, dir)
@@ -226,13 +232,11 @@ object TextSearchIndex {
     carried.unionByName(postingsOfBatch(batch).select(postingCols.map(col): _*))
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.streamDir(dir))
-    // next tombstones := carried pending rows (clamped to the current
-    // generation — every segment they must still hide is at or below it)
-    // ∪ the batch ids scoped to the current generation
+    // next tombstones := carried pending rows minus the batch ids (scope
+    // preserved — an unscoped delete keeps killing future appends) ∪ the
+    // batch ids scoped to the current generation
     val pending = Tombstones.read(spark, dir, prev.tombstones)
-      .map(_.select(
-        col("ts_id"),
-        least(col("ts_gen"), lit(prev.generation)).as("ts_gen")))
+      .map(_.join(ids.select(col("doc_id").as("ts_id")), Seq("ts_id"), "left_anti"))
     val killed = ids.select(
       col("doc_id").as("ts_id"), lit(prev.generation).as("ts_gen"))
     pending.fold(killed)(_ unionByName killed)

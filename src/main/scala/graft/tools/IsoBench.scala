@@ -37,12 +37,21 @@ object IsoBench {
     names.foreach { n =>
       try force(n) catch { case e: Throwable => println(s"[iso] $n warmup failed: $e") }
       System.gc()
-      val times = (1 to 3).map { _ =>
+      // a failed timed run must NOT report a bogus fast min — record it
+      // as failed and exclude it from the statistics
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try force(n) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { force(n); true } catch {
+          case e: Throwable => println(s"[iso] $n timed run failed: $e"); false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      println(f"[iso] $n%-32s min=${times.min}%7.3f s  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      val good = runs.collect { case (t, true) => t }
+      val label = runs.map { case (t, ok) => if (ok) f"$t%.3f" else "FAIL" }.mkString(",")
+      if (good.isEmpty)
+        println(f"[iso] $n%-32s min=   FAIL s  runs=$label")
+      else
+        println(f"[iso] $n%-32s min=${good.min}%7.3f s  runs=$label")
     }
     spark.stop()
   }

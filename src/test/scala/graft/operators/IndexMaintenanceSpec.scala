@@ -153,4 +153,88 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(reports(1).failed.isEmpty && reports(1).compacted && gen(mh) === mg + 1,
       "the failure must not stop the rest of the fleet")
   }
+
+  test("a lost single-writer race inside the sweep is retried once against " +
+    "the moved state; a persistent loser reports failed honestly") {
+    val injectUdf = udf { (t: String) => SweepRaceInjector.fire(); t }
+    // corpus whose SCAN publishes a competing next-generation manifest —
+    // armed from the thunk, i.e. after the sweep committed to this
+    // attempt but before the rebuild's own commit: exactly the
+    // concurrent-ingest interleaving. `loseAttempts` bounds how many
+    // attempts lose; the thunk call count observes the retry directly.
+    def racing(idx: String, loseAttempts: Int, calls: java.util.concurrent.atomic.AtomicInteger) =
+      () => {
+        if (calls.incrementAndGet() <= loseAttempts)
+          SweepRaceInjector.arm(idx, gen(idx))
+        docs.withColumn("text", injectUdf(col("text")))
+      }
+    def dueIndex(tag: String): String = {
+      val idx = tmp(tag)
+      TextSearchIndex.build(docs.filter(col("doc_id") % 2 === 0), idx)
+      TextSearchIndex.append(docs.filter(col("doc_id") % 2 === 1), idx) // growth ≈ 1.0
+      idx
+    }
+    // lose the FIRST attempt only: the retry re-probes the moved state
+    // (the competitor's manifest) and lands its rebuild above it
+    val txt = dueIndex("race-text")
+    val g0 = gen(txt)
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    val reports = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(txt, racing(txt, 1, calls), growthRatio = 0.5)))
+    assert(calls.get === 2, "the lost race must trigger exactly one re-probe")
+    assert(reports.head.failed.isEmpty && reports.head.rebuilt,
+      s"retry must succeed, got ${reports.head}")
+    assert(gen(txt) === g0 + 2, "the competing commit, then the retried rebuild above it")
+    // the rebuilt index answers like a fresh full-corpus build
+    val fresh = tmp("race-fresh")
+    TextSearchIndex.build(docs, fresh)
+    def top(d: String) = TextSearchIndex.search(spark, d, Seq("vector", "stream"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top(txt) === top(fresh))
+    // lose EVERY attempt: after the bounded retry the sweep reports
+    // failed honestly — and the index stays fully servable (the commit
+    // is the atomic point; losers leave only GC-able orphans)
+    val txt2 = dueIndex("race-text2")
+    val calls2 = new java.util.concurrent.atomic.AtomicInteger
+    val r2 = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(txt2, racing(txt2, Int.MaxValue, calls2), growthRatio = 0.5)))
+    assert(calls2.get === 2, "retries are bounded: one re-probe, then report")
+    assert(r2.head.failed.exists(_.contains("single-writer")) && !r2.head.rebuilt)
+    assert(TextSearchIndex.search(spark, txt2, Seq("vector"), 10).collect().nonEmpty,
+      "a doubly-lost sweep leaves the index serving")
+    // the next cadence (no competitor) recovers without intervention
+    val calls3 = new java.util.concurrent.atomic.AtomicInteger
+    val r3 = IndexMaintenance.sweep(spark, Seq(
+      IndexMaintenance.TextIndexReg(txt2, racing(txt2, 0, calls3), growthRatio = 0.5)))
+    assert(r3.head.failed.isEmpty && r3.head.rebuilt)
+    assert(top(txt2) === top(fresh))
+  }
+}
+
+/** Deterministic stand-in for a concurrent single-writer: when armed, the
+  * first corpus row scanned publishes the index's NEXT-generation manifest
+  * as a raw copy of the live one with the generation bumped — byte-wise
+  * what a concurrent metadata-only commit leaves behind — so the in-flight
+  * rebuild's own commit of that generation loses the race. One-shot per
+  * arm (CAS), so attempt counts in the spec are exact. */
+private object SweepRaceInjector {
+  import java.nio.charset.StandardCharsets.UTF_8
+  import java.nio.file.{Files, Paths}
+  private val pending =
+    new java.util.concurrent.atomic.AtomicReference[(String, Long)](null)
+
+  def arm(dir: String, liveGen: Long): Unit = pending.set((dir, liveGen))
+
+  def fire(): Unit = {
+    val p = pending.get()
+    if (p != null && pending.compareAndSet(p, null)) {
+      val (dir, liveGen) = p
+      val mdir = Paths.get(dir, "manifest")
+      val text = new String(
+        Files.readAllBytes(mdir.resolve(f"gen-$liveGen%09d.manifest")), UTF_8)
+      Files.write(
+        mdir.resolve(f"gen-${liveGen + 1}%09d.manifest"),
+        text.replace(s"generation=$liveGen", s"generation=${liveGen + 1}").getBytes(UTF_8))
+    }
+  }
 }

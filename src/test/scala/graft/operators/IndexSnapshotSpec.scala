@@ -129,6 +129,59 @@ class IndexSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("dedup-family AsOf: minhashIndexCandidatesAsOf replays a pre-upsert " +
+    "generation's candidate set; expiry errors loudly") {
+    val idx = tmp("mh-asof")
+    Dedup.minhashIndexBuild(docs, idx)
+    val g0 = IndexManifest.read(spark, idx).get.generation
+    // probe: a new doc with doc 0's exact text — at g0 it near-dups doc 0
+    val probe = Seq((100L, base)).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atG0 = pairs(Dedup.minhashIndexCandidates(probe, idx))
+    assert(atG0.contains((100L, 0L)), "sanity: the probe collides with doc 0 at g0")
+    // re-crawl replaces doc 0's text: the live candidate set moves on
+    Dedup.minhashIndexUpsert(
+      Seq((0L, "a thoroughly rewritten document about engines and turbines"))
+        .toDF("doc_id", "text"), idx)
+    assert(!pairs(Dedup.minhashIndexCandidates(probe, idx)).contains((100L, 0L)))
+    // ...but the reproducibility audit replays g0 exactly — its segments,
+    // its banding, its (then-empty) tombstones
+    assert(pairs(Dedup.minhashIndexCandidatesAsOf(probe, idx, g0)) === atG0)
+    // one more mutation pushes g0 out of the retention window
+    Dedup.minhashIndexUpsert(
+      Seq((1L, "another fully different replacement text body")).toDF("doc_id", "text"), idx)
+    val err = intercept[RuntimeException] {
+      Dedup.minhashIndexCandidatesAsOf(probe, idx, g0).collect()
+    }
+    assert(err.getMessage.contains(s"generation-$g0"))
+  }
+
+  test("dedup-family AsOf: semanticIndexSurvivorsAsOf reproduces the survivor " +
+    "set a pre-rebuild generation served") {
+    val idx = tmp("sem-asof")
+    // near-orthogonal vectors at threshold 0.9999: everything survives
+    Dedup.semanticIndexBuild(
+      vecs.filter(col("vec_id") < 3), idx, k = 2, rounds = 1, threshold = 0.9999)
+    val g0 = IndexManifest.read(spark, idx).get.generation
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val atG0 = ids(Dedup.semanticIndexSurvivors(spark, idx))
+    assert(atG0 === Set(0L, 1L, 2L))
+    // a rebuild over the larger corpus commits the next generation with a
+    // different (history-dependent) survivor set
+    Dedup.semanticIndexBuild(vecs, idx, k = 2, rounds = 1, threshold = 0.9999)
+    assert(ids(Dedup.semanticIndexSurvivors(spark, idx)) === Set(0L, 1L, 2L, 3L, 4L))
+    assert(ids(Dedup.semanticIndexSurvivorsAsOf(spark, idx, g0)) === atG0,
+      "the audit lane answers from the pinned generation's segments")
+    // pinned tombstones ride along: a delete into the LIVE segment of a
+    // still-retained generation is visible to its snapshot (segment
+    // state, not wall-clock, is what a generation pins)
+    Dedup.semanticIndexDelete(Seq(2L).toDF("vec_id"), idx)
+    assert(ids(Dedup.semanticIndexSurvivorsAsOf(
+      spark, idx, IndexManifest.read(spark, idx).get.generation)) === Set(0L, 1L, 3L, 4L))
+  }
+
   test("family-agnostic: a reader's resolved state survives one concurrent " +
     "compaction (segments intact), expires after two") {
     val idx = tmp("ivf")

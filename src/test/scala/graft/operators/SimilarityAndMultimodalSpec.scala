@@ -495,6 +495,73 @@ class SimilarityAndMultimodalSpec extends SparkSpec {
     assert(live() === pre)
   }
 
+  test("takedown survives an unrelated upsert (ivf / ivfpq / minhash): " +
+    "delete(X), upsert(Y), then append(X) keeps X hidden; upsert(X) re-adds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val xId = 4L
+    val yId = 7L
+    val xVec = emb.filter(col("vec_id") === xId)
+    for (pq <- Seq(false, true)) {
+      val idx = java.nio.file.Files.createTempDirectory(s"graft-takedown-pq$pq").toString
+      def upsert(df: org.apache.spark.sql.DataFrame): Unit =
+        if (pq) SimilaritySearch.ivfPqIndexUpsert(df, idx)
+        else SimilaritySearch.ivfIndexUpsert(df, idx)
+      def append(df: org.apache.spark.sql.DataFrame): Unit =
+        if (pq) SimilaritySearch.ivfPqIndexAppend(df, idx)
+        else SimilaritySearch.ivfIndexAppend(df, idx)
+      // all-cells, corpus-sized k from a bystander query (self-matches are
+      // excluded from results, so X must be probed from elsewhere): X
+      // serves iff it appears among query 0's neighbors
+      val probe = emb.filter(col("vec_id") === 0L)
+      def servesX(): Boolean = (
+        if (pq) SimilaritySearch.ivfPqIndexSearch(spark, idx, probe, 1000, nprobe = 4,
+          rerank = 1000000)
+        else SimilaritySearch.ivfIndexSearch(spark, idx, probe, 1000, nprobe = 4))
+        .collect().exists(_.getLong(1) == xId)
+      if (pq) SimilaritySearch.ivfPqIndexBuild(emb, idx, nlist = 4, iters = 2)
+      else SimilaritySearch.ivfIndexBuild(emb, idx, nlist = 4, iters = 2)
+      assert(servesX(), s"pq=$pq: sanity — X serves before the takedown")
+      SimilaritySearch.indexDelete(Seq(xId).toDF("vec_id"), idx)
+      assert(!servesX(), s"pq=$pq: takedown hides X")
+      // an unrelated upsert bumps the generation — the resurrection window
+      upsert(emb.filter(col("vec_id") === yId))
+      assert(!servesX(), s"pq=$pq: takedown survives the unrelated upsert")
+      // a plain re-append of the deleted id lands ABOVE the old live
+      // generation — it must still be hidden (the round-9 contract fix)
+      append(xVec)
+      assert(!servesX(),
+        s"pq=$pq: append of a taken-down id after an unrelated upsert must not serve")
+      // the one sanctioned re-add: upsert of the id itself
+      upsert(xVec)
+      assert(servesX(), s"pq=$pq: upsert of X itself re-adds it")
+      // and the takedown contract keeps holding through a compaction
+      SimilaritySearch.indexDelete(Seq(xId).toDF("vec_id"), idx)
+      if (pq) SimilaritySearch.ivfPqIndexCompact(spark, idx)
+      else SimilaritySearch.ivfIndexCompact(spark, idx)
+      assert(!servesX(), s"pq=$pq: compaction applies the takedown physically")
+    }
+    // minhash family, same scenario over the banded rows view
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs today"),
+      (2L, "sphinx of black quartz judge my vow tonight")
+    ).toDF("doc_id", "text")
+    val mh = java.nio.file.Files.createTempDirectory("graft-mh-takedown").toString
+    Dedup.minhashIndexBuild(docs, mh)
+    def mhIds(): Set[Long] =
+      Dedup.minhashIndexRows(spark, mh).select("c_id").collect().map(_.getLong(0)).toSet
+    Dedup.minhashIndexDelete(Seq(1L).toDF("doc_id"), mh)
+    Dedup.minhashIndexUpsert(
+      Seq((2L, "a thoroughly rewritten third document about engines")).toDF("doc_id", "text"),
+      mh)
+    assert(!mhIds().contains(1L), "minhash: takedown survives the unrelated upsert")
+    Dedup.minhashIndexAppend(docs.filter(col("doc_id") === 1L), mh)
+    assert(!mhIds().contains(1L),
+      "minhash: append of a taken-down id after an unrelated upsert must not serve")
+    Dedup.minhashIndexUpsert(docs.filter(col("doc_id") === 1L), mh)
+    assert(mhIds().contains(1L), "minhash: upsert of the id itself re-adds it")
+  }
+
   test("streaming IVF ingest: streamed appends equal the batch append; checkpoint " +
     "resume skips processed files") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -187,6 +187,35 @@ class TextIndexSpec extends SparkSpec {
     assert(hitDocs(Seq("elderberry")).isEmpty)
   }
 
+  test("TextSearchIndex takedown survives an unrelated upsert: delete(X) then " +
+    "upsert(Y) then append(X) keeps X hidden; only upsert(X) re-adds it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-textidx-takedown").toString
+    TextSearchIndex.build(docs, idx)
+    def hitDocs(terms: Seq[String]): Set[Long] =
+      TextSearchIndex.search(spark, idx, terms, 100).collect().map(_.getLong(1)).toSet
+    TextSearchIndex.delete(Seq(2L).toDF("doc_id"), idx)
+    assert(!hitDocs(Seq("elderberry")).contains(2L))
+    // an unrelated upsert bumps the generation — the resurrection window
+    TextSearchIndex.upsert(
+      Seq((1L, "banana fig", "src0")).toDF("doc_id", "text", "source"), idx)
+    assert(hitDocs(Seq("elderberry")).isEmpty, "takedown survives the unrelated upsert")
+    // a plain re-append of the taken-down id lands ABOVE the old live
+    // generation — it must still be hidden (the round-9 contract fix)
+    TextSearchIndex.append(
+      Seq((2L, "elderberry elderberry", "src1")).toDF("doc_id", "text", "source"), idx)
+    assert(hitDocs(Seq("elderberry")).isEmpty,
+      "append of a taken-down id after an unrelated upsert must not serve")
+    // the one sanctioned re-add: upsert of the id itself
+    TextSearchIndex.upsert(
+      Seq((2L, "elderberry fig", "src1")).toDF("doc_id", "text", "source"), idx)
+    assert(hitDocs(Seq("elderberry")) === Set(2L), "upsert of X itself re-adds it")
+    // bystanders intact; compaction preserves the live view
+    assert(hitDocs(Seq("fig")) === Set(1L, 2L))
+    val pre = hitDocs(Seq("banana", "fig", "elderberry"))
+    TextSearchIndex.compact(spark, idx)
+    assert(hitDocs(Seq("banana", "fig", "elderberry")) === pre)
+  }
+
   test("TextSearchIndex.upsert: crash-atomicity (orphan next-gen dirs are " +
     "invisible and recovered) and legacy unscoped tombstones still bite") {
     val idx = java.nio.file.Files.createTempDirectory("graft-textidx-upcrash").toString
@@ -216,7 +245,8 @@ class TextIndexSpec extends SparkSpec {
     Seq(1L).toDF("ts_id").write.mode("append")
       .parquet(s"$idx/${live.tombstones}")
     assert(!hitDocs(Seq("banana")).contains(1L))
-    // ...and an upsert clamps it while carrying, so the re-added copy serves
+    // ...and an upsert of that id drops its pending tombstone, so the
+    // re-added copy serves
     TextSearchIndex.upsert(
       Seq((1L, "banana banana", "src0")).toDF("doc_id", "text", "source"), idx)
     assert(hitDocs(Seq("banana")).contains(1L))

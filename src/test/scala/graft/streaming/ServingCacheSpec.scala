@@ -63,6 +63,56 @@ class ServingCacheSpec extends SparkSpec {
     assert(h3 === h2 + 1, "a quiet index serves from cache")
   }
 
+  test("pluggable store: an injected second-tier store sees the exact " +
+    "hit/miss/invalidate protocol the default runs, and answers are " +
+    "identical through it") {
+    ServingCache.clear()
+    val idx = java.nio.file.Files.createTempDirectory("graft-servingcache-store").toString
+    TextSearchIndex.build(docs, idx)
+    val terms = Seq("apple", "banana")
+    // a recording store wrapping the default in-memory impl: same
+    // semantics, every protocol call journaled
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fake = new ServingCache.CacheStore {
+      private val inner = new ServingCache.InMemoryStore
+      def get(dir: String, queryKey: String) = {
+        val r = inner.get(dir, queryKey); ops += s"get:${r.isDefined}"; r
+      }
+      def put(dir: String, queryKey: String, e: ServingCache.Entry) = {
+        ops += "put"; inner.put(dir, queryKey, e)
+      }
+      def evictStale(dir: String, live: String) = { ops += "evict"; inner.evictStale(dir, live) }
+      def capOrClear() = { ops += "cap"; inner.capOrClear() }
+    }
+    val prev = ServingCache.installStore(fake)
+    try {
+      def cachedSearch() = rows(ServingCache.cachedTextSearch(spark, idx, terms, 10))
+      val first = cachedSearch()
+      assert(first === rows(TextSearchIndex.search(spark, idx, terms, 10)),
+        "answers through the injected store equal the direct search")
+      assert(ops.toSeq === Seq("get:false", "evict", "cap", "put"),
+        "a cold miss runs get→evictStale→capOrClear→put")
+      ops.clear()
+      assert(cachedSearch() === first)
+      assert(ops.toSeq === Seq("get:true"), "a hot hit touches only get")
+      ops.clear()
+      // a mutation moves the fingerprint: the store's stale entry MISSES
+      // (the fingerprint check on get is what makes any store safe)
+      TextSearchIndex.delete(Seq(0L).toDF("doc_id"), idx)
+      val postDelete = cachedSearch()
+      assert(!postDelete.exists(_._2 == 0L))
+      assert(ops.toSeq === Seq("get:true", "evict", "cap", "put"),
+        "a stale entry is found but rejected, then refreshed")
+    } finally ServingCache.installStore(prev)
+    // with the default restored, the protocol is unchanged (no behavior
+    // change from the trait extraction)
+    val (h0, m0) = ServingCache.stats
+    rows(ServingCache.cachedTextSearch(spark, idx, Seq("date"), 10))
+    rows(ServingCache.cachedTextSearch(spark, idx, Seq("date"), 10))
+    val (h1, m1) = ServingCache.stats
+    assert(h1 === h0 + 1 && m1 === m0 + 1)
+  }
+
   test("vector lane: cached IVF-PQ search equals direct; an index upsert " +
     "invalidates") {
     ServingCache.clear()
