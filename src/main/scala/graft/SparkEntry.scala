@@ -5121,7 +5121,11 @@ object SparkEntry {
         import graft.operators.IndexManifest
         val e = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
         val evens = e.filter(col("vec_id") % 2 === 0)
-        val docsAll = Tables.documents(s, dir)
+        // a corpus SLICE: the lane pins snapshot semantics (identity
+        // collision before, absent after, replayed AsOf), which a 2k-doc
+        // index demonstrates as well as the full corpus — and the gate
+        // stays light enough not to pressure its bench neighborhood
+        val docsAll = Tables.documents(s, dir).filter(col("doc_id") < 2000)
         val doc0 = docsAll.filter(length(col("text")) > 20)
           .orderBy("doc_id").limit(2)
           .select("doc_id", "text").collect()
