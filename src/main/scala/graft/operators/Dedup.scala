@@ -357,9 +357,15 @@ object Dedup {
     * keep their own caps as the backstop. */
   def minhashIndexAppend(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
-    val (numPerm, bands, maxBucket) = minhashIndexMeta(spark, dir)
+    val st = minhashState(spark, dir)
+    val (numPerm, bands, maxBucket) = minhashIndexMetaAt(spark, dir, st)
+    // growth path only: an id an earlier upsert killed would land below
+    // the kill's scope and silently not serve — refuse loudly instead
+    Tombstones.requireAppendable(
+      batch.select("doc_id"), dir, "doc_id", st.tombstones,
+      IndexManifest.segGen(st.tables("index")))
     minhashIndex(batch, numPerm, bands, maxBucket)
-      .write.mode("append").parquet(minhashState(spark, dir).tableDir(dir, "index"))
+      .write.mode("append").parquet(st.tableDir(dir, "index"))
   }
 
   /** Continuous-ingest version of [[minhashIndexAppend]] — the

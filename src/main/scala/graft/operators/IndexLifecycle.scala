@@ -138,6 +138,42 @@ private[graft] object Tombstones {
         "left_anti")
     }
 
+  /** Loud-contract guard for BATCH appends: appended rows land in a base
+    * segment created at generation `segGen`, so any SCOPED tombstone with
+    * `ts_gen >= segGen` (an earlier upsert's kill, carried until the next
+    * compaction) would hide them SILENTLY — the one outcome worse than an
+    * error. The append refuses and names the ids: route a re-added or
+    * replaced id through the family's upsert (whose replacement segment
+    * commits above the scope), or compact first. Unscoped tombstones are
+    * deliberately NOT flagged — hiding appends of taken-down ids is the
+    * documented takedown contract, not an accident. Cost: one job joining
+    * the batch ids against the KB-sized (compaction-bounded) scoped slice
+    * of the tombstone segment, broadcast. Streaming appends skip the
+    * guard: an ingest stream's arrivals are new ids by construction, and
+    * a per-micro-batch guard job is the wrong trade there. */
+  def requireAppendable(
+      ids: DataFrame,
+      dir: String,
+      idCol: String,
+      segment: String,
+      segGen: Long): Unit =
+    read(ids.sparkSession, dir, segment).foreach { t =>
+      val blocked = ids
+        .select(col(idCol).cast("long").as("__app_id")).distinct()
+        .join(
+          broadcast(t
+            .filter(col("ts_gen") =!= Long.MaxValue && col("ts_gen") >= segGen)
+            .select(col("ts_id").as("__app_id")).distinct()),
+          Seq("__app_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(
+        blocked.isEmpty,
+        s"append into $dir would be silently hidden for ids " +
+          s"[${blocked.mkString(",")}]: an earlier upsert's generation-scoped " +
+          "tombstone covers the segment these rows land in — route re-added " +
+          "or replaced ids through upsert, or compact first")
+    }
+
   def clear(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -444,15 +444,22 @@ object SimilaritySearch {
     IndexManifest.resolve(spark, dir, IndexManifest.Layouts.ivf)
 
   /** Assign a new batch under the index's frozen centroid model and append
-    * its rows (partition-append; existing cells' files are untouched). */
+    * its rows (partition-append; existing cells' files are untouched).
+    * The corpus-growth path: replacing or re-adding an existing id goes
+    * through [[ivfIndexUpsert]] — ids covered by an earlier upsert's
+    * scoped tombstone refuse loudly ([[Tombstones.requireAppendable]]). */
   def ivfIndexAppend(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val centroids = readCentroids(spark, dir, ivfState(spark, dir))
+    val st = ivfState(spark, dir)
+    val centroids = readCentroids(spark, dir, st)
     require(centroids.nonEmpty, s"ivf index at $dir has an empty centroid model")
+    Tombstones.requireAppendable(
+      newVectors.select("vec_id"), dir, "vec_id", st.tombstones,
+      IndexManifest.segGen(st.tables("vectors")))
     withNorm(newVectors, "n_id", "nv", "nn")
       .withColumn("cell", assign(centroids, "nv"))
       .write.mode("append").partitionBy("cell")
-      .parquet(ivfState(spark, dir).tableDir(dir, "vectors"))
+      .parquet(st.tableDir(dir, "vectors"))
   }
 
   /** Atomic replace on the IVF index — the re-embedding mutation (a doc
@@ -1015,6 +1022,13 @@ object SimilaritySearch {
     require(
       centroids.nonEmpty && cbs.nonEmpty,
       s"ivfpq index at $dir has an empty model")
+    // growth path only: an id an earlier upsert killed would land below
+    // the kill's scope and silently not serve — refuse loudly instead
+    Tombstones.requireAppendable(
+      newVectors.select("vec_id"), dir, "vec_id", st.tombstones,
+      math.min(
+        IndexManifest.segGen(st.tables("vectors")),
+        IndexManifest.segGen(st.tables("codes"))))
     val dim = cbs.size * cbs.head.head._2.length // m × sub
     val assigned = withNorm(newVectors, "n_id", "nv", "nn")
       .withColumn("cell", assign(centroids, "nv"))

@@ -139,14 +139,22 @@ object TextSearchIndex {
       spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, nDocs.toString), layout)
   }
 
-  /** Append a document batch: its postings land in the live base (term
-    * rarity shifts immediately — df is live); the frozen stats are
-    * untouched. */
+  /** Append a document batch — the corpus-GROWTH path: its postings land
+    * in the live base (term rarity shifts immediately — df is live); the
+    * frozen stats are untouched. Replacing or re-adding an EXISTING id
+    * goes through [[upsert]]; an id covered by an earlier upsert's
+    * generation-scoped tombstone refuses loudly here
+    * ([[Tombstones.requireAppendable]] — its appended copy would land
+    * below the scope and silently not serve). */
   def append(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
+    val st = state(spark, dir)
+    Tombstones.requireAppendable(
+      batch.select("doc_id"), dir, "doc_id", st.tombstones,
+      IndexManifest.segGen(st.tables("postings")))
     postingsOfBatch(batch)
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
-      .write.mode("append").parquet(state(spark, dir).tableDir(dir, "postings"))
+      .write.mode("append").parquet(st.tableDir(dir, "postings"))
   }
 
   /** Continuous ingest (the [[graft.operators.Dedup

@@ -1,0 +1,173 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized model-based test of the index-lifecycle CONTRACT — the
+  * executable form of the [[Tombstones]] scaladoc, checked against a
+  * trivially-correct in-memory model over a random interleaving of every
+  * mutation class. The model is deliberately written at the contract
+  * level (what a reader may observe), NOT at the mechanism level
+  * (segments, generations, scopes), so a mechanism bug cannot hide by
+  * being faithfully mirrored:
+  *
+  *   - `delete(X)`: X invisible from now on — INCLUDING rows appended
+  *     later — until a compaction applies it physically (X's rows gone,
+  *     tombstone cleared; a FRESH append then serves) or an `upsert(X)`
+  *     replaces it (the one sanctioned re-add).
+  *   - `append(X, t)`: adds t to X's rows; serves iff X has no pending
+  *     tombstone. EXCEPT: an id upserted since the last compaction
+  *     refuses LOUDLY ([[Tombstones.requireAppendable]] — its appended
+  *     copy would land below the upsert's generation-scoped kill and
+  *     silently not serve; the guard turns the one silent outcome into
+  *     an error). The random walk asserts the refusal fires exactly for
+  *     those ids and changes nothing.
+  *   - `upsert(X, t)`: X's rows become exactly {t}; pending tombstone on
+  *     X (if any) dropped; X serves.
+  *   - `compact`: rows of pending ids removed physically; tombstones
+  *     cleared (append-refusals lift); every other answer unchanged.
+  *
+  * The round-8 takedown-resurrection bug (delete scoped to the live
+  * generation + clamp-on-carry: delete(X) → unrelated upsert → append(X)
+  * silently served) is exactly a divergence this spec finds mechanically
+  * — the directed regression tests in TextIndexSpec /
+  * SimilarityAndMultimodalSpec pin that one interleaving; this spec
+  * sweeps the neighborhood.
+  *
+  * Observation channel, text family: every version of every document
+  * carries ONE unique token, so a single BM25 search over ALL tokens ever
+  * issued checks (a) id-level visibility (the served doc set) and (b)
+  * version-level retirement (each doc's `n_hit` = its live version
+  * count; a stale un-retired row would inflate it). Minhash family: the
+  * live banded row set's distinct `c_id`s. Fixed seeds — reproducible,
+  * no flake surface. */
+class LifecycleContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Ids = 0L to 7L
+
+  /** Contract-level model state: per-id live version tokens + the
+    * pending-takedown set. */
+  private final class Model {
+    val rows = scala.collection.mutable.Map.empty[Long, Set[String]].withDefaultValue(Set.empty)
+    val pending = scala.collection.mutable.Set.empty[Long]
+    def build(init: Map[Long, String]): Unit = {
+      rows.clear(); pending.clear()
+      init.foreach { case (id, t) => rows(id) = Set(t) }
+    }
+    def append(id: Long, t: String): Unit = rows(id) = rows(id) + t
+    def delete(id: Long): Unit = pending += id
+    def upsert(id: Long, t: String): Unit = { rows(id) = Set(t); pending -= id }
+    def compact(): Unit = { pending.foreach(rows.remove); pending.clear() }
+    def visible: Map[Long, Set[String]] =
+      rows.toMap.filter { case (id, ts) => ts.nonEmpty && !pending(id) }
+  }
+
+  test("text index: random mutation interleavings match the contract model " +
+    "(visibility AND version retirement via n_hit)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-contract-text").toString
+    val rnd = new Random(20260816L)
+    val model = new Model
+    var allTokens = Vector.empty[String]
+    var nextTok = 0
+    def freshTok(): String = { nextTok += 1; val t = s"tk$nextTok"; allTokens :+= t; t }
+
+    val init = (0L to 4L).map(id => id -> freshTok()).toMap
+    TextSearchIndex.build(
+      init.toSeq.map { case (id, t) => (id, t, "s") }.toDF("doc_id", "text", "source"), idx)
+    model.build(init)
+
+    def observed(): Map[Long, Long] =
+      TextSearchIndex.search(spark, idx, allTokens, 100)
+        .select("doc_id", "n_hit").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // ids upserted since the last compaction — exactly the set whose
+    // batch appends must refuse loudly (spec-side bookkeeping, not model
+    // semantics: the guard's trigger is the carried scoped tombstone)
+    val upserted = scala.collection.mutable.Set.empty[Long]
+    for (op <- 1 to 36) {
+      val id = Ids(rnd.nextInt(Ids.size))
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val t = freshTok()
+          val batch = Seq((id, t, "s")).toDF("doc_id", "text", "source")
+          if (upserted(id)) {
+            val ex = intercept[IllegalArgumentException] {
+              TextSearchIndex.append(batch, idx)
+            }
+            assert(ex.getMessage.contains("silently hidden"), s"op #$op")
+          } else {
+            TextSearchIndex.append(batch, idx)
+            model.append(id, t)
+          }
+        case 3 | 4 =>
+          TextSearchIndex.delete(Seq(id).toDF("doc_id"), idx)
+          model.delete(id)
+        case 5 | 6 | 7 =>
+          val t = freshTok()
+          TextSearchIndex.upsert(Seq((id, t, "s")).toDF("doc_id", "text", "source"), idx)
+          model.upsert(id, t)
+          upserted += id
+        case _ =>
+          TextSearchIndex.compact(spark, idx)
+          model.compact()
+          upserted.clear()
+      }
+      val want = model.visible.map { case (k, ts) => k -> ts.size.toLong }
+      assert(observed() === want, s"divergence after op #$op (id=$id)")
+    }
+  }
+
+  test("minhash index: random mutation interleavings match the contract model " +
+    "(id-level visibility of the banded rows)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-contract-mh").toString
+    val rnd = new Random(971L)
+    val model = new Model
+    var nextTxt = 0
+    // >= 3 tokens so every version shingles; all tokens version-unique
+    def freshText(): String = { nextTxt += 1; s"w$nextTxt x$nextTxt y$nextTxt z$nextTxt" }
+
+    val init = (0L to 4L).map(id => id -> freshText()).toMap
+    Dedup.minhashIndexBuild(init.toSeq.toDF("doc_id", "text"), idx)
+    model.build(init)
+
+    def observed(): Set[Long] =
+      Dedup.minhashIndexRows(spark, idx)
+        .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+
+    val upserted = scala.collection.mutable.Set.empty[Long]
+    for (op <- 1 to 36) {
+      val id = Ids(rnd.nextInt(Ids.size))
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val batch = Seq((id, freshText())).toDF("doc_id", "text")
+          if (upserted(id)) {
+            val ex = intercept[IllegalArgumentException] {
+              Dedup.minhashIndexAppend(batch, idx)
+            }
+            assert(ex.getMessage.contains("silently hidden"), s"op #$op")
+          } else {
+            Dedup.minhashIndexAppend(batch, idx)
+            model.append(id, "v")
+          }
+        case 3 | 4 =>
+          Dedup.minhashIndexDelete(Seq(id).toDF("doc_id"), idx)
+          model.delete(id)
+        case 5 | 6 | 7 =>
+          Dedup.minhashIndexUpsert(Seq((id, freshText())).toDF("doc_id", "text"), idx)
+          model.upsert(id, "v")
+          upserted += id
+        case _ =>
+          Dedup.minhashIndexCompact(spark, idx)
+          model.compact()
+          upserted.clear()
+      }
+      assert(observed() === model.visible.keySet,
+        s"divergence after op #$op (id=$id)")
+    }
+  }
+}
