@@ -5137,10 +5137,13 @@ object SparkEntry {
           if (model.isEmpty) (0L, 0L, true)
           else {
             val sem = sessionIndexDir("dedup-snap-sem")
-            Dedup.semanticIndexBuild(evens, sem, k = 8, rounds = 2, threshold = 0.9999)
+            // k/rounds are slim deliberately: the oracle's cross-check is
+            // cell-free (no near-dup pair exists at 0.9999), so the model
+            // never matters — only the snapshot semantics under test do
+            Dedup.semanticIndexBuild(evens, sem, k = 4, rounds = 1, threshold = 0.9999)
             val g0 = IndexManifest.read(s, sem).get.generation
             val atG0 = ids(Dedup.semanticIndexSurvivors(s, sem))
-            Dedup.semanticIndexBuild(e, sem, k = 8, rounds = 2, threshold = 0.9999)
+            Dedup.semanticIndexBuild(e, sem, k = 4, rounds = 1, threshold = 0.9999)
             val live = ids(Dedup.semanticIndexSurvivors(s, sem))
             (atG0.size.toLong, live.size.toLong,
               ids(Dedup.semanticIndexSurvivorsAsOf(s, sem, g0)) == atG0 &&
