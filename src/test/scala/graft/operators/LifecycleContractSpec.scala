@@ -122,6 +122,60 @@ class LifecycleContractSpec extends SparkSpec {
     }
   }
 
+  test("ivf index: random mutation interleavings match the contract model " +
+    "(id-level visibility via an all-cells corpus-sized search)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-contract-ivf").toString
+    val rnd = new Random(4242L)
+    val model = new Model
+    var nextV = 0
+    // distinct deterministic 4-d vectors; versions differ in the last dim
+    def freshVec(id: Long): Array[Float] = {
+      nextV += 1
+      Array(1.0f + id, 2.0f + (id % 3), 3.0f, 0.25f * nextV)
+    }
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+
+    val init = (0L to 4L).map(id => id -> freshVec(id))
+    SimilaritySearch.ivfIndexBuild(df(init), idx, nlist = 2, iters = 1)
+    model.build(init.map { case (id, _) => id -> "v" }.toMap)
+
+    val probe = df(Seq(99L -> Array(1.0f, 1.0f, 1.0f, 1.0f)))
+    def observed(): Set[Long] =
+      SimilaritySearch.ivfIndexSearch(spark, idx, probe, 1000, nprobe = 2)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+
+    val upserted = scala.collection.mutable.Set.empty[Long]
+    for (op <- 1 to 30) {
+      val id = Ids(rnd.nextInt(Ids.size))
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val batch = df(Seq(id -> freshVec(id)))
+          if (upserted(id)) {
+            val ex = intercept[IllegalArgumentException] {
+              SimilaritySearch.ivfIndexAppend(batch, idx)
+            }
+            assert(ex.getMessage.contains("silently hidden"), s"op #$op")
+          } else {
+            SimilaritySearch.ivfIndexAppend(batch, idx)
+            model.append(id, "v")
+          }
+        case 3 | 4 =>
+          SimilaritySearch.indexDelete(Seq(id).toDF("vec_id"), idx)
+          model.delete(id)
+        case 5 | 6 | 7 =>
+          SimilaritySearch.ivfIndexUpsert(df(Seq(id -> freshVec(id))), idx)
+          model.upsert(id, "v")
+          upserted += id
+        case _ =>
+          SimilaritySearch.ivfIndexCompact(spark, idx)
+          model.compact()
+          upserted.clear()
+      }
+      assert(observed() === model.visible.keySet,
+        s"divergence after op #$op (id=$id)")
+    }
+  }
+
   test("minhash index: random mutation interleavings match the contract model " +
     "(id-level visibility of the banded rows)") {
     val idx = java.nio.file.Files.createTempDirectory("graft-contract-mh").toString
