@@ -124,6 +124,37 @@ class PlanShapeSpec extends SparkSpec {
       s"BM25 scoring must not read the positional column:\n$p")
   }
 
+  test("AsOf lanes keep the live lanes' pruning: pinned text search pushes " +
+    "its term filter; pinned minhash candidates keep the bucket semi-join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // text: searchAsOf shares searchState with the live lane — assert the
+    // pinned plan still reads posting slices via a pushed tok filter
+    val txt = java.nio.file.Files.createTempDirectory("graft-plan-asof-txt").toString
+    graft.operators.TextSearchIndex.build(
+      Seq((0L, "vector stream", "s"), (1L, "table scan", "s"))
+        .toDF("doc_id", "text", "source"), txt)
+    val g = graft.operators.IndexManifest.read(spark, txt).get.generation
+    val tp = graft.operators.TextSearchIndex
+      .searchAsOf(spark, txt, Seq("vector", "stream"), 10, g)
+      .queryExecution.executedPlan.toString
+    assert(tp.contains("PushedFilters: [") && tp.contains("In(tok"),
+      s"pinned search lost the pushed term filter:\n$tp")
+    // minhash: candidatesAsOf shares candidatesState — assert the pinned
+    // plan still prunes index rows to the probe's buckets (a semi join,
+    // never a full index scan feeding the estimate join)
+    val mh = java.nio.file.Files.createTempDirectory("graft-plan-asof-mh").toString
+    graft.operators.Dedup.minhashIndexBuild(
+      Seq((0L, "the quick brown fox jumps high"), (1L, "pack my box with jugs"))
+        .toDF("doc_id", "text"), mh)
+    val mg = graft.operators.IndexManifest.read(spark, mh).get.generation
+    val mp = graft.operators.Dedup
+      .minhashIndexCandidatesAsOf(
+        Seq((9L, "the quick brown fox jumps high")).toDF("doc_id", "text"), mh, mg)
+      .queryExecution.executedPlan.toString
+    assert(mp.contains("LeftSemi"), s"pinned candidates lost the bucket prune:\n$mp")
+  }
+
   test("q_text_index_phrase: each term's posting slice arrives via a pushed " +
     "equality filter; no corpus scan, no cartesian") {
     val p = plan("q_text_index_phrase")
