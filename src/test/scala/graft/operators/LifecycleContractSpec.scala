@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Randomized model-based test of the index-lifecycle CONTRACT — the
-  * executable form of the [[Tombstones]] scaladoc, checked against a
+/** Randomized model-based test of the index-lifecycle CONTRACT across
+  * ALL FIVE persisted families (text, IVF, IVF×PQ, minhash, semantic) —
+  * the executable form of the [[Tombstones]] scaladoc, checked against a
   * trivially-correct in-memory model over a random interleaving of every
   * mutation class. The model is deliberately written at the contract
   * level (what a reader may observe), NOT at the mechanism level
@@ -170,6 +171,94 @@ class LifecycleContractSpec extends SparkSpec {
           SimilaritySearch.ivfIndexCompact(spark, idx)
           model.compact()
           upserted.clear()
+      }
+      assert(observed() === model.visible.keySet,
+        s"divergence after op #$op (id=$id)")
+    }
+  }
+
+  test("ivfpq index: random mutation interleavings match the contract model " +
+    "(the composed family's carry code under the same sweep)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-contract-ivfpq").toString
+    val rnd = new Random(777L)
+    val model = new Model
+    // random 4-d directions: no two versions near-parallel, all distinct
+    def freshVec(): Array[Float] = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+
+    val init = (0L to 4L).map(id => id -> freshVec())
+    SimilaritySearch.ivfPqIndexBuild(
+      df(init), idx, nlist = 2, iters = 1, m = 2, dim = 4, pqNlist = 2, pqIters = 1)
+    model.build(init.map { case (id, _) => id -> "v" }.toMap)
+
+    val probe = df(Seq(99L -> Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    def observed(): Set[Long] =
+      SimilaritySearch.ivfPqIndexSearch(spark, idx, probe, 1000, nprobe = 2,
+        rerank = 1000000)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+
+    val upserted = scala.collection.mutable.Set.empty[Long]
+    for (op <- 1 to 30) {
+      val id = Ids(rnd.nextInt(Ids.size))
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          val batch = df(Seq(id -> freshVec()))
+          if (upserted(id)) {
+            val ex = intercept[IllegalArgumentException] {
+              SimilaritySearch.ivfPqIndexAppend(batch, idx)
+            }
+            assert(ex.getMessage.contains("silently hidden"), s"op #$op")
+          } else {
+            SimilaritySearch.ivfPqIndexAppend(batch, idx)
+            model.append(id, "v")
+          }
+        case 3 | 4 =>
+          SimilaritySearch.indexDelete(Seq(id).toDF("vec_id"), idx)
+          model.delete(id)
+        case 5 | 6 | 7 =>
+          SimilaritySearch.ivfPqIndexUpsert(df(Seq(id -> freshVec())), idx)
+          model.upsert(id, "v")
+          upserted += id
+        case _ =>
+          SimilaritySearch.ivfPqIndexCompact(spark, idx)
+          model.compact()
+          upserted.clear()
+      }
+      assert(observed() === model.visible.keySet,
+        s"divergence after op #$op (id=$id)")
+    }
+  }
+
+  test("semantic index: random append/delete/compact interleavings match the " +
+    "contract model (the upsert-less family; appends dedup vs LIVE survivors)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-contract-sem").toString
+    val rnd = new Random(31337L)
+    val model = new Model
+    // random directions + threshold 0.9999: nothing ever dedups, so the
+    // survivor set reduces to the shared visibility model
+    def freshVec(): Array[Float] = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    def df(rows: Seq[(Long, Array[Float])]) = rows.toDF("vec_id", "embedding")
+
+    val init = (0L to 4L).map(id => id -> freshVec())
+    Dedup.semanticIndexBuild(df(init), idx, k = 2, rounds = 1, threshold = 0.9999)
+    model.build(init.map { case (id, _) => id -> "v" }.toMap)
+
+    def observed(): Set[Long] =
+      Dedup.semanticIndexSurvivors(spark, idx)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+
+    for (op <- 1 to 24) {
+      val id = Ids(rnd.nextInt(Ids.size))
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 =>
+          Dedup.semanticIndexAppend(df(Seq(id -> freshVec())), idx, threshold = 0.9999)
+          model.append(id, "v")
+        case 4 | 5 | 6 =>
+          Dedup.semanticIndexDelete(Seq(id).toDF("vec_id"), idx)
+          model.delete(id)
+        case _ =>
+          Dedup.semanticIndexCompact(spark, idx)
+          model.compact()
       }
       assert(observed() === model.visible.keySet,
         s"divergence after op #$op (id=$id)")
