@@ -81,7 +81,6 @@ object R9ScaleBench {
     for (ts <- Seq(0, 10000, 100000)) {
       if (ts > 0) {
         // scoped rows the guard must scan — ids far from the batch's
-        Seq.empty[Long].toDF("x") // no-op to keep shape clear
         spark.range(1000000, 1000000 + ts)
           .select(col("id").as("ts_id"), lit(baseGen).cast("long").as("ts_gen"))
           .coalesce(1)
