@@ -3163,12 +3163,24 @@ object SparkEntry {
         // NOT a monotonicity assertion: with a finite rerank, a wider
         // probe can admit ADC-approximate candidates that displace a true
         // neighbor past the rerank cut, so mid-curve recall may dip (the
-        // IVF-only monotonicity argument doesn't carry over). What the
-        // configuration DOES guarantee: the all-cells sweep is measured
-        // against itself (recall 1.0 — "as good as this config gets") and
-        // every point is a well-formed recall.
+        // IVF-only monotonicity argument doesn't carry over). And NOT the
+        // tautology "curve(max) == 1.0" (calibration measures against the
+        // all-cells sweep, so that holds by construction). The falsifiable
+        // checks: the all-cells sweep recalls the EXACT float-search
+        // top-10 above the PQ family's measured floor (0.87/0.91 at
+        // rerank=100, tools/AnnRecallProbe; 0.7 with margin — a broken
+        // codebook/ADC/rerank fails this), the narrowest probe never
+        // beats the full sweep, and every point is a well-formed recall.
+        val pairsOf = (x: Set[(Long, Long, Long, Double)]) => x.map(t => (t._1, t._2))
+        val exactTop = pairsOf(rows(SimilaritySearch.bruteForceTopK(queries, e, 10)))
+        val sweepTop = pairsOf(rows(
+          SimilaritySearch.ivfPqIndexSearch(s, idx, queries, 10, nprobe = widths.max)))
+        val recallAtMax =
+          if (exactTop.isEmpty) 1.0
+          else exactTop.intersect(sweepTop).size.toDouble / exactTop.size
         val monotoneOk = widths.nonEmpty &&
-          math.abs(curve(widths.max) - 1.0) <= 1e-9 &&
+          recallAtMax >= 0.7 &&
+          curve(widths.min) <= curve(widths.max) + 1e-9 &&
           widths.forall(w => curve(w) >= -1e-9 && curve(w) <= 1.0 + 1e-9)
         val guardOk =
           SimilaritySearch.ivfPqIndexChooseNprobe(s, idx, 10, 1.0) == widths.max
@@ -5271,11 +5283,34 @@ object SparkEntry {
           .getFileSystem(s.sessionState.newHadoopConf())
         fs.delete(new org.apache.hadoop.fs.Path(s"$txt/$orphan"), true)
         new java.io.File(s"$txt/manifest/.tmp-gen-9").delete()
+        // the visibility class structure can't see: plant a row in the live
+        // stream segment whose id a live-generation-scoped tombstone covers
+        // (what a stream racing an upsert's kill would leave behind) — the
+        // row silently never serves; shallow fsck stays ok, the opt-in
+        // visibility pass flags the id and fails ok
+        val mhSt = IndexManifest.resolve(s, mh, IndexManifest.Layouts.minhash)
+        Seq((0, 999L, Seq(1L, 2L, 3L))).toDF("bucket", "c_id", "c_sig")
+          .write.mode("overwrite").parquet(mhSt.streamDir(mh))
+        graft.operators.Tombstones.delete(
+          Seq(999L).toDF("doc_id"), mh, mhSt.tombstones,
+          asOfGen = IndexManifest.segGen(mhSt.stream))
+        val silent = Dedup.minhashIndexRows(s, mh).filter(col("c_id") === 999L).isEmpty
+        val shallowHid = IM.fsck(s, Seq(regs(1))).head._2
+        val deepHid = IM.fsck(s, Seq(regs(1)), visibility = true).head._2
+        val hiddenOk = silent && shallowHid.ok &&
+          !deepHid.ok && deepHid.hiddenStreamIds == Seq(999L)
+        // remediation per the audit contract: compaction applies the kill
+        // physically; the deep audit returns to ok (also restores the index
+        // for the next run — the planted row and tombstone both fold away)
+        Dedup.minhashIndexCompact(s, mh)
+        val healedOk = IM.fsck(s, Seq(regs(1)), visibility = true).head._2.ok
         docs.agg(count(lit(1)).cast("long").as("n_docs"))
           .withColumn("healthy_ok", lit(healthyOk))
           .withColumn("debt_ok", lit(debtOk))
           .withColumn("damaged_ok", lit(damagedOk))
           .withColumn("read_only_ok", lit(readOnlyOk))
+          .withColumn("hidden_ok", lit(hiddenOk))
+          .withColumn("healed_ok", lit(healedOk))
       }),
 
       "q_minhash_index_delete_gate" -> ((s, dir) => {
@@ -8942,7 +8977,8 @@ object SparkEntry {
     // size the fleet indexes.
     "q_index_fsck_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS healthy_ok,
-        |       TRUE AS debt_ok, TRUE AS damaged_ok, TRUE AS read_only_ok
+        |       TRUE AS debt_ok, TRUE AS damaged_ok, TRUE AS read_only_ok,
+        |       TRUE AS hidden_ok, TRUE AS healed_ok
         |FROM documents""".stripMargin,
     "q_join_profile" ->
       """WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n

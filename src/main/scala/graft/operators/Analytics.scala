@@ -259,6 +259,10 @@ object Analytics {
       iters: Int = 5,
       ckptEvery: Int = 2,
       checkpointEdges: Boolean = true): DataFrame = {
+    // the last loop iteration always checkpoints ranks, making the returned
+    // plan self-contained; with zero rounds the result would reference the
+    // deg checkpoint freed below
+    require(iters >= 1, s"pageRank needs at least one round, got iters=$iters")
     val eRaw = edges.select(col("src"), col("dst"))
     val e =
       if (checkpointEdges) eRaw.transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
@@ -318,6 +322,9 @@ object Analytics {
       ckptEvery: Int = 2,
       checkpointEdges: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
+    // same self-containment argument as pageRank: the result must not
+    // reference the deg checkpoint freed on the way out
+    require(iters >= 1, s"personalizedPageRank needs at least one round, got iters=$iters")
     val eRaw = edges.select(col("src"), col("dst"))
     val e = if (checkpointEdges) eRaw.transform(Bridge.localCheckpointFreshStats) else eRaw
     // deg embeds the seeds scan + distinct besides the degree aggregate;

@@ -554,7 +554,16 @@ object Dedup {
     * index on. This is the reproducibility audit a corpus build needs
     * ("which near-dups did the dedup pass at generation G see?"). Fails
     * loudly outside the retention window: a snapshot query must never
-    * silently answer from a different state. */
+    * silently answer from a different state.
+    *
+    * Carve-out (shared by every family's AsOf lane): exact replay holds
+    * across MANIFEST-ADVANCING mutations (append, upsert, compact,
+    * rebuild). Plain deletes append into the live tombstone segment
+    * in place — the same segment retained snapshots name — so a
+    * takedown issued AFTER generation G retroactively hides the id in
+    * G's replay too. That is deliberate: takedown compliance must reach
+    * audit reads, or a snapshot becomes a loophole for serving retracted
+    * data (`IndexSnapshotSpec`-pinned behavior). */
   def minhashIndexCandidatesAsOf(
       batch: DataFrame,
       dir: String,
@@ -1219,7 +1228,9 @@ object Dedup {
     * index on. The survivor set is history-dependent (the documented
     * reason this family has no upsert), which makes the snapshot read
     * the ONLY way to audit what a past corpus build deduped against.
-    * Fails loudly outside the retention window. */
+    * Fails loudly outside the retention window. Later plain deletes reach
+    * retained snapshots (the takedown carve-out documented on
+    * [[minhashIndexCandidatesAsOf]]). */
   def semanticIndexSurvivorsAsOf(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -131,6 +131,9 @@ private[graft] object Tombstones {
       genCol: String,
       segment: String = DefaultSegment): DataFrame =
     read(rows.sparkSession, dir, segment).fold(rows) { t =>
+      // collapse per id to the strongest kill: visibility is monotone in
+      // scope (a higher ts_gen hides a superset of segments), so max(ts_gen)
+      // subsumes every weaker tombstone for the same id
       val ts = t.groupBy("ts_id").agg(max("ts_gen").as("ts_gen"))
       rows.join(
         ts,

@@ -123,9 +123,17 @@ object IndexMaintenance {
     * for the next commit's GC. The read-only sibling of [[sweep]]: run
     * it first when a serving tier reports errors, run it after an
     * incident to confirm the recovery contract actually held. Cost per
-    * index: dir listings + one schema resolution per segment. */
-  def fsck(spark: SparkSession, indexes: Seq[Registration]): Seq[(Registration, IndexManifest.Audit)] =
-    indexes.map(reg => reg -> IndexManifest.audit(spark, reg.dir, layoutOf(reg.family)))
+    * index: dir listings + one schema resolution per segment.
+    * `visibility = true` adds [[IndexManifest.audit]]'s streamed-row
+    * visibility pass (the one damage class structure can't see: ids a
+    * stream appended under an upsert's scoped tombstone, silently never
+    * served) — one column-pruned stream-segment scan per index. */
+  def fsck(
+      spark: SparkSession,
+      indexes: Seq[Registration],
+      visibility: Boolean = false): Seq[(Registration, IndexManifest.Audit)] =
+    indexes.map(reg =>
+      reg -> IndexManifest.audit(spark, reg.dir, layoutOf(reg.family), visibility))
 
   /** Probe every registered index once, in order; apply whatever its
     * triggers say is due. Returns one [[Report]] per registration.

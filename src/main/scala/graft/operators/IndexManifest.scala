@@ -67,8 +67,11 @@ private[graft] object IndexManifest {
   }
 
   /** A family's segment layout: logical table names plus the stream-segment
-    * base name. Doubles as the legacy (pre-manifest) physical layout. */
-  final case class Layout(tables: Seq[String], streamBase: String) {
+    * base name. Doubles as the legacy (pre-manifest) physical layout.
+    * `idCol` names the document/vector id column the family's STREAM
+    * segment rows carry — the join key of [[audit]]'s opt-in visibility
+    * pass (scoped-tombstone coverage of streamed rows). */
+  final case class Layout(tables: Seq[String], streamBase: String, idCol: String = "id") {
     def legacyState: State =
       State(0L, tables.map(t => t -> t).toMap, streamBase, "tombstones")
     def names: Seq[String] = tables :+ streamBase :+ "tombstones"
@@ -87,12 +90,12 @@ private[graft] object IndexManifest {
   }
 
   object Layouts {
-    val minhash: Layout = Layout(Seq("meta", "index"), "index-stream")
-    val semantic: Layout = Layout(Seq("model", "survivors"), "survivors-stream")
-    val ivf: Layout = Layout(Seq("centroids", "vectors"), "vectors-stream")
+    val minhash: Layout = Layout(Seq("meta", "index"), "index-stream", "c_id")
+    val semantic: Layout = Layout(Seq("model", "survivors"), "survivors-stream", "vec_id")
+    val ivf: Layout = Layout(Seq("centroids", "vectors"), "vectors-stream", "n_id")
     val ivfpq: Layout =
-      Layout(Seq("centroids", "codebooks", "codes", "vectors"), "arrivals-stream")
-    val text: Layout = Layout(Seq("stats", "postings"), "postings-stream")
+      Layout(Seq("centroids", "codebooks", "codes", "vectors"), "arrivals-stream", "n_id")
+    val text: Layout = Layout(Seq("stats", "postings"), "postings-stream", "doc_id")
   }
 
   def genName(logical: String, gen: Long): String = f"$logical%s-g$gen%03d"
@@ -250,8 +253,10 @@ private[graft] object IndexManifest {
       missingTables: Seq[String],
       unreadable: Seq[String],
       orphans: Seq[String],
-      staleTmp: Int) {
-    def ok: Boolean = missingTables.isEmpty && unreadable.isEmpty
+      staleTmp: Int,
+      hiddenStreamIds: Seq[Long] = Seq.empty) {
+    def ok: Boolean =
+      missingTables.isEmpty && unreadable.isEmpty && hiddenStreamIds.isEmpty
   }
 
   /** Structural fsck of an index dir — the "is this index servable"
@@ -262,8 +267,31 @@ private[graft] object IndexManifest {
     * damage), parquet-footer readability of whatever is present, orphan
     * family dirs awaiting GC, and stale manifest staging files. Cost:
     * directory listings plus one footer/schema resolution per present
-    * segment — never a data scan. */
-  def audit(spark: SparkSession, root: String, layout: Layout): Audit = {
+    * segment — never a data scan by default.
+    *
+    * `visibility = true` adds the one damage class structure can't see:
+    * streamed rows silently hidden by a generation-scoped tombstone.
+    * [[Tombstones.requireAppendable]] refuses BATCH appends of upserted
+    * ids loudly, but streaming appends skip the guard by documented
+    * contract ("arrivals are new ids by construction") — a stream that
+    * violates it lands rows below an upsert's scoped kill and they never
+    * serve, with no error anywhere. The pass semi-joins the live stream
+    * segment's ids (column-pruned, one id column) against the scoped
+    * tombstone slice with `ts_gen >=` the stream segment's creation
+    * generation and reports up to 20 offending ids in
+    * [[Audit.hiddenStreamIds]], which fails `ok` — remediation is the
+    * same as the batch guard's message: route those ids through the
+    * family's upsert, or compact (compaction applies the kill
+    * physically, making the hidden state explicit). Unscoped tombstones
+    * are deliberately NOT flagged: hiding streamed re-adds of taken-down
+    * ids is the takedown contract working. Cost: one column-pruned scan
+    * of the stream segment (compaction-bounded) joined against the
+    * KB-sized scoped tombstone slice, broadcast. */
+  def audit(
+      spark: SparkSession,
+      root: String,
+      layout: Layout,
+      visibility: Boolean = false): Audit = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val states = genNumbers(fs, root).flatMap(readGen(fs, root, _))
@@ -301,7 +329,38 @@ private[graft] object IndexManifest {
     val staleTmp =
       if (!fs.exists(mdir)) 0
       else fs.listStatus(mdir).count(_.getPath.getName.startsWith(".tmp-"))
-    Audit(live.generation, unbuilt, missing, unreadable, orphans, staleTmp)
+    val hidden =
+      if (!visibility || !existsDir(live.stream)) Seq.empty[Long]
+      else hiddenStreamIds(spark, root, live, layout.idCol)
+    Audit(live.generation, unbuilt, missing, unreadable, orphans, staleTmp, hidden)
+  }
+
+  /** The visibility pass of [[audit]] (see its scaladoc): distinct ids in
+    * the live stream segment covered by a scoped tombstone whose
+    * `ts_gen >=` the segment's creation generation — rows that will never
+    * serve and never error. Capped at 20 ids (evidence, not an
+    * inventory); sorted for determinism. */
+  private def hiddenStreamIds(
+      spark: SparkSession,
+      root: String,
+      live: State,
+      idCol: String): Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    Tombstones.read(spark, root, live.tombstones).fold(Seq.empty[Long]) { t =>
+      val streamGen = segGen(live.stream)
+      val scoped = t
+        .filter(col("ts_gen") =!= Long.MaxValue && col("ts_gen") >= streamGen)
+        .select(col("ts_id").as("__vid")).distinct()
+      try
+        spark.read.parquet(live.streamDir(root))
+          .select(col(idCol).cast("long").as("__vid")).distinct()
+          .join(broadcast(scoped), Seq("__vid"), "left_semi")
+          .limit(20).collect().map(_.getLong(0)).toSeq.sorted
+      catch {
+        // schema-less stream segment (zero-batch sink run): nothing hidden
+        case _: org.apache.spark.sql.AnalysisException => Seq.empty
+      }
+    }
   }
 
   /** A version string for the index's FULL live state — the cache key a

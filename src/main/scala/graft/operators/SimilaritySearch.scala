@@ -782,7 +782,9 @@ object SimilaritySearch {
     * its segments, its pending tombstones — after an upsert, compaction
     * or rebuild moved the live index on. Fails loudly outside the
     * retention window: a snapshot query must never silently answer from
-    * a different state. */
+    * a different state. Later plain deletes reach retained snapshots
+    * (the takedown carve-out documented on
+    * [[graft.operators.Dedup.minhashIndexCandidatesAsOf]]). */
   def ivfIndexSearchAsOf(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -1285,7 +1287,9 @@ object SimilaritySearch {
     * time-travel read on the composed serving index
     * ([[ivfIndexSearchAsOf]]'s contract): that generation's coarse model,
     * codebooks, code/vector segments AND pending tombstones. Fails
-    * loudly outside the retention window. */
+    * loudly outside the retention window. Later plain deletes reach
+    * retained snapshots (the takedown carve-out documented on
+    * [[graft.operators.Dedup.minhashIndexCandidatesAsOf]]). */
   def ivfPqIndexSearchAsOf(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -497,7 +497,9 @@ object TextSearchIndex {
     * its pending tombstones) after a rebuild or compaction moved the
     * live index on. Fails loudly when the generation has left the
     * retention window: a snapshot query must never silently answer from
-    * a different state. */
+    * a different state. Later plain deletes reach retained snapshots
+    * (the takedown carve-out documented on
+    * [[graft.operators.Dedup.minhashIndexCandidatesAsOf]]). */
   def searchAsOf(
       spark: SparkSession,
       dir: String,

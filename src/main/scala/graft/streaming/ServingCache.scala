@@ -58,6 +58,10 @@ object ServingCache {
     def evictStale(dir: String, live: String): Unit
     /** Bound the store (the in-JVM tier clears wholesale at the cap). */
     def capOrClear(): Unit
+    /** Advisory full reset (spec hygiene, cache-flush ops). Default no-op
+      * for remote stores whose own policy bounds them — correctness never
+      * depends on it (a leftover entry can only MISS). */
+    def clear(): Unit = ()
   }
 
   /** The single-tier default: one TrieMap in this JVM. */
@@ -68,7 +72,84 @@ object ServingCache {
     def evictStale(dir: String, live: String): Unit =
       cache.filterInPlace { case ((d, _), e) => d != dir || e.fingerprint == live }
     def capOrClear(): Unit = if (cache.size >= MaxEntries) cache.clear()
-    private[streaming] def clear(): Unit = cache.clear()
+    override def clear(): Unit = cache.clear()
+  }
+
+  /** The file-backed second tier — the cross-JVM form of the store: any
+    * number of serving JVMs (or successive restarts of one) pointed at
+    * the same `root` share one answer space; a second session HITS on an
+    * answer a first session computed without recomputing it. Entries are
+    * Java-serialized [[Entry]] files under
+    * `root/<hash(dir)>/<hash(queryKey)>.entry`, staged and atomically
+    * renamed so a concurrent reader never sees a torn file; any
+    * unreadable or torn entry reads as a MISS. Correctness never depends
+    * on this store's contents or housekeeping: [[cached]] checks the
+    * index fingerprint on every get, so a stale or even wrong file can
+    * only cost a recompute, never serve a wrong answer. */
+  final class FileStore(root: String) extends CacheStore {
+    import java.nio.file.{Files, Paths, Path => JPath, StandardCopyOption}
+    private val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+
+    private def hash(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+
+    private def entryPath(dir: String, queryKey: String): JPath =
+      rootPath.resolve(hash(dir)).resolve(hash(queryKey) + ".entry")
+
+    private def readEntry(p: JPath): Option[Entry] =
+      try {
+        val in = new java.io.ObjectInputStream(
+          new java.io.BufferedInputStream(Files.newInputStream(p)))
+        try Some(in.readObject().asInstanceOf[Entry])
+        finally in.close()
+      } catch { case _: Exception => None }
+
+    private def entryFiles(d: JPath): Seq[JPath] =
+      if (!Files.isDirectory(d)) Seq.empty
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.filter(_.toString.endsWith(".entry")).toSeq
+        finally s.close()
+      }
+
+    def get(dir: String, queryKey: String): Option[Entry] = {
+      val p = entryPath(dir, queryKey)
+      if (!Files.exists(p)) None else readEntry(p)
+    }
+
+    def put(dir: String, queryKey: String, e: Entry): Unit = {
+      val p = entryPath(dir, queryKey)
+      Files.createDirectories(p.getParent)
+      val tmp = Files.createTempFile(p.getParent, ".stage-", ".tmp")
+      val out = new java.io.ObjectOutputStream(
+        new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
+      try out.writeObject(e)
+      finally out.close()
+      Files.move(tmp, p,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def evictStale(dir: String, live: String): Unit =
+      entryFiles(rootPath.resolve(hash(dir))).foreach { p =>
+        // unreadable counts as stale: it can never hit, only take space
+        if (!readEntry(p).exists(_.fingerprint == live)) Files.deleteIfExists(p)
+      }
+
+    def capOrClear(): Unit = {
+      val dirs = {
+        val s = Files.list(rootPath)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      if (dirs.iterator.map(entryFiles(_).size).sum >= MaxEntries) clear()
+    }
+
+    override def clear(): Unit = {
+      val s = Files.list(rootPath)
+      val dirs = try s.iterator().asScala.toSeq finally s.close()
+      dirs.foreach(d => entryFiles(d).foreach(Files.deleteIfExists(_)))
+    }
   }
 
   private val defaultStore = new InMemoryStore
@@ -89,7 +170,13 @@ object ServingCache {
   /** (hits, misses) since JVM start — for specs and capacity planning. */
   def stats: (Long, Long) = (hitCount.get, missCount.get)
 
-  private[graft] def clear(): Unit = defaultStore.clear()
+  /** Reset the ACTIVE store (and the default one, if a second tier is
+    * installed over it — spec-order hygiene: no session's entries survive
+    * a clear just because a store swap raced it). */
+  private[graft] def clear(): Unit = {
+    store.clear()
+    if (!(store eq defaultStore)) defaultStore.clear()
+  }
 
   /** Serve `queryKey` against the index at `dir` through the cache:
     * recompute via `compute` only when the index's live state has moved

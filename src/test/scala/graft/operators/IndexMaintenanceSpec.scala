@@ -154,6 +154,56 @@ class IndexMaintenanceSpec extends SparkSpec {
       "the failure must not stop the rest of the fleet")
   }
 
+  test("visibility audit: streamed rows under a live-generation-scoped kill " +
+    "are flagged (the damage class requireAppendable can't see for streams); " +
+    "unscoped takedowns and upsert-then-stream re-adds stay clean") {
+    val baseDir = tmp("vis")
+    val (idx, arrivals, ckpt) = (s"$baseDir/idx", s"$baseDir/in", s"$baseDir/ckpt")
+    val docs5 = docs
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    Dedup.minhashIndexBuild(docs.filter(col("doc_id") <= 2), idx)
+    docs5.filter(col("doc_id") >= 3).coalesce(1).write.mode("append").parquet(arrivals)
+    Dedup.minhashIndexAppendStream(spark, idx, arrivals, ckpt)
+    val reg = IndexMaintenance.MinhashIndex(idx)
+    def deep() = IndexMaintenance.fsck(spark, Seq(reg), visibility = true).head._2
+    assert(deep().ok, "streamed rows alone are healthy")
+    // an UNSCOPED takedown of a streamed id hides it by documented
+    // contract — the visibility pass must NOT flag the contract working
+    Dedup.minhashIndexDelete(Seq(4L).toDF("doc_id"), idx)
+    assert(deep().ok)
+    // the hidden class: a scoped kill at the live generation covers the
+    // live stream segment (the "retract existing copies, future re-adds
+    // serve" takedown variant — also what any future regression of the
+    // upsert discipline would produce): streamed doc 3 stops serving
+    // with no error anywhere
+    val st = IndexManifest.resolve(spark, idx, IndexManifest.Layouts.minhash)
+    Tombstones.delete(Seq(3L).toDF("doc_id"), idx, st.tombstones,
+      asOfGen = IndexManifest.segGen(st.stream))
+    assert(Dedup.minhashIndexRows(spark, idx).filter(col("c_id") === 3L).isEmpty,
+      "the planted condition really is silent: the row just stops serving")
+    val shallow = IndexMaintenance.fsck(spark, Seq(reg)).head._2
+    assert(shallow.ok && shallow.hiddenStreamIds.isEmpty,
+      "structural fsck can't see visibility damage — that's the gap")
+    val flagged = deep()
+    assert(!flagged.ok && flagged.hiddenStreamIds === Seq(3L))
+    // remediation per the audit contract: compaction applies the kill
+    // physically, making the hidden state explicit — audit returns to ok
+    Dedup.minhashIndexCompact(spark, idx)
+    assert(deep().ok)
+    // the sanctioned re-add path stays clean: upsert doc 5 (scoped kill at
+    // the pre-upsert generation), then stream it again — the streamed copy
+    // lands in the NEXT generation's stream segment, above the scope
+    Dedup.minhashIndexUpsert(docs.filter(col("doc_id") === 5L), idx)
+    docs5.filter(col("doc_id") === 5L).coalesce(1).write.mode("append").parquet(arrivals)
+    // the upsert moved the stream segment; a parquet sink's metadata log is
+    // per-directory, so continuing the OLD checkpoint against the new dir
+    // fails loudly — a fresh checkpoint is the re-attach contract
+    Dedup.minhashIndexAppendStream(spark, idx, arrivals, s"$ckpt-2")
+    assert(Dedup.minhashIndexRows(spark, idx).filter(col("c_id") === 5L).count() > 0)
+    assert(deep().ok, "a streamed re-add above the upsert's scope is served, not hidden")
+  }
+
   test("a lost single-writer race inside the sweep is retried once against " +
     "the moved state; a persistent loser reports failed honestly") {
     val injectUdf = udf { (t: String) => SweepRaceInjector.fire(); t }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -111,6 +113,54 @@ class ServingCacheSpec extends SparkSpec {
     rows(ServingCache.cachedTextSearch(spark, idx, Seq("date"), 10))
     val (h1, m1) = ServingCache.stats
     assert(h1 === h0 + 1 && m1 === m0 + 1)
+  }
+
+  test("file store: two separate SparkSessions share one on-disk answer " +
+    "space — the second session HITS on the first's persisted answer, a " +
+    "mutation turns it back into a miss, and a torn entry file is a miss, " +
+    "never an error") {
+    ServingCache.clear()
+    val idx = java.nio.file.Files.createTempDirectory("graft-sc-file-idx").toString
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-sc-file-store").toString
+    TextSearchIndex.build(docs, idx)
+    val terms = Seq("apple", "banana")
+    val sessionA = spark.newSession()
+    val sessionB = spark.newSession()
+    // session A computes through its own FileStore instance...
+    val prev = ServingCache.installStore(new ServingCache.FileStore(storeRoot))
+    try {
+      val first = rows(ServingCache.cachedTextSearch(sessionA, idx, terms, 10))
+      assert(first === rows(TextSearchIndex.search(sessionA, idx, terms, 10)))
+      // ...and session B, through a FRESH instance over the same root (no
+      // shared in-memory state — only the directory), HITS on A's answer
+      ServingCache.installStore(new ServingCache.FileStore(storeRoot))
+      val (h0, m0) = ServingCache.stats
+      val viaB = rows(ServingCache.cachedTextSearch(sessionB, idx, terms, 10))
+      val (h1, m1) = ServingCache.stats
+      assert(viaB === first)
+      assert(h1 === h0 + 1 && m1 === m0,
+        "session B must serve A's persisted answer with no recompute")
+      // a mutation moves the fingerprint: B's stale persisted entry MISSES
+      // and the refreshed answer reflects the mutation
+      TextSearchIndex.delete(Seq(0L).toDF("doc_id"), idx)
+      val postDelete = rows(ServingCache.cachedTextSearch(sessionB, idx, terms, 10))
+      assert(ServingCache.stats._2 === m1 + 1)
+      assert(!postDelete.exists(_._2 == 0L) &&
+        postDelete === rows(TextSearchIndex.search(sessionB, idx, terms, 10)))
+      // torn entry: truncate the persisted file mid-byte — the store reads
+      // it as a miss (deleted by the next evictStale), answers stay right
+      val entries = java.nio.file.Files.walk(java.nio.file.Paths.get(storeRoot))
+        .iterator().asScala.filter(_.toString.endsWith(".entry")).toSeq
+      assert(entries.nonEmpty)
+      entries.foreach(p => java.nio.file.Files.write(p, Array[Byte](1, 2, 3)))
+      val (_, m3) = ServingCache.stats
+      assert(rows(ServingCache.cachedTextSearch(sessionB, idx, terms, 10)) === postDelete)
+      assert(ServingCache.stats._2 === m3 + 1, "a torn file is a miss, not a hit or error")
+      // ...and the recompute re-persisted it: the follow-up is a hit again
+      val (h4, _) = ServingCache.stats
+      assert(rows(ServingCache.cachedTextSearch(sessionB, idx, terms, 10)) === postDelete)
+      assert(ServingCache.stats._1 === h4 + 1)
+    } finally ServingCache.installStore(prev)
   }
 
   test("vector lane: cached IVF-PQ search equals direct; an index upsert " +
