@@ -2831,6 +2831,42 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+      // Incremental duplicate-cluster maintenance: build the persisted
+      // assignment index on a base split, feed two arrival batches through
+      // clusterIndexAppend (star contraction over the batch-touched
+      // subgraph only), compact, and emit the resolved assignments. The
+      // oracle is the SAME recursive-CTE closure as q_dedup_clusters over
+      // the full corpus — i.e. DuckDB itself checks that batch-incremental
+      // maintenance equals the from-scratch recompute on the unioned pairs.
+      "q_dedup_clusters_incr_gate" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("clusters-incr")
+        val base = docs.filter(col("doc_id") % 3 =!= 0)
+        val arr1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+        val arr2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
+        // pairs of the grown corpus INCIDENT to an arrival batch — the only
+        // new edges its arrival can create (a pair's similarity does not
+        // depend on other documents, so old-old pairs are already clustered)
+        def incident(pairs0: org.apache.spark.sql.DataFrame,
+            batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val pairs = pairs0.select("a_id", "b_id")
+          val ids = broadcast(batch.select("doc_id"))
+          pairs.join(ids.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+            .select("a_id", "b_id")
+            .unionByName(
+              pairs.join(ids.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+                .select("a_id", "b_id"))
+            .distinct()
+        }
+        Dedup.clusterIndexBuild(Dedup.ngramJaccardPairs(base, 0.3), idx)
+        Dedup.clusterIndexAppend(
+          incident(Dedup.ngramJaccardPairs(base.unionByName(arr1), 0.3), arr1), idx)
+        Dedup.clusterIndexAppend(
+          incident(Dedup.ngramJaccardPairs(docs, 0.3), arr2), idx)
+        Dedup.clusterIndexCompact(s, idx)
+        Dedup.clusterIndexAssignments(s, idx).orderBy("doc_id")
+      }),
+
       // Near-dup: MinHash + LSH banding. Rows-only: signatures are murmur3
       // over shingle BYTES (native kernel) — a byte-level hash replay in
       // DuckDB SQL would be a reimplementation, not an independent oracle.
@@ -7274,6 +7310,13 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // The from-scratch closure IS the incremental gate's oracle: DuckDB
+    // recomputes connected components over the full corpus's pair set and
+    // the gate's batch-incremental assignments must hash-match it.
+    "q_dedup_clusters_incr_gate" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureSql
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

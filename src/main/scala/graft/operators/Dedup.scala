@@ -886,6 +886,189 @@ object Dedup {
     documents.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
 
+  // ===== Persisted duplicate-cluster assignments (incremental CC) =====
+
+  /** Build the persisted `(doc_id, cluster_id)` duplicate-cluster index —
+    * the INCREMENTAL half of [[duplicateClusters]], so a continuously-fed
+    * corpus maintains its transitive near-dup closure without recomputing
+    * connected components over the full pair set per arrival batch (the
+    * cost profile of a from-scratch `duplicateClusters`, the heaviest
+    * non-gate operator in the suite as `q_entity_merge`). The ONE full CC
+    * run happens here at build; [[clusterIndexAppend]] then contracts only
+    * batch-touched components. Pair-source-agnostic: feed it ngram/minhash/
+    * simhash/embedding pairs alike; the persisted minhash index's
+    * [[minhashIndexCandidates]] is the natural arrival-batch pair source.
+    *
+    * Layout (the [[IndexManifest]] discipline, `Layouts.clusters`): an
+    * `assignments` base table `(doc_id, cluster_id, seq)` at seq 0 plus an
+    * `assignments-delta` segment appended by batches; reads resolve
+    * last-writer-wins on `seq` per doc ([[clusterIndexAssignments]]).
+    * cluster_id = min doc_id of the component, so a doc's assignment is
+    * NON-INCREASING over time (components only merge — this lifecycle has
+    * no pair retraction), which is what makes last-writer-wins the whole
+    * read-side story. Only PAIRED docs carry rows (matching
+    * [[duplicateClusters]]' output shape); singletons are implicit. */
+  def clusterIndexBuild(pairs: DataFrame, dir: String): Unit = {
+    val spark = pairs.sparkSession
+    val layout = IndexManifest.Layouts.clusters
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
+    duplicateClusters(pairs)
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").parquet(next.tableDir(dir, "assignments"))
+    IndexManifest.commit(spark, dir, next, layout)
+  }
+
+  private def clustersState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexManifest.State =
+    IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
+
+  private def clustersRaw(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame = {
+    import org.apache.spark.sql.types._
+    def readIf(p: String): Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) None
+      else
+        try Some(spark.read.parquet(p).select("doc_id", "cluster_id", "seq"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+    (readIf(st.tableDir(dir, "assignments")) ++ readIf(st.streamDir(dir)))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("cluster_id", LongType),
+          StructField("seq", LongType)))))
+  }
+
+  /** The live resolved assignments `(doc_id, cluster_id)` — base ∪ delta,
+    * last-writer-wins on `seq` per doc. The one corpus-sized aggregation
+    * of the read side; [[clusterIndexCompact]] folds the delta back so
+    * steady-state reads group over a near-clean base. */
+  def clusterIndexAssignments(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    clustersRaw(spark, dir, clustersState(spark, dir))
+      .groupBy("doc_id").agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
+
+  /** Incremental arrival-batch maintenance: `batchPairs` is the verified
+    * near-dup pairs INCIDENT to an arrival batch (batch↔corpus and
+    * batch↔batch — old↔old pairs cannot appear: a pair's similarity does
+    * not depend on other documents, so the old corpus's pair set is
+    * already clustered). Star contraction then runs ONLY on the
+    * batch-touched component subgraph:
+    *
+    *   1. partners  := ids on either side of `batchPairs`;
+    *   2. touched   := resolved cluster reps of the already-assigned
+    *      partners (new ids resolve to nothing — they are their own
+    *      implicit singletons, [[duplicateClusters]] handles them as
+    *      plain nodes);
+    *   3. members   := docs resolving into a touched component — their
+    *      current star edges `(rep, member)` reproduce the old structure,
+    *      so the contraction sees whole components, never fragments;
+    *   4. [[duplicateClusters]] over (star edges ∪ batchPairs) — sized by
+    *      the touched components + batch, NOT the corpus;
+    *   5. the relabeled rows append to the delta at `max(seq) + 1` —
+    *      last-writer-wins makes merges (a member's rep decreasing to the
+    *      merged component's min) visible without touching the base.
+    *
+    * Membership resolution reads the raw table twice (a candidate filter
+    * on `cluster_id ∈ touched` — a superset, stale rows included — then an
+    * exact per-doc resolution over just those docs), both column-pruned id
+    * scans; the contraction's O(log n) rounds run over the touched
+    * subgraph only. At 100 TB: bucket the assignments table by `doc_id`
+    * so the per-doc resolution co-locates, and compact at the same
+    * cadence as the paired minhash index. Stale rows can never corrupt
+    * membership: a doc's assignment is non-increasing, so a stale row
+    * matching a touched rep either belongs to the component (kept by the
+    * exact resolution) or resolves below it (dropped). */
+  def clusterIndexAppend(batchPairs: DataFrame, dir: String): Unit = {
+    val spark = batchPairs.sparkSession
+    require(
+      IndexManifest.read(spark, dir).nonEmpty,
+      s"cluster index at $dir has no manifest — clusterIndexBuild first")
+    val st = clustersState(spark, dir)
+    val raw = clustersRaw(spark, dir, st)
+    val pairs = batchPairs.select(
+      least(col("a_id"), col("b_id")).as("a_id"),
+      greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+    val partners = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    // resolved reps of the assigned partners — batch-bounded, broadcast
+    val touched = raw.join(broadcast(partners), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
+      .select("cluster_id").distinct()
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+    // candidate member docs (stale rows give a superset), then the exact
+    // per-doc resolution over just those docs
+    val candidates = raw
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .select("doc_id").distinct()
+    val members = raw.join(candidates, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+    val starEdges = members
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a_id"), col("doc_id").as("b_id"))
+    val relabeled = duplicateClusters(starEdges.unionByName(pairs))
+    // the base is always seq 0, so the high-water mark lives in the
+    // (compaction-bounded) delta alone — never a base scan
+    val deltaPath = new org.apache.hadoop.fs.Path(st.streamDir(dir))
+    val nextSeq = 1L + (
+      if (!deltaPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(deltaPath)) 0L
+      else
+        try spark.read.parquet(st.streamDir(dir))
+          .agg(coalesce(max("seq"), lit(0L))).head().getLong(0)
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+    relabeled.withColumn("seq", lit(nextSeq))
+      .write.mode("append").parquet(st.streamDir(dir))
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(touched)
+  }
+
+  /** Fold the delta back into a seq-0 base (resolved last-writer-wins) —
+    * one manifest commit, the family compaction contract. */
+  def clusterIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val layout = IndexManifest.Layouts.clusters
+    val prev = clustersState(spark, dir)
+    val streamPath = new org.apache.hadoop.fs.Path(prev.streamDir(dir))
+    if (!streamPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(streamPath))
+      return
+    val next = layout.advance(prev)
+    clusterIndexAssignments(spark, dir)
+      .withColumn("seq", lit(0L))
+      .write.mode("overwrite").parquet(next.tableDir(dir, "assignments"))
+    IndexManifest.commit(spark, dir, next, layout)
+  }
+
+  /** Compaction trigger on the delta/base row ratio — the
+    * [[CompactionTrigger]] discipline (reads stay correct at any delta
+    * volume; this bounds the read-side group-by's dirty fraction). */
+  def clusterIndexMaybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      ratio: Double = 0.25): Boolean = {
+    val st = clustersState(spark, dir)
+    val due = CompactionTrigger.due(
+      CompactionTrigger.rowsIn(spark, st.tableDir(dir, "assignments")),
+      CompactionTrigger.rowsIn(spark, st.streamDir(dir)),
+      0L,
+      ratio = 1.0, // no tombstones in this family; only the stream ratio gates
+      streamRatio = ratio)
+    if (due) clusterIndexCompact(spark, dir)
+    due
+  }
+
   /** Embedding-cosine near-dup pairs, exact all-pairs variant: every (a, b)
     * with cosine ≥ threshold. Quadratic — the correctness baseline and fine
     * when the corpus (or a blocking partition of it) fits a cartesian

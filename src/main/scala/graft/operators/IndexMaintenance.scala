@@ -97,6 +97,15 @@ object IndexMaintenance {
     def family: String = "text"
   }
 
+  /** The duplicate-cluster assignment index ([[Dedup.clusterIndexBuild]]):
+    * no fitted model (never rebuilds) and no tombstones — the only knob is
+    * folding the delta back into the base. */
+  final case class ClusterIndex(
+      dir: String,
+      streamRatio: Double = 0.25) extends Registration {
+    def family: String = "clusters"
+  }
+
   /** What one sweep did to one index. `generation` is the live manifest
     * generation AFTER the sweep (0 = still legacy/unbuilt). */
   final case class Report(
@@ -113,6 +122,7 @@ object IndexMaintenance {
     case "ivf" => IndexManifest.Layouts.ivf
     case "ivfpq" => IndexManifest.Layouts.ivfpq
     case "text" => IndexManifest.Layouts.text
+    case "clusters" => IndexManifest.Layouts.clusters
     case other => sys.error(s"unknown index family: $other")
   }
 
@@ -187,7 +197,7 @@ object IndexMaintenance {
               r.pqNlist, r.pqIters, r.rebuildRatio)
           case r: TextIndexReg =>
             TextSearchIndex.maybeRebuild(r.corpus(), r.dir, r.growthRatio, r.driftRatio)
-          case _: MinhashIndex => false
+          case _: MinhashIndex | _: ClusterIndex => false
         }
         if (rebuilt) calibratedKs.foreach { k =>
           reg match {
@@ -207,6 +217,8 @@ object IndexMaintenance {
             SimilaritySearch.ivfPqIndexMaybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
           case r: TextIndexReg =>
             TextSearchIndex.maybeCompact(spark, r.dir, r.compactRatio, r.streamRatio)
+          case r: ClusterIndex =>
+            Dedup.clusterIndexMaybeCompact(spark, r.dir, r.streamRatio)
         })
         val gen = IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)
         Report(reg.dir, reg.family, rebuilt, compacted, gen, None)

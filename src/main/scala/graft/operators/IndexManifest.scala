@@ -96,6 +96,7 @@ private[graft] object IndexManifest {
     val ivfpq: Layout =
       Layout(Seq("centroids", "codebooks", "codes", "vectors"), "arrivals-stream", "n_id")
     val text: Layout = Layout(Seq("stats", "postings"), "postings-stream", "doc_id")
+    val clusters: Layout = Layout(Seq("assignments"), "assignments-delta", "doc_id")
   }
 
   def genName(logical: String, gen: Long): String = f"$logical%s-g$gen%03d"

@@ -13,15 +13,53 @@ import graft.SparkEntry
   * queries sharing the JVM — GC debt, page-cache churn). The full bench
   * measures the fleet experience; this measures the operator.
   *
-  * Usage: `SPARK_GRAFT_QUERIES=q_ppr,q_lcc SPARK_GRAFT_SF_DIR=... sbt
-  * "runMain graft.tools.IsoBench"`.
+  * Baseline workflow (what makes a drift-flag adjudication MEASURED
+  * instead of argued): the committed `ISO_BASELINE.json` records the
+  * isolated min per noise-prone query — the suite's bottom decile, where
+  * in-suite warm-state (page cache + JIT from 276 neighbors) makes
+  * sub-second queries run FASTER in-suite than isolated, so the anchor's
+  * in-suite numbers cannot adjudicate them. A future flag on one of these
+  * is settled by diffing two committed isolated numbers:
+  *
+  *  - emit:    `SPARK_GRAFT_QUERIES=q_a,q_b SPARK_GRAFT_ISO_EMIT=ISO_BASELINE.json
+  *              sbt "runMain graft.tools.IsoBench"` (quiet box, then commit)
+  *  - compare: `SPARK_GRAFT_ISO_BASELINE=ISO_BASELINE.json
+  *              sbt "runMain graft.tools.IsoBench"` — query set defaults
+  *              to the baseline's, each min is printed with its ratio,
+  *              ratios > 1.5× are flagged, and the summary counts them.
+  *
+  * Compare over the FULL baseline set, not a hand-picked pair: the
+  * baseline's numbers carry the JVM warmth of a 35-query session, and a
+  * 2-query run measures cold-JIT time instead (measured 2.0–2.2× on
+  * 0.12–0.17 s queries minutes apart on an idle box — pure session-size
+  * artifact, both full-set runs flag zero).
+  *
+  * Plain usage (no baseline): `SPARK_GRAFT_QUERIES=q_ppr,q_lcc
+  * SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.IsoBench"`.
   */
 object IsoBench {
+
+  /** Parse `{"sf":"...","queries":{"name":sec,...}}` — the emit format —
+    * without a JSON dependency (the values are flat name:number pairs). */
+  private def readBaseline(path: String): Map[String, Double] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val body = text.substring(text.indexOf("\"queries\""))
+    """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "")
+    val emitPath = sys.env.get("SPARK_GRAFT_ISO_EMIT")
+    val baseline = sys.env.get("SPARK_GRAFT_ISO_BASELINE")
+      .map(readBaseline).getOrElse(Map.empty[String, Double])
+    val envNames = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(names.nonEmpty, "set SPARK_GRAFT_QUERIES=q_a,q_b,...")
+    val names = if (envNames.nonEmpty) envNames else baseline.keys.toSeq.sorted
+    require(
+      names.nonEmpty,
+      "set SPARK_GRAFT_QUERIES=q_a,q_b,... or SPARK_GRAFT_ISO_BASELINE=path")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,6 +72,8 @@ object IsoBench {
       df.collect()
       ()
     }
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var flags = 0
     names.foreach { n =>
       try force(n) catch { case e: Throwable => println(s"[iso] $n warmup failed: $e") }
       System.gc()
@@ -50,8 +90,26 @@ object IsoBench {
       val label = runs.map { case (t, ok) => if (ok) f"$t%.3f" else "FAIL" }.mkString(",")
       if (good.isEmpty)
         println(f"[iso] $n%-32s min=   FAIL s  runs=$label")
-      else
-        println(f"[iso] $n%-32s min=${good.min}%7.3f s  runs=$label")
+      else {
+        mins(n) = good.min
+        val vs = baseline.get(n).map { b =>
+          val ratio = good.min / b
+          if (ratio > 1.5) flags += 1
+          f"  vs baseline $b%7.3f s  ratio ${ratio}%5.2f${if (ratio > 1.5) "  FLAG" else ""}"
+        }.getOrElse("")
+        println(f"[iso] $n%-32s min=${good.min}%7.3f s  runs=$label$vs")
+      }
+    }
+    if (baseline.nonEmpty)
+      println(s"[iso] summary: ${mins.size}/${names.size} measured, " +
+        s"$flags flagged (>1.5x isolated baseline)")
+    emitPath.foreach { p =>
+      val qs = mins.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+      val json = s"""{"sf":"$sfDir","runs":3,"stat":"min","queries":{$qs}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+      println(s"[iso] baseline written: $p (${mins.size} queries)")
     }
     spark.stop()
   }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract of the persisted duplicate-cluster index: batch-incremental
+  * maintenance ([[Dedup.clusterIndexAppend]] contracting only the
+  * batch-touched component subgraph) produces EXACTLY the assignments a
+  * from-scratch [[Dedup.duplicateClusters]] computes over the unioned
+  * pair set — growth, fresh components, and cross-component merges
+  * (a member's rep is non-increasing; the merged component takes the
+  * global min) — and compaction folds the delta without changing any
+  * answer. */
+class ClusterIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-clusteridx-$tag").toString
+
+  private def resolved(dir: String): Map[Long, Long] =
+    Dedup.clusterIndexAssignments(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("a_id", "b_id")
+
+  test("incremental appends equal from-scratch recompute: growth, fresh " +
+    "components, cross-component merge to the global min; compaction and " +
+    "post-compaction appends preserve the closure") {
+    val dir = tmp("walk")
+    // base: {1,2,3} (rep 1) and {10,11} (rep 10); 20 unpaired (implicit)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    Dedup.clusterIndexBuild(pairsDf(base: _*), dir)
+    assert(resolved(dir) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val g0 = IndexManifest.read(spark, dir).map(_.generation).getOrElse(0L)
+
+    // batch 1: 30 grows component 10; 40–41 form a fresh component
+    val b1 = Seq((30L, 11L), (40L, 41L))
+    Dedup.clusterIndexAppend(pairsDf(b1: _*), dir)
+    assert(resolved(dir) === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 30L -> 10L,
+      40L -> 40L, 41L -> 40L))
+    assert(IndexManifest.read(spark, dir).map(_.generation).getOrElse(0L) === g0,
+      "appends are delta stripes, not manifest commits")
+
+    // batch 2: 50 BRIDGES components 1 and 10 — every member of the losing
+    // component relabels to the global min; 40/41 untouched
+    val b2 = Seq((50L, 3L), (50L, 11L))
+    Dedup.clusterIndexAppend(pairsDf(b2: _*), dir)
+    val afterMerge = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 1L, 11L -> 1L, 30L -> 1L, 50L -> 1L,
+      40L -> 40L, 41L -> 40L)
+    assert(resolved(dir) === afterMerge)
+
+    // the incremental state IS the from-scratch closure over all pairs
+    def fromScratch(ps: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.duplicateClusters(pairsDf(ps: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(dir) === fromScratch(base ++ b1 ++ b2))
+
+    // compaction folds the delta into a seq-0 base: answers unchanged,
+    // delta segment retired, one manifest commit
+    Dedup.clusterIndexCompact(spark, dir)
+    assert(resolved(dir) === afterMerge)
+    val st = IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
+    assert(st.generation === g0 + 1)
+    assert(!new java.io.File(s"$dir/${st.stream}").exists())
+
+    // appends after compaction restart cleanly on the folded base —
+    // including a second merge (40's component into 1's via 2–41)
+    val b3 = Seq((60L, 41L), (2L, 41L))
+    Dedup.clusterIndexAppend(pairsDf(b3: _*), dir)
+    assert(resolved(dir) === fromScratch(base ++ b1 ++ b2 ++ b3))
+    assert(resolved(dir)(60L) === 1L && resolved(dir)(40L) === 1L)
+  }
+
+  test("touched-subgraph scoping: an append relabels ONLY docs in touched " +
+    "components — the delta stripe holds no rows for untouched components") {
+    val dir = tmp("scope")
+    Dedup.clusterIndexBuild(pairsDf((1L, 2L), (10L, 11L), (20L, 21L)), dir)
+    Dedup.clusterIndexAppend(pairsDf((30L, 11L)), dir)
+    val st = IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
+    val delta = spark.read.parquet(s"$dir/${st.stream}")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(delta === Set(10L, 11L, 30L),
+      "the arrival's cost surface is the touched component + batch, not the corpus")
+    assert(resolved(dir) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 30L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("maintenance integration: the sweep compacts a delta-heavy cluster " +
+    "index via its trigger and leaves a quiet one untouched; fsck audits it") {
+    val dir = tmp("sweep")
+    Dedup.clusterIndexBuild(pairsDf((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)), dir)
+    val quiet = IndexMaintenance.sweep(spark, Seq(IndexMaintenance.ClusterIndex(dir)))
+    assert(quiet.head.failed.isEmpty && !quiet.head.compacted && !quiet.head.rebuilt)
+    // grow the delta past the ratio: two appends touching everything
+    Dedup.clusterIndexAppend(pairsDf((2L, 3L), (6L, 7L)), dir)
+    val before = resolved(dir)
+    val report = IndexMaintenance.sweep(spark, Seq(IndexMaintenance.ClusterIndex(dir))).head
+    assert(report.failed.isEmpty && report.compacted && !report.rebuilt)
+    assert(resolved(dir) === before, "the fold changes no answer")
+    val audit = IndexMaintenance.fsck(
+      spark, Seq(IndexMaintenance.ClusterIndex(dir)), visibility = true).head._2
+    assert(audit.ok && !audit.unbuilt)
+  }
+}

@@ -44,11 +44,62 @@ import graft.SparkSpec
   * version-level retirement (each doc's `n_hit` = its live version
   * count; a stale un-retired row would inflate it). Minhash family: the
   * live banded row set's distinct `c_id`s. Fixed seeds — reproducible,
-  * no flake surface. */
+  * no flake surface.
+  *
+  * The walk also probes the SNAPSHOT (AsOf) lanes after every op — the
+  * retained prior generation against a spec-side frozen model
+  * ([[SnapModel]]: freeze-at-advance plus the documented base-sharing
+  * leak of later appends through an upsert's carried base), the
+  * live-pinned generation against the live read, and expired
+  * generations for the loud refusal — so snapshot×mutation
+  * interleavings on all five families have a mechanical finder too. */
 class LifecycleContractSpec extends SparkSpec {
   import spark.implicits._
 
   private val Ids = 0L to 7L
+
+  /** Spec-side model of the retained PRIOR generation's AsOf answer,
+    * maintained alongside [[Model]] so the random walk also covers
+    * snapshot×mutation interleavings (where a scoping bug in the AsOf
+    * lanes would hide). The documented sharing rules, contract-level:
+    *
+    *   - At each MANIFEST-ADVANCING mutation (upsert, firing compaction)
+    *     the outgoing live state freezes: its AsOf answer is the live
+    *     visible map captured just before the op (the new kill/fold
+    *     commits into the NEXT generation's segments, out of its sight).
+    *   - An upsert CARRIES the base segment, so a later batch append
+    *     leaks into the frozen snapshot — unless the id was pending at
+    *     freeze (the frozen tombstone segment keeps hiding it). A
+    *     compaction rewrites the base: nothing leaks.
+    *   - Later plain deletes append to the LIVE tombstone segment and
+    *     never reach a frozen prior generation (the takedown carve-out
+    *     reaches only the generation that is still live — covered by the
+    *     live-pinned probe, which must equal the live read).
+    *   - Once the manifest advances again, the generation leaves the
+    *     retention window and its AsOf probe must error loudly. */
+  private final class SnapModel {
+    var gen: Long = -1L
+    var visible: Map[Long, Set[String]] = Map.empty
+    private var sharesBase = false
+    private var pendingAtFreeze: Set[Long] = Set.empty
+    def freeze(g: Long, vis: Map[Long, Set[String]], shares: Boolean, pending: Set[Long]): Unit = {
+      gen = g; visible = vis; sharesBase = shares; pendingAtFreeze = pending
+    }
+    def leakAppend(id: Long, t: String): Unit =
+      if (gen >= 0 && sharesBase && !pendingAtFreeze(id))
+        visible = visible.updated(id, visible.getOrElse(id, Set.empty) + t)
+    def has: Boolean = gen >= 0
+  }
+
+  private def liveGen(idx: String): Long =
+    IndexManifest.read(spark, idx).map(_.generation).getOrElse(0L)
+
+  private def assertExpired(probe: Long => Any, gen: Long): Unit =
+    if (gen >= 0) {
+      val ex = intercept[RuntimeException](probe(gen))
+      assert(ex.getMessage.contains("retains no generation"),
+        s"an expired generation must refuse loudly, got: ${ex.getMessage}")
+    }
 
   /** Contract-level model state: per-id live version tokens + the
     * pending-takedown set. */
@@ -85,13 +136,20 @@ class LifecycleContractSpec extends SparkSpec {
       TextSearchIndex.search(spark, idx, allTokens, 100)
         .select("doc_id", "n_hit").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def observedAsOf(g: Long): Map[Long, Long] =
+      TextSearchIndex.searchAsOf(spark, idx, allTokens, 100, g)
+        .select("doc_id", "n_hit").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // ids upserted since the last compaction — exactly the set whose
     // batch appends must refuse loudly (spec-side bookkeeping, not model
     // semantics: the guard's trigger is the carried scoped tombstone)
     val upserted = scala.collection.mutable.Set.empty[Long]
+    val snap = new SnapModel
     for (op <- 1 to 36) {
       val id = Ids(rnd.nextInt(Ids.size))
+      val (g0, vis0, pend0) = (liveGen(idx), model.visible, model.pending.toSet)
+      var shares = false
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
           val t = freshTok()
@@ -104,6 +162,7 @@ class LifecycleContractSpec extends SparkSpec {
           } else {
             TextSearchIndex.append(batch, idx)
             model.append(id, t)
+            snap.leakAppend(id, t)
           }
         case 3 | 4 =>
           TextSearchIndex.delete(Seq(id).toDF("doc_id"), idx)
@@ -113,13 +172,26 @@ class LifecycleContractSpec extends SparkSpec {
           TextSearchIndex.upsert(Seq((id, t, "s")).toDF("doc_id", "text", "source"), idx)
           model.upsert(id, t)
           upserted += id
+          shares = true // the upsert carries the postings base
         case _ =>
           TextSearchIndex.compact(spark, idx)
           model.compact()
           upserted.clear()
       }
+      if (liveGen(idx) != g0) snap.freeze(g0, vis0, shares, pend0)
       val want = model.visible.map { case (k, ts) => k -> ts.size.toLong }
       assert(observed() === want, s"divergence after op #$op (id=$id)")
+      // snapshot lanes: the retained prior generation answers its frozen
+      // state (plus documented leaks); the live-pinned probe equals the
+      // live read; an expired generation refuses loudly
+      if (snap.has)
+        assert(observedAsOf(snap.gen) ===
+          snap.visible.map { case (k, ts) => k -> ts.size.toLong },
+          s"snapshot divergence after op #$op (gen=${snap.gen})")
+      if (op % 6 == 0) {
+        assert(observedAsOf(liveGen(idx)) === want, s"live-pinned AsOf, op #$op")
+        assertExpired(observedAsOf, (if (snap.has) snap.gen else liveGen(idx)) - 1)
+      }
     }
   }
 
@@ -144,10 +216,16 @@ class LifecycleContractSpec extends SparkSpec {
     def observed(): Set[Long] =
       SimilaritySearch.ivfIndexSearch(spark, idx, probe, 1000, nprobe = 2)
         .select("n_id").collect().map(_.getLong(0)).toSet
+    def observedAsOf(g: Long): Set[Long] =
+      SimilaritySearch.ivfIndexSearchAsOf(spark, idx, probe, 1000, g, nprobe = 2)
+        .select("n_id").collect().map(_.getLong(0)).toSet
 
     val upserted = scala.collection.mutable.Set.empty[Long]
+    val snap = new SnapModel
     for (op <- 1 to 30) {
       val id = Ids(rnd.nextInt(Ids.size))
+      val (g0, vis0, pend0) = (liveGen(idx), model.visible, model.pending.toSet)
+      var shares = false
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
           val batch = df(Seq(id -> freshVec(id)))
@@ -159,6 +237,7 @@ class LifecycleContractSpec extends SparkSpec {
           } else {
             SimilaritySearch.ivfIndexAppend(batch, idx)
             model.append(id, "v")
+            snap.leakAppend(id, "v")
           }
         case 3 | 4 =>
           SimilaritySearch.indexDelete(Seq(id).toDF("vec_id"), idx)
@@ -167,13 +246,22 @@ class LifecycleContractSpec extends SparkSpec {
           SimilaritySearch.ivfIndexUpsert(df(Seq(id -> freshVec(id))), idx)
           model.upsert(id, "v")
           upserted += id
+          shares = true // the upsert carries the vectors base
         case _ =>
           SimilaritySearch.ivfIndexCompact(spark, idx)
           model.compact()
           upserted.clear()
       }
+      if (liveGen(idx) != g0) snap.freeze(g0, vis0, shares, pend0)
       assert(observed() === model.visible.keySet,
         s"divergence after op #$op (id=$id)")
+      if (snap.has)
+        assert(observedAsOf(snap.gen) === snap.visible.keySet,
+          s"snapshot divergence after op #$op (gen=${snap.gen})")
+      if (op % 6 == 0) {
+        assert(observedAsOf(liveGen(idx)) === model.visible.keySet, s"live-pinned AsOf, op #$op")
+        assertExpired(observedAsOf, (if (snap.has) snap.gen else liveGen(idx)) - 1)
+      }
     }
   }
 
@@ -196,10 +284,17 @@ class LifecycleContractSpec extends SparkSpec {
       SimilaritySearch.ivfPqIndexSearch(spark, idx, probe, 1000, nprobe = 2,
         rerank = 1000000)
         .select("n_id").collect().map(_.getLong(0)).toSet
+    def observedAsOf(g: Long): Set[Long] =
+      SimilaritySearch.ivfPqIndexSearchAsOf(spark, idx, probe, 1000, g, nprobe = 2,
+        rerank = 1000000)
+        .select("n_id").collect().map(_.getLong(0)).toSet
 
     val upserted = scala.collection.mutable.Set.empty[Long]
+    val snap = new SnapModel
     for (op <- 1 to 30) {
       val id = Ids(rnd.nextInt(Ids.size))
+      val (g0, vis0, pend0) = (liveGen(idx), model.visible, model.pending.toSet)
+      var shares = false
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
           val batch = df(Seq(id -> freshVec()))
@@ -211,6 +306,7 @@ class LifecycleContractSpec extends SparkSpec {
           } else {
             SimilaritySearch.ivfPqIndexAppend(batch, idx)
             model.append(id, "v")
+            snap.leakAppend(id, "v")
           }
         case 3 | 4 =>
           SimilaritySearch.indexDelete(Seq(id).toDF("vec_id"), idx)
@@ -219,13 +315,22 @@ class LifecycleContractSpec extends SparkSpec {
           SimilaritySearch.ivfPqIndexUpsert(df(Seq(id -> freshVec())), idx)
           model.upsert(id, "v")
           upserted += id
+          shares = true // the upsert carries the codes+vectors base
         case _ =>
           SimilaritySearch.ivfPqIndexCompact(spark, idx)
           model.compact()
           upserted.clear()
       }
+      if (liveGen(idx) != g0) snap.freeze(g0, vis0, shares, pend0)
       assert(observed() === model.visible.keySet,
         s"divergence after op #$op (id=$id)")
+      if (snap.has)
+        assert(observedAsOf(snap.gen) === snap.visible.keySet,
+          s"snapshot divergence after op #$op (gen=${snap.gen})")
+      if (op % 6 == 0) {
+        assert(observedAsOf(liveGen(idx)) === model.visible.keySet, s"live-pinned AsOf, op #$op")
+        assertExpired(observedAsOf, (if (snap.has) snap.gen else liveGen(idx)) - 1)
+      }
     }
   }
 
@@ -246,9 +351,14 @@ class LifecycleContractSpec extends SparkSpec {
     def observed(): Set[Long] =
       Dedup.semanticIndexSurvivors(spark, idx)
         .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    def observedAsOf(g: Long): Set[Long] =
+      Dedup.semanticIndexSurvivorsAsOf(spark, idx, g)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
 
+    val snap = new SnapModel
     for (op <- 1 to 24) {
       val id = Ids(rnd.nextInt(Ids.size))
+      val (g0, vis0, pend0) = (liveGen(idx), model.visible, model.pending.toSet)
       rnd.nextInt(10) match {
         case 0 | 1 | 2 | 3 =>
           Dedup.semanticIndexAppend(df(Seq(id -> freshVec())), idx, threshold = 0.9999)
@@ -260,8 +370,18 @@ class LifecycleContractSpec extends SparkSpec {
           Dedup.semanticIndexCompact(spark, idx)
           model.compact()
       }
+      // the upsert-less family: only a firing compaction advances, and a
+      // compaction rewrites the survivor base — frozen snapshots never leak
+      if (liveGen(idx) != g0) snap.freeze(g0, vis0, shares = false, pend0)
       assert(observed() === model.visible.keySet,
         s"divergence after op #$op (id=$id)")
+      if (snap.has)
+        assert(observedAsOf(snap.gen) === snap.visible.keySet,
+          s"snapshot divergence after op #$op (gen=${snap.gen})")
+      if (op % 6 == 0) {
+        assert(observedAsOf(liveGen(idx)) === model.visible.keySet, s"live-pinned AsOf, op #$op")
+        assertExpired(observedAsOf, (if (snap.has) snap.gen else liveGen(idx)) - 1)
+      }
     }
   }
 
@@ -276,18 +396,44 @@ class LifecycleContractSpec extends SparkSpec {
 
     val init = (0L to 4L).map(id => id -> freshText()).toMap
     Dedup.minhashIndexBuild(init.toSeq.toDF("doc_id", "text"), idx)
+    // model tokens ARE the version texts here, so the AsOf probe below can
+    // check VERSION-level visibility (each version's banded rows), not
+    // just id presence
     model.build(init)
+    var allVersions: Vector[(Long, String)] = init.toVector
 
     def observed(): Set[Long] =
       Dedup.minhashIndexRows(spark, idx)
         .select("c_id").distinct().collect().map(_.getLong(0)).toSet
+    // version-level snapshot observation through the public AsOf lane:
+    // probe every version text ever issued — a version is visible at the
+    // pinned generation iff its probe collides with its own id at full
+    // signature equality (est = 1.0; texts are version-unique, so no
+    // cross-version full-signature collisions exist)
+    def observedAsOf(g: Long): Set[(Long, String)] = {
+      val probe = allVersions.zipWithIndex
+        .map { case ((_, t), k) => (1000L + k, t) }.toDF("doc_id", "text")
+      val hits = Dedup.minhashIndexCandidatesAsOf(probe, idx, g)
+        .filter(col("est") === 1.0)
+        .select("doc_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      allVersions.zipWithIndex.collect {
+        case ((vid, t), k) if hits((1000L + k, vid)) => (vid, t)
+      }.toSet
+    }
+    def versionsOf(vis: Map[Long, Set[String]]): Set[(Long, String)] =
+      vis.toSeq.flatMap { case (vid, ts) => ts.map(t => (vid, t)) }.toSet
 
     val upserted = scala.collection.mutable.Set.empty[Long]
+    val snap = new SnapModel
     for (op <- 1 to 36) {
       val id = Ids(rnd.nextInt(Ids.size))
+      val (g0, vis0, pend0) = (liveGen(idx), model.visible, model.pending.toSet)
+      var shares = false
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
-          val batch = Seq((id, freshText())).toDF("doc_id", "text")
+          val t = freshText()
+          val batch = Seq((id, t)).toDF("doc_id", "text")
           if (upserted(id)) {
             val ex = intercept[IllegalArgumentException] {
               Dedup.minhashIndexAppend(batch, idx)
@@ -295,22 +441,36 @@ class LifecycleContractSpec extends SparkSpec {
             assert(ex.getMessage.contains("silently hidden"), s"op #$op")
           } else {
             Dedup.minhashIndexAppend(batch, idx)
-            model.append(id, "v")
+            model.append(id, t)
+            snap.leakAppend(id, t)
+            allVersions :+= (id -> t)
           }
         case 3 | 4 =>
           Dedup.minhashIndexDelete(Seq(id).toDF("doc_id"), idx)
           model.delete(id)
         case 5 | 6 | 7 =>
-          Dedup.minhashIndexUpsert(Seq((id, freshText())).toDF("doc_id", "text"), idx)
-          model.upsert(id, "v")
+          val t = freshText()
+          Dedup.minhashIndexUpsert(Seq((id, t)).toDF("doc_id", "text"), idx)
+          model.upsert(id, t)
           upserted += id
+          allVersions :+= (id -> t)
+          shares = true // the upsert carries the banded base
         case _ =>
           Dedup.minhashIndexCompact(spark, idx)
           model.compact()
           upserted.clear()
       }
+      if (liveGen(idx) != g0) snap.freeze(g0, vis0, shares, pend0)
       assert(observed() === model.visible.keySet,
         s"divergence after op #$op (id=$id)")
+      if (snap.has)
+        assert(observedAsOf(snap.gen) === versionsOf(snap.visible),
+          s"snapshot divergence after op #$op (gen=${snap.gen})")
+      if (op % 6 == 0) {
+        assert(observedAsOf(liveGen(idx)) === versionsOf(model.visible),
+          s"live-pinned AsOf, op #$op")
+        assertExpired(observedAsOf, (if (snap.has) snap.gen else liveGen(idx)) - 1)
+      }
     }
   }
 }
