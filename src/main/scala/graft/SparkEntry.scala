@@ -2838,32 +2838,38 @@ object SparkEntry {
       // oracle is the SAME recursive-CTE closure as q_dedup_clusters over
       // the full corpus — i.e. DuckDB itself checks that batch-incremental
       // maintenance equals the from-scratch recompute on the unioned pairs.
+      // Cost shape (mutation audit — the cost IS the content, like the
+      // text-index lifecycle gates): one pair generation plus THREE star
+      // contraction runs (build + two appends; each run pays ~2 jobs/round
+      // of checkpoint + convergence probe, which dominates on small
+      // subgraphs) plus six manifest-committed writes and a compaction.
+      // R10ScaleBench carries the scale claim (flat append vs corpus);
+      // this gate carries the equality claim.
       "q_dedup_clusters_incr_gate" -> ((s, dir) => {
         val docs = Tables.documents(s, dir)
         val idx = sessionIndexDir("clusters-incr")
-        val base = docs.filter(col("doc_id") % 3 =!= 0)
-        val arr1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
-        val arr2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
-        // pairs of the grown corpus INCIDENT to an arrival batch — the only
-        // new edges its arrival can create (a pair's similarity does not
-        // depend on other documents, so old-old pairs are already clustered)
-        def incident(pairs0: org.apache.spark.sql.DataFrame,
-            batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val pairs = pairs0.select("a_id", "b_id")
-          val ids = broadcast(batch.select("doc_id"))
-          pairs.join(ids.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
-            .select("a_id", "b_id")
-            .unionByName(
-              pairs.join(ids.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
-                .select("a_id", "b_id"))
-            .distinct()
-        }
-        Dedup.clusterIndexBuild(Dedup.ngramJaccardPairs(base, 0.3), idx)
-        Dedup.clusterIndexAppend(
-          incident(Dedup.ngramJaccardPairs(base.unionByName(arr1), 0.3), arr1), idx)
-        Dedup.clusterIndexAppend(
-          incident(Dedup.ngramJaccardPairs(docs, 0.3), arr2), idx)
+        // ONE pair generation: a pair's similarity is pair-local (it does
+        // not depend on other documents), so the base pair set and each
+        // batch's incident pairs are pure id-arithmetic FILTERS of the full
+        // set — the gate times incremental CLUSTERING, not three pair-gens.
+        // Splits: base = id%3!=0; arrival 1 = %3==0 even; arrival 2 = %3==0
+        // odd. A batch's incident pairs are those with >=1 endpoint in the
+        // batch and none in a LATER batch (not yet arrived).
+        val all = Dedup.ngramJaccardPairs(docs, 0.3).select("a_id", "b_id")
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+        def arr1(c: org.apache.spark.sql.Column) = c % 3 === 0 && c % 2 === 0
+        def arr2(c: org.apache.spark.sql.Column) = c % 3 === 0 && c % 2 =!= 0
+        def baseId(c: org.apache.spark.sql.Column) = c % 3 =!= 0
+        val basePairs = all.filter(baseId(col("a_id")) && baseId(col("b_id")))
+        val p1 = all.filter(
+          (arr1(col("a_id")) || arr1(col("b_id"))) &&
+            !arr2(col("a_id")) && !arr2(col("b_id")))
+        val p2 = all.filter(arr2(col("a_id")) || arr2(col("b_id")))
+        Dedup.clusterIndexBuild(basePairs, idx)
+        Dedup.clusterIndexAppend(p1, idx)
+        Dedup.clusterIndexAppend(p2, idx)
         Dedup.clusterIndexCompact(s, idx)
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(all)
         Dedup.clusterIndexAssignments(s, idx).orderBy("doc_id")
       }),
 
@@ -5323,23 +5329,30 @@ object SparkEntry {
         // stream segment whose id a live-generation-scoped tombstone covers
         // (what a stream racing an upsert's kill would leave behind) — the
         // row silently never serves; shallow fsck stays ok, the opt-in
-        // visibility pass flags the id and fails ok
-        val mhSt = IndexManifest.resolve(s, mh, IndexManifest.Layouts.minhash)
+        // visibility pass flags the id and fails ok. Planted on a THROWAWAY
+        // three-doc index so the remediation compaction folds KBs, not the
+        // shared sf-sized index (this gate flagged 1.98x when it did).
+        val mini = sessionIndexDir("fsck-gate-mini")
+        Dedup.minhashIndexBuild(
+          Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"), (3L, "ii jj kk ll"))
+            .toDF("doc_id", "text"),
+          mini)
+        val miniReg = IM.MinhashIndex(mini)
+        val mhSt = IndexManifest.resolve(s, mini, IndexManifest.Layouts.minhash)
         Seq((0, 999L, Seq(1L, 2L, 3L))).toDF("bucket", "c_id", "c_sig")
-          .write.mode("overwrite").parquet(mhSt.streamDir(mh))
+          .write.mode("overwrite").parquet(mhSt.streamDir(mini))
         graft.operators.Tombstones.delete(
-          Seq(999L).toDF("doc_id"), mh, mhSt.tombstones,
+          Seq(999L).toDF("doc_id"), mini, mhSt.tombstones,
           asOfGen = IndexManifest.segGen(mhSt.stream))
-        val silent = Dedup.minhashIndexRows(s, mh).filter(col("c_id") === 999L).isEmpty
-        val shallowHid = IM.fsck(s, Seq(regs(1))).head._2
-        val deepHid = IM.fsck(s, Seq(regs(1)), visibility = true).head._2
+        val silent = Dedup.minhashIndexRows(s, mini).filter(col("c_id") === 999L).isEmpty
+        val shallowHid = IM.fsck(s, Seq(miniReg)).head._2
+        val deepHid = IM.fsck(s, Seq(miniReg), visibility = true).head._2
         val hiddenOk = silent && shallowHid.ok &&
           !deepHid.ok && deepHid.hiddenStreamIds == Seq(999L)
         // remediation per the audit contract: compaction applies the kill
-        // physically; the deep audit returns to ok (also restores the index
-        // for the next run — the planted row and tombstone both fold away)
-        Dedup.minhashIndexCompact(s, mh)
-        val healedOk = IM.fsck(s, Seq(regs(1)), visibility = true).head._2.ok
+        // physically; the deep audit returns to ok
+        Dedup.minhashIndexCompact(s, mini)
+        val healedOk = IM.fsck(s, Seq(miniReg), visibility = true).head._2.ok
         docs.agg(count(lit(1)).cast("long").as("n_docs"))
           .withColumn("healthy_ok", lit(healthyOk))
           .withColumn("debt_ok", lit(debtOk))

@@ -953,7 +953,34 @@ object Dedup {
   def clusterIndexAssignments(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    clustersRaw(spark, dir, clustersState(spark, dir))
+    clusterAssignmentsAt(spark, dir, clustersState(spark, dir))
+
+  /** [[clusterIndexAssignments]] pinned to a RETAINED manifest generation
+    * ([[IndexManifest.readAt]]) — the family's time-travel read, the
+    * [[minhashIndexCandidatesAsOf]] contract: the assignments a past
+    * generation resolved ("which cluster did the dedup pass put this doc
+    * in at generation G?"), after later compactions moved the live index
+    * on. Build and compact rewrite the base under fresh names and delta
+    * stripes land in the LIVE generation's segment, so a frozen prior
+    * generation replays exactly (this family writes no tombstones — the
+    * takedown carve-out has nothing to reach it). Fails loudly outside
+    * the retention window. */
+  def clusterIndexAssignmentsAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      generation: Long): DataFrame = {
+    val st = IndexManifest.readAt(spark, dir, generation).getOrElse(
+      sys.error(
+        s"cluster index at $dir retains no generation-$generation manifest " +
+          s"(snapshots: ${IndexManifest.snapshots(spark, dir).mkString(",")})"))
+    clusterAssignmentsAt(spark, dir, st)
+  }
+
+  private def clusterAssignmentsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame =
+    clustersRaw(spark, dir, st)
       .groupBy("doc_id").agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
 
   /** Incremental arrival-batch maintenance: `batchPairs` is the verified

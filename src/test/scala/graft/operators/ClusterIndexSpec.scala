@@ -74,6 +74,19 @@ class ClusterIndexSpec extends SparkSpec {
     Dedup.clusterIndexAppend(pairsDf(b3: _*), dir)
     assert(resolved(dir) === fromScratch(base ++ b1 ++ b2 ++ b3))
     assert(resolved(dir)(60L) === 1L && resolved(dir)(40L) === 1L)
+
+    // time travel: the pre-compact generation still answers its frozen
+    // state (delta stripes land in the LIVE segment — nothing leaks into
+    // a frozen prior here); the live pin equals the live read; an
+    // expired generation refuses loudly
+    def resolvedAsOf(g: Long): Map[Long, Long] =
+      Dedup.clusterIndexAssignmentsAsOf(spark, dir, g)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolvedAsOf(g0) === afterMerge,
+      "the retained prior generation replays its frozen assignments")
+    assert(resolvedAsOf(g0 + 1) === resolved(dir))
+    val ex = intercept[RuntimeException](resolvedAsOf(g0 - 1))
+    assert(ex.getMessage.contains("retains no generation"))
   }
 
   test("touched-subgraph scoping: an append relabels ONLY docs in touched " +

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Randomized model-based test of the index-lifecycle CONTRACT across
-  * ALL FIVE persisted families (text, IVF, IVF×PQ, minhash, semantic) —
+  * ALL SIX persisted families (text, IVF, IVF×PQ, minhash, semantic, and
+  * the duplicate-cluster assignment index against a union-find model) —
   * the executable form of the [[Tombstones]] scaladoc, checked against a
   * trivially-correct in-memory model over a random interleaving of every
   * mutation class. The model is deliberately written at the contract
@@ -381,6 +382,73 @@ class LifecycleContractSpec extends SparkSpec {
       if (op % 6 == 0) {
         assert(observedAsOf(liveGen(idx)) === model.visible.keySet, s"live-pinned AsOf, op #$op")
         assertExpired(observedAsOf, (if (snap.has) snap.gen else liveGen(idx)) - 1)
+      }
+    }
+  }
+
+  test("cluster index: random pair-append/compact interleavings match a " +
+    "union-find model — including direct old↔old merges — with snapshot " +
+    "probes on the retained prior generation") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-contract-ci").toString
+    val rnd = new Random(55701L)
+    // trivially-correct model: union-find with min-id representatives
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    def modelAssignments: Map[Long, Long] =
+      parent.keys.map(id => id -> find(id)).toMap
+
+    def randomPairs(n: Int): Seq[(Long, Long)] =
+      Seq.fill(n) {
+        val a = rnd.nextInt(24).toLong
+        var b = rnd.nextInt(24).toLong
+        while (b == a) b = rnd.nextInt(24).toLong
+        (a, b)
+      }
+
+    val init = randomPairs(4)
+    Dedup.clusterIndexBuild(init.toDF("a_id", "b_id"), idx)
+    init.foreach { case (a, b) => union(a, b) }
+
+    def observed(): Map[Long, Long] =
+      Dedup.clusterIndexAssignments(spark, idx)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def observedAsOf(g: Long): Map[Long, Long] =
+      Dedup.clusterIndexAssignmentsAsOf(spark, idx, g)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // frozen prior snapshot: delta stripes land in the LIVE generation's
+    // segment and this family writes no tombstones, so a frozen prior
+    // generation NEVER changes (no leak rule, no carve-out)
+    var snapGen = -1L
+    var snapVisible = Map.empty[Long, Long]
+    for (op <- 1 to 18) {
+      val g0 = liveGen(idx)
+      val vis0 = modelAssignments
+      if (rnd.nextInt(10) < 7) {
+        // appends may merge two OLD components directly (no batch-ness
+        // required): the operator treats every pair endpoint as a partner
+        val ps = randomPairs(1 + rnd.nextInt(3))
+        Dedup.clusterIndexAppend(ps.toDF("a_id", "b_id"), idx)
+        ps.foreach { case (a, b) => union(a, b) }
+      } else {
+        Dedup.clusterIndexCompact(spark, idx)
+      }
+      if (liveGen(idx) != g0) { snapGen = g0; snapVisible = vis0 }
+      assert(observed() === modelAssignments, s"divergence after op #$op")
+      if (snapGen >= 0)
+        assert(observedAsOf(snapGen) === snapVisible,
+          s"snapshot divergence after op #$op (gen=$snapGen)")
+      if (op % 6 == 0) {
+        assert(observedAsOf(liveGen(idx)) === modelAssignments, s"live-pinned AsOf, op #$op")
+        assertExpired(observedAsOf, (if (snapGen >= 0) snapGen else liveGen(idx)) - 1)
       }
     }
   }
