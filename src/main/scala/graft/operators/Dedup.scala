@@ -1061,6 +1061,28 @@ object Dedup {
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(touched)
   }
 
+  /** [[clusterIndexAppend]] fed from the persisted minhash index — the
+    * dedup pipeline's natural arrival-batch pair source, wired: band the
+    * batch under the index's stored parameters, take
+    * [[minhashIndexCandidates]] against the LIVE rows (bucket-pruned,
+    * capped — never all-pairs), keep pairs whose signature agreement
+    * `est` reaches `threshold` (the [[graft.streaming.StreamingDedup
+    * .classify]] default), and contract the touched components. Call
+    * AFTER [[minhashIndexAppend]]/[[minhashIndexAppendStream]] lands the
+    * batch in the minhash index: the candidates then cover batch↔corpus
+    * AND batch↔batch through the index itself, so the two indexes stay
+    * in lockstep batch by batch. */
+  def clusterIndexAppendFromMinhash(
+      batch: DataFrame,
+      minhashDir: String,
+      clusterDir: String,
+      threshold: Double = 0.5): Unit =
+    clusterIndexAppend(
+      minhashIndexCandidates(batch, minhashDir)
+        .filter(col("est") >= threshold)
+        .select(col("doc_id").as("a_id"), col("c_id").as("b_id")),
+      clusterDir)
+
   /** Fold the delta back into a seq-0 base (resolved last-writer-wins) —
     * one manifest commit, the family compaction contract. */
   def clusterIndexCompact(

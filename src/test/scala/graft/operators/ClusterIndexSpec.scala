@@ -103,6 +103,38 @@ class ClusterIndexSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 30L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("minhash wiring: clusterIndexAppendFromMinhash keeps the two indexes " +
+    "in lockstep — arrivals classified by the persisted LSH index land in " +
+    "the right clusters, and the state equals a from-scratch closure over " +
+    "the index's own candidate pairs") {
+    val baseDir = tmp("mh-wire")
+    val (mh, ci) = (s"$baseDir/mh", s"$baseDir/ci")
+    val base = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), // dups of each other
+      (3L, "zz yy xx ww"), (10L, "mm nn oo pp") // singletons
+    ).toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(base, mh)
+    def candPairs(probe: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndexCandidates(probe, mh)
+        .filter(col("est") >= 0.5)
+        .select(col("doc_id").as("a_id"), col("c_id").as("b_id"))
+    Dedup.clusterIndexBuild(candPairs(base), ci)
+    assert(resolved(ci) === Map(1L -> 1L, 2L -> 1L))
+    // arrivals: a dup of 3, a third copy of 1's text, an unrelated doc —
+    // minhash append FIRST, then the wired cluster append
+    val batch = Seq(
+      (4L, "zz yy xx ww"), (5L, "aa bb cc dd"), (6L, "qq rr ss tt")
+    ).toDF("doc_id", "text")
+    Dedup.minhashIndexAppend(batch, mh)
+    Dedup.clusterIndexAppendFromMinhash(batch, mh, ci)
+    assert(resolved(ci) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L),
+      "paired arrivals join/form clusters; pairless docs stay implicit singletons")
+    // from-scratch over the index's own candidate pairs agrees
+    val scratch = Dedup.duplicateClusters(candPairs(base.unionByName(batch)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(ci) === scratch)
+  }
+
   test("maintenance integration: the sweep compacts a delta-heavy cluster " +
     "index via its trigger and leaves a quiet one untouched; fsck audits it") {
     val dir = tmp("sweep")
