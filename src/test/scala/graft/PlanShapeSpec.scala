@@ -964,6 +964,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"CI table not broadcast:\n$p")
   }
 
+  test("cluster-index resolve: the assignments scan reads only the three id " +
+    "columns, and the last-writer-wins collapse is map-side combined") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-ci").toString
+    Dedup.clusterIndexBuild(
+      spark.range(100).select((col("id") * 2).as("a_id"), (col("id") * 2 + 1).as("b_id")),
+      idx)
+    Dedup.clusterIndexAppend(
+      spark.range(5).select((col("id") + 1000L).as("a_id"), (col("id") * 2).as("b_id")), idx)
+    val p = Dedup.clusterIndexAssignments(spark, idx)
+      .queryExecution.executedPlan.toString
+    // column pruning: at 100 TB the assignments table may carry bucketing
+    // metadata or future columns — the resolve must stay a 3-column scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,cluster_id:bigint,seq:bigint>"),
+      s"resolve reads more than (doc_id, cluster_id, seq):\n$p")
+    // one exchange (the per-doc group-by); partial max_by combines map-side
+    assert(exchanges(p) === 1, s"expected exactly 1 exchange, plan:\n$p")
+    assert(p.contains("partial_max_by"), s"LWW collapse not map-side combined:\n$p")
+  }
+
   test("graph queries read the persisted edge artifact, never a fresh base-table projection") {
     // q_pagerank's trade graph derives from orders×lineitem and
     // q_communities' co-order graph from lineitem — after the artifact
