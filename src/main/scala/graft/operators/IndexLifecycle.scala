@@ -153,7 +153,10 @@ private[graft] object Tombstones {
     * the batch ids against the KB-sized (compaction-bounded) scoped slice
     * of the tombstone segment, broadcast. Streaming appends skip the
     * guard: an ingest stream's arrivals are new ids by construction, and
-    * a per-micro-batch guard job is the wrong trade there. */
+    * a per-micro-batch guard job is the wrong trade there — the
+    * after-the-fact backstop for a stream that violates that contract is
+    * [[IndexManifest.audit]]'s opt-in visibility pass (fsck flags live
+    * stream rows covered by a scoped tombstone). */
   def requireAppendable(
       ids: DataFrame,
       dir: String,
