@@ -2873,6 +2873,71 @@ object SparkEntry {
         Dedup.clusterIndexAssignments(s, idx).orderBy("doc_id")
       }),
 
+      // Index-backed survivor corpus: the arrival pipeline's LAST hop
+      // served from the persisted assignments table — ONE anti-join
+      // against the resolved `cluster_id != doc_id` rows, no
+      // connected-components recompute. Fully oracled: the index is built
+      // from the DuckDB-replayable ngram pair family, so the oracle is
+      // the SAME recursive-CTE closure + anti-join as
+      // q_dedup_cluster_survivors — DuckDB certifies that reading
+      // survivors off the index equals the from-scratch closure drop.
+      "q_dedup_cluster_survivors_idx" -> ((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = sessionIndexDir("clusters-surv")
+        Dedup.clusterIndexBuild(
+          Dedup.ngramJaccardPairs(docs, 0.3).select("a_id", "b_id"), idx)
+        Dedup.dropDuplicateClustersFromIndex(docs, idx)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+      // The WIRED continuous-curation arrival path, end-to-end and
+      // oracled: a base corpus holds its two standing indexes (minhash
+      // LSH + duplicate clusters, the cluster seed pairs coming from the
+      // minhash index itself); an arrival batch then flows
+      // minhashIndexAppend -> clusterIndexAppendFromMinhash ->
+      // dropDuplicateClustersFromIndex — at no point does the loop
+      // recompute connected components or rescan the corpus pair set.
+      // The referee is the from-scratch path ON THE SAME PAIR SEMANTICS
+      // (full-corpus probe of the same index, same est threshold):
+      // survivors AND resolved assignments must match it exactly —
+      // surfaced as booleans the DuckDB oracle expects TRUE (the minhash
+      // gates' pattern: signature pairs are murmur3-native, so DuckDB
+      // instead recomputes the split arithmetic and pins the Spark-side
+      // equality assertions).
+      "q_dedup_pipeline_gate" -> ((s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        val arrival = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val mh = sessionIndexDir("pipeline-mh")
+        val cl = sessionIndexDir("pipeline-cl")
+        val thr = 0.5
+        Dedup.minhashIndexBuild(base, mh)
+        val basePairs = Dedup.minhashIndexCandidates(base, mh)
+          .filter(col("est") >= thr)
+          .select(col("doc_id").as("a_id"), col("c_id").as("b_id"))
+        Dedup.clusterIndexBuild(basePairs, cl)
+        // ---- the wired arrival path (what a real curation loop runs) ----
+        Dedup.minhashIndexAppend(arrival, mh)
+        Dedup.clusterIndexAppendFromMinhash(arrival, mh, cl, thr)
+        val survivorsIdx = Dedup.dropDuplicateClustersFromIndex(docs, cl)
+        // ---- from-scratch referee on the same pair semantics ----
+        val fullPairs = Dedup.minhashIndexCandidates(docs, mh)
+          .filter(col("est") >= thr)
+          .select(col("doc_id").as("a_id"), col("c_id").as("b_id"))
+        def eqOn(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        val survivorsEq = eqOn(
+          survivorsIdx.select("doc_id"),
+          Dedup.dropDuplicateClusters(docs, fullPairs).select("doc_id"))
+        val assignmentsEq = eqOn(
+          Dedup.clusterIndexAssignments(s, cl),
+          Dedup.duplicateClusters(fullPairs))
+        Seq((docs.count(), arrival.count(), survivorsEq, assignmentsEq))
+          .toDF("n_docs", "n_arrival", "survivors_eq", "assignments_eq")
+      }),
+
       // Near-dup: MinHash + LSH banding. Rows-only: signatures are murmur3
       // over shingle BYTES (native kernel) — a byte-level hash replay in
       // DuckDB SQL would be a reimplementation, not an independent oracle.
@@ -4907,7 +4972,15 @@ object SparkEntry {
       // still retracted, and compaction preserving all of it.
       "q_text_index_upsert_gate" -> ((s, dir) => {
         import graft.operators.TextSearchIndex
-        val docs = Tables.documents(s, dir)
+        // Slice-bounded (doc_id < 1000): the gate audits MUTATION
+        // semantics, and its corpus only sets the inline build's wall
+        // time — a half-sf-corpus build made it the suite's noisiest
+        // query (driver-flagged two rounds running on untouched code).
+        // The bound is the whole corpus at sf0.001/0.01 (500 docs — the
+        // correctness gates see zero change) and a fixed 500-doc slice
+        // at the bench SF; the full-corpus upsert semantics stay covered
+        // corpus-independently by the text lifecycle contract walk.
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
         val idx = sessionIndexDir("text-upsert-gate")
         val even = docs.filter(col("doc_id") % 2 === 0)
         TextSearchIndex.build(even, idx)
@@ -7330,6 +7403,24 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |$ClusterClosureSql
          |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    // Identical oracle to q_dedup_cluster_survivors: the Spark side reads
+    // survivors off the PERSISTED assignments index (one anti-join, no CC
+    // recompute) and must hash-match DuckDB's closure-based drop.
+    "q_dedup_cluster_survivors_idx" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureSql
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Split arithmetic recomputed independently; the equality booleans are
+    // the Spark-side index-backed == from-scratch assertions (TRUE or the
+    // hash mismatches) — the minhash-family gate pattern.
+    "q_dedup_pipeline_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_arrival,
+        |       TRUE AS survivors_eq, TRUE AS assignments_eq
+        |FROM documents""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -8826,17 +8917,19 @@ object SparkEntry {
     // text). Live set = evens minus the deleted tenth, the resurrected
     // doc_id % 20 = 2 back in; upserted ids score under their REPLACED
     // text (dl is live and exact, only n_docs/sum_dl are frozen). The
-    // booleans are Spark-side assertions.
+    // booleans are Spark-side assertions. doc_id < 1000 mirrors the
+    // Spark side's slice bound (the gate audits mutation semantics, not
+    // corpus-scale builds).
     "q_text_index_upsert_gate" ->
       s"""WITH raw AS (SELECT doc_id,
          |                    CASE WHEN doc_id % 10 = 4 OR doc_id % 20 = 2
          |                         THEN text || ' upsertmarker upsertmarker'
          |                         ELSE text END AS text
-         |             FROM documents WHERE doc_id % 2 = 0),
+         |             FROM documents WHERE doc_id % 2 = 0 AND doc_id < 1000),
          |t AS (SELECT doc_id, $ToksSql AS toks FROM raw
          |      WHERE doc_id % 10 <> 2 OR doc_id % 20 = 2),
          |torig AS (SELECT CAST(len($ToksSql) AS BIGINT) AS dl
-         |          FROM documents WHERE doc_id % 2 = 0),
+         |          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 1000),
          |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |             CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM torig),
          |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),

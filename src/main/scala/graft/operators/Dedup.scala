@@ -918,16 +918,42 @@ object Dedup {
     IndexManifest.commit(spark, dir, next, layout)
   }
 
+  /** [[clusterIndexBuild]] with the base written BUCKETED (and sorted) by
+    * `doc_id` — the 100 TB layout the append path's scaladoc calls for:
+    * every per-doc probe of the base (the membership resolution inside
+    * [[clusterIndexAppend]], the survivor anti-join's assignments side)
+    * plans with NO exchange on the corpus-sized side; only the
+    * batch-bounded probe set moves. `bucket_n` rides the manifest props
+    * through every later generation, so [[clusterIndexCompact]] rewrites
+    * the folded base bucketed too and the layout survives the lifecycle —
+    * an index built unbucketed never changes behavior. Choose `buckets`
+    * so each bucket file lands in the 100 MB–1 GB range at target scale.
+    * Prior generations remain AsOf-readable by path (bucket metadata only
+    * ACCELERATES reads; the files are plain parquet). */
+  def clusterIndexBuildBucketed(pairs: DataFrame, dir: String, buckets: Int): Unit = {
+    val spark = pairs.sparkSession
+    val layout = IndexManifest.Layouts.clusters
+    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
+    writeClusterBucketedBase(
+      spark, duplicateClusters(pairs).withColumn("seq", lit(0L)), dir, next, buckets)
+    IndexManifest.commit(
+      spark, dir, next.withProp("bucket_n", buckets.toString), layout)
+  }
+
   private def clustersState(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): IndexManifest.State =
     IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
 
-  private def clustersRaw(
+  /** The raw assignment segments as SEPARATE frames (base first, then the
+    * delta), so consumers can probe each below any union — the shape that
+    * lets a bucketed base serve its side of a doc_id join exchange-free
+    * (a join above `base ∪ delta` would lose the bucket partitioning:
+    * union output has no distribution). */
+  private[operators] def clustersRawParts(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      st: IndexManifest.State): DataFrame = {
-    import org.apache.spark.sql.types._
+      st: IndexManifest.State): Seq[DataFrame] = {
     def readIf(p: String): Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -936,7 +962,17 @@ object Dedup {
         try Some(spark.read.parquet(p).select("doc_id", "cluster_id", "seq"))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
-    (readIf(st.tableDir(dir, "assignments")) ++ readIf(st.streamDir(dir)))
+    val base = clusterBucketedBase(spark, dir, st)
+      .orElse(readIf(st.tableDir(dir, "assignments")))
+    (base ++ readIf(st.streamDir(dir))).toSeq
+  }
+
+  private def clustersRaw(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): DataFrame = {
+    import org.apache.spark.sql.types._
+    clustersRawParts(spark, dir, st)
       .reduceLeftOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -944,6 +980,59 @@ object Dedup {
           StructField("doc_id", LongType),
           StructField("cluster_id", LongType),
           StructField("seq", LongType)))))
+  }
+
+  /** The catalog table name a bucketed assignments base registers under —
+    * generation-qualified (each compact writes a FRESH bucketed base) and
+    * dir-hashed (many indexes, one catalog). */
+  private[operators] def clusterBucketTableName(dir: String, gen: Long): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    f"graft_clusters_${h}%s_g$gen%03d"
+  }
+
+  /** The bucketed read lane (active iff the manifest carries `bucket_n` —
+    * see [[clusterIndexBuildBucketed]]): the base served THROUGH the
+    * session catalog, whose bucket spec is what lets the planner skip the
+    * corpus-side exchange on every doc_id join/aggregate. Bucket metadata
+    * does not live in parquet files, so a fresh session (new JVM, new
+    * catalog) re-registers the external table over the existing files
+    * first — the files carry bucket ids in their names, the manifest
+    * carries the count, and the two must agree because both were written
+    * by the same committed generation. */
+  private def clusterBucketedBase(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      st: IndexManifest.State): Option[DataFrame] =
+    st.props.get("bucket_n").map { n =>
+      val tbl = clusterBucketTableName(dir, st.generation)
+      if (!spark.catalog.tableExists(tbl))
+        spark.sql(
+          s"CREATE TABLE $tbl (doc_id BIGINT, cluster_id BIGINT, seq BIGINT) " +
+            s"USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id) " +
+            s"INTO ${n.toInt} BUCKETS LOCATION '${st.tableDir(dir, "assignments")}'")
+      spark.table(tbl).select("doc_id", "cluster_id", "seq")
+    }
+
+  /** Write `df` as the bucketed assignments base of generation `next` —
+    * external table at the generation dir, bucketed AND sorted by doc_id
+    * so a doc_id sort-merge join needs neither exchange nor sort on this
+    * side. DROP first clears crash debris from a failed prior attempt at
+    * the same generation (the manifest commit is still the atomic cut). */
+  private def writeClusterBucketedBase(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      dir: String,
+      next: IndexManifest.State,
+      buckets: Int): Unit = {
+    val tbl = clusterBucketTableName(dir, next.generation)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    df.select("doc_id", "cluster_id", "seq")
+      .write.format("parquet")
+      .option("path", next.tableDir(dir, "assignments"))
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite")
+      .saveAsTable(tbl)
   }
 
   /** The live resolved assignments `(doc_id, cluster_id)` — base ∪ delta,
@@ -983,6 +1072,49 @@ object Dedup {
     clustersRaw(spark, dir, st)
       .groupBy("doc_id").agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
 
+  /** Survivor corpus served FROM the persisted cluster index — the
+    * arrival pipeline's last hop, index-backed: the resolved assignments
+    * table IS the drop list (`cluster_id != doc_id` marks every
+    * non-representative member; representatives and unpaired singletons
+    * carry no dropping row), so the read is one anti-join — NO
+    * connected-components recompute, which is the entire point of
+    * maintaining the index incrementally. Equals
+    * `dropDuplicateClusters(documents, allPairs)` whenever the index was
+    * built/appended from exactly `allPairs` (the oracled
+    * `q_dedup_cluster_survivors_idx` pins the equality against DuckDB's
+    * recursive-CTE closure; `q_dedup_pipeline_gate` pins it on the wired
+    * minhash arrival path).
+    *
+    * No forced broadcast, unlike [[dropDuplicateClusters]]: there the
+    * drop list is derived from an in-flight pair set the caller already
+    * sized; here it is a persisted corpus-lifetime table whose
+    * non-representative fraction on a duplicate-heavy crawl can be a
+    * large share of the corpus. The id-only projection keeps the shuffle
+    * thin and AQE promotes the join to broadcast when the list is in
+    * fact small. */
+  def dropDuplicateClustersFromIndex(documents: DataFrame, dir: String): DataFrame =
+    documents.join(
+      clusterIndexAssignments(documents.sparkSession, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id"),
+      Seq("doc_id"),
+      "left_anti")
+
+  /** [[dropDuplicateClustersFromIndex]] pinned to a RETAINED generation —
+    * reproduce the survivor corpus a past dedup pass served
+    * ([[clusterIndexAssignmentsAsOf]] semantics; fails loudly outside the
+    * retention window). */
+  def dropDuplicateClustersFromIndexAsOf(
+      documents: DataFrame,
+      dir: String,
+      generation: Long): DataFrame =
+    documents.join(
+      clusterIndexAssignmentsAsOf(documents.sparkSession, dir, generation)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id"),
+      Seq("doc_id"),
+      "left_anti")
+
   /** Incremental arrival-batch maintenance: `batchPairs` is the verified
     * near-dup pairs INCIDENT to an arrival batch (batch↔corpus and
     * batch↔batch — old↔old pairs cannot appear: a pair's similarity does
@@ -1008,18 +1140,35 @@ object Dedup {
     * on `cluster_id ∈ touched` — a superset, stale rows included — then an
     * exact per-doc resolution over just those docs), both column-pruned id
     * scans; the contraction's O(log n) rounds run over the touched
-    * subgraph only. At 100 TB: bucket the assignments table by `doc_id`
-    * so the per-doc resolution co-locates, and compact at the same
-    * cadence as the paired minhash index. Stale rows can never corrupt
+    * subgraph only. At 100 TB: build with [[clusterIndexBuildBucketed]] —
+    * the base bucketed by `doc_id` serves the per-doc resolution
+    * co-located (no corpus-side exchange; plan-guarded in
+    * ClusterIndexSpec) — and compact at the same cadence as the paired
+    * minhash index. Stale rows can never corrupt
     * membership: a doc's assignment is non-increasing, so a stale row
     * matching a touched rep either belongs to the component (kept by the
-    * exact resolution) or resolves below it (dropped). */
+    * exact resolution) or resolves below it (dropped).
+    *
+    * SINGLE-WRITER contract, enforced: appends to one cluster index must
+    * be serialized — two concurrent appends would claim the same `seq`
+    * and write conflicting stripes whose last-writer-wins resolution is
+    * nondeterministic per doc. Unlike the minhash/text appends
+    * (commutative per-id rows) there is no commutative merge here, so
+    * the violation must FAIL, not corrupt: before writing, the append
+    * atomically claims its seq by exclusively creating
+    * `_claim-seq-N` inside the delta dir (underscore-prefixed = invisible
+    * to every parquet read); the second claimant gets a loud error. A
+    * writer that crashed after claiming burns that seq — the claim file
+    * makes the next append fail the same way, and the documented recovery
+    * ([[clusterIndexCompact]]) folds the delta into a fresh generation
+    * whose delta dir (and claim ledger) starts empty. */
   def clusterIndexAppend(batchPairs: DataFrame, dir: String): Unit = {
     val spark = batchPairs.sparkSession
     require(
       IndexManifest.read(spark, dir).nonEmpty,
       s"cluster index at $dir has no manifest — clusterIndexBuild first")
     val st = clustersState(spark, dir)
+    val rawParts = clustersRawParts(spark, dir, st)
     val raw = clustersRaw(spark, dir, st)
     val pairs = batchPairs.select(
       least(col("a_id"), col("b_id")).as("a_id"),
@@ -1035,11 +1184,21 @@ object Dedup {
       .select("cluster_id").distinct()
       .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     // candidate member docs (stale rows give a superset), then the exact
-    // per-doc resolution over just those docs
-    val candidates = raw
-      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
-      .select("doc_id").distinct()
-    val members = raw.join(candidates, Seq("doc_id"), "left_semi")
+    // per-doc resolution over just those docs. Both probes run PER
+    // SEGMENT, below the base∪delta union: on the bucketed layout
+    // ([[clusterIndexBuildBucketed]]) the base then serves its side of
+    // the doc_id semi-join exchange-free even when the candidate set
+    // outgrows a broadcast (a mega-component arrival) — the union output
+    // would have no distribution for the planner to reuse.
+    val candidates = rawParts
+      .map(_.join(broadcast(touched), Seq("cluster_id"), "left_semi").select("doc_id"))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(raw.select("doc_id"))
+      .distinct()
+    val members = rawParts
+      .map(_.join(candidates, Seq("doc_id"), "left_semi"))
+      .reduceLeftOption(_ unionByName _)
+      .getOrElse(raw)
       .groupBy("doc_id").agg(max_by(col("cluster_id"), col("seq")).as("cluster_id"))
       .join(broadcast(touched), Seq("cluster_id"), "left_semi")
     val starEdges = members
@@ -1055,10 +1214,35 @@ object Dedup {
         try spark.read.parquet(st.streamDir(dir))
           .agg(coalesce(max("seq"), lit(0L))).head().getLong(0)
         catch { case _: org.apache.spark.sql.AnalysisException => 0L })
+    claimSeq(spark, dir, st.streamDir(dir), nextSeq)
     relabeled.withColumn("seq", lit(nextSeq))
       .write.mode("append").parquet(st.streamDir(dir))
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(touched)
+  }
+
+  /** Exclusive-create the delta stripe's seq claim (see
+    * [[clusterIndexAppend]]'s single-writer contract). `createNewFile` is
+    * the filesystem's atomic create-if-absent, so exactly one of two
+    * racing appends wins the seq; the loser fails loudly here instead of
+    * silently writing a conflicting stripe. */
+  private def claimSeq(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      streamDir: String,
+      seq: Long): Unit = {
+    val deltaPath = new org.apache.hadoop.fs.Path(streamDir)
+    val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(deltaPath)
+    val claim = new org.apache.hadoop.fs.Path(deltaPath, f"_claim-seq-$seq%06d")
+    val won = try fs.createNewFile(claim) catch { case _: java.io.IOException => false }
+    require(
+      won,
+      s"cluster index at $dir: delta seq $seq is already claimed ($claim). " +
+        "clusterIndexAppend is single-writer per index — either a concurrent " +
+        "append is racing this one (serialize them) or a prior append crashed " +
+        "after claiming; clusterIndexCompact folds the delta into a fresh " +
+        "generation and resets the claim ledger.")
   }
 
   /** [[clusterIndexAppend]] fed from the persisted minhash index — the
@@ -1094,9 +1278,14 @@ object Dedup {
     if (!streamPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(streamPath))
       return
     val next = layout.advance(prev)
-    clusterIndexAssignments(spark, dir)
-      .withColumn("seq", lit(0L))
-      .write.mode("overwrite").parquet(next.tableDir(dir, "assignments"))
+    val folded = clusterIndexAssignments(spark, dir).withColumn("seq", lit(0L))
+    // the bucketed layout survives the fold: props ride advance(), so a
+    // bucketed index rewrites its base bucketed at every compaction
+    prev.props.get("bucket_n") match {
+      case Some(n) => writeClusterBucketedBase(spark, folded, dir, next, n.toInt)
+      case None =>
+        folded.write.mode("overwrite").parquet(next.tableDir(dir, "assignments"))
+    }
     IndexManifest.commit(spark, dir, next, layout)
   }
 

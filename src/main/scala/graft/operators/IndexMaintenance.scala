@@ -107,14 +107,19 @@ object IndexMaintenance {
   }
 
   /** What one sweep did to one index. `generation` is the live manifest
-    * generation AFTER the sweep (0 = still legacy/unbuilt). */
+    * generation AFTER the sweep (0 = still legacy/unbuilt). `hidden` is
+    * the deep-audit evidence ([[IndexManifest.Audit.hiddenStreamIds]])
+    * measured BEFORE the sweep's mutations — a compaction in the same
+    * sweep applies the hiding tombstones physically and heals the audit,
+    * so the report is where the evidence survives the fold. */
   final case class Report(
       dir: String,
       family: String,
       rebuilt: Boolean,
       compacted: Boolean,
       generation: Long,
-      failed: Option[String])
+      failed: Option[String],
+      hidden: Seq[Long] = Nil)
 
   private def layoutOf(family: String): IndexManifest.Layout = family match {
     case "minhash" => IndexManifest.Layouts.minhash
@@ -148,6 +153,20 @@ object IndexMaintenance {
   /** Probe every registered index once, in order; apply whatever its
     * triggers say is due. Returns one [[Report]] per registration.
     *
+    * Deep audit on cadence, by default: with `deepAudit = true` each
+    * index runs [[IndexManifest.audit]]'s visibility pass BEFORE its
+    * mutation probes, so the one damage class structure can't see
+    * (stream rows silently hidden under a generation-scoped tombstone)
+    * is caught by the turnkey scheduler story, not only by a hand-run
+    * [[fsck]] — and the evidence lands in [[Report.hidden]] before a
+    * compaction in the same sweep applies the tombstones physically and
+    * heals the condition. Cost: nothing on an index with no stream
+    * segment; otherwise one column-pruned stream-id scan joined to a
+    * broadcast tombstone slice — the same order as the stream-row counts
+    * the trigger probes already pay, and bounded by the stream segment,
+    * never the corpus. Fleets with pathological stream segments can pass
+    * `deepAudit = false` and schedule [[fsck]] at their own cadence.
+    *
     * Lost single-writer races are retried once (`raceRetries`): a
     * concurrent ingest committing between this sweep's probe-read and
     * its commit surfaces as [[IndexManifest.commit]]'s loud
@@ -161,19 +180,30 @@ object IndexMaintenance {
   def sweep(
       spark: SparkSession,
       indexes: Seq[Registration],
-      raceRetries: Int = 1): Seq[Report] =
+      raceRetries: Int = 1,
+      deepAudit: Boolean = true): Seq[Report] =
     indexes.map { reg =>
-      var report = sweepOne(spark, reg)
+      var report = sweepOne(spark, reg, deepAudit)
       var left = raceRetries
       while (left > 0 && report.failed.exists(_.contains("single-writer"))) {
-        report = sweepOne(spark, reg)
+        report = sweepOne(spark, reg, deepAudit)
         left -= 1
       }
       report
     }
 
-  private def sweepOne(spark: SparkSession, reg: Registration): Report = {
+  private def sweepOne(
+      spark: SparkSession,
+      reg: Registration,
+      deepAudit: Boolean = false): Report = {
       try {
+        // visibility evidence is read FIRST: the mutations below may fold
+        // the stream segment and erase it (see the sweep scaladoc)
+        val hidden =
+          if (!deepAudit) Nil
+          else IndexManifest
+            .audit(spark, reg.dir, layoutOf(reg.family), visibility = true)
+            .hiddenStreamIds
         // a rebuild replaces the frozen model and drops its recall
         // calibration with it (stale curves are never served); remember
         // which k's were calibrated so a fired rebuild re-measures them —
@@ -221,7 +251,7 @@ object IndexMaintenance {
             Dedup.clusterIndexMaybeCompact(spark, r.dir, r.streamRatio)
         })
         val gen = IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)
-        Report(reg.dir, reg.family, rebuilt, compacted, gen, None)
+        Report(reg.dir, reg.family, rebuilt, compacted, gen, None, hidden)
       } catch {
         case e: Throwable =>
           val gen = try IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)

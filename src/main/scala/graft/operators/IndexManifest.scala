@@ -339,8 +339,16 @@ private[graft] object IndexManifest {
   /** The visibility pass of [[audit]] (see its scaladoc): distinct ids in
     * the live stream segment covered by a scoped tombstone whose
     * `ts_gen >=` the segment's creation generation — rows that will never
-    * serve and never error. Capped at 20 ids (evidence, not an
-    * inventory); sorted for determinism. */
+    * serve and never error. Capped at the 20 SMALLEST ids (evidence, not
+    * an inventory; ordered before the cap so the reported set is
+    * deterministic).
+    *
+    * Failure discipline: a schema-less stream dir (zero-batch sink run —
+    * only a `_spark_metadata` log, no data files) is the documented clean
+    * state, but a stream segment that HAS a schema lacking the layout's id
+    * column fails loudly. Swallowing that case would turn the opt-in deep
+    * audit into an unconditional pass — the exact silent-OK failure mode
+    * this pass exists to catch. */
   private def hiddenStreamIds(
       spark: SparkSession,
       root: String,
@@ -352,14 +360,20 @@ private[graft] object IndexManifest {
       val scoped = t
         .filter(col("ts_gen") =!= Long.MaxValue && col("ts_gen") >= streamGen)
         .select(col("ts_id").as("__vid")).distinct()
-      try
-        spark.read.parquet(live.streamDir(root))
-          .select(col(idCol).cast("long").as("__vid")).distinct()
-          .join(broadcast(scoped), Seq("__vid"), "left_semi")
-          .limit(20).collect().map(_.getLong(0)).toSeq.sorted
-      catch {
+      val stream =
         // schema-less stream segment (zero-batch sink run): nothing hidden
-        case _: org.apache.spark.sql.AnalysisException => Seq.empty
+        try Some(spark.read.parquet(live.streamDir(root)))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      stream.fold(Seq.empty[Long]) { s =>
+        require(
+          s.columns.contains(idCol),
+          s"visibility audit: stream segment ${live.streamDir(root)} has " +
+            s"schema (${s.columns.mkString(", ")}) without the layout's id " +
+            s"column '$idCol' — the hidden-row check cannot run; fix the " +
+            "layout's idCol or the segment writer")
+        s.select(col(idCol).cast("long").as("__vid")).distinct()
+          .join(broadcast(scoped), Seq("__vid"), "left_semi")
+          .orderBy("__vid").limit(20).collect().map(_.getLong(0)).toSeq
       }
     }
   }

@@ -82,7 +82,10 @@ object ServingCache {
     * Java-serialized [[Entry]] files under
     * `root/<hash(dir)>/<hash(queryKey)>.entry`, staged and atomically
     * renamed so a concurrent reader never sees a torn file; any
-    * unreadable or torn entry reads as a MISS. Correctness never depends
+    * unreadable or torn entry reads as a MISS. The cross-process claim
+    * is pinned by `ServingCacheSpec`'s forked-JVM probe: a second java
+    * PROCESS hits this one's persisted entry and vice versa — not just a
+    * second session in one JVM. Correctness never depends
     * on this store's contents or housekeeping: [[cached]] checks the
     * index fingerprint on every get, so a stale or even wrong file can
     * only cost a recompute, never serve a wrong answer. */
@@ -114,6 +117,25 @@ object ServingCache {
         finally s.close()
       }
 
+    private def countEntries(): Long = {
+      val dirs = {
+        val s = Files.list(rootPath)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      dirs.iterator.map(entryFiles(_).size.toLong).sum
+    }
+
+    // Approximate entry count so the per-miss [[capOrClear]] is O(1)
+    // instead of a full filesystem walk: seeded by one walk at
+    // construction (the root may pre-exist, populated by earlier JVMs),
+    // bumped on put / evict / clear. Drift from concurrent writers is
+    // tolerated — when the counter crosses the cap, ONE real walk
+    // re-counts and either clears or re-seeds, so a stale counter costs
+    // at most one extra walk, never a wrong answer (the cap is
+    // housekeeping; correctness lives in the fingerprint check).
+    private val approxEntries =
+      new java.util.concurrent.atomic.AtomicLong(countEntries())
+
     def get(dir: String, queryKey: String): Option[Entry] = {
       val p = entryPath(dir, queryKey)
       if (!Files.exists(p)) None else readEntry(p)
@@ -122,6 +144,7 @@ object ServingCache {
     def put(dir: String, queryKey: String, e: Entry): Unit = {
       val p = entryPath(dir, queryKey)
       Files.createDirectories(p.getParent)
+      val fresh = !Files.exists(p)
       val tmp = Files.createTempFile(p.getParent, ".stage-", ".tmp")
       val out = new java.io.ObjectOutputStream(
         new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
@@ -129,26 +152,27 @@ object ServingCache {
       finally out.close()
       Files.move(tmp, p,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      if (fresh) approxEntries.incrementAndGet()
     }
 
     def evictStale(dir: String, live: String): Unit =
       entryFiles(rootPath.resolve(hash(dir))).foreach { p =>
         // unreadable counts as stale: it can never hit, only take space
-        if (!readEntry(p).exists(_.fingerprint == live)) Files.deleteIfExists(p)
+        if (!readEntry(p).exists(_.fingerprint == live) && Files.deleteIfExists(p))
+          approxEntries.decrementAndGet()
       }
 
-    def capOrClear(): Unit = {
-      val dirs = {
-        val s = Files.list(rootPath)
-        try s.iterator().asScala.toSeq finally s.close()
+    def capOrClear(): Unit =
+      if (approxEntries.get >= MaxEntries) {
+        val real = countEntries()
+        if (real >= MaxEntries) clear() else approxEntries.set(real)
       }
-      if (dirs.iterator.map(entryFiles(_).size).sum >= MaxEntries) clear()
-    }
 
     override def clear(): Unit = {
       val s = Files.list(rootPath)
       val dirs = try s.iterator().asScala.toSeq finally s.close()
       dirs.foreach(d => entryFiles(d).foreach(Files.deleteIfExists(_)))
+      approxEntries.set(0L)
     }
   }
 

@@ -44,7 +44,9 @@ object IsoBench {
   private def readBaseline(path: String): Map[String, Double] = {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    val body = text.substring(text.indexOf("\"queries\""))
+    val at = text.indexOf("\"queries\"")
+    require(at >= 0, s"iso baseline $path has no \"queries\" key — not an emit-format file")
+    val body = text.substring(at)
     """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
       .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
@@ -104,8 +106,12 @@ object IsoBench {
       println(s"[iso] summary: ${mins.size}/${names.size} measured, " +
         s"$flags flagged (>1.5x isolated baseline)")
     emitPath.foreach { p =>
+      // Locale.ROOT: a comma-decimal default locale would emit JSON the
+      // compare path's toDouble cannot read back
       val qs = mins.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+        .map { case (k, v) =>
+          s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+        }.mkString(",")
       val json = s"""{"sf":"$sfDir","runs":3,"stat":"min","queries":{$qs}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))

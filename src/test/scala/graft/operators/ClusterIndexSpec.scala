@@ -135,6 +135,109 @@ class ClusterIndexSpec extends SparkSpec {
     assert(resolved(ci) === scratch)
   }
 
+  test("index-backed survivors: dropDuplicateClustersFromIndex equals the " +
+    "from-scratch closure drop, serves one anti-join (no CC recompute), " +
+    "and the AsOf lane replays a retained generation's survivor corpus") {
+    val dir = tmp("survivors")
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (20L, "f")
+    ).toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    Dedup.clusterIndexBuild(pairsDf(pairs: _*), dir)
+    val g0 = IndexManifest.read(spark, dir).map(_.generation).getOrElse(0L)
+    val fromIdx = Dedup.dropDuplicateClustersFromIndex(docs, dir)
+    assert(fromIdx.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 10L, 20L),
+      "representatives survive, members drop, singletons pass through")
+    assert(fromIdx.collect().toSet ===
+      Dedup.dropDuplicateClusters(docs, pairsDf(pairs: _*)).collect().toSet)
+    // plan guard: the read is ONE anti-join over the resolved assignments
+    // — no star-contraction loop, no Except-based convergence probes
+    val plan = fromIdx.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join read:\n$plan")
+    assert(!plan.contains("Except"),
+      s"the index-backed read must not re-run the CC fixed point:\n$plan")
+    // a later append relabels the live read (20 joins component 1)
+    Dedup.clusterIndexAppend(pairsDf((20L, 3L)), dir)
+    assert(Dedup.dropDuplicateClustersFromIndex(docs, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+    // freeze g0 (build + its delta stripe) behind a compaction, then merge
+    // the components in the NEW generation: the AsOf lane still replays
+    // the survivor corpus g0 served at freeze time
+    Dedup.clusterIndexCompact(spark, dir)
+    Dedup.clusterIndexAppend(pairsDf((10L, 1L)), dir)
+    assert(Dedup.dropDuplicateClustersFromIndex(docs, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(Dedup.dropDuplicateClustersFromIndexAsOf(docs, dir, g0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 10L),
+      "the retained generation replays the survivor corpus it served")
+  }
+
+  test("bucketed layout: answers identical to the plain layout across the " +
+    "whole lifecycle; the layout survives compaction; and the base serves " +
+    "a doc_id semi-join with ZERO exchanges on its side (broadcast " +
+    "disabled, so the plan can't cheat)") {
+    val dir = tmp("bucketed")
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    Dedup.clusterIndexBuildBucketed(pairsDf(base: _*), dir, buckets = 4)
+    assert(resolved(dir) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // appends and merges behave exactly as on the plain layout
+    val b1 = Seq((30L, 11L), (50L, 3L), (50L, 11L))
+    Dedup.clusterIndexAppend(pairsDf(b1: _*), dir)
+    val expect = Dedup.duplicateClusters(pairsDf(base ++ b1: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(dir) === expect)
+    // the fold rewrites the base BUCKETED (props ride the generation)
+    Dedup.clusterIndexCompact(spark, dir)
+    assert(resolved(dir) === expect)
+    val st = IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
+    assert(st.props.get("bucket_n") === Some("4"))
+    // plan guard: the per-doc resolution's base-side probe is
+    // exchange-free — only the (batch-bounded) candidate side shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val Seq(bucketedBase) = Dedup.clustersRawParts(spark, dir, st)
+      val candidates = Seq(2L, 30L).toDF("doc_id")
+      val probe = bucketedBase.join(candidates, Seq("doc_id"), "left_semi")
+      val p = probe.queryExecution.executedPlan.toString
+      assert("Exchange (hash|range|Single)".r.findAllIn(p).size === 1,
+        s"only the candidate side may shuffle on the bucketed path, plan:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"the base side must be a bucketed scan, plan:\n$p")
+      assert(probe.collect().map(_.getLong(0)).toSet === Set(2L, 30L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a catalog that has never seen this index (a new JVM's in-memory
+    // catalog) re-registers the external table from the manifest props +
+    // the existing bucketed files: drop the entry, read again — the read
+    // path recreates it and answers unchanged
+    spark.sql(s"DROP TABLE IF EXISTS ${Dedup.clusterBucketTableName(dir, st.generation)}")
+    assert(resolved(dir) === expect,
+      "a fresh catalog re-registers the bucketed base from props + files")
+    assert(spark.catalog.tableExists(Dedup.clusterBucketTableName(dir, st.generation)))
+  }
+
+  test("single-writer enforcement: a claimed delta seq makes the next " +
+    "append fail loudly instead of writing a conflicting stripe, and " +
+    "compaction resets the claim ledger with the generation") {
+    val dir = tmp("claims")
+    Dedup.clusterIndexBuild(pairsDf((1L, 2L)), dir)
+    val st = IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
+    // simulate a racing (or crashed-after-claim) writer: seq 1 pre-claimed
+    val delta = new java.io.File(s"$dir/${st.stream}")
+    delta.mkdirs()
+    assert(new java.io.File(delta, "_claim-seq-000001").createNewFile())
+    val ex = intercept[IllegalArgumentException](
+      Dedup.clusterIndexAppend(pairsDf((3L, 2L)), dir))
+    assert(ex.getMessage.contains("already claimed"))
+    assert(resolved(dir) === Map(1L -> 1L, 2L -> 1L),
+      "the refused append wrote nothing")
+    // the documented recovery: compact -> fresh generation -> clean ledger
+    Dedup.clusterIndexCompact(spark, dir)
+    Dedup.clusterIndexAppend(pairsDf((3L, 2L)), dir)
+    assert(resolved(dir) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("maintenance integration: the sweep compacts a delta-heavy cluster " +
     "index via its trigger and leaves a quiet one untouched; fsck audits it") {
     val dir = tmp("sweep")

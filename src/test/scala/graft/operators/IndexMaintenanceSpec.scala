@@ -187,10 +187,18 @@ class IndexMaintenanceSpec extends SparkSpec {
       "structural fsck can't see visibility damage — that's the gap")
     val flagged = deep()
     assert(!flagged.ok && flagged.hiddenStreamIds === Seq(3L))
+    // the turnkey path: a DEFAULT sweep carries the same evidence — read
+    // before its mutation probes, so even the compaction it fires here
+    // (tombstone ratio past the trigger) cannot erase it from the report
+    val swept = IndexMaintenance.sweep(spark, Seq(reg)).head
+    assert(swept.failed.isEmpty && swept.hidden === Seq(3L),
+      "a scheduled fleet catches the hidden-stream class without hand-run fsck")
     // remediation per the audit contract: compaction applies the kill
     // physically, making the hidden state explicit — audit returns to ok
-    Dedup.minhashIndexCompact(spark, idx)
+    if (!swept.compacted) Dedup.minhashIndexCompact(spark, idx)
     assert(deep().ok)
+    assert(IndexMaintenance.sweep(spark, Seq(reg)).head.hidden.isEmpty,
+      "post-fold sweeps report a clean fleet")
     // the sanctioned re-add path stays clean: upsert doc 5 (scoped kill at
     // the pre-upsert generation), then stream it again — the streamed copy
     // lands in the NEXT generation's stream segment, above the scope

@@ -190,4 +190,47 @@ class ServingCacheSpec extends SparkSpec {
     assert(cached() ===
       pairs(SimilaritySearch.ivfPqIndexSearch(spark, idx, q, 5, nprobe = 4)))
   }
+
+  test("cross-JVM: a second java PROCESS (forked, no SparkSession) hits this " +
+    "process's persisted entry through a FileStore over the same root, and " +
+    "this process hits the entry the child wrote back") {
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft-sc-xjvm").toString
+    val store = new ServingCache.FileStore(storeRoot)
+    val fp = "fp-xjvm-1"
+    store.put("idx-dir", "q1",
+      ServingCache.Entry(fp, "v BIGINT", Seq(org.apache.spark.sql.Row(7L))))
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(Seq(
+      javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.streaming.FileStoreProbe", storeRoot, "idx-dir", "q1", fp))
+      .!(scala.sys.process.ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
+    assert(code === 0, s"probe JVM failed:\n$out")
+    assert(out.toString.contains("HIT:7"),
+      s"the child process must hit the parent's persisted entry:\n$out")
+    val fromChild = store.get("idx-dir", "q1-from-child")
+    assert(
+      fromChild.exists(e => e.fingerprint == fp && e.rows.map(_.getLong(0)) == Seq(42L)),
+      "the parent must hit the entry the child process persisted")
+  }
+}
+
+/** Forked-JVM probe for [[ServingCacheSpec]]'s cross-process FileStore
+  * check — a bare main with NO SparkSession: reads the parent process's
+  * persisted entry (prints `HIT:<values>` / `STALE` / `MISS`) and
+  * persists one of its own for the parent to read back. */
+object FileStoreProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(root, dir, key, fp) = args
+    val store = new ServingCache.FileStore(root)
+    store.get(dir, key) match {
+      case Some(e) if e.fingerprint == fp =>
+        println("HIT:" + e.rows.map(_.get(0)).mkString(","))
+      case Some(_) => println("STALE")
+      case None => println("MISS")
+    }
+    store.put(dir, key + "-from-child",
+      ServingCache.Entry(fp, "v BIGINT", Seq(org.apache.spark.sql.Row(42L))))
+  }
 }
