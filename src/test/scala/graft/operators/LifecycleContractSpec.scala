@@ -389,8 +389,18 @@ class LifecycleContractSpec extends SparkSpec {
   test("cluster index: random pair-append/compact interleavings match a " +
     "union-find model — including direct old↔old merges — with snapshot " +
     "probes on the retained prior generation") {
+    clusterWalk(bucketed = false, seed = 55701L)
+  }
+
+  test("cluster index, BUCKETED layout: the same random walk against the " +
+    "same union-find model — appends, folds (which rewrite the base " +
+    "bucketed), and snapshot probes are layout-invariant") {
+    clusterWalk(bucketed = true, seed = 77313L)
+  }
+
+  private def clusterWalk(bucketed: Boolean, seed: Long): Unit = {
     val idx = java.nio.file.Files.createTempDirectory("graft-contract-ci").toString
-    val rnd = new Random(55701L)
+    val rnd = new Random(seed)
     // trivially-correct model: union-find with min-id representatives
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -414,7 +424,8 @@ class LifecycleContractSpec extends SparkSpec {
       }
 
     val init = randomPairs(4)
-    Dedup.clusterIndexBuild(init.toDF("a_id", "b_id"), idx)
+    if (bucketed) Dedup.clusterIndexBuildBucketed(init.toDF("a_id", "b_id"), idx, buckets = 4)
+    else Dedup.clusterIndexBuild(init.toDF("a_id", "b_id"), idx)
     init.foreach { case (a, b) => union(a, b) }
 
     def observed(): Map[Long, Long] =
