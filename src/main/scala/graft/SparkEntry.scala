@@ -2923,19 +2923,29 @@ object SparkEntry {
         Dedup.clusterIndexAppendFromMinhash(arrival, mh, cl, thr)
         val survivorsIdx = Dedup.dropDuplicateClustersFromIndex(docs, cl)
         // ---- from-scratch referee on the same pair semantics ----
+        // ONE CC contraction, checkpointed: the referee closure feeds both
+        // equality checks (4 exceptAll actions) — without the checkpoint
+        // the star contraction would re-run per action, and deriving the
+        // survivor referee from the closure (rather than calling
+        // dropDuplicateClusters, which recomputes it internally) halves
+        // the contraction count.
         val fullPairs = Dedup.minhashIndexCandidates(docs, mh)
           .filter(col("est") >= thr)
           .select(col("doc_id").as("a_id"), col("c_id").as("b_id"))
+        val scratch = Dedup.duplicateClusters(fullPairs)
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+        val survivorsScratch = docs.join(
+          broadcast(scratch.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")),
+          Seq("doc_id"), "left_anti")
         def eqOn(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
           a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
         val survivorsEq = eqOn(
-          survivorsIdx.select("doc_id"),
-          Dedup.dropDuplicateClusters(docs, fullPairs).select("doc_id"))
-        val assignmentsEq = eqOn(
-          Dedup.clusterIndexAssignments(s, cl),
-          Dedup.duplicateClusters(fullPairs))
-        Seq((docs.count(), arrival.count(), survivorsEq, assignmentsEq))
+          survivorsIdx.select("doc_id"), survivorsScratch.select("doc_id"))
+        val assignmentsEq = eqOn(Dedup.clusterIndexAssignments(s, cl), scratch)
+        val out = Seq((docs.count(), arrival.count(), survivorsEq, assignmentsEq))
           .toDF("n_docs", "n_arrival", "survivors_eq", "assignments_eq")
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(scratch)
+        out
       }),
 
       // Near-dup: MinHash + LSH banding. Rows-only: signatures are murmur3

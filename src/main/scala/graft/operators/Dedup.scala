@@ -1176,6 +1176,14 @@ object Dedup {
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
       .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+    // an empty pair batch is a NO-OP append: nothing to contract, and
+    // writing the empty stripe would burn a seq claim — a second empty
+    // append would then trip the single-writer guard on a seq that no
+    // data ever used (one LIMIT-1 probe on the checkpointed pairs)
+    if (pairs.isEmpty) {
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
+      return
+    }
     val partners = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id"))).distinct()
     // resolved reps of the assigned partners — batch-bounded, broadcast
@@ -1266,6 +1274,29 @@ object Dedup {
         .filter(col("est") >= threshold)
         .select(col("doc_id").as("a_id"), col("c_id").as("b_id")),
       clusterDir)
+
+  /** The continuous-curation arrival step, one call: land the batch in
+    * the minhash LSH index ([[minhashIndexAppend]]), contract its touched
+    * duplicate components into the persisted cluster index
+    * ([[clusterIndexAppendFromMinhash]]), and return the BATCH's survivor
+    * slice off the index ([[dropDuplicateClustersFromIndex]] restricted
+    * to the batch) — the rows a curation loop keeps from this arrival.
+    * First-doc-wins across time: a batch doc duplicating an already-kept
+    * corpus doc resolves under the older (smaller-id) representative and
+    * is dropped here; the corpus doc's survivor status never regresses.
+    * At no point does the loop recompute connected components or rescan
+    * the corpus — per-arrival cost is bounded by the touched components
+    * (R11ScaleBench: flat across a 500k→5M-doc decade). Single-writer
+    * per index pair, enforced by [[clusterIndexAppend]]'s seq claim. */
+  def arrivalDedupStep(
+      batch: DataFrame,
+      minhashDir: String,
+      clusterDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    minhashIndexAppend(batch, minhashDir)
+    clusterIndexAppendFromMinhash(batch, minhashDir, clusterDir, threshold)
+    dropDuplicateClustersFromIndex(batch, clusterDir)
+  }
 
   /** Fold the delta back into a seq-0 base (resolved last-writer-wins) —
     * one manifest commit, the family compaction contract. */

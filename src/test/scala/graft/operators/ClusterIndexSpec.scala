@@ -133,6 +133,15 @@ class ClusterIndexSpec extends SparkSpec {
     val scratch = Dedup.duplicateClusters(candPairs(base.unionByName(batch)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resolved(ci) === scratch)
+    // the one-call loop form: a further arrival through arrivalDedupStep
+    // lands in both indexes and returns the BATCH's survivor slice —
+    // first-doc-wins across time (7 dups the kept rep 1 and drops; 8 is
+    // fresh and survives)
+    val batch2 = Seq((7L, "aa bb cc dd"), (8L, "uu vv ww xx")).toDF("doc_id", "text")
+    val kept = Dedup.arrivalDedupStep(batch2, mh, ci)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet === Set(8L))
+    assert(resolved(ci) ===
+      Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
   test("index-backed survivors: dropDuplicateClustersFromIndex equals the " +
