@@ -2937,8 +2937,10 @@ object SparkEntry {
         val survivorsScratch = docs.join(
           broadcast(scratch.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")),
           Seq("doc_id"), "left_anti")
+        // one LIMIT-1 action per equality (symmetric difference in a
+        // single plan — the duplicateClusters convergence-probe shape)
         def eqOn(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+          a.exceptAll(b).union(b.exceptAll(a)).isEmpty
         val survivorsEq = eqOn(
           survivorsIdx.select("doc_id"), survivorsScratch.select("doc_id"))
         val assignmentsEq = eqOn(Dedup.clusterIndexAssignments(s, cl), scratch)
