@@ -2907,7 +2907,13 @@ object SparkEntry {
       // equality assertions).
       "q_dedup_pipeline_gate" -> ((s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
+        // Slice-bounded like the text upsert gate (doc_id < 1000 = the
+        // whole corpus at sf<=0.01, a fixed 1000-doc slice at the bench
+        // SF): the gate audits PIPELINE EQUALITY — index-backed ==
+        // from-scratch on identical pair semantics — which is
+        // corpus-size-free; the scale claim (flat appends, survivor read
+        // vs CC recompute at 5M docs) lives in R11ScaleBench.
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
         val base = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
         val arrival = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
         val mh = sessionIndexDir("pipeline-mh")
@@ -2948,6 +2954,58 @@ object SparkEntry {
           .toDF("n_docs", "n_arrival", "survivors_eq", "assignments_eq")
         org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(scratch)
         out
+      }),
+
+      // The arrival loop's STREAMING twin, end-to-end: two id-monotone
+      // arrival waves drain through arrivalLoopAvailableNow (each drain =
+      // minhash append -> cluster contraction -> epoch-committed survivor
+      // slice, trailing maintenance sweep included), then a third drain
+      // with nothing new proves checkpointed resume answers nothing
+      // twice. The referee is the BATCH twin (arrivalDedupStep wave by
+      // wave on separate index dirs) — the loop's emitted survivor union
+      // must equal it exactly. Minhash-gate oracle pattern: DuckDB
+      // recomputes the wave-split arithmetic and pins the Spark-side
+      // equality booleans (signatures are murmur3-native). Slice-bounded
+      // to doc_id < 500 = the whole corpus at every driver SF.
+      "q_dedup_stream_loop_gate" -> ((s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        val base = docs.filter(col("doc_id") < 100)
+        val w1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        val w2 = docs.filter(col("doc_id") >= 300)
+        val io = java.nio.file.Files.createTempDirectory("graft-stream-loop").toString
+        val (src, out, ckpt) = (s"$io/in", s"$io/out", s"$io/ckpt")
+        def seed(mh: String, cl: String): Unit = {
+          Dedup.minhashIndexBuild(base, mh)
+          Dedup.clusterIndexBuild(
+            Dedup.minhashIndexCandidates(base, mh)
+              .filter(col("est") >= 0.5)
+              .select(col("doc_id").as("a_id"), col("c_id").as("b_id")),
+            cl)
+        }
+        seed(s"$io/mh", s"$io/cl")
+        def loop() = graft.streaming.StreamingDedup.arrivalLoopAvailableNow(
+          s, s"$io/mh", s"$io/cl", src, out, ckpt)
+        w1.coalesce(1).write.mode("append").parquet(src)
+        loop()
+        w2.coalesce(1).write.mode("append").parquet(src)
+        loop()
+        def kept(): Set[Long] =
+          graft.streaming.StreamingDedup.arrivalSurvivors(s, out)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+        val loopKept = kept()
+        // batch twin on fresh index dirs, wave by wave
+        seed(s"$io/mh2", s"$io/cl2")
+        def batchWave(w: org.apache.spark.sql.DataFrame): Set[Long] =
+          Dedup.arrivalDedupStep(w, s"$io/mh2", s"$io/cl2")
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+        val matchesBatch = loopKept == (batchWave(w1) ++ batchWave(w2))
+        loop() // nothing new arrived
+        val resumeNoop = kept() == loopKept
+        val p = new org.apache.hadoop.fs.Path(io)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        Seq((docs.count(), w1.count(), w2.count(), matchesBatch, resumeNoop))
+          .toDF("n_docs", "n_w1", "n_w2", "matches_batch", "resume_noop")
       }),
 
       // Near-dup: MinHash + LSH banding. Rows-only: signatures are murmur3
@@ -7434,6 +7492,15 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Wave-split arithmetic recomputed independently; the booleans are
+    // the Spark-side loop == batch-twin and resume-noop assertions.
+    "q_dedup_stream_loop_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id >= 100 AND doc_id < 300 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_w1,
+        |       CAST(sum(CASE WHEN doc_id >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_w2,
+        |       TRUE AS matches_batch, TRUE AS resume_noop
+        |FROM documents WHERE doc_id < 500""".stripMargin,
     // Split arithmetic recomputed independently; the equality booleans are
     // the Spark-side index-backed == from-scratch assertions (TRUE or the
     // hash mismatches) — the minhash-family gate pattern.
@@ -7442,7 +7509,7 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_arrival,
         |       TRUE AS survivors_eq, TRUE AS assignments_eq
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

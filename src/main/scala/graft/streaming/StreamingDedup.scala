@@ -164,6 +164,106 @@ object StreamingDedup {
       .toDF()
   }
 
+  /** The continuous-curation ARRIVAL LOOP as a streaming job — the
+    * streaming twin of [[graft.operators.Dedup.arrivalDedupStep]]. Drains
+    * an arrivals parquet dir (Trigger.AvailableNow + checkpoint) and per
+    * micro-batch: lands the batch in the persisted minhash LSH index,
+    * contracts its touched duplicate components into the persisted
+    * cluster index, and commits the batch's SURVIVOR slice epoch-keyed
+    * under `outDir/epochs/epoch=N` ([[StreamingSearch]]'s commit
+    * discipline — stage to a dot-prefixed dir, the rename is the commit
+    * point, replayed epochs are skipped). Cross-batch dedup is the
+    * point: a later micro-batch's dup of an earlier batch's doc collides
+    * in the index the earlier batch just fed — the static-corpus
+    * boundary [[classifyNear]] documents does not exist here.
+    *
+    * At-least-once mechanics, spelled out: the index appends run INSIDE
+    * the epoch guard, so a replayed already-committed epoch skips them.
+    * A crash between append and commit replays the appends — minhash
+    * re-appends are row-duplicates the candidate read dedups (semantics
+    * unchanged, space reclaimed at compaction); a cluster re-append
+    * writes an identical relabeling at the next seq (last-writer-wins
+    * idempotent). The one narrow window — a crash between the cluster
+    * append's seq CLAIM and its stripe write — fails the replay loudly
+    * with the documented [[graft.operators.Dedup.clusterIndexCompact]]
+    * recovery; it cannot corrupt.
+    *
+    * Emission stability: epoch dirs are append-only, so the emitted
+    * survivor corpus is exact when arrival ids are monotone (ids
+    * assigned at ingest — the natural crawl pattern): a mixed cluster's
+    * min-id representative then always sits in the earliest epoch. A
+    * SMALLER-id late arrival becomes its cluster's new representative
+    * and both copies appear across epochs; readers needing the strict
+    * closed-corpus view re-filter the emitted union through
+    * [[graft.operators.Dedup.dropDuplicateClustersFromIndex]] — the
+    * assignments index is the single source of truth either way.
+    *
+    * Each drain ends with the self-applying maintenance sweep over the
+    * two indexes (compaction triggers + the deep visibility audit), so
+    * the turnkey loop needs no separate scheduler entry. */
+  def arrivalLoopAvailableNow(
+      spark: SparkSession,
+      minhashDir: String,
+      clusterDir: String,
+      arrivalsDir: String,
+      outDir: String,
+      checkpoint: String,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None,
+      sweep: Boolean = true): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.DirCommit
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    maxFilesPerTrigger.foreach(n => src.option("maxFilesPerTrigger", n))
+    val q = src.parquet(arrivalsDir).writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val dst = s"$outDir/epochs/epoch=$epoch"
+        if (epoch > EpochLog.state(spark, outDir).mark && !DirCommit.exists(spark, dst)) {
+          DirCommit.mkdirs(spark, s"$outDir/epochs")
+          val tmp = s"$outDir/epochs/.inflight-epoch=$epoch"
+          graft.operators.Dedup
+            .arrivalDedupStep(batch, minhashDir, clusterDir, threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+          DirCommit.commitDir(spark, tmp, dst)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (sweep) {
+      val _ = graft.operators.IndexMaintenance.sweep(spark, Seq(
+        graft.operators.IndexMaintenance.MinhashIndex(minhashDir),
+        graft.operators.IndexMaintenance.ClusterIndex(clusterDir)))
+    }
+  }
+
+  /** The survivor corpus the loop has committed so far — one row per
+    * kept arrival, `epoch` = the micro-batch that admitted it. Epoch
+    * dirs are the loop's DATA OUTPUT (a curated-corpus delta per batch,
+    * the unit a downstream training pipeline consumes and moves on), so
+    * there is no fold here; a not-yet-started out dir reads as zero
+    * rows. */
+  def arrivalSurvivors(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("epoch", IntegerType))))
+    val p = s"$outDir/epochs"
+    if (!graft.operators.DirCommit.exists(spark, p)) empty
+    else
+      try spark.read.parquet(p)
+        .select("doc_id", "text", "lang", "source", "n_chars", "epoch")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
+
   /** Classify each streamed document against all content ever seen:
     * first occurrence of a normalized content hash → `kept`, every later
     * one → `exact_dup`. */

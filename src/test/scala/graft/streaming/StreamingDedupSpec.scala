@@ -178,4 +178,54 @@ class StreamingDedupSpec extends SparkSpec {
       .head().getAs[String]("status")
     assert(second === "kept")
   }
+
+  test("arrival loop: the streaming twin of arrivalDedupStep — cross-batch " +
+    "dedup through the two persisted indexes, epoch-committed survivor " +
+    "slices, checkpointed resume answers nothing twice, and the trailing " +
+    "sweep keeps maintenance turnkey") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-arrival-loop").toString
+    val (mh, cl, src, out, ckpt) =
+      (s"$root/mh", s"$root/cl", s"$root/in", s"$root/out", s"$root/ckpt")
+    // base corpus: two docs, indexes seeded from the index's own candidates
+    val base = Seq(
+      (1L, "aa bb cc dd"), (2L, "zz yy xx ww")
+    ).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Dedup.minhashIndexBuild(base, mh)
+    graft.operators.Dedup.clusterIndexBuild(
+      graft.operators.Dedup.minhashIndexCandidates(base, mh)
+        .filter(col("est") >= 0.5)
+        .select(col("doc_id").as("a_id"), col("c_id").as("b_id")),
+      cl)
+    def loop() = StreamingDedup.arrivalLoopAvailableNow(
+      spark, mh, cl, src, out, ckpt, maxFilesPerTrigger = Some(1))
+    // wave 1 (one file): 3 dups base doc 1 -> dropped; 4 fresh -> kept
+    writeDocs(src, Seq(3L -> "aa bb cc dd", 4L -> "mm nn oo pp"))
+    // wave 2 (second file): 5 dups WAVE 1's kept doc 4 (cross-batch — the
+    // case the static-corpus classifier can't catch); 6 fresh
+    writeDocs(src, Seq(5L -> "mm nn oo pp", 6L -> "qq rr ss tt"))
+    loop()
+    val survivors = StreamingDedup.arrivalSurvivors(spark, out)
+    val kept = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L, 6L),
+      "dup-of-base and dup-of-earlier-batch drop; fresh docs survive")
+    assert(survivors.select("epoch").distinct().count() === 2,
+      "maxFilesPerTrigger=1 must slice the drain into two epochs")
+    // the assignments index carries the full closure incl. both waves
+    assert(graft.operators.Dedup.clusterIndexAssignments(spark, cl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // checkpointed resume: nothing new arrived -> no new epochs, no
+    // index growth, identical survivors
+    val before = survivors.collect().toSet
+    loop()
+    assert(StreamingDedup.arrivalSurvivors(spark, out).collect().toSet === before)
+    // a fresh arrival file after resume lands in a NEW epoch only
+    writeDocs(src, Seq(7L -> "aa bb cc dd"))
+    loop()
+    assert(StreamingDedup.arrivalSurvivors(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L, 6L),
+      "a late dup of the base rep is dropped, not re-emitted")
+  }
 }
