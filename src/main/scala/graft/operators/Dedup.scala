@@ -911,11 +911,21 @@ object Dedup {
   def clusterIndexBuild(pairs: DataFrame, dir: String): Unit = {
     val spark = pairs.sparkSession
     val layout = IndexManifest.Layouts.clusters
-    val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
-    duplicateClusters(pairs)
-      .withColumn("seq", lit(0L))
-      .write.mode("overwrite").parquet(next.tableDir(dir, "assignments"))
-    IndexManifest.commit(spark, dir, next, layout)
+    val prev = IndexManifest.resolve(spark, dir, layout)
+    // bucketing is an INDEX property, not a per-call choice: a rebuild of
+    // a bucketed index keeps its layout (the compact symmetry). Writing a
+    // plain base while `bucket_n` rides the props would brick every read
+    // (a CLUSTERED BY table registered over unbucketed files); switching
+    // layouts is clusterIndexBuildBucketed's job.
+    prev.props.get("bucket_n") match {
+      case Some(n) => clusterIndexBuildBucketed(pairs, dir, n.toInt)
+      case None =>
+        val next = layout.advance(prev)
+        duplicateClusters(pairs)
+          .withColumn("seq", lit(0L))
+          .write.mode("overwrite").parquet(next.tableDir(dir, "assignments"))
+        IndexManifest.commit(spark, dir, next, layout)
+    }
   }
 
   /** [[clusterIndexBuild]] with the base written BUCKETED (and sorted) by
@@ -1198,11 +1208,16 @@ object Dedup {
     // the doc_id semi-join exchange-free even when the candidate set
     // outgrows a broadcast (a mega-component arrival) — the union output
     // would have no distribution for the planner to reuse.
+    // checkpointed like pairs/touched: the members resolution embeds this
+    // frame once PER SEGMENT, and un-materialized it would re-run its
+    // union-of-semi-joins (both segment scans + a distinct exchange) per
+    // embedding — batch-bounded rows, so materialization is cheap
     val candidates = rawParts
       .map(_.join(broadcast(touched), Seq("cluster_id"), "left_semi").select("doc_id"))
       .reduceLeftOption(_ unionByName _)
       .getOrElse(raw.select("doc_id"))
       .distinct()
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     val members = rawParts
       .map(_.join(candidates, Seq("doc_id"), "left_semi"))
       .reduceLeftOption(_ unionByName _)
@@ -1227,6 +1242,7 @@ object Dedup {
       .write.mode("append").parquet(st.streamDir(dir))
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(pairs)
     org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(touched)
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(candidates)
   }
 
   /** Exclusive-create the delta stripe's seq claim (see
@@ -1243,7 +1259,15 @@ object Dedup {
     val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(deltaPath)
     val claim = new org.apache.hadoop.fs.Path(deltaPath, f"_claim-seq-$seq%06d")
-    val won = try fs.createNewFile(claim) catch { case _: java.io.IOException => false }
+    // ONLY already-exists means a lost claim (createNewFile's pre-check
+    // returns false; a racing create surfaces FileAlreadyExists). Any
+    // other IOException is a real filesystem fault — rethrow it rather
+    // than misdirecting the operator to the race-recovery procedure (and
+    // risking a healthy writer's retry tripping over its own half-made
+    // claim).
+    val won =
+      try fs.createNewFile(claim)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     require(
       won,
       s"cluster index at $dir: delta seq $seq is already claimed ($claim). " +

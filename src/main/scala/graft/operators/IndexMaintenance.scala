@@ -196,14 +196,27 @@ object IndexMaintenance {
       spark: SparkSession,
       reg: Registration,
       deepAudit: Boolean = false): Report = {
-      try {
-        // visibility evidence is read FIRST: the mutations below may fold
-        // the stream segment and erase it (see the sweep scaladoc)
-        val hidden =
-          if (!deepAudit) Nil
-          else IndexManifest
+      // visibility evidence is read FIRST — before the mutations below
+      // can fold the stream segment and erase it (see the sweep
+      // scaladoc) — and OUTSIDE the mutation try, so a failed mutation
+      // still reports the evidence it was measured with (a fleet
+      // alerting on Report.hidden must not lose the damage just because
+      // the compaction lost a race). An audit that itself throws (e.g. a
+      // stream schema without the layout's idCol) reports failed.
+      val hidden: Seq[Long] =
+        if (!deepAudit) Nil
+        else
+          try IndexManifest
             .audit(spark, reg.dir, layoutOf(reg.family), visibility = true)
             .hiddenStreamIds
+          catch {
+            case e: Throwable =>
+              val gen = try IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)
+                catch { case _: Throwable => -1L }
+              return Report(reg.dir, reg.family, rebuilt = false, compacted = false,
+                gen, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          }
+      try {
         // a rebuild replaces the frozen model and drops its recall
         // calibration with it (stale curves are never served); remember
         // which k's were calibrated so a fired rebuild re-measures them —
@@ -257,7 +270,7 @@ object IndexMaintenance {
           val gen = try IndexManifest.read(spark, reg.dir).map(_.generation).getOrElse(0L)
             catch { case _: Throwable => -1L }
           Report(reg.dir, reg.family, rebuilt = false, compacted = false, gen,
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)), hidden)
       }
   }
 }

@@ -128,11 +128,17 @@ object ServingCache {
     // Approximate entry count so the per-miss [[capOrClear]] is O(1)
     // instead of a full filesystem walk: seeded by one walk at
     // construction (the root may pre-exist, populated by earlier JVMs),
-    // bumped on put / evict / clear. Drift from concurrent writers is
-    // tolerated — when the counter crosses the cap, ONE real walk
-    // re-counts and either clears or re-seeds, so a stale counter costs
-    // at most one extra walk, never a wrong answer (the cap is
+    // bumped on put / evict / clear, and RE-SEEDED from a real walk
+    // every [[ReseedEvery]] puts — the counter only sees THIS JVM's
+    // traffic, so in the multi-JVM deployment the store advertises, each
+    // writer must periodically observe the shared directory or no
+    // writer's counter would ever reach the cap and the bound would
+    // silently stop holding. Between reseeds drift is tolerated: when
+    // the counter crosses the cap, ONE real walk re-counts and either
+    // clears or re-seeds — never a wrong answer (the cap is
     // housekeeping; correctness lives in the fingerprint check).
+    private val ReseedEvery = 256L
+    private val putTicks = new java.util.concurrent.atomic.AtomicLong
     private val approxEntries =
       new java.util.concurrent.atomic.AtomicLong(countEntries())
 
@@ -153,6 +159,8 @@ object ServingCache {
       Files.move(tmp, p,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       if (fresh) approxEntries.incrementAndGet()
+      if (putTicks.incrementAndGet() % ReseedEvery == 0L)
+        approxEntries.set(countEntries())
     }
 
     def evictStale(dir: String, live: String): Unit =

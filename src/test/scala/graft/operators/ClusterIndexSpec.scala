@@ -224,6 +224,16 @@ class ClusterIndexSpec extends SparkSpec {
     assert(resolved(dir) === expect,
       "a fresh catalog re-registers the bucketed base from props + files")
     assert(spark.catalog.tableExists(Dedup.clusterBucketTableName(dir, st.generation)))
+    // a PLAIN rebuild of a bucketed index keeps the layout (bucketing is
+    // an index property — a plain-written base under a carried bucket_n
+    // prop would brick every read with 'Invalid bucket file')
+    val rebuilt = Seq((100L, 101L), (101L, 102L))
+    Dedup.clusterIndexBuild(pairsDf(rebuilt: _*), dir)
+    val st2 = IndexManifest.resolve(spark, dir, IndexManifest.Layouts.clusters)
+    assert(st2.props.get("bucket_n") === Some("4"))
+    assert(resolved(dir) === Map(100L -> 100L, 101L -> 100L, 102L -> 100L))
+    Dedup.clusterIndexAppend(pairsDf((103L, 102L)), dir)
+    assert(resolved(dir)(103L) === 100L)
   }
 
   test("single-writer enforcement: a claimed delta seq makes the next " +
