@@ -2957,16 +2957,20 @@ object SparkEntry {
       }),
 
       // The arrival loop's STREAMING twin, end-to-end: two id-monotone
-      // arrival waves drain through arrivalLoopAvailableNow (each drain =
-      // minhash append -> cluster contraction -> epoch-committed survivor
-      // slice, trailing maintenance sweep included), then a third drain
-      // with nothing new proves checkpointed resume answers nothing
-      // twice. The referee is the BATCH twin (arrivalDedupStep wave by
-      // wave on separate index dirs) — the loop's emitted survivor union
-      // must equal it exactly. Minhash-gate oracle pattern: DuckDB
-      // recomputes the wave-split arithmetic and pins the Spark-side
-      // equality booleans (signatures are murmur3-native). Slice-bounded
-      // to doc_id < 500 = the whole corpus at every driver SF.
+      // arrival waves drain through arrivalLoopAvailableNow (per
+      // micro-batch: minhash append -> cluster contraction ->
+      // epoch-committed survivor slice), then a second drain with
+      // nothing new proves checkpointed resume answers nothing twice.
+      // The referee is the BATCH twin (arrivalDedupStep wave by wave on
+      // separate index dirs) — the loop's emitted survivor union must
+      // equal it exactly; under id-monotone waves the union is
+      // batch-slicing-independent (a mixed cluster's min-id rep sits in
+      // the earliest wave), so both waves drain in ONE checkpointed run.
+      // Minhash-gate oracle pattern: DuckDB recomputes the wave-split
+      // arithmetic and pins the Spark-side equality booleans (signatures
+      // are murmur3-native). Slice-bounded to doc_id < 500 = the whole
+      // corpus at every driver SF; sweeps off here (the loop's trailing
+      // maintenance is StreamingDedupSpec's subject, not this gate's).
       "q_dedup_stream_loop_gate" -> ((s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
@@ -2985,9 +2989,8 @@ object SparkEntry {
         }
         seed(s"$io/mh", s"$io/cl")
         def loop() = graft.streaming.StreamingDedup.arrivalLoopAvailableNow(
-          s, s"$io/mh", s"$io/cl", src, out, ckpt)
+          s, s"$io/mh", s"$io/cl", src, out, ckpt, sweep = false)
         w1.coalesce(1).write.mode("append").parquet(src)
-        loop()
         w2.coalesce(1).write.mode("append").parquet(src)
         loop()
         def kept(): Set[Long] =
