@@ -3122,12 +3122,17 @@ object SparkEntry {
           Dedup.semanticIndexBuildWithModel(base, idx, model)
           Dedup.semanticIndexAppend(batch, idx)
           val persisted = Dedup.semanticIndexSurvivors(s, idx).select("vec_id", "cluster")
+          // keptMem (the quadratic within-cell referee) feeds the append's
+          // base, the union AND n_base — checkpointed so it computes once,
+          // not once per consumer (r11-opt multi-consumer discipline); the
+          // symmetric difference is ONE action, not two counts
           val keptMem = Dedup.semanticDedupWithModel(base, model)
+            .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
           val incMem = Dedup.semanticDedupAppend(
             keptMem.join(base, Seq("vec_id")).select("vec_id", "embedding", "cluster"),
             batch, model)
           val inMem = keptMem.unionByName(incMem)
-          val diff = persisted.exceptAll(inMem).count() + inMem.exceptAll(persisted).count()
+          val diff = persisted.exceptAll(inMem).union(inMem.exceptAll(persisted)).count()
           keptMem.agg(count(lit(1)).cast("long").as("n_base"))
             .crossJoin(persisted.agg(count(lit(1)).cast("long").as("n_total")))
             .withColumn("matches_inmem", lit(diff == 0L))

@@ -901,7 +901,12 @@ object Analytics {
       .agg(count(lit(1)).as("f"))
       .filter(col("f") <= maxItemFreq)
       .select("item")
+    // capped feeds the degree aggregate AND both sides of the pair
+    // self-join; checkpointed so the membership subtree (at the q_node
+    // similarity call site a lineitem⋈orders join + distinct) runs once,
+    // not once per consumer (the triangleStats multi-consumer fix)
     val capped = membership.join(keep, Seq("item")).select("node", "item")
+      .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
     val deg = capped.groupBy("node").agg(count(lit(1)).as("deg"))
     val pairs = capped.select(col("item"), col("node").as("a"))
       .join(capped.select(col("item"), col("node").as("b")), Seq("item"))
@@ -1108,14 +1113,25 @@ object Analytics {
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.sortedIntersectCount
+    import org.apache.spark.sql.graft.Bridge
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    // deg / oriented / adj each feed 2-3 consumers below; without the
+    // checkpoints Catalyst re-plans (and the executor re-RUNS) the whole
+    // upstream pipeline per consumer — the r11 event-log profile measured
+    // the degree aggregate executing 6× and the adjacency collect 2× per
+    // q_lcc/q_triangles run (optimization guide §1.2: don't compute things
+    // twice; §5: materialize reused intermediates). Blocks stay alive
+    // behind the returned lazy plan — the kCore discipline.
     val deg = sym.groupBy("a").agg(count(lit(1)).cast("long").as("dg"))
+      .transform(Bridge.localCheckpointFreshStats)
     val oriented = sym
       .join(deg.withColumnRenamed("a", "u").withColumnRenamed("dg", "du"), col("a") === col("u"))
       .join(deg.withColumnRenamed("a", "v").withColumnRenamed("dg", "dv"), col("b") === col("v"))
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("a") < col("b")))
       .select(col("a").as("src"), col("b").as("dst"))
+      .transform(Bridge.localCheckpointFreshStats)
     val adj = oriented.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .transform(Bridge.localCheckpointFreshStats)
     val tri = oriented
       .join(adj.toDF("src", "na"), Seq("src"))
       .join(adj.toDF("dst", "nb"), Seq("dst"))
@@ -1236,37 +1252,51 @@ object Analytics {
     * Isolated-triangle corners score 1.0; degree-1 nodes are excluded
     * (lcc undefined — the d·(d−1) denominator is zero). */
   def localClusteringCoefficient(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    // checkpoints: same multi-consumer re-execution fix as [[triangleStats]]
+    // (deg feeds oriented twice + the final lcc join; oriented feeds adj +
+    // the corner join; adj feeds both sides of the corner join)
     val deg = sym.groupBy("a").agg(count(lit(1)).cast("long").as("dg"))
+      .transform(Bridge.localCheckpointFreshStats)
     val oriented = sym
       .join(deg.withColumnRenamed("a", "u").withColumnRenamed("dg", "du"), col("a") === col("u"))
       .join(deg.withColumnRenamed("a", "v").withColumnRenamed("dg", "dv"), col("b") === col("v"))
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("a") < col("b")))
       .select(col("a").as("src"), col("b").as("dst"))
+      .transform(Bridge.localCheckpointFreshStats)
     val adj = oriented.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .transform(Bridge.localCheckpointFreshStats)
     // Corner credit without a 3·T explode: the (a, b) edge's intersection W
-    // credits a and b with |W| each (two count cells — no row per triangle)
-    // and only the third corners w ∈ W expand to rows, all inside ONE
-    // generator projection so the intersection evaluates once per edge
-    // (codegen subexpression elimination). The exchange carries T + 2|E|
-    // map-side-combined cells instead of 3·T raw corner rows.
+    // credits a and b with |W| each (two cells via the first two generator
+    // slots — no row per triangle) and only the third corners w ∈ W expand
+    // to rows. Spelled as posexplode over a plain long array (src, dst,
+    // then W) with the |W| literal carried alongside: slots 0-1 take |W|,
+    // the rest take 1. The previous named_struct/transform spelling put an
+    // interpreted higher-order function (ArrayTransform is CodegenFallback)
+    // with a per-element struct allocation on every edge — profiled at
+    // ~190 µs/edge, the whole query's hot stage; this form stays inside
+    // whole-stage codegen end to end. The exchange still carries T + 2|E|
+    // map-side-combined cells, never Σ outdeg² wedges.
     val corners = oriented
       .join(adj.toDF("src", "na"), Seq("src"))
       .join(adj.toDF("dst", "nb"), Seq("dst"))
       // the kernel intersection materializes ONCE per edge in its own
-      // projection (referenced 3× below — CollapseProject keeps non-cheap
-      // multi-referenced aliases out of the consumer)
+      // projection (referenced twice below — CollapseProject keeps
+      // non-cheap multi-referenced aliases out of the consumer)
       .select(
         col("src"),
         col("dst"),
         graft.functions.TextFunctions.sortedIntersect(col("na"), col("nb")).as("c"))
-      .select(explode(expr(
-        """concat(
-          |  array(named_struct('node', src, 't_add', CAST(size(c) AS BIGINT)),
-          |        named_struct('node', dst, 't_add', CAST(size(c) AS BIGINT))),
-          |  transform(c, w -> named_struct('node', w, 't_add', CAST(1 AS BIGINT))))"""
-          .stripMargin)).as("e"))
-      .select(col("e.node").as("node"), col("e.t_add").as("t_add"))
+      .select(
+        col("src"),
+        col("dst"),
+        size(col("c")).cast("long").as("w"),
+        col("c"))
+      .select(col("w"), posexplode(concat(array(col("src"), col("dst")), col("c"))))
+      .select(
+        col("col").as("node"),
+        when(col("pos") < 2, col("w")).otherwise(lit(1L)).as("t_add"))
     val triPerNode = corners.groupBy("node").agg(sum(col("t_add")).cast("long").as("t"))
     deg
       .filter(col("dg") >= 2)

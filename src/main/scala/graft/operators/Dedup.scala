@@ -1636,11 +1636,15 @@ object Dedup {
     val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
     model.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(next.tableDir(dir, "model"))
+    // trained-on count captured during the write (observe) — no read-back
+    // count job over the just-written segment (guide §1.2)
+    val obs = org.apache.spark.sql.Observation()
     semanticDedupWithModel(embeddings, model, threshold, quantScale)
       .join(embeddings.select("vec_id", "embedding"), Seq("vec_id"))
       .select("vec_id", "embedding", "cluster")
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").partitionBy("cluster").parquet(next.tableDir(dir, "survivors"))
-    val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "survivors"))
+    val trained = obs.get("n").asInstanceOf[Long]
     IndexManifest.commit(
       spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, trained.toString), layout)
   }

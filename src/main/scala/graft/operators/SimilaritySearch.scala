@@ -375,10 +375,12 @@ object SimilaritySearch {
     val assigned =
       if (centroids.isEmpty) c.withColumn("cell", lit(0)).limit(0) // empty corpus → empty index
       else c.withColumn("cell", assign(centroids, "nv"))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "vectors"))
-    // rowsIn, not a bare read: an empty-corpus build writes a zero-row
-    // segment with no schema-carrying files
-    val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "vectors"))
+    // the trained-on count rides the write job itself (observe) instead of
+    // a second read-back count over the just-written segment (guide §1.2)
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "vectors"))
+    val trained = obs.get("n").asInstanceOf[Long]
     // a (re)build replaces the frozen model, so any recall calibration
     // measured against the OLD model is dropped with it — serving a
     // stale curve silently would be the auto-nprobe lane's one lie
@@ -825,13 +827,20 @@ object SimilaritySearch {
     // a driver-side model-sized collect that buys partition pruning on the
     // vectors scan. Tombstoned ids ([[indexDelete]]) are anti-joined out
     // AFTER the cell pruning, so the delete check touches probed cells only.
-    val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+    // A full sweep (nprobe ≥ nlist) probes every cell — the collect and
+    // the isin prune are no-ops there; skip the extra job outright.
+    val pruneCells: DataFrame => DataFrame =
+      if (nprobe >= centroids.length) identity
+      else {
+        val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+        df => df.filter(col("cell").isin(cells: _*))
+      }
     // A fully-tombstoned index compacts to a zero-row base whose parquet
     // dir carries no schema — that is an EMPTY index, not a broken one.
     val all = indexVectorsAt(spark, dir, st).getOrElse(
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim"))
     val indexed = Tombstones.dropScoped(
-      all.filter(col("cell").isin(cells: _*)), dir, "n_id", "seg_gen", st.tombstones)
+      pruneCells(all), dir, "n_id", "seg_gen", st.tombstones)
       .drop("seg_gen")
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     indexed
@@ -864,29 +873,77 @@ object SimilaritySearch {
     val centroids = readCentroids(spark, dir, st)
     require(centroids.nonEmpty, s"ivf index at $dir has an empty centroid model")
     val nlist = centroids.length
-    val sample = indexVectorsOpt(spark, dir) match {
+    val indexed = indexVectorsAt(spark, dir, st) match {
       case None => return Map.empty
-      case Some(all) =>
-        dropTombstoned(all, spark, dir)
-          .select(col("n_id").as("vec_id"), col("nv").as("embedding"))
-          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-          .limit(nSample)
+      case Some(all) => dropTombstoned(all, spark, dir)
     }
+    val sample = indexed
+      .select(col("n_id").as("vec_id"), col("nv").as("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nSample)
     val widths =
       (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++ Iterator(nlist)).toSeq
-    def resultSets(np: Int): Map[Long, Set[Long]] =
-      ivfIndexSearch(spark, dir, sample, k, np)
-        .select("q_id", "n_id").collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val truth = resultSets(nlist)
-    val curve = widths.map { np =>
-      val got = if (np == nlist) truth else resultSets(np)
-      val recalls = truth.toSeq.map { case (q, ts) =>
-        if (ts.isEmpty) 1.0
-        else (got.getOrElse(q, Set.empty[Long]) & ts).size.toDouble / ts.size
-      }
-      np -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
-    }.toMap
+    // ONE-PASS sweep (optimization guide §1.2/§2.4 — remove redundant
+    // passes): the old per-width formulation called ivfIndexSearch once
+    // per width, each call re-reading the model, re-evaluating the sample
+    // subplan (an index-wide hash sort + limit) and re-scanning the index
+    // — |widths|+1 index scans for one curve. All widths share ONE scan
+    // here. The probe rank (`crank`, the cell's 1-based position in the
+    // query's distance-sorted cell list) is carried per candidate — width
+    // np's candidate set is exactly `crank <= np`, the same set the
+    // slice(…, 1, np) probe produced. A per-(query, cell) top-k window
+    // then bounds the shared set: every row of one (query, cell) carries
+    // the SAME crank, so a row outside its own cell's top-k has ≥ k
+    // better rows present at every width that includes it and can never
+    // surface — the cut is loss-free. Per-width top-k over the shared
+    // (checkpointed, ≤ sample × nlist × k rows at ANY corpus size) set
+    // under the identical (sim desc, n_id) order is value-identical to
+    // the per-search plans; the search path itself stays spec-covered.
+    val q = withNorm(sample, "q_id", "qv", "qn")
+    val probedAll = q
+      .select(
+        col("q_id"), col("qv"), col("qn"),
+        posexplode(sort_array(array(centroids.map { case (cid, v) =>
+          struct((-dot(col("qv"), lit(v))).as("negd"), lit(cid).as("cid"))
+        }: _*))))
+      .select(
+        col("q_id"), col("qv"), col("qn"),
+        (col("pos") + 1).as("crank"), col("col").getField("cid").as("cell"))
+    val curve: Map[Int, Double] = {
+        val byCell =
+          Window.partitionBy(col("q_id"), col("cell")).orderBy(col("sim").desc, col("n_id"))
+        val shared = indexed
+          .join(broadcast(probedAll), Seq("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .withColumn("cellrk", row_number().over(byCell))
+          .filter(col("cellrk") <= k)
+          .select("q_id", "n_id", "sim", "crank")
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+        val byQuery =
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        val sweep = widths.map { np =>
+          shared.filter(col("crank") <= np)
+            .withColumn("rank", row_number().over(byQuery))
+            .filter(col("rank") <= k)
+            .select(lit(np).as("np"), col("q_id"), col("n_id"))
+        }.reduce(_ unionByName _)
+        val rows = sweep.collect()
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(shared)
+        val byNp: Map[Int, Map[Long, Set[Long]]] = rows
+          .groupBy(_.getInt(0)).view
+          .mapValues(_.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).toSet).toMap)
+          .toMap
+        val truth = byNp.getOrElse(nlist, Map.empty)
+        widths.map { np =>
+          val got = byNp.getOrElse(np, Map.empty)
+          val recalls = truth.toSeq.map { case (qid, ts) =>
+            if (ts.isEmpty) 1.0
+            else (got.getOrElse(qid, Set.empty[Long]) & ts).size.toDouble / ts.size
+          }
+          np -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
+        }.toMap
+    }
     val annotated = curve.foldLeft(st) { case (s2, (np, r)) =>
       s2.withProp(s"recall.k$k.np$np", f"$r%.4f")
     }
@@ -991,8 +1048,12 @@ object SimilaritySearch {
           .join(
             spark.read.parquet(next.tableDir(dir, "vectors")).select("n_id", "cell"),
             Seq("n_id"))
-    codes.write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "codes"))
-    val trained = CompactionTrigger.rowsIn(spark, next.tableDir(dir, "codes"))
+    // trained-on count captured during the write (observe) — no read-back
+    // count job over the just-written segment (guide §1.2)
+    val obs = org.apache.spark.sql.Observation()
+    codes.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("cell").parquet(next.tableDir(dir, "codes"))
+    val trained = obs.get("n").asInstanceOf[Long]
     // recall props describe the OLD frozen models — dropped with them
     IndexManifest.commit(
       spark, dir,
@@ -1336,8 +1397,15 @@ object SimilaritySearch {
           1,
           nprobe).getField("cid")))
     // Model-sized distinct probed-cell list (≤ nlist) — buys partition
-    // pruning on BOTH the code scan and the survivor vector scan.
-    val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+    // pruning on BOTH the code scan and the survivor vector scan. A full
+    // sweep (nprobe ≥ nlist) probes every cell — collect and isin prune
+    // are no-ops there; skip the extra job outright.
+    val pruneCells: DataFrame => DataFrame =
+      if (nprobe >= centroids.length) identity
+      else {
+        val cells = probed.select("cell").distinct().as[Int].collect().toSeq
+        df => df.filter(col("cell").isin(cells: _*))
+      }
     // Tombstones applied at the CODE stage — a deleted id never reaches the
     // ADC ranking, and the survivor vector join is keyed by live ids only.
     // A fully-tombstoned index compacts to zero-row bases with no
@@ -1345,7 +1413,7 @@ object SimilaritySearch {
     val allCodes = segmentUnionAt(spark, dir, st, "codes").getOrElse(
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "n_id", "rank", "sim"))
     val codes = Tombstones.dropScoped(
-      allCodes.filter(col("cell").isin(cells: _*)),
+      pruneCells(allCodes),
       dir, "n_id", "seg_gen", st.tombstones).drop("seg_gen")
     val adc = (0 until m)
       .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
@@ -1362,9 +1430,8 @@ object SimilaritySearch {
     // upserts, a LIVE id can have a dead older vector copy in the base —
     // the survivor join on n_id must see only the replacement row.
     val vectors = Tombstones.dropScoped(
-      segmentUnionAt(spark, dir, st, "vectors")
-        .getOrElse(sys.error(s"ivfpq index at $dir has no readable vectors segment"))
-        .filter(col("cell").isin(cells: _*)),
+      pruneCells(segmentUnionAt(spark, dir, st, "vectors")
+        .getOrElse(sys.error(s"ivfpq index at $dir has no readable vectors segment"))),
       dir, "n_id", "seg_gen", st.tombstones).drop("seg_gen")
       .select("n_id", "nv", "nn")
     val byExact = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -1395,30 +1462,108 @@ object SimilaritySearch {
     val centroids = readCentroids(spark, dir, st)
     require(centroids.nonEmpty, s"ivfpq index at $dir has an empty model")
     val nlist = centroids.length
-    val sample = segmentUnionAt(spark, dir, st, "vectors") match {
+    val allVectors = segmentUnionAt(spark, dir, st, "vectors") match {
       case None => return Map.empty
       case Some(all) =>
         Tombstones.dropScoped(all, dir, "n_id", "seg_gen", st.tombstones)
           .drop("seg_gen")
-          .select(col("n_id").as("vec_id"), col("nv").as("embedding"))
-          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-          .limit(nSample)
     }
+    val sample = allVectors
+      .select(col("n_id").as("vec_id"), col("nv").as("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nSample)
     val widths =
       (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++ Iterator(nlist)).toSeq
-    def resultSets(np: Int): Map[Long, Set[Long]] =
-      ivfPqIndexSearch(spark, dir, sample, k, np, rerank)
-        .select("q_id", "n_id").collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val truth = resultSets(nlist)
-    val curve = widths.map { np =>
-      val got = if (np == nlist) truth else resultSets(np)
-      val recalls = truth.toSeq.map { case (q, ts) =>
-        if (ts.isEmpty) 1.0
-        else (got.getOrElse(q, Set.empty[Long]) & ts).size.toDouble / ts.size
+    // ONE-PASS sweep — ivfIndexCalibrate's restructure on the composed
+    // index (see that method's correctness argument): the per-width
+    // searches shared nothing, so one curve cost |widths|+1 code scans,
+    // model reads and sample sorts. Here ALL widths share one ADC pass.
+    // `crank` (the cell's 1-based rank in the query's sorted cell list)
+    // reproduces each width's probe set as `crank <= np`; a per-(query,
+    // cell) top-`rerank` window bounds the shared candidate set loss-free
+    // (same-cell rows share their crank, so a row below its own cell's
+    // top-rerank sits below the rerank cut at every width that probes the
+    // cell); each width's ADC rerank cut, survivor re-rank and top-k then
+    // run over the bounded (checkpointed, ≤ sample × nlist × rerank rows)
+    // set — value-identical to the per-search plans, which stay
+    // spec-covered on the serving path.
+    val books = readCodebooks(spark, dir, st).map(_.map(_._2))
+    val codesOpt = segmentUnionAt(spark, dir, st, "codes")
+    val curve: Map[Int, Double] =
+      if (books.isEmpty || books.exists(_.isEmpty) || codesOpt.isEmpty)
+        widths.map(_ -> 1.0).toMap
+      else {
+        val m = books.size
+        val offsets = books.scanLeft(0)((acc, cb) => acc + cb.length)
+        // the normed sample feeds the probe AND the exact re-rank join —
+        // materialized once (nSample rows) so the index-wide hash sort
+        // behind it runs once, not per consumer
+        val qFrame = withNorm(sample, "q_id", "qv", "qn")
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+        val q = qFrame
+          .withColumn("lut", {
+            import org.apache.spark.sql.graft.{Bridge, PqLuts}
+            Bridge.column(PqLuts(Bridge.expression(col("qv")), books.map(_.map(_.toSeq).toSeq)))
+          })
+        val probedAll = q
+          .select(
+            col("q_id"), col("qn"), col("lut"),
+            posexplode(sort_array(array(centroids.map { case (cid, v) =>
+              struct((-dot(col("qv"), lit(v))).as("negd"), lit(cid).as("cid"))
+            }: _*))))
+          .select(
+            col("q_id"), col("qn"), col("lut"),
+            (col("pos") + 1).as("crank"), col("col").getField("cid").as("cell"))
+        val codes = Tombstones.dropScoped(
+          codesOpt.get, dir, "n_id", "seg_gen", st.tombstones).drop("seg_gen")
+        val adc = (0 until m)
+          .map(mi => element_at(col("lut"), lit(offsets(mi)) + col(s"code$mi") + 1))
+          .reduce(_ + _)
+        val byCellApprox =
+          Window.partitionBy(col("q_id"), col("cell"))
+            .orderBy(col("approx_sim").desc, col("n_id"))
+        val sharedCand = codes
+          .join(broadcast(probedAll), Seq("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("approx_sim", adc / (col("qn") * col("nn")))
+          .withColumn("cellrk", row_number().over(byCellApprox))
+          .filter(col("cellrk") <= rerank)
+          .select("q_id", "n_id", "approx_sim", "crank")
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
+        val byApprox =
+          Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("n_id"))
+        val survivors = widths.map { np =>
+          sharedCand.filter(col("crank") <= np)
+            .withColumn("arank", row_number().over(byApprox))
+            .filter(col("arank") <= rerank)
+            .select(lit(np).as("np"), col("q_id"), col("n_id"))
+        }.reduce(_ unionByName _)
+        val byExact =
+          Window.partitionBy(col("np"), col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        val sweep = survivors
+          .join(broadcast(qFrame), Seq("q_id"))
+          .join(allVectors.select("n_id", "nv", "nn"), Seq("n_id"))
+          .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .withColumn("rank", row_number().over(byExact))
+          .filter(col("rank") <= k)
+          .select(col("np"), col("q_id"), col("n_id"))
+        val rows = sweep.collect()
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(sharedCand)
+        org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(qFrame)
+        val byNp: Map[Int, Map[Long, Set[Long]]] = rows
+          .groupBy(_.getInt(0)).view
+          .mapValues(_.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).toSet).toMap)
+          .toMap
+        val truth = byNp.getOrElse(nlist, Map.empty)
+        widths.map { np =>
+          val got = byNp.getOrElse(np, Map.empty)
+          val recalls = truth.toSeq.map { case (qid, ts) =>
+            if (ts.isEmpty) 1.0
+            else (got.getOrElse(qid, Set.empty[Long]) & ts).size.toDouble / ts.size
+          }
+          np -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
+        }.toMap
       }
-      np -> (if (recalls.isEmpty) 1.0 else recalls.sum / recalls.size)
-    }.toMap
     val annotated = curve.foldLeft(st) { case (s2, (np, r)) =>
       s2.withProp(s"recall.k$k.np$np", f"$r%.4f")
     }

@@ -123,18 +123,26 @@ object TextSearchIndex {
     * vanish with it). */
   def build(documents: DataFrame, dir: String): Unit = {
     val spark = documents.sparkSession
+    import spark.implicits._
     val next = layout.advance(IndexManifest.resolve(spark, dir, layout))
-    documents
+    // one aggregate action feeds BOTH the stats table and the trained-on
+    // prop — the old spelling wrote the aggregate then re-read it with a
+    // second job just to extract n_docs (guide §1.2: don't compute — or
+    // scan — things twice; builds run inside every text lifecycle gate)
+    val statsRow = documents
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
       .agg(
         count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .head()
+    val nDocs = statsRow.getLong(0)
+    Seq((nDocs, statsRow.getLong(1)))
+      .toDF("n_docs", "sum_dl")
       .coalesce(1)
       .write.mode("overwrite").parquet(next.tableDir(dir, "stats"))
     postingsOfBatch(documents)
       .repartitionByRange(TermBuckets, col("tok")).sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(next.tableDir(dir, "postings"))
-    val nDocs = spark.read.parquet(next.tableDir(dir, "stats")).head().getLong(0)
     IndexManifest.commit(
       spark, dir, next.withProp(RebuildTrigger.TrainedOnProp, nDocs.toString), layout)
   }

@@ -815,8 +815,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_lcc")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"plan:\n$p")
-    // corner cells combine map-side before the per-node count exchange
-    assert(p.contains("partial_count"), s"corner counts not map-side combined:\n$p")
+    // corner cells combine map-side before the per-node credit exchange
+    // (partial_sum of t_add — the deg/oriented/adj subtrees sit behind
+    // checkpoints since r11-opt, so theirs are no longer in this plan)
+    assert(p.contains("partial_sum"), s"corner credits not map-side combined:\n$p")
+    // the credit generator must stay inside whole-stage codegen: a plain
+    // posexplode over a long array, never an interpreted higher-order
+    // function (ArrayTransform is CodegenFallback — the r11-opt fix)
+    assert(p.contains("posexplode"), s"corner generator shape changed:\n$p")
+    assert(!p.contains("transform("), s"interpreted HOF back in the hot path:\n$p")
   }
 
   test("q_k_anonymity: classes collapse map-side; one O(classes) exchange") {
