@@ -123,7 +123,15 @@ object SparkEntry {
       graft.operators.Analytics.coOrderEdges(Tables.lineitem(s, dir)))
 
   /** Directed customer→supplier trade edges (distinct); callers symmetrize
-    * with the cheap reversed-union projection. */
+    * with the cheap reversed-union projection. Node ids are LONGS —
+    * custkey·2 (even) / suppkey·2+1 (odd), a bijection into disjoint id
+    * spaces — instead of the former 'c…'/'s…' strings: the iterative
+    * consumers (PageRank/PPR) join and aggregate on these keys EVERY
+    * round, and longs keep that per-round hashing, comparison and shuffle
+    * width at 8 bytes (optimization guide §2.3 "narrower types"; measured
+    * r11-opt). The public string names are re-derived by [[tradeNodeName]]
+    * in the consumers' FINAL projection, so every declared output — values
+    * and tie-break order — is byte-identical. */
   private def tradeEdgesArtifact(s: SparkSession, dir: String): DataFrame =
     edgeArtifact(s, artifactKey("trade", dir))(
       Tables.orders(s, dir)
@@ -132,9 +140,22 @@ object SparkEntry {
           Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(
-          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          (col("o_custkey") * lit(2L)).as("src"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("dst"))
         .distinct())
+
+  /** Decode a long trade-graph node id back to its public name ('c…' for
+    * even = customer, 's…' for odd = supplier) — applied AFTER the
+    * iterative rounds, BEFORE the declared output's ordering, so results
+    * (including string tie-breaks) match the former string-keyed graph
+    * exactly. */
+  private def tradeNodeName(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // shiftright(n, 1) = n div 2 for the non-negative keys here — exact
+    // long arithmetic for both the even (custkey·2) and odd (suppkey·2+1)
+    // encodings
+    when(pmod(node, lit(2L)) === 0L,
+      concat(lit("c"), shiftright(node, 1).cast("string")))
+      .otherwise(concat(lit("s"), shiftright(node, 1).cast("string")))
 
   /** The SYMMETRIZED trade graph as a BUCKETED, per-bucket-SORTED table —
     * the persisted-adjacency serving shape for the iterative graph
@@ -1214,9 +1235,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       // the symmetrized graph reads from the bucketed adjacency table:
       // no edge-side exchange in any of the 5 rounds (checkpointEdges off
-      // keeps the scan's outputPartitioning alive)
+      // keeps the scan's outputPartitioning alive); rounds run on LONG
+      // node keys (r11-opt, guide §2.3) — the public 'c…'/'s…' names are
+      // decoded BEFORE the declared ordering, so output is byte-identical
       graft.operators.Analytics
         .pageRank(tradeEdgesSymBucketedArtifact(s, dir), iters = 5, checkpointEdges = false)
+        .select(tradeNodeName(col("node")).as("node"), col("pr_micro"))
         .orderBy(col("pr_micro").desc, col("node"))
         .limit(20)
     }),
@@ -1227,12 +1251,17 @@ object SparkEntry {
     // integer contract and unrolled-CTE oracle as q_pagerank.
     "q_ppr" -> ((s, dir) => {
       val edges = tradeEdgesSymBucketedArtifact(s, dir)
+      // seed set = every 50th customer PRESENT in the graph — on the long
+      // encoding customers are the even ids and custkey = node div 2, the
+      // same set the former startsWith("c") filter selected
       val seeds = edges
         .select(col("src").as("node"))
-        .filter(col("node").startsWith("c") && expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0"))
+        .filter(pmod(col("node"), lit(2L)) === 0L &&
+          pmod(shiftright(col("node"), 1), lit(50L)) === 0L)
         .distinct()
       graft.operators.Analytics
         .personalizedPageRank(edges, seeds, iters = 5, checkpointEdges = false)
+        .select(tradeNodeName(col("node")).as("node"), col("pr_micro"))
         .orderBy(col("pr_micro").desc, col("node"))
         .limit(20)
     }),
@@ -6289,8 +6318,12 @@ object SparkEntry {
         val sym = edges
           .select(col("a").as("src"), col("b").as("dst"))
           .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        // deg feeds both endpoint joins — checkpointed so the edge
+        // aggregate runs once, not per join side (r11-opt multi-consumer
+        // discipline, same as triangleStats)
         val deg = sym.groupBy(col("src").as("node"))
           .agg(count(lit(1)).cast("long").as("deg"))
+          .transform(org.apache.spark.sql.graft.Bridge.localCheckpointFreshStats)
         val moms = sym
           .join(deg.select(col("node").as("src"), col("deg").as("dj")), Seq("src"))
           .join(deg.select(col("node").as("dst"), col("deg").as("dk")), Seq("dst"))

@@ -1079,11 +1079,13 @@ object Analytics {
     val parts = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // native pair expansion ([[org.apache.spark.sql.graft.SortedLongPairs]])
+    // — the nested-transform spelling evaluated an interpreted lambda per
+    // basket element (ArrayTransform is CodegenFallback); same pair set
     parts
-      .select(explode(expr(
-        """flatten(transform(ps, (pa, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), pb -> struct(pa AS a, pb AS b))))"""
-          .stripMargin)).as("e"))
+      .select(explode(org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.SortedLongPairs(
+          org.apache.spark.sql.graft.Bridge.expression(col("ps"))))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
   }
@@ -1178,13 +1180,13 @@ object Analytics {
       .distinct()
     val nOrders = oi.agg(countDistinct(col("o")).cast("long").as("n_orders"))
     val sup = oi.groupBy("i").agg(count(lit(1)).cast("long").as("n_i"))
+    // native pair expansion (SortedLongPairs) — see coOrderEdges
     val ab = oi
       .groupBy("o")
       .agg(sort_array(collect_set(col("i"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (pa, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), pb -> struct(pa AS a, pb AS b))))"""
-          .stripMargin)).as("e"))
+      .select(explode(org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.SortedLongPairs(
+          org.apache.spark.sql.graft.Bridge.expression(col("ps"))))).as("e"))
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).cast("long").as("n_ab"))
       .filter(col("n_ab") >= minSupport)

@@ -188,6 +188,55 @@ case class SortedIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All unordered pairs `(a, b), a-index < b-index` of an `array<bigint>`
+  * column as `array<struct<a,b>>` — the row-local pair expansion behind
+  * co-occurrence edges and market-basket cells. Replaces the nested
+  * `flatten(transform(ps, (pa, i) -> transform(slice(ps, i + 2, …), …)))`
+  * spelling: ArrayTransform is CodegenFallback, so that form evaluated an
+  * interpreted lambda (plus a slice copy and a struct allocation) per
+  * element of every basket — the same per-row interpreter tax the r11
+  * q_lcc profile measured at ~190 µs/row. One tight compiled loop here;
+  * pair order (all partners of element 0, then of 1, …) matches the old
+  * expression, and output volume is unchanged — n·(n−1)/2 structs. */
+case class SortedLongPairs(child: Expression)
+    extends UnaryExpression
+    with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_sorted_long_pairs"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val ai = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(c) = org.apache.spark.sql.catalyst.InternalRow(ai, arr.getLong(j))
+        c += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelRef(ctx)}.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over an `array<bigint>` hashed-shingle set (the
   * [[NGramHashes]] output): `numPerm` virtual permutations derived from two
   * mixes per element (`h_p = h1 + p*h2`, h2 forced odd — the standard
