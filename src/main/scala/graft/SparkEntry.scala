@@ -2979,8 +2979,13 @@ object SparkEntry {
         val survivorsEq = eqOn(
           survivorsIdx.select("doc_id"), survivorsScratch.select("doc_id"))
         val assignmentsEq = eqOn(Dedup.clusterIndexAssignments(s, cl), scratch)
-        val out = Seq((docs.count(), arrival.count(), survivorsEq, assignmentsEq))
-          .toDF("n_docs", "n_arrival", "survivors_eq", "assignments_eq")
+        // the two corpus counts ride the returned plan (computed when the
+        // caller forces it) instead of two eager driver actions here —
+        // same values, two fewer jobs (r11-opt)
+        val out = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+          .crossJoin(arrival.agg(count(lit(1)).cast("long").as("n_arrival")))
+          .withColumn("survivors_eq", lit(survivorsEq))
+          .withColumn("assignments_eq", lit(assignmentsEq))
         org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(scratch)
         out
       }),
@@ -3036,8 +3041,13 @@ object SparkEntry {
         val resumeNoop = kept() == loopKept
         val p = new org.apache.hadoop.fs.Path(io)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        Seq((docs.count(), w1.count(), w2.count(), matchesBatch, resumeNoop))
-          .toDF("n_docs", "n_w1", "n_w2", "matches_batch", "resume_noop")
+        // the three slice counts ride the returned plan (one job at force
+        // time) instead of three eager driver actions (r11-opt)
+        docs.agg(count(lit(1)).cast("long").as("n_docs"))
+          .crossJoin(w1.agg(count(lit(1)).cast("long").as("n_w1")))
+          .crossJoin(w2.agg(count(lit(1)).cast("long").as("n_w2")))
+          .withColumn("matches_batch", lit(matchesBatch))
+          .withColumn("resume_noop", lit(resumeNoop))
       }),
 
       // Near-dup: MinHash + LSH banding. Rows-only: signatures are murmur3
